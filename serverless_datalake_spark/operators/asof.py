@@ -1,0 +1,79 @@
+"""As-of join (nearest-earlier match) as a DataFrame composition.
+
+Spark has no native as-of join (SURVEY.md §4.3). The naive encoding —
+range join + row_number — explodes to O(|L|·|R|) per key before
+pruning. This implementation uses the union + last(ignorenulls) trick:
+
+  1. tag left rows (sort_rank=1) and right rows (sort_rank=0),
+  2. union by name,
+  3. one window over (keys, ts, sort_rank) carrying the latest
+     right-row payload forward with last(..., ignorenulls=True),
+  4. keep left rows.
+
+Cost: ONE shuffle on the join keys + a sort within partitions —
+linear in |L|+|R|, no pair explosion; survives 100× scale-up as long
+as a single key's history fits a partition (salt-by-time-range if a
+key is pathologically hot).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SORT_TS = "__asof_sort_ts"
+_RANK = "__asof_rank"
+_PAYLOAD = "__asof_payload"
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    prefix: str = "asof_",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_ts`` <= ``left_ts`` within the same ``on`` key(s).
+
+    Attached columns are named ``{prefix}{col}``; all-null when no
+    earlier right row exists (left-outer semantics).
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+
+    l_tagged = (
+        left.withColumn(_SORT_TS, F.col(left_ts))
+        .withColumn(_RANK, F.lit(1))
+        .withColumn(
+            _PAYLOAD,
+            F.lit(None).cast(
+                "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+            ),
+        )
+    )
+    r_tagged = right.select(
+        *on_cols,
+        F.col(right_ts).alias(_SORT_TS),
+        F.lit(0).alias(_RANK),
+        F.struct(*[F.col(c) for c in right_cols]).alias(_PAYLOAD),
+    )
+
+    unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+
+    # At equal timestamps the right row sorts first (rank 0 < 1), so
+    # "at-or-before" includes exact ties.
+    w = (
+        Window.partitionBy(*on_cols)
+        .orderBy(F.col(_SORT_TS).asc(), F.col(_RANK).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
+
+    out = filled.where(F.col(_RANK) == 1)
+    for c in right_cols:
+        out = out.withColumn(f"{prefix}{c}", F.col(_PAYLOAD)[c])
+    return out.drop(_SORT_TS, _RANK, _PAYLOAD)

@@ -1,0 +1,202 @@
+"""Deduplication operators for the training-data pipeline: exact,
+n-gram Jaccard, MinHash+LSH, SimHash (north star, BASELINE.json).
+
+Scale design: every variant avoids the O(n²) all-pairs join on the
+full corpus —
+* exact: one hash aggregate on the fingerprint;
+* Jaccard verify: runs only on candidate pairs;
+* MinHash-LSH: signatures are computed with array HOFs (no explode, no
+  shuffle), then ONE shuffle groups signatures into (band, band-hash)
+  buckets; only same-bucket pairs are generated, so cost tracks the
+  number of true near-duplicates, not n²;
+* SimHash: same banding trick on signature chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.operators import textops
+
+
+def exact_dedup_survivors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content fingerprint: one row per distinct
+    normalized text, survivor = smallest id (deterministic)."""
+    return (
+        docs.select(F.col(id_col), textops.fingerprint_md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("survivor_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def token_sets(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(textops.tokens(F.col(text_col))).alias("toks"),
+    )
+
+
+def jaccard_on_pairs(pairs: DataFrame, toks: DataFrame) -> DataFrame:
+    """Exact token-set Jaccard for given (doc_a, doc_b) pairs."""
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Brute-force all-pairs Jaccard ≥ threshold. O(n²) — correctness
+    baseline / oracle twin for LSH; keep off full-scale corpora."""
+    toks = token_sets(docs, id_col, text_col)
+    pairs = (
+        toks.select(F.col("doc_id").alias("doc_a"))
+        .crossJoin(toks.select(F.col("doc_id").alias("doc_b")))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    return jaccard_on_pairs(pairs, toks).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, num_hashes: int = 64, k: int = 3
+) -> DataFrame:
+    """num_hashes-permutation MinHash over k-word shingles.
+
+    sig[j] = min over shingles s of xxhash64(s, j). Pure HOFs —
+    signature computation is embarrassingly parallel, zero shuffle.
+    """
+    sh = textops.shingles(F.col(text_col), k)
+
+    # closure factory: a default-arg lambda would be interpreted as
+    # the (element, index) HOF form and silently hash the wrong seed
+    def seeded_hash(j):
+        return lambda s: F.xxhash64(s, F.lit(j))
+
+    sig = F.array(
+        *[F.array_min(F.transform(sh, seeded_hash(j))) for j in range(num_hashes)]
+    )
+    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, num_hashes: int = 64
+) -> DataFrame:
+    """Band the signature (bands × rows_per_band) and emit pairs that
+    collide in ≥1 band. The only shuffle is the bucket self-join on
+    (band_id, band_hash) — Jaccard-similar docs collide whp, so output
+    size tracks true near-dups."""
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(F.concat_ws(",", *[
+                    F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)
+                ])).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = signatures.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    )
+    a = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def minhash_near_dups(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup join: signatures → banded candidate
+    pairs → exact Jaccard verify ≥ threshold. With b=16, r=4 the LSH
+    S-curve midpoint is (1/16)^(1/4) ≈ 0.5 — near-total recall at
+    J ≥ 0.6, graceful below."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    cands = lsh_candidate_pairs(sigs, bands, num_hashes)
+    toks = token_sets(docs, id_col, text_col)
+    return jaccard_on_pairs(cands, toks).where(F.col("jaccard") >= threshold)
+
+
+def simhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, bits: int = 32
+) -> DataFrame:
+    """bits-wide SimHash over the distinct token set: bit b is set iff
+    more token-hashes have bit b set than unset. HOF-only."""
+    toks = F.array_distinct(textops.tokens(F.col(text_col)))
+    n = F.size(toks)
+
+    def bit_pred(b):
+        # NB: `&` on Columns is logical AND — bitwiseAND is explicit
+        return lambda t: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1
+
+    packed = F.lit(0).cast("long")
+    for b in range(bits):
+        n_set = F.size(F.filter(toks, bit_pred(b)))
+        packed = packed + F.when(n_set * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
+    return docs.select(F.col(id_col).alias("doc_id"), packed.alias("simhash"))
+
+
+def simhash_near_dups(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bits: int = 32,
+    chunks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: by pigeonhole, any pair within
+    max_hamming ≤ chunks-1 bit flips collides on at least one of the
+    `chunks` signature chunks → bucket-join on chunks, verify exact
+    Hamming distance with bit_count(xor)."""
+    sigs = simhash_signatures(docs, id_col, text_col, bits)
+    w = bits // chunks
+    mask = (1 << w) - 1
+    chunked = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk_id"),
+                        F.shiftrightunsigned("simhash", c * w)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk_val"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("cc"),
+    ).select("doc_id", "simhash", F.col("cc.chunk_id").alias("chunk_id"), F.col("cc.chunk_val").alias("chunk_val"))
+    a = chunked.select("chunk_id", "chunk_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = chunked.select("chunk_id", "chunk_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    return (
+        a.join(b, ["chunk_id", "chunk_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,194 @@
+"""Vector-similarity search over embedding columns (north star).
+
+Three tiers:
+* brute-force cosine top-k — the correctness baseline (oracle twin);
+  broadcast the query set, scan the corpus once, per-group top-k;
+* random-hyperplane LSH — bucketed approximate search: one cheap
+  signature per vector, search only the query's bucket;
+* IVF — corpus partitioned by nearest centroid, queries probe the
+  nprobe closest centroid partitions.
+
+All dot products ride array HOFs (zip_with + aggregate, double
+precision, sequential fold → deterministic and oracle-matchable).
+At real scale the corpus side stays columnar and partitioned by
+bucket/centroid id so a probe is a partition-pruned scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    da, db = _as_double(a), _as_double(b)
+    return dot(da, db) / (norm(da) * norm(db))
+
+
+def topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k per query. The query set is broadcast (it is
+    the small side by construction); the corpus is scanned once; the
+    per-query window top-k benefits from WindowGroupLimit pushdown
+    (partial top-k before the shuffle)."""
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from md5 bits (no
+    RNG state; same planes on every executor/run)."""
+    planes = []
+    for j in range(n_planes):
+        coords = []
+        for i in range(dim):
+            h = hashlib.md5(f"plane:{j}:{i}".encode()).digest()
+            coords.append(1.0 if h[0] & 1 else -1.0)
+        planes.append(coords)
+    return planes
+
+
+def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+    """Random-hyperplane signature: bit j = sign(v · h_j); packed int."""
+    v = _as_double(vec)
+    bucket = F.lit(0)
+    for j, plane in enumerate(_hyperplanes(n_planes, dim)):
+        d = dot(v, F.array(*[F.lit(c) for c in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates are corpus vectors sharing the
+    query's hyperplane bucket; exact cosine re-rank inside the bucket.
+    At scale, corpus is written partitionBy(bucket) → a query probes
+    one partition instead of the whole corpus."""
+    q = queries.select(
+        F.col(query_id), F.col(vec).alias("__qv"), lsh_bucket(F.col(vec), n_planes, dim).alias("bucket")
+    )
+    c = corpus.select(
+        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_bucket(F.col(vec), n_planes, dim).alias("bucket")
+    )
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id, corpus_id, cosine(F.col("__qv"), F.col("__cv")).alias("score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def ivf_centroids(corpus: DataFrame, corpus_id: str, vec: str, by: str) -> DataFrame:
+    """Per-dimension mean vector per `by` group (the fixture's label
+    column stands in for k-means assignment — deterministic, no
+    iterative fitting in the oracle path)."""
+    exploded = corpus.select(F.col(by).alias("centroid_id"), F.posexplode(_as_double(F.col(vec))))
+    means = exploded.groupBy("centroid_id", "pos").agg(F.avg("col").alias("m"))
+    return (
+        means.groupBy("centroid_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("centroid_id", F.transform("pm", lambda s: s["m"]).alias("centroid"))
+    )
+
+
+def topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    by: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF search: assign corpus vectors to centroids, route each
+    query to its nprobe nearest centroids, brute-force only there.
+    Scan cost drops by ~n_centroids/nprobe; partition the corpus by
+    centroid_id at rest to make the probe partition-pruned."""
+    cents = ivf_centroids(corpus, corpus_id, vec, by).cache()
+
+    def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col(keep_vec),
+            "centroid_id",
+            cosine(F.col(keep_vec), F.col("centroid")).alias("cscore"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+        return scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= topn)
+
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+    c_assigned = assign(c, corpus_id, "__cv", 1).select(corpus_id, "__cv", "centroid_id")
+    q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
+    q_probes = assign(q, query_id, "__qv", nprobe).select(query_id, "__qv", "centroid_id")
+
+    scored = c_assigned.join(F.broadcast(q_probes), "centroid_id").select(
+        query_id, corpus_id, cosine(F.col("__qv"), F.col("__cv")).alias("score")
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame, corpus_id: str, vec: str, threshold: float
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; restrict
+    the input or pre-bucket with lsh_bucket before calling at scale)."""
+    a = corpus.select(F.col(corpus_id).alias("id_a"), F.col(vec).alias("__va"))
+    b = corpus.select(F.col(corpus_id).alias("id_b"), F.col(vec).alias("__vb"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )

@@ -1,0 +1,252 @@
+"""Join surface: inner/outer/semi/anti, broadcast, non-equi, cross,
+as-of (SURVEY.md §2b). All north-star extensions over the reference
+(which has no joins — SURVEY.md §2a end-note).
+
+Scale notes: the fact-to-fact joins shuffle on their keys and rely on
+AQE for skew; dimension joins broadcast (nation/region are constant
+size, ~O(10..100) rows at any SF — see tables.BROADCAST_DIMS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.operators.asof import asof_join
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+
+@query(
+    "join_inner",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("join",),
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way equi-join, fact→fact→dim. lineitem⋈orders shuffles on
+    orderkey; customer is small at fixture SF so AQE demotes that join
+    to broadcast at runtime."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .where(o.o_orderstatus == "F")
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c
+    LEFT JOIN orders o ON c.c_custkey = o.o_custkey AND o.o_totalprice > 100000
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join with a pushed-into-ON residual predicate; customers
+    with no big orders survive with n_orders = 0."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, (c.c_custkey == o.o_custkey) & (o.o_totalprice > 100000), "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(a.k, b.k) AS k, a.n_small, b.n_big
+    FROM (SELECT o_custkey AS k, COUNT(*) AS n_small FROM orders WHERE o_totalprice < 5000 GROUP BY o_custkey) a
+    FULL OUTER JOIN (SELECT o_custkey AS k, COUNT(*) AS n_big FROM orders WHERE o_totalprice > 250000 GROUP BY o_custkey) b
+      ON a.k = b.k
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    small = (
+        o.where(F.col("o_totalprice") < 5000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_small"))
+    )
+    big = (
+        o.where(F.col("o_totalprice") > 250000)
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count("*").alias("n_big"))
+    )
+    return small.join(big, "k", "full_outer").select(
+        F.col("k"), F.col("n_small"), F.col("n_big")
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI ≡ EXISTS — no row multiplication, build side only
+    needs the key column (Catalyst prunes the rest)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@query(
+    "join_broadcast_dims",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           ROUND(SUM(s.s_acctbal), 2) AS total_bal,
+           COUNT(*) AS n_suppliers
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the constant-size dims (nation=25,
+    region=5 rows at every SF) — zero shuffle for the join itself;
+    only the final groupBy exchanges data."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        s.join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+            F.count("*").alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "join_nonequi_range",
+    oracle="""
+    SELECT p.p_partkey, COUNT(*) AS n_matches
+    FROM part p
+    JOIN lineitem l
+      ON l.l_partkey = p.p_partkey
+     AND l.l_quantity BETWEEN p.p_size - 2 AND p.p_size + 2
+    GROUP BY p.p_partkey
+    """,
+    tags=("join", "nonequi"),
+)
+def join_nonequi_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi key + range residual: planner uses the equi-key for the
+    shuffle/broadcast and evaluates the BETWEEN as a join filter —
+    never a cartesian."""
+    p = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(
+            p,
+            (li.l_partkey == p.p_partkey)
+            & li.l_quantity.between(p.p_size - 2, p.p_size + 2),
+        )
+        .groupBy("p_partkey")
+        .agg(F.count("*").alias("n_matches"))
+    )
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    WHERE r.r_regionkey <> n.n_regionkey
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian on the two constant-size dims (5×25 rows).
+    Cross joins are only ever safe on bounded inputs — the engine
+    keeps them off fact tables by construction."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).where(F.col("r_regionkey") != F.col("n_regionkey")).select(
+        "r_name", "n_name"
+    )
+
+
+@query(
+    "join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id,
+           CAST(p.ts AS DATE) AS purchase_day,
+           ROUND(p.value, 2) AS value,
+           CAST(FLOOR(EPOCH(CAST(s.ts AS TIMESTAMP))) AS BIGINT) AS signup_epoch
+    FROM purchases p
+    LEFT JOIN LATERAL (
+      SELECT ts FROM signups s
+      WHERE s.user_id = p.user_id AND s.ts <= p.ts
+      ORDER BY s.ts DESC LIMIT 1
+    ) s ON TRUE
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest
+    signup at-or-before it. Spark lacks a native as-of; composed in
+    operators/asof.py via union + last(ignorenulls) over a window —
+    one shuffle on (user_id), no range-join explosion."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=["ts"]
+    )
+    return joined.select(
+        "user_id",
+        F.to_date("ts").alias("purchase_day"),
+        F.round("value", 2).alias("value"),
+        F.col("asof_ts").cast("timestamp").cast("long").alias("signup_epoch"),
+    )

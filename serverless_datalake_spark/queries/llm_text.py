@@ -1,0 +1,173 @@
+"""Text-analysis queries over `documents` (north-star operators:
+token counting, quality scoring, language-ID, fingerprinting, tf-idf).
+Implementations in operators/textops.py; each has a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.operators import textops
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+# Shared with operators/textops.py (STOPWORDS / LANG_MARKERS).
+_STOP_SQL = "('the', 'a', 'of', 'and')"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_tokens,
+           len(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS n_distinct,
+           length(text) AS n_chars_measured,
+           n_chars
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting — the per-document cost estimator every
+    training-data pipeline runs first. Pure HOFs, scan-bound."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        textops.distinct_token_count(F.col("text")).alias("n_distinct"),
+        F.length("text").alias("n_chars_measured"),
+        "n_chars",
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                 / GREATEST(len(toks), 1), 4) AS stop_ratio,
+           ROUND(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                 / GREATEST(len(toks), 1), 4) AS avg_tok_len,
+           ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1))
+                 + 0.5 * (1.0 - ABS(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
+                                    / GREATEST(len(toks), 1) - 0.1)), 4) AS quality
+    FROM t
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword ratio, avg token length, composite
+    diversity score — the heuristics used to filter pre-training data."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.round(textops.stopword_ratio(F.col("text")), 4).alias("stop_ratio"),
+        F.round(textops.avg_token_len(F.col("text")), 4).alias("avg_tok_len"),
+        textops.quality_score(F.col("text")).alias("quality"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the', 'a'))) AS en_score,
+             len(list_filter(toks, x -> x IN ('zzz'))) AS xx_score
+      FROM t
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN xx_score > en_score AND xx_score > 0 THEN 'xx'
+                WHEN en_score > 0 THEN 'en'
+                ELSE 'und' END AS guessed_lang
+    FROM scored
+    """,
+    tags=("llm", "text", "langid"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (marker-token argmax with deterministic
+    tie-break) next to the fixture's labeled lang column."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        textops.lang_guess(F.col("text")).alias("guessed_lang"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             md5(lower(trim(text))) AS fp,
+             CASE WHEN len(list_filter(string_split(text, ' '), t -> t <> '')) < 3
+                  THEN md5(array_to_string(list_filter(string_split(text, ' '), t -> t <> ''), ' '))
+                  ELSE list_min(list_transform(
+                       range(1, len(list_filter(string_split(text, ' '), t -> t <> '')) - 1),
+                       i -> md5(array_to_string(
+                              list_filter(string_split(text, ' '), t -> t <> '')[i:i+2], ' '))))
+             END AS shingle_fp
+      FROM documents
+    )
+    SELECT doc_id, fp, shingle_fp FROM f
+    """,
+    tags=("llm", "text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whole-text md5 + min-shingle-hash
+    (1-permutation MinHash) rolling fingerprint."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        textops.fingerprint_md5(F.col("text")).alias("fp"),
+        textops.shingle_fingerprint(F.col("text"), k=3).alias("shingle_fp"),
+    )
+
+
+@query(
+    "text_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, 1 AS present
+      FROM toks
+      WHERE doc_id % 20 = 0
+    ), df AS (
+      SELECT token, COUNT(*) AS doc_freq FROM toks GROUP BY token
+    ), n AS (
+      SELECT COUNT(*) AS n_docs FROM documents
+    )
+    SELECT tf.doc_id, tf.token,
+           ROUND(LN(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6) AS idf
+    FROM tf JOIN df USING (token) CROSS JOIN n
+    """,
+    tags=("llm", "text", "tfidf"),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDF join: per-token document frequency against the corpus size
+    (the tf-idf skeleton; tf=1 on the distinct-token sample). The
+    token→doc_freq side is tiny relative to the corpus → broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(textops.tokens(F.col("text")))).alias("token")
+    )
+    df_tab = toks.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = d.count()
+    tf = toks.where(F.col("doc_id") % 20 == 0)
+    return tf.join(F.broadcast(df_tab), "token").select(
+        "doc_id",
+        "token",
+        F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+    )

@@ -1,0 +1,69 @@
+"""Set operations: UNION ALL / UNION / INTERSECT / EXCEPT (§2b)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+
+def _buyers(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_totalprice") > 200000).select(F.col("o_custkey").alias("custkey"))
+
+
+def _urgent(spark, sf_dir):
+    o = load_table(spark, sf_dir, "orders")
+    return o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+
+
+_BUYERS_SQL = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 200000"
+_URGENT_SQL = "SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'"
+
+
+@query(
+    "set_union_all",
+    oracle=f"""
+    SELECT custkey, COUNT(*) AS n FROM ({_BUYERS_SQL} UNION ALL {_URGENT_SQL})
+    GROUP BY custkey
+    """,
+    tags=("setop",),
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL keeps duplicates (bag semantics) — aggregated so the
+    result is deterministic for hashing."""
+    u = _buyers(spark, sf_dir).unionAll(_urgent(spark, sf_dir))
+    return u.groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@query(
+    "set_union_distinct",
+    oracle=f"SELECT custkey FROM ({_BUYERS_SQL} UNION {_URGENT_SQL})",
+    tags=("setop",),
+)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _buyers(spark, sf_dir).union(_urgent(spark, sf_dir)).distinct()
+
+
+@query(
+    "set_intersect",
+    oracle=f"{_BUYERS_SQL} INTERSECT {_URGENT_SQL}",
+    tags=("setop",),
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _buyers(spark, sf_dir).intersect(_urgent(spark, sf_dir))
+
+
+@query(
+    "set_except",
+    oracle=f"{_BUYERS_SQL} EXCEPT {_URGENT_SQL}",
+    tags=("setop",),
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # subtract == SQL EXCEPT (set semantics); exceptAll would keep
+    # multiplicity differences, which is a different operator.
+    return _buyers(spark, sf_dir).subtract(_urgent(spark, sf_dir))

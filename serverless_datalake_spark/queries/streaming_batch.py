@@ -1,0 +1,140 @@
+"""Streaming semantics, batch-verified (SURVEY.md §2b streaming rows).
+
+`F.window` / `F.session_window` / `dropDuplicates` compute identically
+in batch and streaming, so their *semantics* are oracle-verified here;
+the streaming execution path (triggers, watermarks, checkpoints,
+foreachBatch fan-out) lives in streaming/pipeline.py with its own
+deterministic micro-batch tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT event_type,
+           CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))) AS BIGINT) AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per source — the streaming
+    aggregation shape (R2's 60 s flush generalized to event time);
+    identical code works under readStream + withWatermark."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "event_type",
+            F.col("w.start").cast("long").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle="""
+    SELECT ws AS window_start, COUNT(*) AS n, ROUND(SUM(value), 2) AS sum_value
+    FROM (
+      SELECT CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))) AS BIGINT) - offs AS ws,
+             value
+      FROM events, UNNEST([0, 3600]) AS t(offs)
+    )
+    GROUP BY ws
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 2-hour width, 1-hour slide — each event lands
+    in exactly two windows. Oracle expands the two memberships with
+    UNNEST; Spark's F.window does the same expansion internally."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "n", "sum_value")
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(FLOOR(EPOCH(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user via the native
+    F.session_window — O(n log n) per key, state-store-backed under
+    streaming. Oracle reproduces the semantics with the classic
+    gaps-and-islands SQL."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_after_dedup
+    FROM (
+      SELECT DISTINCT ON (event_id) event_id, event_type
+      FROM (SELECT event_id, event_type FROM events
+            UNION ALL
+            SELECT event_id, event_type FROM events)
+      ORDER BY event_id
+    )
+    GROUP BY event_type
+    """,
+    tags=("streaming", "dedup"),
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once from at-least-once: the reference redelivers
+    without dedup (SURVEY.md §1.4); here a doubled (redelivered)
+    stream collapses back via dropDuplicates on the event key — in
+    streaming the same call is state-store dedup + watermark."""
+    e = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    doubled = e.unionAll(e)
+    return doubled.dropDuplicates(["event_id"]).groupBy("event_type").agg(
+        F.count("*").alias("n_after_dedup")
+    )

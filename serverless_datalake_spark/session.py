@@ -1,0 +1,61 @@
+"""SparkSession factory.
+
+Defaults are chosen for correctness at small scale factors and sane
+behavior at cluster scale:
+
+* AQE on (runtime join-strategy selection, partition coalescing, skew
+  join splitting) — replaces hand-tuning for the 100 TB target.
+* ``spark.sql.shuffle.partitions`` sized from the env (local[32] box);
+  on a real cluster AQE coalescing makes an over-provisioned number
+  cheap, an under-provisioned one catastrophic, so we default high-ish
+  and let AQE shrink.
+* UTC session timezone so timestamp semantics match the DuckDB oracle.
+* Arrow enabled — every Pandas-UDF operator in this repo rides it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "serverless-datalake-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Honors ``SPARK_GRAFT_CPUS`` for local parallelism (driver contract);
+    on a real cluster the ``master`` setting would come from
+    spark-submit and this factory only contributes SQL conf.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sp = shuffle_partitions or int(
+        os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "128MB")
+        # the fixtures store TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read as long and convert in tables.load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

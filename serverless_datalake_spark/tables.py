@@ -1,0 +1,65 @@
+"""Fixture-table access.
+
+The driver fixtures (TESTDATA.md) are one Parquet file per table under
+``/root/testdata/sf*/``. At 100 TB these would be partitioned
+directories; both shapes are just ``spark.read.parquet(path)``, so the
+engine is layout-agnostic — partition pruning and predicate pushdown
+apply whenever the layout provides them.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale
+# (TPC-H nation/region are constant-size; part/supplier/customer grow
+# with SF but stay ≪ fact tables — broadcast decision is left to AQE
+# for those, forced only for the constant-size dims).
+BROADCAST_DIMS = frozenset({"region", "nation"})
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong,
+    # session.py); convert to microsecond timestamps. `div` is integer
+    # division — a double division would lose precision at 1e18 ns.
+    for col, dtype in df.dtypes:
+        if col in ("ts",) and dtype == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for spark.sql)."""
+    dfs = load_all(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

@@ -1,0 +1,37 @@
+"""Every oracle-bearing query must match DuckDB exactly (the driver's
+correctness gate, run locally at sf0.001 for speed). Rows-only
+queries are exercised for execution + non-degenerate output."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_datalake_spark.queries import load_registry
+from tests.oracle_harness import compare, duckdb_conn
+
+REGISTRY = load_registry()
+WITH_ORACLE = sorted(n for n, q in REGISTRY.items() if q.oracle)
+ROWS_ONLY = sorted(n for n, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    c = duckdb_conn(sf_dir)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_oracle_parity(spark, sf_dir, con, name):
+    q = REGISTRY[name]
+    problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+    assert not problems, f"{name}: " + " | ".join(problems)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(spark, sf_dir, name):
+    q = REGISTRY[name]
+    df = q.fn(spark, sf_dir)
+    n = df.count()
+    assert n >= 0
+    assert len(df.columns) > 0
