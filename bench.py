@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1)
+on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full execution,
+no driver collect cost). A warmup query amortizes JVM/codegen startup
+out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from serverless_datalake_spark.queries import load_registry
+from serverless_datalake_spark.session import get_spark
+
+# Headline set: one per operator family, weighted toward the shapes
+# that dominate real workloads (scan+agg, join+agg, windows, dedup,
+# similarity, text). Registry keys — see SURVEY.md §2.
+HEADLINE = [
+    "replay_range",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "join_inner",
+    "join_broadcast_dims",
+    "join_asof",
+    "window_ranking",
+    "topk_per_group",
+    "stream_tumbling_window",
+    "stream_session_window",
+    "stream_dedup_exact",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_lsh",
+    "text_quality",
+    "text_tfidf",
+    "mm_decode_features",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="bench")
+    reg = load_registry()
+
+    def run(name: str) -> float:
+        t0 = time.time()
+        reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        return time.time() - t0
+
+    run("scan_project")  # warmup: JVM + codegen + parquet footer cache
+    times = {name: round(run(name), 3) for name in HEADLINE}
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)

@@ -73,14 +73,17 @@ def minhash_signatures(
     signature computation is embarrassingly parallel, zero shuffle.
     """
     sh = textops.shingles(F.col(text_col), k)
-
-    # closure factory: a default-arg lambda would be interpreted as
-    # the (element, index) HOF form and silently hash the wrong seed
-    def seeded_hash(j):
-        return lambda s: F.xxhash64(s, F.lit(j))
-
-    sig = F.array(
-        *[F.array_min(F.transform(sh, seeded_hash(j))) for j in range(num_hashes)]
+    # ONE pass over the shingle array carrying num_hashes running
+    # minima (64 separate array_min(transform(...)) columns would make
+    # Catalyst re-expand the shingle expression 64× per row — measured
+    # ~70× slower at sf0.1). xxhash64(s, j) hashes the (shingle, seed)
+    # pair → an independent hash family per j.
+    seeds = F.array(*[F.lit(j).cast("long") for j in range(num_hashes)])
+    max_long = (1 << 63) - 1
+    sig = F.aggregate(
+        sh,
+        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
+        lambda acc, s: F.zip_with(acc, seeds, lambda a, j: F.least(a, F.xxhash64(s, j))),
     )
     return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
