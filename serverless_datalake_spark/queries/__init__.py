@@ -110,6 +110,7 @@ def load_registry() -> dict[str, Query]:
         relational,
         setops,
         streaming_batch,
+        udfs,
         windows,
     )
 

@@ -1,0 +1,154 @@
+"""User-defined function surface (SURVEY.md §2b): scalar pandas UDF,
+grouped-aggregate pandas UDF (UDAF), applyInPandas (grouped map), and
+a table function (UDTF-shaped sessionizer).
+
+Scale notes: every Python hook here is Arrow-batched (pandas_udf /
+applyInPandas) — row-at-a-time F.udf is deliberately absent from the
+hot paths; the 10-100× Arrow advantage is the difference between a
+feasible and an infeasible 100 TB Python stage.
+
+NB: pandas_udf objects are built inside the query functions — the
+decorator needs an active SparkSession to parse its DDL return type,
+and this module imports at registry-load time (driver may import
+before creating the session).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+
+@query(
+    "udf_scalar_pandas",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax), 2) AS net_price
+    FROM lineitem
+    WHERE l_orderkey % 17 = 0
+    """,
+    tags=("udf", "pandas"),
+)
+def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF vs the same arithmetic in SQL — numerically
+    identical because both sides do IEEE double ops in the same order."""
+
+    @pandas_udf("double")
+    def net_price(extended: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+        return extended * (1.0 - discount) * (1.0 + tax)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_orderkey") % 17 == 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(net_price("l_extendedprice", "l_discount", "l_tax"), 2).alias("net_price"),
+    )
+
+
+@query(
+    "udaf_grouped_agg",
+    oracle=None,  # pandas reduces in chunk order inside each group —
+    # double summation order differs from any SQL plan → rows-only
+    tags=("udf", "udaf"),
+)
+def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag via a
+    grouped-agg pandas UDF — the custom-UDAF extension point."""
+
+    @pandas_udf("double")
+    def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
+        tq = float(qty.sum())
+        return float((price * qty).sum() / tq) if tq else 0.0
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(weighted_avg_price("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+    )
+
+
+def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas grouped-map: full group as one DataFrame.
+    Degenerate groups (single row / zero variance) get zscore 0.0 —
+    mirrored by the oracle's COALESCE."""
+    v = pdf["value"]
+    sd = v.std(ddof=1)
+    z = (v - v.mean()) / sd if sd and sd == sd else pd.Series(0.0, index=v.index)
+    pdf = pdf.assign(zscore=z)
+    return pdf[["user_id", "event_id", "zscore"]]
+
+
+@query(
+    "udf_grouped_map",
+    oracle="""
+    SELECT user_id, event_id,
+           COALESCE(ROUND((value - AVG(value) OVER (PARTITION BY user_id))
+                 / NULLIF(STDDEV_SAMP(value) OVER (PARTITION BY user_id), 0), 4), 0.0) AS zscore
+    FROM events
+    """,
+    tags=("udf", "applyInPandas"),
+)
+def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user z-score via applyInPandas — the grouped-map pattern
+    for logic that genuinely needs the whole group in memory
+    (sessionization, per-entity model scoring). One shuffle on the
+    grouping key, Arrow both ways."""
+    e = load_table(spark, sf_dir, "events")
+    out = e.select("user_id", "event_id", "value").groupBy("user_id").applyInPandas(
+        _zscore_group, schema="user_id bigint, event_id bigint, zscore double"
+    )
+    return out.select("user_id", "event_id", F.round("zscore", 4).alias("zscore"))
+
+
+@query(
+    "udtf_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq,
+           event_id
+    FROM flagged
+    """,
+    tags=("udf", "udtf"),
+)
+def udtf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function shape: one input row group → many output rows
+    with derived structure (session sequence numbers). Composed from
+    window built-ins — the UDTF extension point without leaving
+    codegen; a Python UDTF (F.udtf) would be the escape hatch for
+    non-expressible generators."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            # exact µs arithmetic — truncating to seconds would flag
+            # sessions differently from the oracle's INTERVAL compare
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > 1800 * 1_000_000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return flagged.select(
+        "user_id", F.sum("new_s").over(run).alias("session_seq"), "event_id"
+    )

@@ -1,0 +1,70 @@
+"""Physical-plan assertions: the properties that make these queries
+scale are in the plan, not the output — pin them so a refactor can't
+silently regress them (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_datalake_spark.queries import load_registry
+
+REGISTRY = load_registry()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_and_projection_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_project")
+    # predicate reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)" in plan
+    # column pruning: 11-column table, 6-column read
+    assert "l_comment" not in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_extendedprice" in read_schema and "l_shipdate" not in read_schema
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_dims")
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_aggregate_is_partial_before_shuffle(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "agg_pricing_summary")
+    # map-side combine: partial aggregate below the exchange
+    assert "partial_sum" in plan or "partial" in plan.lower()
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_global_sort_limit_avoids_total_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "sort_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_topk_per_group_pushes_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_per_group")
+    assert "WindowGroupLimit" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(spark, sf_dir):
+    # AQE finalizes the physical tree only on execution
+    df = REGISTRY["agg_pricing_summary"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen stages; both the partial
+    # and final aggregate must be inside codegen spans
+    assert "*(1) HashAggregate" in plan and "*(2) HashAggregate" in plan
+
+
+def test_semi_join_no_row_explosion(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_semi")
+    assert "LeftSemi" in plan
+
+
+@pytest.mark.parametrize("name", ["join_nonequi_range", "join_asof"])
+def test_no_cartesian_in_composed_joins(spark, sf_dir, name):
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan
