@@ -62,7 +62,7 @@ def topk_bruteforce(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -116,7 +116,7 @@ def topk_lsh(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
     )
 
 
@@ -171,7 +171,7 @@ def topk_ivf(
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
-        .select(query_id, corpus_id, F.round("score", 6).alias("score"), "rank")
+        .select(query_id, corpus_id, F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
     )
 
 

@@ -36,7 +36,7 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower("c_name").alias("name_lower"),
         F.upper("c_mktsegment").alias("seg_upper"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("long").alias("name_len"),
         F.trim(F.concat(F.col("c_name"), F.lit(" "))).alias("name_trim"),
         F.regexp_extract("c_name", r"([0-9]+)", 1).alias("name_digits"),
         F.replace(F.col("c_mktsegment"), F.lit("A"), F.lit("_")).alias("seg_repl"),
@@ -69,15 +69,15 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.to_date("o_orderdate").alias("order_date"),
         F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month_num"),
-        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month_num"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
         # o_orderdate arrives as TIMESTAMP_NTZ; go through TIMESTAMP
         # (session tz is pinned UTC) to reach epoch seconds
         F.col("o_orderdate").cast("timestamp").cast("long").alias("epoch_s"),
-        F.datediff(F.lit("2025-01-01").cast("date"), F.to_date("o_orderdate")).alias(
-            "days_to_2025"
-        ),
+        F.datediff(F.lit("2025-01-01").cast("date"), F.to_date("o_orderdate"))
+        .cast("long")
+        .alias("days_to_2025"),
         F.date_add(F.to_date("o_orderdate"), 90).alias("due_date"),
     )
 
@@ -159,14 +159,14 @@ def fn_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     return em.where(F.col("vec_id") % 5 == 0).select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("long").alias("dim"),
         F.round(
             F.aggregate(F.transform(dbl, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 4
         ).alias("sq_norm"),
         F.round(
             F.aggregate(F.filter(dbl, lambda x: x > 0), F.lit(0.0), lambda a, x: a + x), 4
         ).alias("pos_sum"),
-        F.size(F.filter(dbl, lambda x: x > 0)).alias("n_pos"),
+        F.size(F.filter(dbl, lambda x: x > 0)).cast("long").alias("n_pos"),
         F.round(F.element_at(dbl, 1), 6).alias("first_coord"),
     )
 

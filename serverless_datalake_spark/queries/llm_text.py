@@ -33,9 +33,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        textops.token_count(F.col("text")).alias("n_tokens"),
-        textops.distinct_token_count(F.col("text")).alias("n_distinct"),
-        F.length("text").alias("n_chars_measured"),
+        textops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        textops.distinct_token_count(F.col("text")).cast("long").alias("n_distinct"),
+        F.length("text").cast("long").alias("n_chars_measured"),
         "n_chars",
     )
 

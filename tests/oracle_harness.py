@@ -45,11 +45,37 @@ def normalized_rows(columns: list[str], rows: list[tuple]) -> Counter:
     return Counter(tuple(_norm_cell(r[i]) for i in order) for r in rows)
 
 
+# DuckDB type → acceptable Spark dtypes. Kept strict on integer width
+# and float/double so a driver-side type-sensitive hash can't surprise
+# us; timestamp flavors are interchangeable (value-normalized anyway).
+_TYPE_COMPAT = {
+    "BIGINT": {"bigint"},
+    "INTEGER": {"int"},
+    "SMALLINT": {"smallint"},
+    "DOUBLE": {"double"},
+    "FLOAT": {"float"},
+    "VARCHAR": {"string"},
+    "DATE": {"date"},
+    "BOOLEAN": {"boolean"},
+    "BLOB": {"binary"},
+}
+
+
+def _types_ok(d_type: str, s_type: str) -> bool:
+    d = str(d_type).upper()
+    if d.startswith("TIMESTAMP"):
+        return s_type.startswith("timestamp")
+    if d in _TYPE_COMPAT:
+        return s_type in _TYPE_COMPAT[d]
+    return False  # HUGEINT, DECIMAL(...) etc: align the query instead
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     """Return a list of mismatch descriptions (empty = pass)."""
     problems: list[str] = []
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
+    s_types = dict(spark_df.dtypes)
     rel = con.sql(sql)
     d_cols = list(rel.columns)
     d_rows = rel.fetchall()
@@ -57,6 +83,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns differ: spark={sorted(s_cols)} duckdb={sorted(d_cols)}")
         return problems
+    for col, d_type in zip(d_cols, rel.types):
+        if not _types_ok(str(d_type), s_types[col]):
+            problems.append(f"type mismatch on {col}: duckdb={d_type} spark={s_types[col]}")
     if len(s_rows) != len(d_rows):
         problems.append(f"row count differs: spark={len(s_rows)} duckdb={len(d_rows)}")
     s_norm = normalized_rows(s_cols, s_rows)
