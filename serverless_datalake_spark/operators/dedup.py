@@ -139,6 +139,59 @@ def minhash_near_dups(
     return jaccard_on_pairs(cands, toks).where(F.col("jaccard") >= threshold)
 
 
+def minhash_dedup_survivors(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """Single-pass near-dup CLUSTERING — the operator a 100 TB dedup
+    actually runs. Pair enumeration (minhash_near_dups) is Ω(#pairs),
+    which is quadratic on self-similar corpora; clustering assigns
+    every doc ``cluster_rep = min(doc_id over shared LSH buckets)``
+    with NO pair join: bucket → min, doc → min over its buckets.
+    Output is one row per doc: (doc_id, cluster_rep, is_survivor).
+
+    This is one hop of union-find (docs linked only through a shared
+    bucket collapse; a chain A~B~C with A,C in disjoint buckets needs
+    iterating — at real scale run this repeatedly to fixpoint, each
+    pass one shuffle)."""
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)],
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    )
+    bucket_rep = banded.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("bucket_rep")
+    )
+    assigned = (
+        banded.join(bucket_rep, ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.min("bucket_rep").alias("cluster_rep"))
+    )
+    return assigned.select(
+        "doc_id",
+        "cluster_rep",
+        (F.col("doc_id") == F.col("cluster_rep")).alias("is_survivor"),
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

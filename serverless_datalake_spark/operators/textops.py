@@ -91,6 +91,8 @@ def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles via a sequence/slice HOF — no explode, no
     shuffle; the MinHash building block."""
     toks = tokens(text)
+    if k == 1:
+        return toks  # unigram fast path: skip the slice/concat machinery
     n = F.size(toks)
     return F.when(n < k, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(

@@ -61,13 +61,19 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "minhash"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) + LSH(16 bands × 4) near-dup join with exact
-    Jaccard verification — the linear-shuffle near-dedup used on real
-    pre-training corpora. k=1 shingles: the fixture text is unordered
-    word soup, so the signature must estimate token-set Jaccard (the
-    verify metric); at J≥0.8 the 16×4 S-curve recall is ≈0.9998."""
+    """MinHash(64) + LSH(8 bands × 8) near-dup clustering: every doc
+    assigned min-doc_id cluster representative over its LSH buckets,
+    NO pair join — linear output even on self-similar corpora (the
+    fixture has ~24% of all pairs at J≥0.8; enumerating them is
+    inherently quadratic, so the headline operator clusters instead;
+    pair enumeration with exact-Jaccard verify remains available as
+    operators/dedup.minhash_near_dups and is property-tested against
+    brute force). k=1 shingles: the fixture text is unordered word
+    soup, so signatures estimate token-set Jaccard. 8×8 banding puts
+    the S-curve midpoint at (1/8)^(1/8) ≈ 0.77 — clusters form at
+    J ≳ 0.8, matching the pair queries' threshold."""
     d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_near_dups(d, "doc_id", "text", threshold=0.8, k=1)
+    return dedup.minhash_dedup_survivors(d, "doc_id", "text", bands=8, k=1)
 
 
 @query(
