@@ -1,0 +1,66 @@
+"""Physical-plan inspection: structured answers to "did the optimizer
+do the thing that keeps this query viable at 100 TB?"."""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame, finalize: bool = False) -> str:
+    """The physical plan string. With finalize=True the query is
+    executed first so AQE's final (runtime-adapted) plan is returned."""
+    if finalize:
+        df.write.format("noop").mode("overwrite").save()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@dataclass
+class PlanReport:
+    pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    broadcast_joins: int = 0
+    sort_merge_joins: int = 0
+    shuffle_hash_joins: int = 0
+    cartesian_products: int = 0
+    exchanges: int = 0
+    codegen_stages: int = 0
+    has_partial_agg: bool = False
+    has_take_ordered: bool = False
+    has_window_group_limit: bool = False
+
+    def summary(self) -> str:
+        return (
+            f"joins: {self.broadcast_joins} broadcast / {self.sort_merge_joins} SMJ / "
+            f"{self.shuffle_hash_joins} SHJ / {self.cartesian_products} cartesian; "
+            f"{self.exchanges} exchanges; {self.codegen_stages} codegen stages; "
+            f"partial-agg={self.has_partial_agg}; "
+            f"pushed={self.pushed_filters}; partition={self.partition_filters}"
+        )
+
+
+def plan_report(df: DataFrame, finalize: bool = False) -> PlanReport:
+    plan = executed_plan(df, finalize=finalize)
+    r = PlanReport()
+    r.pushed_filters = [
+        m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()
+    ]
+    r.partition_filters = [
+        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m.strip()
+    ]
+    r.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
+    r.broadcast_joins = plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    )
+    r.sort_merge_joins = plan.count("SortMergeJoin")
+    r.shuffle_hash_joins = plan.count("ShuffledHashJoin")
+    r.cartesian_products = plan.count("CartesianProduct")
+    r.exchanges = plan.count("Exchange ")
+    r.codegen_stages = len(set(re.findall(r"\*\((\d+)\)", plan)))
+    r.has_partial_agg = "partial_" in plan
+    r.has_take_ordered = "TakeOrderedAndProject" in plan
+    r.has_window_group_limit = "WindowGroupLimit" in plan
+    return r

@@ -109,6 +109,7 @@ def load_registry() -> dict[str, Query]:
         pipeline,
         relational,
         setops,
+        sql_dialect,
         streaming_batch,
         udfs,
         windows,

@@ -1,0 +1,162 @@
+"""SQL front-end parity (SURVEY.md §2b: "SQL of any dialect" is
+absent from the reference — here the engine exposes the full Spark
+SQL dialect over the same tables). These queries run through
+``spark.sql`` against registered temp views, proving the declarative
+surface is not DataFrame-API-only: GROUPING SETS, CTEs, correlated
+scalar subqueries, EXISTS, and a TPC-H-shaped multi-join."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import register_views
+
+
+@query(
+    "sql_grouping_sets",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("sql", "grouping-sets"),
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (beyond rollup/cube) via the SQL
+    front-end — one Expand node, one shuffle for all three set levels."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@query(
+    "sql_correlated_subquery",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                       WHERE c2.c_nationkey = c.c_nationkey)
+    """,
+    tags=("sql", "subquery"),
+)
+def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — Catalyst decorrelates it into an
+    aggregate + join (no per-row re-execution; verify with .explain)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c2.c_acctbal) FROM customer c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+@query(
+    "sql_cte_multijoin",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_orderkey, o_custkey, o_orderdate
+      FROM orders WHERE o_totalprice > 150000
+    )
+    SELECT n.n_name AS nation,
+           YEAR(b.o_orderdate) AS order_year,
+           COUNT(DISTINCT b.o_orderkey) AS n_orders,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM big_orders b
+    JOIN lineitem l ON l.l_orderkey = b.o_orderkey
+    JOIN customer c ON c.c_custkey = b.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name, YEAR(b.o_orderdate)
+    """,
+    tags=("sql", "cte", "tpch"),
+)
+def sql_cte_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + 4-way join + mixed agg (TPC-H Q3/Q5 shape). Catalyst
+    reorders joins and broadcasts the small sides; YEAR cast to BIGINT
+    for oracle type parity."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_orderkey, o_custkey, o_orderdate
+          FROM orders WHERE o_totalprice > 150000
+        )
+        SELECT n.n_name AS nation,
+               CAST(YEAR(b.o_orderdate) AS BIGINT) AS order_year,
+               COUNT(DISTINCT b.o_orderkey) AS n_orders,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+        FROM big_orders b
+        JOIN lineitem l ON l.l_orderkey = b.o_orderkey
+        JOIN customer c ON c.c_custkey = b.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name, YEAR(b.o_orderdate)
+        """
+    )
+
+
+@query(
+    "sql_exists_not_exists",
+    oracle="""
+    SELECT s.s_suppkey, s.s_name
+    FROM supplier s
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                  AND l.l_quantity > 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey
+                      AND l2.l_returnflag = 'R' AND l2.l_quantity > 49)
+    """,
+    tags=("sql", "exists"),
+)
+def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS + NOT EXISTS in one predicate → planned as a left-semi
+    and a left-anti join over the same scan."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                      AND l.l_quantity > 49)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey
+                          AND l2.l_returnflag = 'R' AND l2.l_quantity > 49)
+        """
+    )
+
+
+@query(
+    "sql_in_subquery_topn",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+    )
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50
+    """,
+    tags=("sql", "in-subquery"),
+)
+def sql_in_subquery_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (
+          SELECT c_custkey FROM customer ORDER BY c_acctbal DESC, c_custkey LIMIT 10
+        )
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 50
+        """
+    )
