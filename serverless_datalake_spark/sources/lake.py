@@ -56,6 +56,21 @@ def read_json_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EVENTS_JSON_SCHEMA).json(path)
 
 
+def write_csv(df: DataFrame, path: str, compression: str = "gzip") -> None:
+    """CSV sink (header + explicit compression) — interchange format
+    for systems that can't read Parquet; not a lake format."""
+    df.write.mode("overwrite").option("header", True).option(
+        "compression", compression
+    ).csv(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Schema-first CSV scan. Schema inference is disabled by design:
+    at 100 TB an inference pass is a full extra read, and inferred
+    types drift between files — the schema is part of the contract."""
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
 def parse_concatenated_json(spark: SparkSession, path: str, schema: str = EVENTS_JSON_SCHEMA) -> DataFrame:
     """Sound reader for the reference's at-rest format: GZIP blobs of
     *concatenated* JSON objects (no delimiter — Firehose behavior,

@@ -1,0 +1,90 @@
+"""True streaming-mode tests (M4): windowed aggregation under
+readStream must equal the batch F.window result once the stream
+drains; watermark semantics drop only late-beyond-bound data."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.streaming import pipeline as sp
+
+
+def _write(dirpath, events, fname):
+    os.makedirs(dirpath, exist_ok=True)
+    with gzip.open(os.path.join(dirpath, fname), "wt") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _evts(n, hour_of, start_id=0):
+    return [
+        {
+            "event_id": start_id + i,
+            "ts": f"2024-01-01T{hour_of(i):02d}:{i % 60:02d}:00.000",
+            "user_id": i % 5,
+            "event_type": "clicks" if i % 2 == 0 else "tweets",
+            "value": 1.0,
+            "props": "{}",
+        }
+        for i in range(n)
+    ]
+
+
+def test_streaming_window_counts_match_batch(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two files → two-ish micro-batches via maxFilesPerTrigger
+    _write(staging, _evts(60, lambda i: i % 4), "a.json.gz")
+    _write(staging, _evts(60, lambda i: (i % 4) + 4, start_id=1000), "b.json.gz")
+
+    stream = sp.read_event_stream(spark, staging, dedup=False)
+    agg = sp.windowed_counts_stream(stream, "1 hour")
+    q = (
+        agg.select(
+            "source", F.col("window.start").alias("ws"), "n", "sum_value"
+        )
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["source"], r["ws"], r["n"]) for r in spark.read.parquet(out).collect()
+    }
+    # batch twin over the same files
+    batch = (
+        spark.read.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(staging)
+        .withColumn("source", F.col("event_type"))
+        .groupBy("source", F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+    )
+    want = {
+        (r["source"], r["window"]["start"], r["n"]) for r in batch.collect()
+    }
+    # append mode emits only watermark-closed windows; with availableNow
+    # draining everything, the final watermark closes all but the last
+    # window(s) — emitted results must be a subset with identical counts
+    assert got <= want
+    assert len(got) >= len(want) - 4  # at most the tail windows pending
+
+
+def test_watermark_drops_only_beyond_bound(spark, tmp_path):
+    staging = str(tmp_path / "staging2")
+    lake_p = str(tmp_path / "lake2")
+    cat_p = str(tmp_path / "cat2")
+    ckpt = str(tmp_path / "ckpt2")
+    evs = _evts(40, lambda i: 10)
+    # a duplicate redelivery within the same batch → dropped
+    _write(staging, evs + evs[:5], "a.json.gz")
+    sp.run_ingest_available_now(spark, staging, lake_p, cat_p, None, ckpt)
+    assert spark.read.parquet(lake_p).count() == 40
