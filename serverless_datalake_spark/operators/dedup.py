@@ -197,18 +197,43 @@ def simhash_signatures(
 ) -> DataFrame:
     """bits-wide SimHash over the distinct token set: bit b is set iff
     more token-hashes have bit b set than unset. HOF-only."""
+    # Staged projections keep every expensive expression evaluated
+    # once: tokens → per-token hashes (one xxhash64 per token) →
+    # ONE aggregate pass carrying `bits` set-bit counters → pack.
+    # (A per-bit filter() would re-scan the token array `bits` times —
+    # same trap as the original MinHash implementation. shiftright
+    # needs a literal count, so the counter update unrolls per bit
+    # inside the single merge lambda.)
     toks = F.array_distinct(textops.tokens(F.col(text_col)))
-    n = F.size(toks)
-
-    def bit_pred(b):
-        # NB: `&` on Columns is logical AND — bitwiseAND is explicit
-        return lambda t: F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1
-
-    packed = F.lit(0).cast("long")
-    for b in range(bits):
-        n_set = F.size(F.filter(toks, bit_pred(b)))
-        packed = packed + F.when(n_set * 2 > n, F.lit(1 << b)).otherwise(F.lit(0))
-    return docs.select(F.col(id_col).alias("doc_id"), packed.alias("simhash"))
+    hashed = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(toks).alias("__n"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
+    )
+    counts = F.aggregate(
+        F.col("__h"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.array(
+            *[
+                F.element_at(acc, b + 1)
+                # NB: `&` on Columns is logical AND; bitwiseAND is the bit op
+                + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
+                for b in range(bits)
+            ]
+        ),
+    )
+    counted = hashed.select("doc_id", "__n", counts.alias("__counts"))
+    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    packed = F.aggregate(
+        F.zip_with(
+            F.col("__counts"),
+            weights,
+            lambda c, w: F.when(c * 2 > F.col("__n"), w).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return counted.select("doc_id", packed.alias("simhash"))
 
 
 def simhash_near_dups(

@@ -108,6 +108,7 @@ def load_registry() -> dict[str, Query]:
         multimodal,
         pipeline,
         relational,
+        reshape,
         setops,
         sql_dialect,
         streaming_batch,
