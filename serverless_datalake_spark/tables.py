@@ -35,6 +35,31 @@ BROADCAST_DIMS = frozenset({"region", "nation"})
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Confs the engine's queries depend on, applied defensively because a
+# caller (e.g. the verify driver) may hand us a SparkSession built
+# without session.get_spark():
+#  * nanosAsLong — the fixtures store TIMESTAMP(NANOS), which the
+#    vectorized parquet reader otherwise rejects outright;
+#  * UTC session tz — to_date/date_trunc on LTZ timestamps and
+#    NTZ→timestamp casts are tz-dependent; the DuckDB oracle treats
+#    naive timestamps as UTC;
+#  * AQE — the scale posture assumes runtime re-planning.
+_REQUIRED_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def ensure_session_conf(spark: SparkSession) -> None:
+    """Idempotently apply _REQUIRED_CONF (all runtime-settable)."""
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # never let a conf quirk break a read
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
@@ -43,6 +68,7 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    ensure_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong,
     # session.py); convert to microsecond timestamps. `div` is integer
