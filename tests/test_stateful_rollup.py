@@ -1,0 +1,102 @@
+"""applyInPandasWithState profile operator + hourly rollup
+materialization: final state must equal the batch ground truth."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.sources import rollup
+from serverless_datalake_spark.streaming import stateful
+
+
+def _write(dirpath, events, fname):
+    os.makedirs(dirpath, exist_ok=True)
+    with gzip.open(os.path.join(dirpath, fname), "wt") as f:
+        for e in events:
+            f.write(json.dumps(e) + "\n")
+
+
+def _evts(n, start_id=0):
+    return [
+        {
+            "event_id": start_id + i,
+            "ts": f"2024-01-0{1 + i % 2}T{i % 24:02d}:{i % 60:02d}:00.000",
+            "user_id": i % 4,
+            "event_type": "clicks",
+            "value": float(i % 10),
+            "props": "{}",
+        }
+        for i in range(n)
+    ]
+
+
+def test_stateful_profile_converges_to_batch_truth(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "profiles")
+    ckpt = str(tmp_path / "ckpt")
+    # two files → state must carry across micro-batches
+    _write(staging, _evts(40), "a.json.gz")
+    _write(staging, _evts(40, start_id=1000), "b.json.gz")
+    stateful.run_profile_available_now(spark, staging, out, ckpt)
+
+    profiles = spark.read.parquet(out)
+    # last emission per user (highest batch_id) is the final state
+    last = (
+        profiles.withColumn(
+            "rn",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "user_id"
+                ).orderBy(F.col("batch_id").desc(), F.col("n_events").desc())
+            ),
+        )
+        .where("rn = 1")
+        .select("user_id", "n_events", "sum_value")
+    )
+    truth = (
+        spark.read.schema(
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+        )
+        .json(staging)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+    got = {(r["user_id"], r["n_events"], r["sum_value"]) for r in last.collect()}
+    want = {(r["user_id"], r["n_events"], r["sum_value"]) for r in truth.collect()}
+    assert got == want
+
+
+def test_rollup_daily_matches_direct_aggregation(spark, sf_dir):
+    from serverless_datalake_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn("source", F.col("event_type"))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = os.path.join(tmp, "rollup")
+        # two incremental appends (split by event_id parity → disjoint)
+        rollup.append_rollup(e.where(F.col("event_id") % 2 == 0), path)
+        rollup.append_rollup(e.where(F.col("event_id") % 2 == 1), path)
+
+        daily = rollup.read_rollup_daily(spark, path)
+        truth = e.groupBy(
+            "source", F.date_trunc("day", F.col("ts")).alias("day")
+        ).agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.round(F.sum("value") / F.count("*"), 4).alias("avg_value"),
+        )
+        got = {tuple(r)[:2]: tuple(r)[2:] for r in daily.collect()}
+        want = {tuple(r)[:2]: tuple(r)[2:] for r in truth.collect()}
+        assert got.keys() == want.keys()
+        for k in want:
+            # count/sum/min/max compose exactly; avg is derived from a
+            # differently-ordered sum → tolerance
+            assert got[k][:4] == want[k][:4], k
+            assert abs(got[k][4] - want[k][4]) < 1e-3, k
