@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
-from serverless_datalake_spark.tables import load_table
+from serverless_datalake_spark.tables import load_events_pushdown, load_table
 
 
 @query(
@@ -35,14 +35,15 @@ def replay_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     At scale the events table is ``partitionBy(event_type)`` so the EQ
     predicate prunes partitions and the ts range hits Parquet min/max
     row-group skipping — the Spark analog of DynamoDB pk EQ + sk
-    BETWEEN (stack.py:63–77).
+    BETWEEN (stack.py:63–77). load_events_pushdown applies the range
+    on the raw int64 ns column so it reaches the parquet scan even on
+    the ns-typed fixtures (tests/test_plans.py pins this).
     """
-    e = load_table(spark, sf_dir, "events")
+    e = load_events_pushdown(
+        spark, sf_dir, ts_between=("2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    )
     return (
-        e.where(
-            (F.col("event_type") == "purchase")
-            & F.col("ts").between("2024-01-05 00:00:00", "2024-01-20 00:00:00")
-        )
+        e.where(F.col("event_type") == "purchase")
         .groupBy(F.to_date("ts").alias("day"))
         .agg(
             F.count("*").alias("n_events"),

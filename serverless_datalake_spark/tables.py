@@ -79,6 +79,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events_pushdown(
+    spark: SparkSession, sf_dir: str, ts_between: tuple[str, str] | None = None
+) -> DataFrame:
+    """Events scan with a parquet-pushable time-range filter.
+
+    The fixtures store ts as TIMESTAMP(NANOS) which we read as long;
+    a filter on the *converted* timestamp can't cross
+    ``timestamp_micros(...)``, so range predicates are applied to the
+    raw int64 nanoseconds FIRST (min/max row-group skipping applies),
+    then the column is converted for downstream semantics."""
+    import datetime as dt
+
+    ensure_session_conf(spark)
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    if dict(df.dtypes).get("ts") != "bigint":  # plain-timestamp layout
+        if ts_between:
+            df = df.where(F.col("ts").between(*ts_between))
+        return df
+    if ts_between:
+        lo, hi = (
+            int(dt.datetime.fromisoformat(b).replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
+            for b in ts_between
+        )
+        df = df.where(F.col("ts").between(lo, hi))
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 

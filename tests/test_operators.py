@@ -88,6 +88,43 @@ def test_ann_scores_subset_of_bruteforce(spark, sf_dir):
             assert abs(exact_scores[(r["query_id"], r["corpus_id"])] - r["score"]) < 1e-9
 
 
+def test_salted_agg_matches_plain(spark, sf_dir):
+    from serverless_datalake_spark.operators.skew import explode_salt_join, salted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    salted = salted_agg(
+        li,
+        "l_returnflag",
+        {
+            "n": "count(*)",
+            "qty": "sum(l_quantity)",
+            "lo": "min(l_extendedprice)",
+            "hi": "max(l_extendedprice)",
+            "avg_qty": "avg(l_quantity)",
+        },
+        buckets=16,
+    )
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").alias("qty"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.avg("l_quantity").alias("avg_qty"),
+    )
+    got = {r["l_returnflag"]: (r["n"], r["qty"], r["lo"], r["hi"], round(r["avg_qty"], 6)) for r in salted.collect()}
+    want = {r["l_returnflag"]: (r["n"], r["qty"], r["lo"], r["hi"], round(r["avg_qty"], 6)) for r in plain.collect()}
+    assert got == want
+
+    # salted join equals the plain equi-join
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    c = load_table(spark, sf_dir, "customer")
+    j_salted = explode_salt_join(c, n, "c_nationkey").select("c_custkey", "n_name")
+    j_plain = c.join(n, "c_nationkey").select("c_custkey", "n_name")
+    assert sorted(map(tuple, j_salted.collect())) == sorted(map(tuple, j_plain.collect()))
+
+
 def test_decode_stub_is_deterministic(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(50)
     media = multimodal.attach_binary_payload(d, "doc_id", "text")

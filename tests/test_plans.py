@@ -26,6 +26,18 @@ def test_filter_and_projection_pushdown(spark, sf_dir):
     assert "l_extendedprice" in read_schema and "l_shipdate" not in read_schema
 
 
+def test_flagship_range_pushdown_on_ns_fixture(spark, sf_dir):
+    """The replay BETWEEN must reach the parquet scan as raw-int64
+    comparisons even though the fixture stores TIMESTAMP(NANOS)."""
+    spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+    try:
+        plan = plan_of(spark, sf_dir, "replay_range")
+    finally:
+        spark.conf.unset("spark.sql.maxMetadataStringLength")
+    assert "GreaterThanOrEqual(ts," in plan and "LessThanOrEqual(ts," in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
 def test_dim_joins_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_broadcast_dims")
     assert plan.count("BroadcastHashJoin") == 2
