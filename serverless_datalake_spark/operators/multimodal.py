@@ -80,6 +80,47 @@ def _decode_one(media_type: str, payload: bytes) -> tuple[int | None, int | None
     raise NotImplementedError(f"unknown media_type {media_type!r}")
 
 
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_index", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), False),
+        StructField("frame_sha256", StringType(), False),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> DataFrame:
+    """1→N frame sampling via mapInPandas: each video row yields up to
+    ``max_frames`` rows, one per sampled frame (every ``every_n``-th).
+    STUB extraction: a real implementation seeks with ffmpeg; here a
+    deterministic byte-slice of the payload stands in for the decoded
+    frame so the Spark-side contract (schema, 1→N batch shape,
+    payload-early-drop) is real and testable."""
+    import hashlib as _hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"media_id": [], "frame_index": [], "frame_payload": [], "frame_sha256": []}
+            for mid, mt, payload, _n, _sha in pdf.itertuples(index=False):
+                if mt != "video":
+                    continue
+                data = bytes(payload)
+                _, _, n_frames = _decode_one(mt, data)
+                for fi in range(0, min(n_frames or 0, every_n * max_frames), every_n):
+                    # STUB frame bytes: rotate the payload by the frame
+                    # index (deterministic, size-preserving)
+                    k = fi % max(len(data), 1)
+                    frame = data[k:] + data[:k]
+                    rows["media_id"].append(mid)
+                    rows["frame_index"].append(fi)
+                    rows["frame_payload"].append(frame)
+                    rows["frame_sha256"].append(_hashlib.sha256(frame).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
 def decode_features(media: DataFrame) -> DataFrame:
     """mapInPandas decode: Arrow-batched, one Python worker per input
     partition — the pattern for any per-blob media transform (decode,

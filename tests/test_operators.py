@@ -125,6 +125,25 @@ def test_salted_agg_matches_plain(spark, sf_dir):
     assert sorted(map(tuple, j_salted.collect())) == sorted(map(tuple, j_plain.collect()))
 
 
+def test_frame_sampling_one_to_n(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(60)
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    frames = multimodal.sample_frames(media, every_n=10, max_frames=4)
+    rows = frames.collect()
+    assert rows, "video rows must yield frames"
+    by_media: dict[int, list[int]] = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_index"])
+        assert len(r["frame_sha256"]) == 64
+    for mid, idxs in by_media.items():
+        assert mid % 3 == 2  # only 'video' media sampled
+        assert sorted(idxs) == list(range(0, len(idxs) * 10, 10))
+        assert len(idxs) <= 4
+    # deterministic across runs
+    again = sorted((r["media_id"], r["frame_index"], r["frame_sha256"]) for r in frames.collect())
+    assert again == sorted((r["media_id"], r["frame_index"], r["frame_sha256"]) for r in rows)
+
+
 def test_decode_stub_is_deterministic(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(50)
     media = multimodal.attach_binary_payload(d, "doc_id", "text")
