@@ -18,8 +18,8 @@ from serverless_datalake_spark.tables import load_table
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2) AS sum_qty,
            ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)) AS BIGINT) AS sum_disc_price_e4,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
            ROUND(AVG(l_quantity), 4) AS avg_qty,
            ROUND(AVG(l_extendedprice), 4) AS avg_price,
            ROUND(AVG(l_discount), 4) AS avg_disc,
@@ -35,7 +35,15 @@ from serverless_datalake_spark.tables import load_table
 def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape — the canonical wide hash aggregate. Map-side
     partial aggregation means the shuffle carries one row per
-    (flag,status,partition), not per input row: scan-bound at 100 TB."""
+    (flag,status,partition), not per input row: scan-bound at 100 TB.
+
+    disc_price/charge are summed as integer 1e-4/1e-6 units: per-row
+    doubles are bit-identical across engines, the integer sum is then
+    exact and order-independent — immune to both the shuffle-order ulp
+    drift and the >15-significant-digit repr divergence that float
+    sums of this magnitude hit. (Headroom: int64 caps these columns at
+    ~9e18 units ≈ $9e14 — fine per group at any TPC-H SF; a 100 TB
+    deployment would widen to DECIMAL(38,x) at the same semantics.)"""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
@@ -44,8 +52,10 @@ def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 6).alias("sum_charge"),
+            F.sum(F.round(disc_price * 10000, 0).cast("long")).alias("sum_disc_price_e4"),
+            F.sum(
+                F.round(disc_price * (1 + F.col("l_tax")) * 1000000, 0).cast("long")
+            ).alias("sum_charge_e6"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
