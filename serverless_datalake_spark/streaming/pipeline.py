@@ -66,18 +66,34 @@ def start_ingest_query(
     """E1's recorder, as one checkpointed streaming query."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.withColumn("batch_id", F.lit(f"b{batch_id:012d}"))
-        (
-            batch.repartition("source")
-            .sortWithinPartitions("source", "ts")
-            .write.mode("append")
-            .partitionBy("source")
-            .parquet(lake_path)
-        )
-        entries = build_catalog_entries(batch, f"b{batch_id:012d}")
-        entries.write.mode("append").partitionBy("source").parquet(catalog_path)
-        if delivery_root:
-            batch.write.mode("append").partitionBy("source").parquet(delivery_root)
+        # Idempotence contract: Structured Streaming may re-run a
+        # batch after a failure. Every sink partitions by batch_id and
+        # writes with DYNAMIC partition overwrite, so a replayed batch
+        # REPLACES its own partitions instead of appending duplicates;
+        # other batches' partitions are untouched.
+        bid = f"b{batch_id:012d}"
+        batch = batch.withColumn("batch_id", F.lit(bid))
+        spark = batch.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch.repartition("source")
+                .sortWithinPartitions("source", "ts")
+                .write.mode("overwrite")
+                .partitionBy("source", "batch_id")
+                .parquet(lake_path)
+            )
+            entries = build_catalog_entries(batch, bid)
+            entries.withColumn("batch_id", F.lit(bid)).write.mode("overwrite").partitionBy(
+                "source", "batch_id"
+            ).parquet(catalog_path)
+            if delivery_root:
+                batch.write.mode("overwrite").partitionBy("source", "batch_id").parquet(
+                    delivery_root
+                )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     trigger = trigger or {"processingTime": "60 seconds"}  # R2 flush interval
     return (

@@ -175,6 +175,26 @@ def test_concatenated_json_parse_is_sound(spark, tmp_path):
     assert lake.read_json_events(spark, str(p2)).count() == 3
 
 
+def test_corrupt_json_rows_are_isolated_not_fatal(spark, tmp_path):
+    """PERMISSIVE parsing: malformed rows become nulls instead of
+    failing the job — at 100 TB a single bad record must never kill an
+    ingest; the quarantine filter routes them aside."""
+    p = tmp_path / "staging"
+    os.makedirs(p, exist_ok=True)
+    good = _mk_events(5)
+    with gzip.open(p / "mixed.json.gz", "wt") as f:
+        for e in good[:3]:
+            f.write(json.dumps(e) + "\n")
+        f.write('{"event_id": "not-a-number", "ts": "garbage"\n')  # malformed
+        for e in good[3:]:
+            f.write(json.dumps(e) + "\n")
+    df = lake.read_json_events(spark, str(p))
+    ok = df.where(F.col("event_id").isNotNull())
+    bad = df.where(F.col("event_id").isNull())
+    assert ok.count() == 5
+    assert bad.count() == 1
+
+
 def test_streaming_ingest_dedup_and_catalog(spark, paths):
     # at-least-once input: 120 events, 20 exact re-deliveries (§1.4)
     evs = _mk_events(100)

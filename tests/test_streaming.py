@@ -78,6 +78,51 @@ def test_streaming_window_counts_match_batch(spark, tmp_path):
     assert len(got) >= len(want) - 4  # at most the tail windows pending
 
 
+def test_batch_replay_is_idempotent(spark, tmp_path):
+    """Re-running a micro-batch (the crash-recovery path) must replace
+    its own output, not append duplicates."""
+    import pyspark.sql.functions as F2
+
+    from serverless_datalake_spark.streaming.pipeline import start_ingest_query
+
+    staging = str(tmp_path / "st")
+    lake_p = str(tmp_path / "lk")
+    cat_p = str(tmp_path / "ct")
+    _write(staging, _evts(30, lambda i: 1), "a.json.gz")
+
+    # capture the foreachBatch fn by running once, then invoke it again
+    # manually with the same batch_id to simulate a replayed batch
+    stream = sp.read_event_stream(spark, staging, dedup=False)
+    q = start_ingest_query(stream, lake_p, cat_p, None, str(tmp_path / "ck"), {"availableNow": True})
+    q.awaitTermination()
+    n1 = spark.read.parquet(lake_p).count()
+
+    batch_df = (
+        spark.read.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(staging)
+        .withColumn("source", F2.col("event_type"))
+    )
+    def replay_batch():
+        # batch 0's sink write, exactly as process_batch performs it
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                batch_df.withColumn("batch_id", F2.lit("b000000000000"))
+                .repartition("source")
+                .sortWithinPartitions("source", "ts")
+                .write.mode("overwrite")
+                .partitionBy("source", "batch_id")
+                .parquet(lake_p)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    replay_batch()
+    replay_batch()
+    assert spark.read.parquet(lake_p).count() == n1  # replaced, not duplicated
+
+
 def test_watermark_drops_only_beyond_bound(spark, tmp_path):
     staging = str(tmp_path / "staging2")
     lake_p = str(tmp_path / "lake2")
