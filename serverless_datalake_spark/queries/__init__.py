@@ -108,6 +108,7 @@ def load_registry() -> dict[str, Query]:
         multimodal,
         pipeline,
         relational,
+        relational2,
         reshape,
         setops,
         sql_dialect,
