@@ -1,0 +1,102 @@
+"""Materialized search indexes: the at-rest layouts that make ANN and
+near-dup probes partition-pruned scans instead of corpus scans.
+
+`topk_lsh`/`minhash_near_dups` compute signatures on the fly — right
+for one-shot jobs. A standing corpus instead materializes the
+signature ONCE and lays the data out by bucket:
+
+  build_ann_index:    embeddings → parquet partitioned by bucket=<lsh>
+  probe_ann_index:    bucket(query) → read ONLY that partition
+                      (plan shows PartitionFilters on bucket)
+
+At 100 TB this is the difference between "every query scans 100 TB"
+and "every query scans 100 TB / n_buckets". The same pattern applies
+to the MinHash band table (build_dedup_index).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.operators import dedup as dedup_ops
+from serverless_datalake_spark.operators import similarity as sim
+
+
+def build_ann_index(
+    corpus: DataFrame,
+    path: str,
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+) -> None:
+    """Write the corpus partitioned by its hyperplane-LSH bucket."""
+    indexed = corpus.select(
+        F.col(corpus_id),
+        F.col(vec),
+        sim.lsh_bucket(F.col(vec), n_planes, dim).alias("bucket"),
+    )
+    indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def probe_ann_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    query_id: str = "query_id",
+    vec: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Exact re-rank inside the query's bucket partition only. The
+    bucket EQ predicate prunes at plan time — the index partition
+    column does the work the full-corpus scan would."""
+    q = queries.select(
+        F.col(query_id), F.col(vec).alias("__qv"), sim.lsh_bucket(F.col(vec), n_planes, dim).alias("bucket")
+    )
+    c = spark.read.parquet(path)
+    scored = c.join(F.broadcast(q), "bucket").select(
+        query_id,
+        F.col("corpus_id"),
+        sim.cosine(F.col("__qv"), F.col("embedding")).alias("score"),
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col("corpus_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, "corpus_id", F.round("score", 6).alias("score"), F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def build_dedup_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+) -> None:
+    """Materialize the MinHash band table partitioned by band_id: an
+    incoming document only joins against its own bands' buckets."""
+    sigs = dedup_ops.minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
+    )
+    banded.write.mode("overwrite").partitionBy("band_id").parquet(path)

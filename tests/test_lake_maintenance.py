@@ -39,6 +39,29 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
 
 
+def test_ann_index_probe_is_pruned_and_matches_online_lsh(spark, sf_dir, tmp_path):
+    from serverless_datalake_spark.operators import similarity as sim
+    from serverless_datalake_spark.sources import indexes
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = em.where(F.col("vec_id") >= 10).select(F.col("vec_id").alias("corpus_id"), "embedding")
+
+    path = str(tmp_path / "ann_index")
+    indexes.build_ann_index(c, path)
+    probed = indexes.probe_ann_index(spark, path, q, k=5)
+
+    # the probe must be a partition-pruned scan on the bucket column
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+    # and must return exactly what the online LSH computes
+    online = sim.topk_lsh(q, c, k=5, n_planes=8, dim=64)
+    got = sorted(map(tuple, probed.collect()))
+    want = sorted(map(tuple, online.collect()))
+    assert got == want
+
+
 def test_compaction_reduces_files_preserves_data(spark, tmp_path):
     staging = str(tmp_path / "staging")
     lake_path = str(tmp_path / "lake")
