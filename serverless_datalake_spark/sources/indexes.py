@@ -100,3 +100,65 @@ def build_dedup_index(
         "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
     )
     banded.write.mode("overwrite").partitionBy("band_id").parquet(path)
+
+
+def probe_dedup_index(
+    spark: SparkSession,
+    path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    corpus: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup check: band the NEW docs only, join against
+    the materialized band table, verify exact Jaccard on candidates.
+
+    This is the production admission-control shape: each new batch
+    costs O(batch × bands) bucket lookups against the standing index,
+    never a rescan of the corpus. ``corpus`` supplies the text for the
+    exact-verify step (pass the docs table the index was built from)."""
+    sigs = dedup_ops.minhash_signatures(new_docs, id_col, text_col, num_hashes, k)
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    new_banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
+        F.col("doc_id").alias("new_id"),
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+    index = spark.read.parquet(path)
+    cands = (
+        new_banded.join(index, ["band_id", "band_hash"])
+        .where(F.col("new_id") != F.col("doc_id"))
+        .select(F.col("new_id").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .distinct()
+    )
+    if corpus is None:
+        return cands
+    toks_new = dedup_ops.token_sets(new_docs, id_col, text_col)
+    toks_corpus = dedup_ops.token_sets(corpus, id_col, text_col)
+    a = toks_new.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks_corpus.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )

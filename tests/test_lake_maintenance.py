@@ -62,6 +62,28 @@ def test_ann_index_probe_is_pruned_and_matches_online_lsh(spark, sf_dir, tmp_pat
     assert got == want
 
 
+def test_dedup_index_incremental_probe(spark, sf_dir, tmp_path):
+    """New docs probe the standing band index; a cloned doc must be
+    flagged as a near-dup of its original at J=1.0."""
+    from serverless_datalake_spark.sources import indexes
+
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    path = str(tmp_path / "dedup_index")
+    indexes.build_dedup_index(docs, path, k=1)
+
+    # "new" batch: clones of 5 existing docs under fresh ids
+    clones = (
+        docs.where(F.col("doc_id") < 5)
+        .withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    )
+    hits = indexes.probe_dedup_index(
+        spark, path, clones, threshold=0.99, k=1, corpus=docs
+    )
+    got = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in hits.collect()}
+    for i in range(5):
+        assert (1_000_000 + i, i, 1.0) in got
+
+
 def test_compaction_reduces_files_preserves_data(spark, tmp_path):
     staging = str(tmp_path / "staging")
     lake_path = str(tmp_path / "lake")
