@@ -11,10 +11,19 @@ from pyspark.sql import DataFrame
 
 def executed_plan(df: DataFrame, finalize: bool = False) -> str:
     """The physical plan string. With finalize=True the query is
-    executed first so AQE's final (runtime-adapted) plan is returned."""
-    if finalize:
-        df.write.format("noop").mode("overwrite").save()
-    return df._jdf.queryExecution().executedPlan().toString()
+    executed first so AQE's final (runtime-adapted) plan is returned.
+    NB: must execute via collect() — a write.save() wraps the plan in
+    a NEW QueryExecution and the DataFrame's own plan never finalizes.
+    Plan metadata truncation is lifted so PushedFilters parse fully."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+    try:
+        if finalize:
+            df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", prev)
 
 
 @dataclass
@@ -44,6 +53,10 @@ class PlanReport:
 
 def plan_report(df: DataFrame, finalize: bool = False) -> PlanReport:
     plan = executed_plan(df, finalize=finalize)
+    # a finalized AdaptiveSparkPlan prints Final AND Initial sections —
+    # count only the plan that actually ran
+    if "== Initial Plan ==" in plan:
+        plan = plan.split("== Initial Plan ==")[0]
     r = PlanReport()
     r.pushed_filters = [
         m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()
