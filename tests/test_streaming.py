@@ -123,6 +123,48 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(lake_p).count() == n1  # replaced, not duplicated
 
 
+def test_late_data_beyond_watermark_is_dropped_from_windows(spark, tmp_path):
+    """Append-mode windowed aggregation across two drains of the same
+    checkpointed query: a row older than the carried watermark must
+    NOT re-open its (already emitted) window; fresh rows still count."""
+    staging = str(tmp_path / "stg")
+    out = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ck")
+
+    def run_drain():
+        stream = sp.read_event_stream(spark, staging, dedup=False, watermark="10 minutes")
+        q = (
+            sp.windowed_counts_stream(stream, "1 hour")
+            .select("source", F.col("window.start").alias("ws"), "n")
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", out)
+            .start()
+        )
+        q.awaitTermination()
+
+    # drain 1: hours 0..9 → watermark lands near 09:xx, windows 0..8 emitted
+    _write(staging, _evts(100, lambda i: i % 10), "a.json.gz")
+    run_drain()
+    first = {(r["ws"], r["n"]) for r in spark.read.parquet(out).collect()}
+    assert first, "first drain must emit closed windows"
+
+    # drain 2: one VERY late row (hour 0) + fresh rows (hours 10..11)
+    _write(
+        staging,
+        _evts(1, lambda i: 0, start_id=5000) + _evts(20, lambda i: 10 + i % 2, start_id=6000),
+        "b.json.gz",
+    )
+    run_drain()
+    second = {(r["ws"], r["n"]) for r in spark.read.parquet(out).collect()}
+    new_rows = second - first
+    hours = {ws.hour for ws, _ in new_rows}
+    assert 0 not in hours, f"late hour-0 row must be dropped, got {sorted(hours)}"
+    assert {10, 11} & hours, "fresh windows must be emitted"
+
+
 def test_watermark_drops_only_beyond_bound(spark, tmp_path):
     staging = str(tmp_path / "staging2")
     lake_p = str(tmp_path / "lake2")
