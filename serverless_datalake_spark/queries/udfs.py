@@ -106,6 +106,46 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "udtf_python_tokenize",
+    oracle="""
+    SELECT doc_id, toks[i] AS token, CAST(i - 1 AS INT) AS pos
+    FROM (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents WHERE doc_id % 25 = 0),
+         UNNEST(range(1, len(toks) + 1)) AS u(i)
+    """,
+    tags=("udf", "udtf", "python"),
+)
+def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (spark.udtf, Spark ≥3.5): one text row →
+    (token, position) rows via a generator class, invoked through a
+    SQL LATERAL join. Row-based Python — use for genuinely
+    non-expressible generators only; this tokenize shape has a
+    codegen twin (explode/posexplode) used everywhere else."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="token string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            pos = 0
+            for t in text.split(" "):
+                if t:
+                    yield t, pos
+                    pos += 1
+
+    spark.udtf.register("tokenize_udtf", Tokenize)
+    from serverless_datalake_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.token, t.pos
+        FROM documents d, LATERAL tokenize_udtf(d.text) t
+        WHERE d.doc_id % 25 = 0
+        """
+    )
+
+
+@query(
     "udtf_sessionize",
     oracle="""
     WITH flagged AS (
