@@ -36,13 +36,18 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str],
     prefix: str = "asof_",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_ts`` <= ``left_ts`` within the same ``on`` key(s).
+    """For each left row, attach the nearest right row within the same
+    ``on`` key(s): direction="backward" → greatest ``right_ts`` <=
+    ``left_ts`` (default); direction="forward" → smallest ``right_ts``
+    >= ``left_ts`` (same composition with the sort flipped).
 
     Attached columns are named ``{prefix}{col}``; all-null when no
-    earlier right row exists (left-outer semantics).
+    matching right row exists (left-outer semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on_cols = [on] if isinstance(on, str) else list(on)
 
     l_tagged = (
@@ -64,11 +69,13 @@ def asof_join(
 
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
-    # At equal timestamps the right row sorts first (rank 0 < 1), so
-    # "at-or-before" includes exact ties.
+    # Backward: ascending scan, right rows sort before left at equal
+    # ts so "at-or-before" includes exact ties. Forward: descending
+    # scan, same tie rule gives "at-or-after".
+    ts_order = F.col(_SORT_TS).asc() if direction == "backward" else F.col(_SORT_TS).desc()
     w = (
         Window.partitionBy(*on_cols)
-        .orderBy(F.col(_SORT_TS).asc(), F.col(_RANK).asc())
+        .orderBy(ts_order, F.col(_RANK).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))

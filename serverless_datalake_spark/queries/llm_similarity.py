@@ -72,6 +72,20 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_topk_lsh_multiprobe",
+    oracle=None,  # probe set is index-specific → rows-only check;
+    # tests assert recall >= single-probe and scores ⊆ exact.
+    tags=("llm", "similarity", "ann"),
+)
+def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: own bucket + all Hamming-1 neighbors (9 probes
+    of 256 buckets) — recovers boundary-vector recall without growing
+    the index."""
+    queries, corpus = _split(spark, sf_dir)
+    return similarity.topk_lsh_multiprobe(queries, corpus, k=5, n_planes=8, dim=64)
+
+
+@query(
     "sim_topk_ivf",
     oracle=None,  # probe set is index-specific → rows-only check
     tags=("llm", "similarity", "ann"),

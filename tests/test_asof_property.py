@@ -40,17 +40,23 @@ def test_asof_equals_naive_on_random_histories(spark, left, right):
     if not right:
         rdf = rdf.where(F.lit(False))  # empty right side
 
-    fast = asof_join(ldf, rdf, on="user_id", left_ts="ts", right_ts="ts", right_cols=["ts"])
-    naive = (
-        ldf.alias("l")
-        .join(
-            rdf.alias("r"),
-            (F.col("l.user_id") == F.col("r.user_id")) & (F.col("r.ts") <= F.col("l.ts")),
-            "left",
+    for direction, cmp_fn, agg_fn in (
+        ("backward", lambda r, l: r <= l, F.max),
+        ("forward", lambda r, l: r >= l, F.min),
+    ):
+        fast = asof_join(
+            ldf, rdf, on="user_id", left_ts="ts", right_ts="ts",
+            right_cols=["ts"], direction=direction,
         )
-        .groupBy(F.col("l.user_id").alias("user_id"), F.col("l.ts").alias("ts"))
-        .agg(F.max("r.ts").alias("asof_ts"))
-    )
-    got = {(r["user_id"], r["ts"], r["asof_ts"]) for r in fast.collect()}
-    want = {(r["user_id"], r["ts"], r["asof_ts"]) for r in naive.collect()}
-    assert got == want
+        cond = (F.col("l.user_id") == F.col("r.user_id")) & cmp_fn(
+            F.col("r.ts"), F.col("l.ts")
+        )
+        naive = (
+            ldf.alias("l")
+            .join(rdf.alias("r"), cond, "left")
+            .groupBy(F.col("l.user_id").alias("user_id"), F.col("l.ts").alias("ts"))
+            .agg(agg_fn("r.ts").alias("asof_ts"))
+        )
+        got = {(r["user_id"], r["ts"], r["asof_ts"]) for r in fast.collect()}
+        want = {(r["user_id"], r["ts"], r["asof_ts"]) for r in naive.collect()}
+        assert got == want, direction

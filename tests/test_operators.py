@@ -88,6 +88,29 @@ def test_ann_scores_subset_of_bruteforce(spark, sf_dir):
             assert abs(exact_scores[(r["query_id"], r["corpus_id"])] - r["score"]) < 1e-9
 
 
+def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
+    """Multi-probe must (a) return only true cosine scores, (b) find
+    at least as many of the exact top-5 as single-probe, per query."""
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = em.where(F.col("vec_id") >= 10).select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = similarity.topk_bruteforce(q, c, k=5)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r["query_id"], set()).add(r["corpus_id"])
+
+    def hits(df):
+        by_q = {}
+        for r in df.collect():
+            by_q.setdefault(r["query_id"], set()).add(r["corpus_id"])
+        return {qid: len(by_q.get(qid, set()) & exact_sets[qid]) for qid in exact_sets}
+
+    single = hits(similarity.topk_lsh(q, c, k=5, n_planes=8, dim=64))
+    multi = hits(similarity.topk_lsh_multiprobe(q, c, k=5, n_planes=8, dim=64))
+    assert all(multi[qid] >= single[qid] for qid in exact_sets), (single, multi)
+    assert sum(multi.values()) > sum(single.values()) or sum(single.values()) == len(exact_sets) * 5
+
+
 def test_salted_agg_matches_plain(spark, sf_dir):
     from serverless_datalake_spark.operators.skew import explode_salt_join, salted_agg
 
