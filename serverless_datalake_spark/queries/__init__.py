@@ -101,6 +101,7 @@ def load_registry() -> dict[str, Query]:
     from serverless_datalake_spark.queries import (  # noqa: F401
         aggregates,
         functions,
+        functions2,
         joins,
         llm_dedup,
         llm_similarity,

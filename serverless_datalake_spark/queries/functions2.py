@@ -1,0 +1,142 @@
+"""Scalar-function batch 2 (§2b breadth): string padding/translate/
+initcap, array manipulation, safe casts (try_cast), interval
+arithmetic and struct build/access."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+
+@query(
+    "fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS padded_key,
+           rpad(p_brand, 12, '.') AS padded_brand,
+           translate(p_type, 'AEIOU', 'aeiou') AS type_lower_vowels,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_masked,
+           reverse(p_brand) AS brand_rev,
+           repeat('*', p_size % 5) AS stars,
+           contains(p_type, 'ECONOMY') AS is_economy,
+           starts_with(p_name, 'small') AS is_small,
+           ends_with(p_name, 'widget') AS is_widget
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("padded_key"),
+        F.rpad("p_brand", 12, ".").alias("padded_brand"),
+        F.translate("p_type", "AEIOU", "aeiou").alias("type_lower_vowels"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_masked"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat(F.lit("*"), F.col("p_size") % 5).alias("stars"),
+        F.contains("p_type", F.lit("ECONOMY")).alias("is_economy"),
+        F.startswith("p_name", F.lit("small")).alias("is_small"),
+        F.endswith("p_name", F.lit("widget")).alias("is_widget"),
+    )
+
+
+@query(
+    "fn_array2",
+    oracle="""
+    WITH t AS (
+      SELECT vec_id,
+             list_transform(embedding[1:8], x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id % 25 = 0
+    )
+    SELECT vec_id,
+           array_to_string(list_transform(list_sort(v), x -> CAST(CAST(ROUND(x * 10000, 0) AS BIGINT) AS VARCHAR)), ',') AS sorted_head,
+           array_to_string(list_transform(list_reverse_sort(v)[1:3], x -> CAST(CAST(ROUND(x * 10000, 0) AS BIGINT) AS VARCHAR)), ',') AS top3,
+           ROUND(v[1] + v[8], 6) AS ends_sum,
+           len(list_concat(v, v)) AS doubled_len,
+           CAST(list_position(list_sort(v), list_min(v)) AS BIGINT) AS min_pos
+    FROM t
+    """,
+    tags=("functions", "array"),
+)
+def fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array manipulation: slice/sort/reverse-sort/concat/position —
+    serialized to strings where the layout is the payload (hash-safe
+    across engines)."""
+    em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 25 == 0)
+    v = F.transform(F.slice("embedding", 1, 8), lambda x: x.cast("double"))
+    t = em.select("vec_id", v.alias("v"))
+    # integer-scaled serialization: double→VARCHAR formatting differs
+    # between engines ("-5.0E-4" vs "-0.0005"); scaled int64 strings
+    # are identical everywhere
+    fmt = lambda arr: F.concat_ws(
+        ",", F.transform(arr, lambda x: F.round(x * 10000, 0).cast("long").cast("string"))
+    )
+    return t.select(
+        "vec_id",
+        fmt(F.array_sort("v")).alias("sorted_head"),
+        fmt(F.slice(F.sort_array("v", asc=False), 1, 3)).alias("top3"),
+        F.round(F.element_at("v", 1) + F.element_at("v", 8), 6).alias("ends_sum"),
+        F.size(F.concat("v", "v")).cast("long").alias("doubled_len"),
+        F.array_position(F.array_sort("v"), F.array_min("v")).alias("min_pos"),
+    )
+
+
+@query(
+    "fn_try_cast",
+    oracle="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS type_as_num,
+           TRY_CAST(CAST(value AS VARCHAR) AS DOUBLE) AS value_roundtrip
+    FROM events
+    WHERE event_id % 40 = 0
+    """,
+    tags=("functions", "trycast"),
+)
+def fn_try_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe casts: malformed input → NULL, never a job failure — the
+    ANSI-mode-compatible ingestion idiom."""
+    e = load_table(spark, sf_dir, "events").where(F.col("event_id") % 40 == 0)
+    return e.select(
+        "event_id",
+        F.try_to_number(
+            F.get_json_object("props", "$.k"), F.lit("999999999")
+        ).cast("long").alias("k_num"),
+        F.col("event_type").try_cast("bigint").alias("type_as_num"),
+        F.col("value").cast("string").try_cast("double").alias("value_roundtrip"),
+    )
+
+
+@query(
+    "fn_interval_struct",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(o_orderdate - INTERVAL 45 DAY AS DATE) AS minus_45d,
+           ROUND(DATEDIFF('day', CAST(o_orderdate AS DATE), DATE '2025-06-15') / 30.436875, 1) AS approx_months_to,
+           struct_extract({'k': o_orderkey, 'p': o_totalprice}, 'p') AS struct_price
+    FROM orders
+    WHERE o_orderkey % 33 = 0
+    """,
+    tags=("functions", "interval", "struct"),
+)
+def fn_interval_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic + struct build/extract."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 33 == 0)
+    return o.select(
+        "o_orderkey",
+        F.add_months(F.to_date("o_orderdate"), 3).alias("plus_3m"),
+        F.date_sub(F.to_date("o_orderdate"), 45).alias("minus_45d"),
+        F.round(
+            F.datediff(F.lit("2025-06-15").cast("date"), F.to_date("o_orderdate"))
+            / 30.436875,
+            1,
+        ).alias("approx_months_to"),
+        F.struct(
+            F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
+        )["p"].alias("struct_price"),
+    )
