@@ -41,6 +41,8 @@ HEADLINE = [
     "text_quality",
     "text_tfidf",
     "mm_decode_features",
+    "sql_cte_multijoin",
+    "reshape_pivot",
 ]
 
 

@@ -56,6 +56,24 @@ def read_json_events(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(EVENTS_JSON_SCHEMA).json(path)
 
 
+def write_json_gz(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """Gzip JSON-lines sink — the reference's exact at-rest format
+    (R3: Firehose GZIP blobs, stack.py:142) minus the concatenation
+    quirk. Interchange/export format; the lake itself stays Parquet."""
+    w = df.write.mode("overwrite").option("compression", "gzip")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.json(path)
+
+
+def read_with_evolved_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: batches written with differing (widened)
+    schemas merge into the union schema; missing columns are null.
+    At 100 TB schema merge scans every file footer — acceptable for
+    explicit migration reads, not the default scan path."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_csv(df: DataFrame, path: str, compression: str = "gzip") -> None:
     """CSV sink (header + explicit compression) — interchange format
     for systems that can't read Parquet; not a lake format."""

@@ -175,6 +175,41 @@ def test_concatenated_json_parse_is_sound(spark, tmp_path):
     assert lake.read_json_events(spark, str(p2)).count() == 3
 
 
+def test_json_gz_roundtrip_reference_format(spark, tmp_path, sf_dir):
+    """R3 fidelity: events written as gzip JSON-lines partitioned by
+    source read back losslessly through the schema-first reader."""
+    from serverless_datalake_spark.tables import load_table
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .limit(200)
+        .withColumn("source", F.col("event_type"))
+    )
+    out = str(tmp_path / "export")
+    lake.write_json_gz(e.drop("source"), out, partition_col=None)
+    files = glob.glob(out + "/*.json.gz")
+    assert files, "must write .json.gz parts"
+    back = lake.read_json_events(spark, out)
+    assert back.count() == 200
+    a = {r["event_id"]: r["value"] for r in back.collect()}
+    b = {r["event_id"]: r["value"] for r in e.collect()}
+    assert a == b
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """A later batch adds a column; mergeSchema read unions schemas
+    and nulls the missing column for old rows."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode("append").parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.mode("append").parquet(p)
+    merged = lake.read_with_evolved_schema(spark, p)
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in merged.collect()}
+    assert rows == {1: None, 2: 9.5}
+
+
 def test_corrupt_json_rows_are_isolated_not_fatal(spark, tmp_path):
     """PERMISSIVE parsing: malformed rows become nulls instead of
     failing the job — at 100 TB a single bad record must never kill an
