@@ -175,6 +175,32 @@ def test_concatenated_json_parse_is_sound(spark, tmp_path):
     assert lake.read_json_events(spark, str(p2)).count() == 3
 
 
+def test_topic_registry_fanout_and_subscribe(spark, tmp_path):
+    """E3: late-bound per-source topics — every record reaches exactly
+    its source's topic; a subscriber sees only its own topic; a newly
+    registered source needs no producer change."""
+    from serverless_datalake_spark.sources import distribution
+
+    reg = distribution.TopicRegistry(str(tmp_path / "topics"))
+    reg.register("tweets", str(tmp_path / "special-tweets-sink"))  # override
+
+    _write_staging(str(tmp_path / "stg"), _mk_events(80))
+    events = (
+        lake.read_json_events(spark, str(tmp_path / "stg"))
+        .withColumn("source", F.col("event_type"))
+    )
+    delivered = distribution.deliver(events, reg)
+    assert set(delivered) == {"clicks", "tweets"}
+    assert delivered["tweets"].endswith("special-tweets-sink")
+
+    clicks = distribution.subscribe(spark, reg, "clicks")
+    tweets = distribution.subscribe(spark, reg, "tweets")
+    assert clicks.count() == 40 and tweets.count() == 40
+    assert clicks.where(F.col("source") != "clicks").count() == 0
+    # totals conserved: fan-out delivers every record exactly once
+    assert clicks.count() + tweets.count() == events.count()
+
+
 def test_json_gz_roundtrip_reference_format(spark, tmp_path, sf_dir):
     """R3 fidelity: events written as gzip JSON-lines partitioned by
     source read back losslessly through the schema-first reader."""
