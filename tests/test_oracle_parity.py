@@ -35,3 +35,17 @@ def test_rows_only_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_parity_survives_hostile_session_timezone(spark, sf_dir, con):
+    """The driver hands us ITS session. tables.ensure_session_conf
+    must repair a non-UTC timezone before any timestamp semantics run
+    (to_date/date_trunc would otherwise shift days vs the oracle)."""
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try:
+        q = REGISTRY["replay_range"]
+        problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+        assert not problems, problems
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
