@@ -192,6 +192,78 @@ def minhash_dedup_survivors(
     )
 
 
+def minhash_dedup_components(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    max_iters: int = 20,
+) -> DataFrame:
+    """Full connected-components dedup clustering over the LSH bucket
+    graph (the transitive closure minhash_dedup_survivors skips).
+
+    Label-propagation to fixpoint: each doc's label = min label over
+    all docs sharing any bucket with it; iterate until no label
+    changes. Each iteration is one bucket-grouped min + one join —
+    two shuffles — and the iteration count is the bucket-graph
+    diameter (small in practice: chains require a run of pairwise-
+    colliding docs). Checkpoint-free because the per-iteration lineage
+    is flat (re-reads recompute two shuffles, not a recursion).
+    """
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    r = num_hashes // bands
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_id"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]
+                    )
+                ).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    membership = (
+        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
+        .select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash"))
+        .distinct()
+        .cache()
+    )
+    labels = membership.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    for _ in range(max_iters):
+        bucket_min = (
+            membership.join(labels, "doc_id")
+            .groupBy("band_id", "band_hash")
+            .agg(F.min("label").alias("bucket_label"))
+        )
+        new_labels = (
+            membership.join(bucket_min, ["band_id", "band_hash"])
+            .groupBy("doc_id")
+            .agg(F.min("bucket_label").alias("label"))
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    membership.unpersist()
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_rep"),
+        (F.col("doc_id") == F.col("label")).alias("is_survivor"),
+    )
+
+
 def simhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:

@@ -189,6 +189,40 @@ def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_custkey,
+           max_by(o_orderkey, printf('%015.2f', o_totalprice) || '#' ||
+                              lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS biggest_order,
+           min_by(o_orderkey, printf('%015.2f', o_totalprice) || '#' ||
+                              lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    WHERE o_custkey % 7 = 0
+    GROUP BY o_custkey
+    """,
+    tags=("agg", "minmax_by"),
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (argmin/argmax) — the 'row that achieved the
+    extreme' aggregate, one pass instead of a self-join on the max.
+    Deterministic ties via a fixed-width (price, key) string
+    comparator — DuckDB's min/max_by take only scalar comparators, and
+    identical input bits format identically on both engines."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_custkey") % 7 == 0)
+    cmp = F.concat(
+        F.format_string("%015.2f", F.col("o_totalprice")),
+        F.lit("#"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", cmp).alias("biggest_order"),
+        F.min_by("o_orderkey", cmp).alias("smallest_order"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )
+
+
+@query(
     "agg_having",
     oracle="""
     SELECT l_suppkey, COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS revenue

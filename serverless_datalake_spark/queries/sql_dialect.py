@@ -27,7 +27,7 @@ from serverless_datalake_spark.tables import register_views
 def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit GROUPING SETS (beyond rollup/cube) via the SQL
     front-end — one Expand node, one shuffle for all three set levels."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("lineitem",))
     return spark.sql(
         """
         SELECT l_returnflag, l_linestatus,
@@ -52,7 +52,7 @@ def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated scalar subquery — Catalyst decorrelates it into an
     aggregate + join (no per-row re-execution; verify with .explain)."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("customer",))
     return spark.sql(
         """
         SELECT c_custkey, c_name, c_acctbal
@@ -86,7 +86,7 @@ def sql_cte_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CTE + 4-way join + mixed agg (TPC-H Q3/Q5 shape). Catalyst
     reorders joins and broadcasts the small sides; YEAR cast to BIGINT
     for oracle type parity."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders", "lineitem", "customer", "nation"))
     return spark.sql(
         """
         WITH big_orders AS (
@@ -121,7 +121,7 @@ def sql_cte_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS + NOT EXISTS in one predicate → planned as a left-semi
     and a left-anti join over the same scan."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("supplier", "lineitem"))
     return spark.sql(
         """
         SELECT s.s_suppkey, s.s_name
@@ -148,7 +148,7 @@ def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "in-subquery"),
 )
 def sql_in_subquery_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("orders", "customer"))
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice

@@ -135,7 +135,7 @@ def udtf_python_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("tokenize_udtf", Tokenize)
     from serverless_datalake_spark.tables import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("documents",))
     return spark.sql(
         """
         SELECT d.doc_id, t.token, t.pos

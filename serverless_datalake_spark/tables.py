@@ -110,9 +110,14 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Register every fixture table as a temp view (for spark.sql)."""
-    dfs = load_all(spark, sf_dir)
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> dict[str, DataFrame]:
+    """Register fixture tables as temp views (for spark.sql). Pass
+    ``only`` to register just the tables a query touches — each
+    registration costs a parquet-footer read."""
+    names = only or TABLES
+    dfs = {t: load_table(spark, sf_dir, t) for t in names}
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs

@@ -88,6 +88,46 @@ def test_ann_scores_subset_of_bruteforce(spark, sf_dir):
             assert abs(exact_scores[(r["query_id"], r["corpus_id"])] - r["score"]) < 1e-9
 
 
+def test_minhash_components_match_python_union_find(spark, sf_dir):
+    """The distributed label-propagation fixpoint must equal true
+    connected components of the bucket graph (python union-find on
+    the same collected bucket memberships)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 150)
+    result = dedup.minhash_dedup_components(d, "doc_id", "text", bands=8, k=1)
+    got = {r["doc_id"]: r["cluster_rep"] for r in result.collect()}
+
+    # ground truth: union-find over (band_id, band_hash) buckets
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", 64, 1)
+    r_per = 64 // 8
+    rows = sigs.collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    buckets: dict[tuple, int] = {}
+    for row in rows:
+        parent.setdefault(row["doc_id"], row["doc_id"])
+    for row in rows:
+        sig = row["sig"]
+        for b in range(8):
+            key = (b, tuple(sig[b * r_per : (b + 1) * r_per]))
+            if key in buckets:
+                union(buckets[key], row["doc_id"])
+            else:
+                buckets[key] = row["doc_id"]
+    want = {doc: find(doc) for doc in parent}
+    assert got == want
+
+
 def test_multiprobe_recall_at_least_single_probe(spark, sf_dir):
     """Multi-probe must (a) return only true cosine scores, (b) find
     at least as many of the exact top-5 as single-probe, per query."""
