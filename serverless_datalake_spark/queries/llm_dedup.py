@@ -77,6 +77,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_minhash_components",
+    oracle=None,  # bucket-graph closure is index-specific → rows-only;
+    # tests/test_operators.py verifies against a python union-find.
+    tags=("llm", "dedup", "minhash", "components"),
+)
+def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure near-dup clustering: label propagation to
+    fixpoint over the LSH bucket graph — the full connected-components
+    answer the single-pass variant approximates (chain A~B~C collapses
+    even when A,C never share a bucket)."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_components(d, "doc_id", "text", bands=8, k=1)
+
+
+@query(
     "dedup_simhash",
     oracle=None,  # signature banding is engine-specific → rows-only
     tags=("llm", "dedup", "simhash"),

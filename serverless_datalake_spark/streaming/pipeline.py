@@ -126,6 +126,31 @@ def run_ingest_available_now(
     q.awaitTermination()
 
 
+def stream_stream_enrich(
+    events: DataFrame,
+    enrich: DataFrame,
+    key: str = "user_id",
+    max_skew: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: each event matched to enrichment
+    records for the same key within ±max_skew event time. Both sides
+    carry watermarks so the join state store can evict rows once the
+    time-range condition can no longer match — without the range
+    bound, stream-stream join state grows forever."""
+    e = events.select(
+        F.col(key), F.col("ts").alias("e_ts"), "event_id", "value"
+    ).withWatermark("e_ts", max_skew)
+    x = enrich.select(
+        F.col(key).alias(f"__x_{key}"), F.col("ts").alias("x_ts"), F.col("tag")
+    ).withWatermark("x_ts", max_skew)
+    cond = (
+        (F.col(key) == F.col(f"__x_{key}"))
+        & (F.col("x_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {max_skew}"))
+        & (F.col("x_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {max_skew}"))
+    )
+    return e.join(x, cond, "inner").select(key, "event_id", "value", "tag", "e_ts", "x_ts")
+
+
 def windowed_counts_stream(stream: DataFrame, window: str = "1 hour") -> DataFrame:
     """Streaming tumbling-window aggregation with late-data handling —
     the watermark drops data later than the configured bound instead

@@ -80,3 +80,26 @@ def test_semi_join_no_row_explosion(spark, sf_dir):
 def test_no_cartesian_in_composed_joins(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning_on_lake_join(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim must inject a
+    dynamic pruning subquery into the fact's PartitionFilters — at
+    scale only the dim-selected source partitions are read."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn("source", F.col("event_type"))
+    lake_path = str(tmp_path / "dpp_lake")
+    e.write.partitionBy("source").parquet(lake_path)
+
+    dim = spark.createDataFrame(
+        [("click", "web"), ("view", "web"), ("purchase", "commerce"),
+         ("signup", "growth"), ("error", "ops")],
+        "source string, category string",
+    )
+    fact = spark.read.parquet(lake_path)
+    j = fact.join(dim.where(F.col("category") == "commerce"), "source")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

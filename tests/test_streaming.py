@@ -123,6 +123,57 @@ def test_batch_replay_is_idempotent(spark, tmp_path):
     assert spark.read.parquet(lake_p).count() == n1  # replaced, not duplicated
 
 
+def test_stream_stream_join_matches_batch_join(spark, tmp_path):
+    """Stream-stream time-range join drained with availableNow must
+    produce exactly the batch join's rows."""
+    ev_dir = str(tmp_path / "ev")
+    en_dir = str(tmp_path / "en")
+    out = str(tmp_path / "joined")
+    ckpt = str(tmp_path / "ck")
+    _write(ev_dir, _evts(40, lambda i: i % 3), "ev.json.gz")
+    # enrichment stream: same schema, 'tag' carried in props-free col via event_type
+    _write(en_dir, _evts(20, lambda i: i % 3, start_id=9000), "en.json.gz")
+
+    ev_stream = (
+        spark.readStream.schema(sp.EVENTS_JSON_SCHEMA).json(ev_dir)
+    )
+    en_stream = (
+        spark.readStream.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(en_dir)
+        .withColumn("tag", F.col("event_type"))
+    )
+    joined = sp.stream_stream_enrich(ev_stream, en_stream, key="user_id", max_skew="1 hour")
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user_id"], r["event_id"], r["tag"], r["x_ts"]) for r in spark.read.parquet(out).collect()
+    }
+
+    ev_b = spark.read.schema(sp.EVENTS_JSON_SCHEMA).json(ev_dir)
+    en_b = (
+        spark.read.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(en_dir)
+        .select(F.col("user_id").alias("u2"), F.col("ts").alias("x_ts"), F.col("event_type").alias("tag"))
+    )
+    batch = ev_b.join(
+        en_b,
+        (ev_b.user_id == F.col("u2"))
+        & (F.col("x_ts") >= ev_b.ts - F.expr("INTERVAL 1 hour"))
+        & (F.col("x_ts") <= ev_b.ts + F.expr("INTERVAL 1 hour")),
+    )
+    want = {
+        (r["user_id"], r["event_id"], r["tag"], r["x_ts"]) for r in batch.collect()
+    }
+    assert got == want and got
+
+
 def test_late_data_beyond_watermark_is_dropped_from_windows(spark, tmp_path):
     """Append-mode windowed aggregation across two drains of the same
     checkpointed query: a row older than the carried watermark must
