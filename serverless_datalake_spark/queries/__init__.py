@@ -114,6 +114,7 @@ def load_registry() -> dict[str, Query]:
         setops,
         sql_dialect,
         streaming_batch,
+        tpch_shapes,
         udfs,
         windows,
     )
