@@ -34,17 +34,85 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def _spark_round_sql(expr: str, nd: str) -> str:
+    """DuckDB expression reproducing Spark's round(double, n) exactly.
+
+    Spark rounds HALF_UP on the double's SHORTEST DECIMAL REPR
+    (BigDecimal.valueOf). A repr-based mimic fails because DuckDB's
+    double→VARCHAR prints only 15 significant digits (0.7062499999999999
+    prints "0.70625" → wrong HALF_UP decision). Repr-free algorithm:
+
+    No DuckDB string/decimal conversion of doubles is faithful (VARCHAR
+    prints 15 digits, printf('%.17g') returns a different double's
+    digits, double→DECIMAL goes through ~15 digits), so the algorithm
+    uses ONLY IEEE double arithmetic plus exact small-integer values:
+
+      i  = FLOOR(|x|), fr = |x| - i        (both IEEE-exact)
+      gf = FLOOR(fr·10^n)                  (±1 error self-corrects below)
+      candidate grid doubles (one correctly-rounded division each,
+      numerators < 2^53 in the valid domain |x| < 9e14/10^n):
+        lo  = (i·10^n + gf) / 10^n,  hi = lo + grid step
+        c10a/c10b = the two (n+1)-digit neighbors
+      1. grid identity: lo or hi round-trips to |x| → the shortest
+         repr has ≤ n fractional digits → Spark returns x unchanged;
+      2. (n+1)-digit tie: c10a/c10b round-trips to |x| → the shortest
+         repr IS that (n+1)-digit decimal; HALF_UP on its last digit
+         (the 8285.425 case: binary sits below the midpoint but the
+         repr is exactly ON it → rounds up);
+      3. else no ≤(n+1)-digit decimal identifies x → no repr sits ON
+         the midpoint → binary comparison of |x| against the
+         midpoint's correctly-rounded double (one exact-numerator
+         division; |x| == that double is impossible here — it would
+         be the (n+1)-digit tie, caught above — so the strict
+         comparison is exact; a fr·10^n product compare would round
+         ONTO the midpoint for values a ulp below it).
+      Reattach sign (HALF_UP is away-from-zero). Outside the domain
+      falls back to native ROUND (query outputs never go there).
+    """
+    try:
+        p = 10 ** int(nd)
+    except ValueError:  # non-literal digit count: leave native ROUND
+        return f"ROUND({expr}, {nd})"
+    p10 = p * 10
+    limit = 9.0e14 / p
+    x = f"CAST(({expr}) AS DOUBLE)"
+    ax = f"ABS({x})"
+    i = f"FLOOR({ax})"
+    fr = f"({ax} - {i})"
+    gf = f"FLOOR({fr} * {p})"
+    k10 = f"FLOOR({fr} * {p10})"
+    lo = f"(({i} * {p} + {gf}) / {p})"
+    hi = f"(({i} * {p} + {gf} + 1) / {p})"
+    c10a = f"(({i} * {p10} + {k10}) / {p10})"
+    c10b = f"(({i} * {p10} + {k10} + 1) / {p10})"
+    # result from an (n+1)-digit repr K (last digit decides HALF_UP)
+    res_a = (
+        f"(({i} * {p} + FLOOR({k10} / 10) + "
+        f"(CASE WHEN {k10} - FLOOR({k10} / 10) * 10 >= 5 THEN 1 ELSE 0 END)) / {p})"
+    )
+    res_b = (
+        f"(({i} * {p} + FLOOR(({k10} + 1) / 10) + "
+        f"(CASE WHEN ({k10} + 1) - FLOOR(({k10} + 1) / 10) * 10 >= 5 THEN 1 ELSE 0 END)) / {p})"
+    )
+    return (
+        f"CAST(CASE "
+        f"WHEN isnan({x}) OR NOT isfinite({x}) OR {ax} >= {limit!r} THEN ROUND({x}, {nd}) "
+        f"ELSE (CASE WHEN {x} < 0 THEN -1.0 ELSE 1.0 END) * "
+        f"(CASE WHEN {lo} = {ax} OR {hi} = {ax} THEN {ax} "
+        # when both (n+1)-digit neighbors round-trip to x (wide-ulp
+        # band), the shortest repr is the CLOSER one — test it first
+        f"WHEN {fr} * {p10} - {k10} >= 0.5 AND {c10b} = {ax} THEN {res_b} "
+        f"WHEN {c10a} = {ax} THEN {res_a} "
+        f"WHEN {c10b} = {ax} THEN {res_b} "
+        f"WHEN {ax} > (({i} * {p} * 2 + {gf} * 2 + 1) / {p * 2}) THEN {hi} "
+        f"ELSE {lo} END) "
+        f"END AS DOUBLE)"
+    )
+
+
 def rewrite_spark_round(sql: str) -> str:
     """Rewrite every ROUND(expr, n) in oracle SQL to reproduce Spark's
-    rounding bit-for-bit.
-
-    Spark's round(double, n) goes through BigDecimal.valueOf(x) — i.e.
-    HALF_UP on the *shortest decimal string repr* — while DuckDB rounds
-    the binary value (8285.425 → Spark 8285.43, DuckDB 8285.42). Both
-    engines print the same shortest repr, so
-    ``CAST(ROUND(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,15)), n) AS
-    DOUBLE)`` makes DuckDB produce Spark's exact double.
-    """
+    rounding bit-for-bit (see _spark_round_sql)."""
     low = sql.lower()
     i = low.find("round(")
     while i != -1:
@@ -74,9 +142,7 @@ def rewrite_spark_round(sql: str) -> str:
             continue
         expr = rewrite_spark_round(sql[open_i + 1 : split])
         nd = sql[split + 1 : close_i].strip()
-        repl = (
-            f"CAST(ROUND(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,15)), {nd}) AS DOUBLE)"
-        )
+        repl = _spark_round_sql(expr, nd)
         sql = sql[:i] + repl + rewrite_spark_round(sql[close_i + 1 :])
         return sql
     return sql

@@ -27,34 +27,61 @@ def spark_round_model(x: float, n: int) -> float:
 
 
 def duckdb_rewritten_round(x: float, n: int) -> float:
-    sql = rewrite_spark_round(f"SELECT ROUND(CAST({x!r} AS DOUBLE), {n}) AS v")
-    return CON.sql(sql).fetchall()[0][0]
+    # Inject x EXACTLY via its integer ratio (m / 2^k — both IEEE-exact
+    # in SQL): DuckDB's decimal-literal→double parse is not correctly
+    # rounded (e.g. '90071993.49999999' parses to the wrong neighbor),
+    # which would make the harness test a different double than Python.
+    m, den = x.as_integer_ratio()
+    lit = f"(CAST({m} AS DOUBLE) / CAST({den} AS DOUBLE))"
+    sql = rewrite_spark_round(f"SELECT ROUND({lit}, {n}) AS v")
+    got = CON.sql(sql).fetchall()[0][0]
+    # guard: the injection must reproduce x bit-for-bit
+    assert CON.sql(f"SELECT {lit} = CAST({m} AS DOUBLE) / CAST({den} AS DOUBLE)").fetchall()[0][0]
+    return got
 
 
-# Valid domain: |x|·10^n ≲ 1e14 — the rounding-decision digit must sit
-# within the first 15 significant digits, because DuckDB's
-# double→VARCHAR prints only 15 (not shortest-roundtrip: e.g.
-# 900719925474099.5 prints as …099.6), so the mimic can diverge at
-# digit 16. Queries obey the domain (audited: max |value|·10^n ≈ 1e12
-# at the driver's sf0.01); any aggregate whose magnitude × precision
-# would exceed it is summed as exact scaled integers instead (see
-# agg_pricing_summary's *_e4/*_e6 columns).
+# The repr-free midpoint mimic is exact for all finite |x| < 1e15
+# (beyond, doubles carry no disputable sub-unit precision and plain
+# ROUND applies). Two sweeps: uniform doubles, and adversarial values
+# constructed to sit within ulps of rounding midpoints/grid points —
+# where the old repr-based mimic broke (DuckDB prints only 15
+# significant digits).
 @settings(max_examples=500, deadline=None)
 @given(
-    x=st.floats(min_value=-1e7, max_value=1e7, allow_nan=False, allow_infinity=False),
+    x=st.floats(min_value=-8e14, max_value=8e14, allow_nan=False, allow_infinity=False),
     n=st.integers(min_value=0, max_value=6),
 )
 def test_rewritten_round_matches_spark_semantics(x: float, n: int):
+    # exact domain: |x| < 9e14 / 10^n (all query outputs are ≤ ~1e12·10^-n)
+    if abs(x) >= 9.0e14 / 10**n:
+        return
     assert duckdb_rewritten_round(x, n) == spark_round_model(x, n)
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=400, deadline=None)
 @given(
-    x=st.floats(min_value=-1e11, max_value=1e11, allow_nan=False, allow_infinity=False),
-    n=st.integers(min_value=0, max_value=2),
+    k=st.integers(min_value=-10**9, max_value=10**9),
+    n=st.integers(min_value=0, max_value=6),
+    half=st.booleans(),
+    nudge=st.integers(min_value=-3, max_value=3),
 )
-def test_rewritten_round_matches_large_magnitude_low_precision(x: float, n: int):
+def test_rewritten_round_near_boundaries(k: int, n: int, half: bool, nudge: int):
+    """Values at grid points / midpoints ± a few ulps — the regime
+    where shortest-repr and binary disagree."""
+    base = (k + (0.5 if half else 0.0)) / 10**n
+    x = base
+    for _ in range(abs(nudge)):
+        x = math.nextafter(x, math.inf if nudge > 0 else -math.inf)
+    if abs(x) >= 9.0e14 / 10**n:
+        return
     assert duckdb_rewritten_round(x, n) == spark_round_model(x, n)
+
+
+def test_regression_sixteen_digit_repr():
+    # doc 707 at sf0.1: identical doubles on both engines, but the old
+    # repr-based mimic saw "0.70625" (15-digit print) and rounded up
+    assert duckdb_rewritten_round(0.7062499999999999, 4) == 0.7062
+    assert spark_round_model(0.7062499999999999, 4) == 0.7062
 
 
 @pytest.mark.parametrize(
