@@ -35,6 +35,30 @@ def select_replay_keys(
     )
 
 
+def read_lake_as_of(
+    spark: SparkSession,
+    catalog_path: str,
+    lake_path: str,
+    as_of: dt.datetime | str,
+) -> DataFrame:
+    """Snapshot (time-travel) read: the lake as it existed when the
+    last batch at-or-before ``as_of`` was cataloged. The catalog's
+    ingest_ts → batch_id mapping is the snapshot log (the role a table
+    format's metadata layer plays); batches after the snapshot are
+    filtered out of the scan — with the (source, batch_id) layout the
+    filter prunes whole partitions."""
+    cat = read_catalog(spark, catalog_path)
+    batch_ids = [
+        r["file_key"].split("/", 1)[1].removesuffix(".parquet")
+        for r in cat.where(F.col("ingest_ts") <= F.lit(as_of))
+        .select("file_key")
+        .distinct()
+        .collect()
+    ]
+    lake_df = spark.read.parquet(lake_path)
+    return lake_df.where(F.col("batch_id").isin(batch_ids))
+
+
 def replay(
     spark: SparkSession,
     catalog_path: str,

@@ -175,6 +175,25 @@ def test_concatenated_json_parse_is_sound(spark, tmp_path):
     assert lake.read_json_events(spark, str(p2)).count() == 3
 
 
+def test_snapshot_read_as_of(spark, paths):
+    """Time-travel: reading as-of an earlier catalog timestamp sees
+    only the batches cataloged by then."""
+    _write_staging(paths["staging"], _mk_events(30), "part-0.json.gz")
+    ingest.ingest_batch(spark, paths["staging"], paths["lake"], paths["catalog"], None, "b0")
+    t_after_b0 = max(
+        r["ingest_ts"] for r in ingest.read_catalog(spark, paths["catalog"]).collect()
+    )
+    staging2 = paths["staging"] + "_2"
+    _write_staging(staging2, _mk_events(50, start_id=1000), "part-1.json.gz")
+    ingest.ingest_batch(spark, staging2, paths["lake"], paths["catalog"], None, "b1")
+
+    snap = replay.read_lake_as_of(spark, paths["catalog"], paths["lake"], t_after_b0)
+    assert snap.count() == 30
+    assert snap.where(F.col("event_id") >= 1000).count() == 0
+    full = spark.read.parquet(paths["lake"])
+    assert full.count() == 80
+
+
 def test_topic_registry_fanout_and_subscribe(spark, tmp_path):
     """E3: late-bound per-source topics — every record reaches exactly
     its source's topic; a subscriber sees only its own topic; a newly
