@@ -182,6 +182,7 @@ def load_registry() -> dict[str, Query]:
         sql_dialect,
         streaming_batch,
         tpch_shapes,
+        tpch_shapes2,
         udfs,
         windows,
     )
