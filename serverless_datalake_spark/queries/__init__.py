@@ -166,6 +166,7 @@ def load_registry() -> dict[str, Query]:
     """Import all query modules (side effect: fills REGISTRY)."""
     from serverless_datalake_spark.queries import (  # noqa: F401
         aggregates,
+        datapipe,
         funnel,
         functions,
         functions2,

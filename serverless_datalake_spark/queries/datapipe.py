@@ -1,0 +1,235 @@
+"""Training-data pipeline operators over `documents` — the dataset-
+management layer of an LLM data pipeline (north star, BASELINE.json):
+deterministic train/test splitting, stratified sampling, Gopher-style
+quality gating, intra-document repetition measurement, and cross-
+split contamination detection.
+
+Determinism discipline: every "random" choice is a multiplicative
+hash on doc_id (Knuth's 2654435761 mod 2^32) written as plain BIGINT
+arithmetic so Spark and DuckDB compute bit-identical buckets — never
+engine RNG (`rand()`/`sampleBy` would not oracle-match). At 100 TB
+this is also the operationally right choice: hash splits are stable
+under re-runs, retries, and data re-partitioning, so an incremental
+pipeline never migrates a document between train and test.
+
+All token arithmetic is exact-integer (counts, lengths) so derived
+doubles (one division) are bit-identical across engines too.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+# Knuth multiplicative hash → uniform bucket in [0, 100). Exact in
+# int64: doc_id * 2654435761 < 2^63 for fixture ids, and both engines
+# define % on BIGINT identically for non-negative operands.
+_BUCKET_SQL = "((doc_id * 2654435761) % 4294967296) % 100"
+
+
+def _bucket_col() -> F.Column:
+    return (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296) % F.lit(100)
+
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _toks_col() -> F.Column:
+    return F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+
+
+@query(
+    "split_train_test",
+    oracle=f"""
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM (
+      SELECT CASE WHEN {_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split,
+             n_chars, lang
+      FROM documents
+    ) t
+    GROUP BY split
+    """,
+    tags=("llm", "datapipe", "split"),
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/test split by multiplicative hash of
+    doc_id. A narrow projection + tiny agg: at scale this is a pure
+    map stage (no shuffle until the 2-group rollup)."""
+    d = load_table(spark, sf_dir, "documents")
+    split = F.when(_bucket_col() < 90, "train").otherwise("test").alias("split")
+    return (
+        d.select(split, "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@query(
+    "sample_stratified",
+    oracle=f"""
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN {_BUCKET_SQL} <
+                 (CASE WHEN lang = 'en' THEN 10 ELSE 50 END) THEN 1 END) AS n_sampled
+    FROM documents
+    GROUP BY source
+    """,
+    tags=("llm", "datapipe", "sample"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified downsampling with per-stratum rates (10% of English,
+    50% of everything else — the domain-mixing move when rebalancing a
+    corpus). Hash-gated rather than rand()-gated: reproducible and
+    shuffle-free; the count-by-source summarizes the selection."""
+    d = load_table(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 10).otherwise(50)
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(_bucket_col() < rate, 1)).alias("n_sampled"),
+    )
+
+
+@query(
+    "text_gopher_rules",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks, text FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                / GREATEST(len(toks), 1) AS DOUBLE) AS mean_word_len,
+           (len(toks) >= 50 AND len(toks) <= 100000
+            AND list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                / GREATEST(len(toks), 1) >= 3.0
+            AND list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
+                / GREATEST(len(toks), 1) <= 10.0
+            AND len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) > 0
+           ) AS passes
+    FROM t
+    """,
+    tags=("llm", "datapipe", "quality"),
+)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document gate (Rae et al. 2021 §A1.1 shape): word
+    count in [50, 100000], mean word length in [3, 10], at least one
+    stopword present. One scan, no shuffle — at 100 TB this runs as a
+    pure filter stage ahead of every other pipeline op."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks_col()
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.greatest(n, F.lit(1))
+    has_stop = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))) > 0
+    )
+    passes = (
+        (n >= 50)
+        & (n <= 100000)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & has_stop
+    )
+    return d.select(
+        "doc_id",
+        n.cast("long").alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        passes.alias("passes"),
+    )
+
+
+@query(
+    "text_repetition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), b AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) < 2 THEN []
+                  ELSE list_transform(range(1, len(toks)),
+                                      i -> concat(toks[i], ' ', toks[i + 1]))
+             END AS bigrams
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(bigrams) - len(list_distinct(bigrams)) AS BIGINT) AS n_dup_bigrams,
+           CAST(len(bigrams) - len(list_distinct(bigrams)) AS DOUBLE)
+             / GREATEST(len(bigrams), 1) AS dup_bigram_frac
+    FROM b
+    """,
+    tags=("llm", "datapipe", "repetition"),
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition (the duplicate-2-gram fraction from
+    Gopher's repetition filters): documents that loop the same phrases
+    score high and get dropped. Array HOFs only — no explode, no
+    shuffle; the bigram list lives and dies inside one task."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks_col()
+    bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        )
+    )
+    b = d.select("doc_id", bigrams.alias("bigrams"))
+    n_b = F.size("bigrams")
+    n_dup = n_b - F.size(F.array_distinct("bigrams"))
+    return b.select(
+        "doc_id",
+        n_b.cast("long").alias("n_bigrams"),
+        n_dup.cast("long").alias("n_dup_bigrams"),
+        (n_dup.cast("double") / F.greatest(n_b, F.lit(1))).alias("dup_bigram_frac"),
+    )
+
+
+@query(
+    "split_contamination",
+    oracle=f"""
+    WITH labeled AS (
+      SELECT doc_id, md5(text) AS fp,
+             CASE WHEN {_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_test,
+           COUNT(CASE WHEN fp IN (SELECT fp FROM labeled WHERE split = 'train')
+                 THEN 1 END) AS n_leaked
+    FROM labeled WHERE split = 'test'
+    """,
+    tags=("llm", "datapipe", "decontamination"),
+)
+def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test leakage check (decontamination): test documents
+    whose exact-text fingerprint also appears in train. The train
+    fingerprint set reduces to distinct hashes before the join — at
+    scale that's a compact build side for a broadcast or bucketed
+    semi join, never a text-vs-text comparison."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.when(_bucket_col() < 90, "train").otherwise("test").alias("split"),
+    )
+    train_fp = d.where(F.col("split") == "train").select("fp").distinct()
+    test = d.where(F.col("split") == "test")
+    leaked = (
+        test.join(F.broadcast(train_fp.withColumnRenamed("fp", "tfp")),
+                  F.col("fp") == F.col("tfp"), "left")
+    )
+    return leaked.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.count(F.when(F.col("tfp").isNotNull(), 1)).alias("n_leaked"),
+    )
