@@ -20,6 +20,20 @@ from pyspark.sql import functions as F
 from serverless_datalake_spark.operators import textops
 
 
+def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input is under-partitioned for
+    a CPU-heavy map stage (single-file / single-row-group parquet
+    reads yield ONE task — signature computation would run on one of
+    N cores). No-op when the scan already has ≥ target partitions, so
+    a real multi-file 100 TB input pays nothing; when it does fire,
+    it shuffles only the narrow projection it's given (id + text),
+    which also evens out document-length skew across tasks."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup_survivors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content fingerprint: one row per distinct
     normalized text, survivor = smallest id (deterministic)."""
@@ -85,7 +99,8 @@ def minhash_signatures(
         F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
         lambda acc, s: F.zip_with(acc, seeds, lambda a, j: F.least(a, F.xxhash64(s, j))),
     )
-    return docs.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    narrow = spread_for_compute(docs.select(F.col(id_col), F.col(text_col)))
+    return narrow.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
 def lsh_candidate_pairs(
@@ -253,6 +268,10 @@ def minhash_dedup_components(
             .limit(1)
             .count()
         )
+        # drop the superseded iteration's cache — otherwise every
+        # round leaks a cached DataFrame (and its executor memory)
+        if labels.is_cached:
+            labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
@@ -277,7 +296,7 @@ def simhash_signatures(
     # needs a literal count, so the counter update unrolls per bit
     # inside the single merge lambda.)
     toks = F.array_distinct(textops.tokens(F.col(text_col)))
-    hashed = docs.select(
+    hashed = spread_for_compute(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("__n"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
