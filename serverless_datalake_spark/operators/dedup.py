@@ -17,21 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from serverless_datalake_spark.operators import textops
-
-
-def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
-    """Round-robin repartition iff the input is under-partitioned for
-    a CPU-heavy map stage (single-file / single-row-group parquet
-    reads yield ONE task — signature computation would run on one of
-    N cores). No-op when the scan already has ≥ target partitions, so
-    a real multi-file 100 TB input pays nothing; when it does fire,
-    it shuffles only the narrow projection it's given (id + text),
-    which also evens out document-length skew across tasks."""
-    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+from serverless_datalake_spark.operators import spread_for_compute, textops
 
 
 def exact_dedup_survivors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -16,6 +16,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from serverless_datalake_spark.operators import spread_for_compute
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -118,7 +120,7 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> D
                     rows["frame_sha256"].append(_hashlib.sha256(frame).hexdigest())
             yield pd.DataFrame(rows)
 
-    return media.mapInPandas(batches, schema=FRAME_SCHEMA)
+    return spread_for_compute(media).mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
 def decode_features(media: DataFrame) -> DataFrame:
@@ -144,4 +146,4 @@ def decode_features(media: DataFrame) -> DataFrame:
             )
             yield out
 
-    return media.mapInPandas(batches, schema=DECODED_SCHEMA)
+    return spread_for_compute(media).mapInPandas(batches, schema=DECODED_SCHEMA)
