@@ -43,6 +43,10 @@ HEADLINE = [
     "mm_decode_features",
     "sql_cte_multijoin",
     "reshape_pivot",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume",
+    "text_gopher_rules",
+    "split_contamination",
 ]
 
 
