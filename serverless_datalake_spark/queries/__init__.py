@@ -180,6 +180,7 @@ def load_registry() -> dict[str, Query]:
         relational2,
         reshape,
         setops,
+        skew_resilience,
         sql_dialect,
         streaming_batch,
         tpch_shapes,
