@@ -159,3 +159,14 @@ def windowed_counts_stream(stream: DataFrame, window: str = "1 hour") -> DataFra
     return stream.groupBy("source", F.window("ts", window)).agg(
         F.count("*").alias("n"), F.sum("value").alias("sum_value")
     )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static dimension enrichment: the static side is re-read
+    per micro-batch (so dim updates between batches are picked up) and
+    needs no watermark or state store — Spark plans it as a plain
+    broadcast/hash join inside each batch. The 100 TB pattern for
+    joining a firehose against slowly-changing reference data."""
+    return stream.join(F.broadcast(dim), key, "left").select(
+        key, "event_id", "source", "value", "segment"
+    )

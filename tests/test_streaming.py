@@ -226,3 +226,42 @@ def test_watermark_drops_only_beyond_bound(spark, tmp_path):
     _write(staging, evs + evs[:5], "a.json.gz")
     sp.run_ingest_available_now(spark, staging, lake_p, cat_p, None, ckpt)
     assert spark.read.parquet(lake_p).count() == 40
+
+
+def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write(staging, _evts(80, lambda i: i % 6), "a.json.gz")
+    _write(staging, _evts(40, lambda i: (i % 6) + 6, start_id=500), "b.json.gz")
+    # static dim: user_id → segment (one user deliberately missing so
+    # the left join's null path is exercised)
+    dim = spark.createDataFrame(
+        [(0, "free"), (1, "pro"), (2, "pro"), (3, "enterprise")],
+        ["user_id", "segment"],
+    )
+
+    stream = sp.read_event_stream(spark, staging, dedup=False)
+    q = (
+        sp.stream_static_enrich(stream, dim)
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r["event_id"], r["segment"]) for r in spark.read.parquet(out).collect()
+    }
+    batch = (
+        spark.read.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(staging)
+        .withColumn("source", F.col("event_type"))
+        .join(dim, "user_id", "left")
+    )
+    want = {(r["event_id"], r["segment"]) for r in batch.collect()}
+    assert got == want          # every event delivered exactly once
+    assert any(seg is None for _, seg in got)  # user 4 unmatched → null
