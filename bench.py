@@ -57,12 +57,18 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     reg = load_registry()
 
-    def run(name: str) -> float:
+    def run_once(name: str) -> float:
         t0 = time.time()
         reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    run("scan_project")  # warmup: JVM + codegen + parquet footer cache
+    def run(name: str) -> float:
+        # min of two executions: the first pays per-query codegen /
+        # Python-worker spawn and any transient host-load spike; the
+        # min is the reproducible steady-state cost of the plan
+        return min(run_once(name), run_once(name))
+
+    run_once("scan_project")  # warmup: JVM + codegen + parquet footer cache
     times = {name: round(run(name), 3) for name in HEADLINE}
     total = round(sum(times.values()), 3)
     print(
