@@ -233,3 +233,64 @@ def split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_test"),
         F.count(F.when(F.col("tfp").isNotNull(), 1)).alias("n_leaked"),
     )
+
+
+@query(
+    "pipeline_curation",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, text, {_TOKS_SQL} AS toks FROM documents
+    ), gated AS (
+      SELECT doc_id, lang, n_chars, text FROM toks
+      WHERE len(toks) >= 50 AND len(toks) <= 100000
+        AND list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
+            / GREATEST(len(toks), 1) BETWEEN 3.0 AND 10.0
+        AND len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) > 0
+    ), survivors AS (
+      SELECT MIN(doc_id) AS sid FROM gated GROUP BY md5(text)
+    ), final AS (
+      SELECT g.doc_id, g.lang, g.n_chars,
+             CASE WHEN {_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split
+      FROM gated g JOIN survivors s ON g.doc_id = s.sid
+    )
+    SELECT split, lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM final GROUP BY split, lang
+    """,
+    tags=("llm", "datapipe", "pipeline"),
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation pipeline end-to-end: Gopher-style gate →
+    exact dedup (min-id survivor per content fingerprint) → hash
+    split → per-(split, lang) rollup. The full chain is one scan, one
+    fingerprint shuffle, one semi join, one rollup — the shape a
+    100 TB curation run takes (the gate prunes before anything
+    shuffles; the dedup join carries ids, never text)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks_col()
+    n = F.size(toks)
+    mean_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ) / F.greatest(n, F.lit(1))
+    has_stop = F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))) > 0
+    gated = d.where(
+        (n >= 50) & (n <= 100000) & (mean_len >= 3.0) & (mean_len <= 10.0) & has_stop
+    )
+    survivors = (
+        gated.groupBy(F.md5("text").alias("fp"))
+        .agg(F.min("doc_id").alias("sid"))
+        .select("sid")
+    )
+    final = gated.join(
+        F.broadcast(survivors), gated.doc_id == F.col("sid"), "left_semi"
+    ).select(
+        "lang",
+        "n_chars",
+        F.when(_bucket_col() < 90, "train").otherwise("test").alias("split"),
+    )
+    return final.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
