@@ -250,3 +250,60 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         F.col("asof_ts").cast("timestamp").cast("long").alias("signup_epoch"),
     )
+
+
+@query(
+    "join_interval_binned",
+    oracle="""
+    SELECT o.o_orderkey, COUNT(*) AS n_shipments
+    FROM (SELECT o_orderkey,
+                 CAST(epoch(o_orderdate) AS BIGINT) AS iv_start,
+                 CAST(epoch(o_orderdate) AS BIGINT) + 90 * 86400 AS iv_end
+          FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND o_orderdate < TIMESTAMP '1996-02-01 00:00:00'
+            AND o_totalprice > 300000.0) o
+    JOIN (SELECT CAST(epoch(l_shipdate) AS BIGINT) AS ship_s
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1996-06-01 00:00:00') l
+      ON l.ship_s BETWEEN o.iv_start AND o.iv_end
+    GROUP BY o.o_orderkey
+    """,
+    tags=("join", "range", "binned"),
+)
+def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PURE range join (no equi key): shipments falling inside each
+    order's 90-day window. Naively this is BroadcastNestedLoopJoin —
+    O(n·m) — so it runs through operators/rangejoin.py instead: bin
+    width = the interval length (each interval spans ≤ 2 bins), hash
+    join on the bin, BETWEEN as residual. Same rows as the oracle's
+    theta join."""
+    from serverless_datalake_spark.operators.rangejoin import point_in_interval_join
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1996-02-01 00:00:00")
+            & (F.col("o_totalprice") > 300000.0)
+        )
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("iv_start"),
+            (F.unix_timestamp("o_orderdate") + 90 * 86400).alias("iv_end"),
+        )
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01 00:00:00")
+            & (F.col("l_shipdate") < "1996-06-01 00:00:00")
+        )
+        .select(F.unix_timestamp("l_shipdate").alias("ship_s"))
+    )
+    joined = point_in_interval_join(
+        li, o, point_col="ship_s", start_col="iv_start", end_col="iv_end",
+        bin_width=90 * 86400,
+    )
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipments"))

@@ -103,3 +103,12 @@ def test_dynamic_partition_pruning_on_lake_join(spark, sf_dir, tmp_path):
     j = fact.join(dim.where(F.col("category") == "commerce"), "source")
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_pure_range_join_avoids_nested_loop(spark, sf_dir):
+    """A point-in-interval join has no equi key, which Spark plans as
+    BroadcastNestedLoopJoin — the binned rewrite must turn it into a
+    hash join on the bin with the BETWEEN as residual."""
+    plan = plan_of(spark, sf_dir, "join_interval_binned")
+    assert "BroadcastNestedLoop" not in plan, plan[:2000]
+    assert "HashJoin" in plan
