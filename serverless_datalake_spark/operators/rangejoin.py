@@ -55,3 +55,36 @@ def point_in_interval_join(
     pt = points.withColumn(_BIN, bin_of(F.col(point_col)))
     residual = F.col(point_col).between(F.col(start_col), F.col(end_col))
     return pt.join(iv, on=_BIN, how="inner").where(residual).drop(_BIN)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bin_width: int,
+) -> DataFrame:
+    """Inner-join interval pairs that overlap (l_start ≤ r_end AND
+    r_start ≤ l_end), via the same binning as point_in_interval_join.
+
+    Unlike the point case, an overlapping pair shares EVERY bin their
+    intersection covers — so the join would duplicate pairs. The
+    standard fix: keep a pair only in the first bin of its
+    intersection, bin(max(l_start, r_start)), which both sides are
+    guaranteed to have exploded. One hash join, zero dedup shuffle.
+    """
+
+    def bin_of(c: Column) -> Column:
+        return F.floor(c / F.lit(bin_width)).cast("long")
+
+    lb = left.withColumn(
+        _BIN, F.explode(F.sequence(bin_of(F.col(l_start)), bin_of(F.col(l_end))))
+    )
+    rb = right.withColumn(
+        _BIN, F.explode(F.sequence(bin_of(F.col(r_start)), bin_of(F.col(r_end))))
+    )
+    overlap = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))
+    first_shared = F.col(_BIN) == bin_of(F.greatest(F.col(l_start), F.col(r_start)))
+    return lb.join(rb, on=_BIN, how="inner").where(overlap & first_shared).drop(_BIN)

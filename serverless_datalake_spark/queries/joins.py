@@ -307,3 +307,51 @@ def join_interval_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         bin_width=90 * 86400,
     )
     return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_shipments"))
+
+
+@query(
+    "join_interval_overlap",
+    oracle="""
+    WITH iv AS (
+      SELECT o_orderkey,
+             CAST(epoch(o_orderdate) AS BIGINT) AS s,
+             CAST(epoch(o_orderdate) AS BIGINT) + 10 * 86400 AS e
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-01-15 00:00:00'
+        AND o_totalprice > 200000.0
+    )
+    SELECT a.o_orderkey AS key_a, b.o_orderkey AS key_b
+    FROM iv a JOIN iv b
+      ON a.s <= b.e AND b.s <= a.e AND a.o_orderkey < b.o_orderkey
+    """,
+    tags=("join", "range", "overlap"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self join (which order windows were
+    concurrently open) — pure range predicate, planned through the
+    binned operator: pairs meet once, in the first bin of their
+    intersection, so the hash join needs no dedup. Oracle runs the
+    naive theta join."""
+    from serverless_datalake_spark.operators.rangejoin import interval_overlap_join
+
+    iv = (
+        load_table(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+            & (F.col("o_orderdate") < "1996-01-15 00:00:00")
+            & (F.col("o_totalprice") > 200000.0)
+        )
+        .select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("s"),
+            (F.unix_timestamp("o_orderdate") + 10 * 86400).alias("e"),
+        )
+    )
+    a = iv.select(F.col("o_orderkey").alias("key_a"), F.col("s").alias("ls"), F.col("e").alias("le"))
+    b = iv.select(F.col("o_orderkey").alias("key_b"), F.col("s").alias("rs"), F.col("e").alias("re"))
+    return (
+        interval_overlap_join(a, b, "ls", "le", "rs", "re", bin_width=10 * 86400)
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+    )
