@@ -140,3 +140,25 @@ def fn_interval_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("p")
         )["p"].alias("struct_price"),
     )
+
+
+@query(
+    "fn_edit_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(levenshtein(p_name, p_brand) AS INTEGER) AS dist_brand,
+           CAST(levenshtein(p_name, reverse(p_name)) AS INTEGER) AS dist_rev
+    FROM part
+    WHERE p_partkey <= 50
+    """,
+    tags=("function", "string", "fuzzy"),
+)
+def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance scalar (fuzzy matching building block for
+    record-linkage pipelines). JVM built-in — no UDF."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") <= 50)
+    return p.select(
+        "p_partkey",
+        F.levenshtein("p_name", "p_brand").alias("dist_brand"),
+        F.levenshtein("p_name", F.reverse("p_name")).alias("dist_rev"),
+    )

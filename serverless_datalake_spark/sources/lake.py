@@ -106,3 +106,19 @@ def parse_concatenated_json(spark: SparkSession, path: str, schema: str = EVENTS
     )
     parsed = objs.select(F.from_json("obj", schema).alias("r")).select("r.*")
     return parsed.where(F.col("event_id").isNotNull())
+
+
+def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:
+    """ORC sink (zlib) — the other columnar lake format Spark reads
+    and writes natively; same partitioned-layout semantics as the
+    Parquet writer, for interop with ORC-based warehouses."""
+    w = df.write.mode("overwrite").option("compression", "zlib")
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — predicate pushdown and vectorized read are on by
+    default (spark.sql.orc.filterPushdown / impl=native)."""
+    return spark.read.orc(path)

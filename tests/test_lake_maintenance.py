@@ -130,3 +130,23 @@ def test_compaction_reduces_files_preserves_data(spark, tmp_path):
         .toString()
     )
     assert "PartitionFilters: [isnotnull(source" in plan
+
+
+def test_orc_round_trip_with_partitioning_and_pushdown(spark, sf_dir, tmp_path):
+    from serverless_datalake_spark.sources.lake import read_orc, write_orc
+    from serverless_datalake_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").withColumn("source", F.col("event_type"))
+    path = str(tmp_path / "orc_lake")
+    write_orc(e, path, partition_col="source")
+
+    back = read_orc(spark, path)
+    assert back.count() == e.count()
+    assert set(back.select("source").distinct().toPandas()["source"]) == set(
+        e.select("source").distinct().toPandas()["source"]
+    )
+    # partition pruning: a source filter must reach PartitionFilters
+    pruned = back.where(F.col("source") == "click")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "click" in plan
+    assert pruned.count() == e.where(F.col("event_type") == "click").count()
