@@ -73,3 +73,32 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def zorder_key_approx(
+    df: DataFrame, col_a: str, col_b: str, bits: int = 6, rel_err: float = 0.01
+) -> DataFrame:
+    """Scale-path variant of zorder_key: rank-normalize through
+    approxQuantile boundaries (Greenwald–Khanna sketch, one scan, no
+    global sort/window) instead of percent_rank. 2^bits buckets per
+    dimension is plenty — skipping benefits saturate once per-file
+    spans are a few buckets wide. Bucket lookup is a counting filter
+    over the boundary array (codegen-able, no UDF)."""
+    n = 1 << bits
+
+    def bucketize(c: str) -> Column:
+        qs = df.stat.approxQuantile(c, [i / n for i in range(1, n)], rel_err)
+        bounds = F.array(*[F.lit(float(q)) for q in qs])
+        return F.size(F.filter(bounds, lambda b: b <= F.col(c).cast("double"))).cast(
+            "long"
+        )
+
+    a, b = bucketize(col_a), bucketize(col_b)
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return df.withColumn("__zkey", out)

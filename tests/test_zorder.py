@@ -59,3 +59,31 @@ def test_zorder_files_cluster_both_dimensions(spark, sf_dir, tmp_path):
     # a conjunctive 2-D predicate returns identical rows
     pred = (F.col("user_id") < 5) & (F.col("ts_s") % 7 == 0)
     assert got.where(pred).count() == e.where(pred).count()
+
+
+def test_zorder_approx_variant_clusters_without_global_sort(spark, sf_dir, tmp_path):
+    from serverless_datalake_spark.sources.zorder import zorder_key_approx
+
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(F.unix_timestamp("ts").alias("ts_s"), "user_id", "value")
+    )
+    zpath = str(tmp_path / "za")
+    (
+        zorder_key_approx(e, "ts_s", "user_id", bits=4)
+        .repartitionByRange(8, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+        .write.mode("overwrite")
+        .parquet(zpath)
+    )
+    # both dimensions clustered (vs 1.0 for the unsorted dimension of
+    # a single-column layout; see the exact-variant test above)
+    assert _avg_file_coverage(zpath, "ts_s") < 0.6
+    assert _avg_file_coverage(zpath, "user_id") < 0.6
+    # no WindowExec in the plan — the sketch replaced the global sort
+    plan = (
+        zorder_key_approx(e, "ts_s", "user_id", bits=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
