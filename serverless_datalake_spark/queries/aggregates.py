@@ -239,3 +239,25 @@ def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"), F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
         .where(F.col("n") > 100)
     )
+
+
+@query(
+    "agg_string_concat",
+    oracle="""
+    SELECT c_mktsegment,
+           string_agg(c_name, ',' ORDER BY c_name) AS names
+    FROM customer
+    WHERE c_custkey <= 60
+    GROUP BY c_mktsegment
+    """,
+    tags=("aggregation", "string_agg"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (SQL STRING_AGG / LISTAGG):
+    collect_list → sort_array → array_join keeps the concatenation
+    deterministic under any partitioning — collect_list alone has
+    shuffle-dependent order and would never oracle-match."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 60)
+    return c.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_list("c_name")), ",").alias("names")
+    )

@@ -220,3 +220,35 @@ def test_decode_stub_is_deterministic(spark, sf_dir):
             assert w is not None and h is not None
         if mt in ("audio", "video"):
             assert nf is not None
+
+
+def test_salted_agg_property_random(spark):
+    """Salted two-phase aggregation must equal the plain groupBy on
+    random data with a deliberately hot key (80% of rows)."""
+    import random
+
+    from serverless_datalake_spark.operators.skew import salted_agg
+
+    rnd = random.Random(7)
+    rows = [
+        ("hot" if rnd.random() < 0.8 else f"k{rnd.randint(0, 5)}", rnd.randint(-50, 50))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = {
+        (r["k"], r["n"], r["s"], r["lo"], r["hi"])
+        for r in salted_agg(
+            df, "k", {"n": "count(*)", "s": "sum(v)", "lo": "min(v)", "hi": "max(v)"},
+            buckets=16,
+        ).collect()
+    }
+    want = {
+        (r["k"], r["n"], r["s"], r["lo"], r["hi"])
+        for r in df.groupBy("k")
+        .agg(
+            F.count("*").alias("n"), F.sum("v").alias("s"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        )
+        .collect()
+    }
+    assert got == want
