@@ -80,13 +80,27 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
-    """Random-hyperplane signature: bit j = sign(v · h_j); packed int."""
+    """Random-hyperplane signature: bit j = sign(v · h_j); packed int.
+
+    The plane matrix is ONE nested array literal (a single Literal
+    node) indexed inside the lambda — unrolling it into n_planes × dim
+    `lit()` nodes made the expression tree ~500 nodes per call site
+    and tripled cold planning/codegen time (measured at sf0.1)."""
+    planes = F.lit(_hyperplanes(n_planes, dim))
     v = _as_double(vec)
-    bucket = F.lit(0)
-    for j, plane in enumerate(_hyperplanes(n_planes, dim)):
-        d = dot(v, F.array(*[F.lit(c) for c in plane]))
-        bucket = bucket + F.when(d > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                F.zip_with(v, F.element_at(planes, j + 1), lambda x, c: x * c),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            > 0,
+            F.pow(F.lit(2.0), j.cast("double")).cast("int"),
+        ).otherwise(F.lit(0)),
+    )
+    return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
 
 
 def topk_lsh(
