@@ -89,6 +89,31 @@ def minhash_signatures(
     return narrow.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
 
 
+def banded_membership(
+    signatures: DataFrame, bands: int, num_hashes: int
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) — one row per signature band.
+    band_hash = xxhash64 of the band's sub-signature (array slice);
+    the loop lives inside a transform lambda over a tiny sequence, so
+    the expression tree stays a handful of nodes instead of unrolling
+    bands × rows_per_band element_at literals per call site."""
+    r = num_hashes // bands
+    bb = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bands - 1)),
+            lambda b: F.struct(
+                b.cast("int").alias("band_id"),
+                F.xxhash64(F.slice("sig", b * r + 1, r)).alias("band_hash"),
+            ),
+        )
+    )
+    return signatures.select("doc_id", bb.alias("bb")).select(
+        "doc_id",
+        F.col("bb.band_id").alias("band_id"),
+        F.col("bb.band_hash").alias("band_hash"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame, bands: int = 16, num_hashes: int = 64
 ) -> DataFrame:
@@ -96,21 +121,7 @@ def lsh_candidate_pairs(
     collide in ≥1 band. The only shuffle is the bucket self-join on
     (band_id, band_hash) — Jaccard-similar docs collide whp, so output
     size tracks true near-dups."""
-    r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(F.concat_ws(",", *[
-                    F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)
-                ])).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = signatures.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
-    )
+    banded = banded_membership(signatures, bands, num_hashes)
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
     return (
@@ -160,24 +171,7 @@ def minhash_dedup_survivors(
     iterating — at real scale run this repeatedly to fixpoint, each
     pass one shuffle)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
-    r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)],
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
-    )
+    banded = banded_membership(sigs, bands, num_hashes)
     bucket_rep = banded.groupBy("band_id", "band_hash").agg(
         F.min("doc_id").alias("bucket_rep")
     )
@@ -214,26 +208,7 @@ def minhash_dedup_components(
     is flat (re-reads recompute two shuffles, not a recursion).
     """
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
-    r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    membership = (
-        sigs.select("doc_id", F.explode(band_structs).alias("bb"))
-        .select("doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash"))
-        .distinct()
-        .cache()
-    )
+    membership = banded_membership(sigs, bands, num_hashes).distinct().cache()
     labels = membership.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     for _ in range(max_iters):
         bucket_min = (

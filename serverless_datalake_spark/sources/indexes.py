@@ -82,23 +82,7 @@ def build_dedup_index(
     """Materialize the MinHash band table partitioned by band_id: an
     incoming document only joins against its own bands' buckets."""
     sigs = dedup_ops.minhash_signatures(docs, id_col, text_col, num_hashes, k)
-    r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        "doc_id", F.col("bb.band_id").alias("band_id"), F.col("bb.band_hash").alias("band_hash")
-    )
+    banded = dedup_ops.banded_membership(sigs, bands, num_hashes)
     banded.write.mode("overwrite").partitionBy("band_id").parquet(path)
 
 
@@ -122,24 +106,8 @@ def probe_dedup_index(
     never a rescan of the corpus. ``corpus`` supplies the text for the
     exact-verify step (pass the docs table the index was built from)."""
     sigs = dedup_ops.minhash_signatures(new_docs, id_col, text_col, num_hashes, k)
-    r = num_hashes // bands
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", *[F.element_at("sig", b * r + i + 1).cast("string") for i in range(r)]
-                    )
-                ).alias("band_hash"),
-            )
-            for b in range(bands)
-        ]
-    )
-    new_banded = sigs.select("doc_id", F.explode(band_structs).alias("bb")).select(
-        F.col("doc_id").alias("new_id"),
-        F.col("bb.band_id").alias("band_id"),
-        F.col("bb.band_hash").alias("band_hash"),
+    new_banded = dedup_ops.banded_membership(sigs, bands, num_hashes).withColumnRenamed(
+        "doc_id", "new_id"
     )
     index = spark.read.parquet(path)
     cands = (
