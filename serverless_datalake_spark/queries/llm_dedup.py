@@ -118,7 +118,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM v a JOIN v b ON a.vec_id < b.vec_id
     )
     SELECT id_a, id_b, ROUND(cs, 6) AS cos_sim
-    FROM pairs WHERE cs >= 0.8
+    FROM pairs WHERE cs >= 0.3
     """,
     tags=("llm", "dedup", "embedding"),
 )
@@ -127,4 +127,4 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the oracle-verifiable baseline; the scale path pre-buckets with
     operators/similarity.lsh_bucket)."""
     em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
-    return similarity.embedding_near_dup_pairs(em, "vec_id", "embedding", threshold=0.8)
+    return similarity.embedding_near_dup_pairs(em, "vec_id", "embedding", threshold=0.3)

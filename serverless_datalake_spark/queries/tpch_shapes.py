@@ -25,8 +25,8 @@ from serverless_datalake_spark.tables import load_table
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     WHERE c.c_mktsegment = 'BUILDING'
-      AND o.o_orderdate < TIMESTAMP '2024-06-15 00:00:00'
-      AND l.l_shipdate > TIMESTAMP '2024-06-15 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-03-15 00:00:00'
     GROUP BY l.l_orderkey, CAST(o.o_orderdate AS DATE), o.o_orderpriority
     ORDER BY revenue DESC, l.l_orderkey
     LIMIT 10
@@ -40,10 +40,10 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, not a global sort."""
     c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < "2024-06-15 00:00:00"
+        F.col("o_orderdate") < "1996-03-15 00:00:00"
     )
     li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > "2024-06-15 00:00:00"
+        F.col("l_shipdate") > "1996-03-15 00:00:00"
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -120,8 +120,8 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     JOIN nation n ON c.c_nationkey = n.n_nationkey
     WHERE l.l_returnflag = 'R'
-      AND o.o_orderdate >= TIMESTAMP '2024-03-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '2024-09-01 00:00:00'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
     GROUP BY c.c_custkey, c.c_name, n.n_name, ROUND(c.c_acctbal, 2)
     ORDER BY revenue DESC, c.c_custkey
     LIMIT 20
@@ -134,8 +134,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer rollup."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= "2024-03-01 00:00:00")
-        & (F.col("o_orderdate") < "2024-09-01 00:00:00")
+        (F.col("o_orderdate") >= "1996-01-01 00:00:00")
+        & (F.col("o_orderdate") < "1996-04-01 00:00:00")
     )
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = F.broadcast(load_table(spark, sf_dir, "nation"))
