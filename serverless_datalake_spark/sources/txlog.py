@@ -1,0 +1,127 @@
+"""Minimal transaction-log table format ("Delta Lake lite").
+
+Plain partitioned Parquet has two gaps at object-store scale (Delta
+Lake, VLDB 2020): a multi-file write is visible file-by-file (readers
+see torn batches), and compaction deletes files readers may be
+listing. The fix is the log: data files are immutable and anonymous;
+the table IS the ordered list of JSON log entries, each an atomic
+set of adds/removes. Readers never list the data directory — they
+replay the log to a version and read exactly that file set.
+
+  <path>/_txlog/00000000.json   {"version":0,"adds":[...],"removes":[...]}
+  <path>/data/v0-<uuid>/part-*.parquet
+
+Commit protocol: write data files → write log entry to a temp name →
+atomic rename to the next version number. Rename-if-absent is atomic
+on POSIX/HDFS; on S3 the same protocol needs a conditional PUT
+(If-None-Match) or a coordination table — exactly Delta's LogStore
+abstraction. Concurrent committers race on the rename; the loser
+retries against the new head (optimistic concurrency).
+
+This complements sources/replay.read_lake_as_of (catalog time travel
+by ingest time): the txlog gives version-exact snapshots and atomic
+compaction; the catalog gives time-range selection semantics (R12).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_LOG_DIR = "_txlog"
+
+
+def _log_path(path: str) -> str:
+    return os.path.join(path, _LOG_DIR)
+
+
+def _entries(path: str) -> list[dict]:
+    d = _log_path(path)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in sorted(os.listdir(d)):
+        if name.endswith(".json"):
+            with open(os.path.join(d, name)) as f:
+                out.append(json.load(f))
+    return out
+
+
+def _commit(path: str, version: int, adds: list[str], removes: list[str]) -> None:
+    d = _log_path(path)
+    os.makedirs(d, exist_ok=True)
+    entry = {"version": version, "adds": adds, "removes": removes}
+    tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
+    final = os.path.join(d, f"{version:08d}.json")
+    with open(tmp, "w") as f:
+        json.dump(entry, f)
+    if os.path.exists(final):  # lost the race: another committer won
+        os.unlink(tmp)
+        raise RuntimeError(f"concurrent commit at version {version}; retry")
+    os.rename(tmp, final)
+
+
+def live_files(path: str, version: int | None = None) -> list[str]:
+    """Replay the log to `version` (default: head) → current file set."""
+    files: set[str] = set()
+    for e in _entries(path):
+        if version is not None and e["version"] > version:
+            break
+        files.difference_update(e["removes"])
+        files.update(e["adds"])
+    return sorted(files)
+
+
+def txlog_write(df: DataFrame, path: str, mode: str = "append") -> int:
+    """Commit df to the table atomically; returns the new version.
+
+    All files of the batch become visible in ONE log entry — a reader
+    replaying the log sees the whole batch or none of it, regardless
+    of how many data files the write produced. `overwrite` removes
+    every prior live file in the same entry (atomic replace)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}")
+    prior = _entries(path)
+    version = prior[-1]["version"] + 1 if prior else 0
+    batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(batch_dir)
+    adds = sorted(
+        os.path.join(batch_dir, n)
+        for n in os.listdir(batch_dir)
+        if n.endswith(".parquet")
+    )
+    removes = live_files(path) if mode == "overwrite" else []
+    _commit(path, version, adds, removes)
+    return version
+
+
+def txlog_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Snapshot read at `version` (default head). Uncommitted data
+    files (present on disk, absent from the log) are invisible."""
+    files = live_files(path, version)
+    if not files:
+        raise FileNotFoundError(f"no committed files in {path} at version {version}")
+    return spark.read.parquet(*files)
+
+
+def txlog_compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
+    """Rewrite the current snapshot into `target_files` files and swap
+    them in with one log entry (adds=new, removes=old). A reader at
+    the prior version still resolves the old files — compaction never
+    disturbs in-flight reads; old files are only logically removed
+    (physical GC = delete files no live version references)."""
+    old = live_files(path)
+    snap = spark.read.parquet(*old).coalesce(target_files)
+    version = _entries(path)[-1]["version"] + 1
+    batch_dir = os.path.join(path, "data", f"v{version}-compact-{uuid.uuid4().hex[:8]}")
+    snap.write.mode("error").parquet(batch_dir)
+    adds = sorted(
+        os.path.join(batch_dir, n)
+        for n in os.listdir(batch_dir)
+        if n.endswith(".parquet")
+    )
+    _commit(path, version, adds, removes=old)
+    return version

@@ -1,0 +1,67 @@
+"""Transaction-log table format: atomic multi-file visibility,
+version time travel, atomic overwrite, reader-invisible compaction,
+and invisibility of uncommitted data files."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.sources import txlog
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(F.col("id"), (F.col("id") * 2).alias("v"))
+
+
+def test_append_overwrite_and_time_travel(spark, tmp_path):
+    path = str(tmp_path / "t")
+    v0 = txlog.txlog_write(_df(spark, 0, 10).repartition(3), path)  # multi-file batch
+    v1 = txlog.txlog_write(_df(spark, 10, 15), path)
+    assert (v0, v1) == (0, 1)
+    assert txlog.txlog_read(spark, path).count() == 15
+    assert txlog.txlog_read(spark, path, version=0).count() == 10
+
+    v2 = txlog.txlog_write(_df(spark, 100, 103), path, mode="overwrite")
+    assert v2 == 2
+    head = txlog.txlog_read(spark, path)
+    assert head.count() == 3
+    assert {r["id"] for r in head.collect()} == {100, 101, 102}
+    # prior versions still fully resolvable after the overwrite
+    assert txlog.txlog_read(spark, path, version=1).count() == 15
+
+
+def test_compaction_is_invisible_to_readers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    for lo in range(0, 40, 10):
+        txlog.txlog_write(_df(spark, lo, lo + 10).repartition(2), path)
+    before = txlog.live_files(path)
+    assert len(before) >= 8  # 4 batches x 2 files
+    rows_before = sorted(r["id"] for r in txlog.txlog_read(spark, path).collect())
+
+    v = txlog.txlog_compact(spark, path, target_files=1)
+    after = txlog.live_files(path)
+    assert len(after) == 1
+    assert sorted(r["id"] for r in txlog.txlog_read(spark, path).collect()) == rows_before
+    # old snapshot still readable at its version (no physical deletes)
+    assert sorted(r["id"] for r in txlog.txlog_read(spark, path, version=v - 1).collect()) == rows_before
+
+
+def test_uncommitted_files_are_invisible(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path)
+    # orphan: a data file written without a log entry (a torn write)
+    orphan_dir = os.path.join(path, "data", "orphan")
+    _df(spark, 1000, 1010).write.parquet(orphan_dir)
+    assert txlog.txlog_read(spark, path).count() == 5  # orphan ignored
+
+
+def test_concurrent_commit_loser_gets_retryable_error(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path)
+    # simulate a racing committer that claimed version 1 first
+    txlog._commit(path, 1, adds=[], removes=[])
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        txlog._commit(path, 1, adds=[], removes=[])
