@@ -170,3 +170,49 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id"
     return stream.join(F.broadcast(dim), key, "left").select(
         key, "event_id", "source", "value", "segment"
     )
+
+
+def start_txlog_ingest_query(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Ingest with an ACID sink: each micro-batch commits through the
+    transaction log (sources/txlog.py), so a batch's files become
+    visible all-or-nothing and a crash mid-write leaves only orphaned
+    data files the readers never see. Exactly-once composition: the
+    checkpoint dedups batch replays on the source side, and a replayed
+    batch that already committed would re-commit — so the batch id is
+    recorded in the entry's data; the guard below skips batches whose
+    id is already the head commit's marker."""
+    from serverless_datalake_spark.sources import txlog
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        entries = txlog._entries(table_path)
+        done = {e.get("batch_id") for e in entries}
+        if batch_id in done:  # replay of an already-committed batch
+            return
+        version = txlog.txlog_write(batch.withColumn("batch_id", F.lit(batch_id)), table_path)
+        # stamp the batch id into the committed entry (same atomic
+        # file, rewritten in place after the rename — still a single
+        # publication point because readers key off the rename)
+        import json
+        import os
+
+        p = os.path.join(table_path, "_txlog", f"{version:08d}.json")
+        with open(p) as f:
+            e = json.load(f)
+        e["batch_id"] = batch_id
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(e, f)
+        os.replace(tmp, p)
+
+    trigger = trigger or {"availableNow": True}
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**trigger)
+        .start()
+    )

@@ -65,3 +65,37 @@ def test_concurrent_commit_loser_gets_retryable_error(spark, tmp_path):
     txlog._commit(path, 1, adds=[], removes=[])
     with pytest.raises(RuntimeError, match="concurrent commit"):
         txlog._commit(path, 1, adds=[], removes=[])
+
+
+def test_streaming_ingest_through_txlog_is_atomic_and_replay_safe(spark, tmp_path):
+    import gzip
+    import json as _json
+
+    from serverless_datalake_spark.sources import txlog as _tx
+    from serverless_datalake_spark.streaming import pipeline as sp
+
+    staging = str(tmp_path / "staging")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+    with gzip.open(os.path.join(staging, "a.json.gz"), "wt") as f:
+        for i in range(25):
+            f.write(_json.dumps({
+                "event_id": i, "ts": f"2024-01-01T0{i % 6}:00:00.000",
+                "user_id": i % 4, "event_type": "clicks", "value": 1.0, "props": "{}",
+            }) + "\n")
+
+    stream = sp.read_event_stream(spark, staging, dedup=False)
+    q = sp.start_txlog_ingest_query(stream, table, ckpt)
+    q.awaitTermination()
+    assert txlog.txlog_read(spark, table).count() == 25
+
+    # replaying the same drained source against the same checkpoint
+    # commits nothing new (exactly-once end to end)
+    head = len(_tx._entries(table))
+    q2 = sp.start_txlog_ingest_query(
+        sp.read_event_stream(spark, staging, dedup=False), table, ckpt
+    )
+    q2.awaitTermination()
+    assert len(_tx._entries(table)) == head
+    assert txlog.txlog_read(spark, table).count() == 25
