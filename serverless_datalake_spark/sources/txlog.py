@@ -125,3 +125,35 @@ def txlog_compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     )
     _commit(path, version, adds, removes=old)
     return version
+
+
+def txlog_upsert(
+    spark: SparkSession, path: str, updates: DataFrame, key: str
+) -> int:
+    """MERGE-style upsert: rows in `updates` replace same-key rows of
+    the current snapshot; new keys append. Copy-on-write like Delta's
+    MERGE — rewrite the snapshot minus matched keys, plus updates, as
+    one atomic overwrite commit (readers see pre- or post-merge, never
+    a mix). At scale the rewrite would be restricted to files whose
+    min/max key ranges overlap the update keys; with a z-ordered or
+    sorted layout that's a small fraction of the table."""
+    current = txlog_read(spark, path)
+    kept = current.join(updates.select(key).distinct(), on=key, how="left_anti")
+    merged = kept.unionByName(updates)
+    return txlog_write(merged, path, mode="overwrite")
+
+
+def txlog_changes(
+    spark: SparkSession, path: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Change feed between two versions: rows added (op='insert') and
+    rows removed (op='delete'), computed from the two snapshots. A
+    row upserted to the same value appears in neither. Multiset
+    semantics via exceptAll — duplicate rows count."""
+    before = txlog_read(spark, path, from_version)
+    after = txlog_read(spark, path, to_version)
+    from pyspark.sql import functions as F
+
+    ins = after.exceptAll(before).withColumn("op", F.lit("insert"))
+    dels = before.exceptAll(after).withColumn("op", F.lit("delete"))
+    return ins.unionByName(dels)

@@ -99,3 +99,26 @@ def test_streaming_ingest_through_txlog_is_atomic_and_replay_safe(spark, tmp_pat
     q2.awaitTermination()
     assert len(_tx._entries(table)) == head
     assert txlog.txlog_read(spark, table).count() == 25
+
+
+def test_upsert_and_change_feed(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 10), path)  # v0: ids 0..9, v = 2*id
+    updates = spark.createDataFrame(
+        [(3, 999), (4, 888), (100, 777)], "id long, v long"
+    )
+    v = txlog.txlog_upsert(spark, path, updates, key="id")
+    head = {(r["id"], r["v"]) for r in txlog.txlog_read(spark, path).collect()}
+    assert (3, 999) in head and (4, 888) in head and (100, 777) in head
+    assert (3, 6) not in head          # replaced, not duplicated
+    assert len(head) == 11             # 10 originals - 2 replaced + 2 new + 1... ids 0..9 plus 100
+    # pre-merge snapshot intact
+    assert {(r["id"], r["v"]) for r in txlog.txlog_read(spark, path, v - 1).collect()} == {
+        (i, 2 * i) for i in range(10)
+    }
+
+    feed = txlog.txlog_changes(spark, path, from_version=v - 1)
+    ops = {(r["id"], r["v"], r["op"]) for r in feed.collect()}
+    assert (3, 999, "insert") in ops and (3, 6, "delete") in ops
+    assert (100, 777, "insert") in ops
+    assert (5, 10, "insert") not in ops and (5, 10, "delete") not in ops  # untouched row absent
