@@ -157,3 +157,49 @@ def txlog_changes(
     ins = after.exceptAll(before).withColumn("op", F.lit("insert"))
     dels = before.exceptAll(after).withColumn("op", F.lit("delete"))
     return ins.unionByName(dels)
+
+
+def txlog_delete(spark: SparkSession, path: str, keys: DataFrame, key: str) -> int:
+    """Delete-by-key (the GDPR/right-to-be-forgotten path): rewrite
+    the snapshot without matching keys as one atomic overwrite. Note
+    deleted rows remain physically present in old versions until
+    txlog_vacuum retires them — retention policy is the vacuum
+    horizon, exactly as in Delta."""
+    current = txlog_read(spark, path)
+    kept = current.join(keys.select(key).distinct(), on=key, how="left_anti")
+    return txlog_write(kept, path, mode="overwrite")
+
+
+def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
+    """Physically delete data files referenced ONLY by versions older
+    than the last `keep_versions` commits, and truncate their log
+    entries. Time travel works back to the retention horizon
+    afterwards; earlier versions are gone. Returns deleted paths."""
+    entries = _entries(path)
+    if len(entries) <= keep_versions:
+        return []
+    head_version = entries[-1]["version"]
+    horizon = head_version - keep_versions + 1
+    retained: set[str] = set()
+    for v in range(horizon, head_version + 1):
+        retained.update(live_files(path, v))
+    all_files: set[str] = set()
+    for e in entries:
+        all_files.update(e["adds"])
+    doomed = sorted(all_files - retained)
+    for f in doomed:
+        if os.path.exists(f):
+            os.unlink(f)
+    # squash pre-horizon history into one checkpoint-style entry so the
+    # log never references deleted files
+    base = live_files(path, horizon)
+    for e in entries:
+        if e["version"] < horizon:
+            os.unlink(os.path.join(_log_path(path), f"{e['version']:08d}.json"))
+    ck = {"version": horizon, "adds": base, "removes": [], "checkpoint": True}
+    p0 = os.path.join(_log_path(path), f"{horizon:08d}.json")
+    tmp = p0 + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmp, p0)
+    return doomed

@@ -122,3 +122,28 @@ def test_upsert_and_change_feed(spark, tmp_path):
     assert (3, 999, "insert") in ops and (3, 6, "delete") in ops
     assert (100, 777, "insert") in ops
     assert (5, 10, "insert") not in ops and (5, 10, "delete") not in ops  # untouched row absent
+
+
+def test_delete_by_key_and_vacuum(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 10), path)                     # v0
+    txlog.txlog_write(_df(spark, 10, 20), path)                    # v1
+    v2 = txlog.txlog_delete(
+        spark, path, spark.createDataFrame([(3,), (15,)], "id long"), key="id"
+    )
+    ids = {r["id"] for r in txlog.txlog_read(spark, path).collect()}
+    assert 3 not in ids and 15 not in ids and len(ids) == 18
+    # deleted rows still physically reachable via time travel pre-vacuum
+    assert 3 in {r["id"] for r in txlog.txlog_read(spark, path, v2 - 1).collect()}
+
+    doomed = txlog.txlog_vacuum(path, keep_versions=1)
+    assert doomed                                            # something was GC'd
+    for f in doomed:
+        assert not os.path.exists(f)
+    # head snapshot intact after vacuum; pre-horizon versions are gone
+    assert {r["id"] for r in txlog.txlog_read(spark, path).collect()} == ids
+    with pytest.raises(Exception):
+        txlog.txlog_read(spark, path, version=0).collect()
+    # and the surviving log never references a deleted file
+    for f in txlog.live_files(path):
+        assert os.path.exists(f)
