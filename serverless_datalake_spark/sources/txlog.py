@@ -203,3 +203,38 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
         json.dump(ck, f)
     os.replace(tmp, p0)
     return doomed
+
+
+def txlog_optimize(
+    spark: SparkSession,
+    path: str,
+    col_a: str,
+    col_b: str,
+    files: int = 8,
+) -> int:
+    """OPTIMIZE … ZORDER BY: rewrite the current snapshot clustered
+    along the Morton curve of (col_a, col_b) and swap it in with one
+    atomic commit. Combines sources/zorder.py (2-D min/max skipping)
+    with the log's reader-invisible compaction: queries running
+    against the pre-optimize version keep their file set; new queries
+    get the clustered layout."""
+    from serverless_datalake_spark.sources.zorder import zorder_key_approx
+
+    old = live_files(path)
+    snap = spark.read.parquet(*old)
+    clustered = (
+        zorder_key_approx(snap, col_a, col_b)
+        .repartitionByRange(files, "__zkey")
+        .sortWithinPartitions("__zkey")
+        .drop("__zkey")
+    )
+    version = _entries(path)[-1]["version"] + 1
+    batch_dir = os.path.join(path, "data", f"v{version}-optimize-{uuid.uuid4().hex[:8]}")
+    clustered.write.mode("error").parquet(batch_dir)
+    adds = sorted(
+        os.path.join(batch_dir, n)
+        for n in os.listdir(batch_dir)
+        if n.endswith(".parquet")
+    )
+    _commit(path, version, adds, removes=old)
+    return version

@@ -147,3 +147,26 @@ def test_delete_by_key_and_vacuum(spark, tmp_path):
     # and the surviving log never references a deleted file
     for f in txlog.live_files(path):
         assert os.path.exists(f)
+
+
+def test_optimize_zorder_clusters_snapshot(spark, tmp_path):
+    from tests.test_zorder import _avg_file_coverage
+
+    path = str(tmp_path / "t")
+    # several unclustered append batches
+    for lo in range(0, 4000, 1000):
+        batch = spark.range(lo, lo + 1000).select(
+            (F.col("id") % 97).alias("a"), (F.col("id") * 37 % 101).alias("b")
+        )
+        txlog.txlog_write(batch.repartition(2), path)
+    v = txlog.txlog_optimize(spark, path, "a", "b", files=8)
+
+    data_dirs = {os.path.dirname(f) for f in txlog.live_files(path)}
+    assert len(data_dirs) == 1 and "optimize" in data_dirs.pop()
+    # same rows, now clustered in BOTH dimensions
+    assert txlog.txlog_read(spark, path).count() == 4000
+    zdir = os.path.dirname(txlog.live_files(path)[0])
+    assert _avg_file_coverage(zdir, "a") < 0.6
+    assert _avg_file_coverage(zdir, "b") < 0.6
+    # pre-optimize version still resolves its own (unclustered) files
+    assert txlog.txlog_read(spark, path, v - 1).count() == 4000
