@@ -18,10 +18,10 @@ from serverless_datalake_spark.operators.rangejoin import point_in_interval_join
     suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
 )
 @given(
-    points=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=15),
+    points=st.lists(st.integers(min_value=-200, max_value=200), min_size=1, max_size=15),
     ivs=st.lists(
         st.tuples(
-            st.integers(min_value=0, max_value=200),
+            st.integers(min_value=-200, max_value=200),
             st.integers(min_value=0, max_value=80),  # length (0 = point interval)
         ),
         min_size=1,
@@ -56,12 +56,12 @@ def test_binned_equals_naive_theta(spark, points, ivs, bin_width):
 )
 @given(
     lv=st.lists(
-        st.tuples(st.integers(min_value=0, max_value=150),
+        st.tuples(st.integers(min_value=-150, max_value=150),
                   st.integers(min_value=0, max_value=60)),
         min_size=1, max_size=10,
     ),
     rv=st.lists(
-        st.tuples(st.integers(min_value=0, max_value=150),
+        st.tuples(st.integers(min_value=-150, max_value=150),
                   st.integers(min_value=0, max_value=60)),
         min_size=1, max_size=10,
     ),
