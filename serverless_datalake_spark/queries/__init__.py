@@ -162,8 +162,80 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     return deco
 
 
+# The driver's per-round CORRECTNESS check covers the FIRST 50 registry
+# entries in iteration order.  To get every query driver-verified at
+# least once, each round fronts a window of not-yet-driver-checked
+# queries; everything else keeps local oracle parity via
+# tests/test_oracle_parity.py (which always runs ALL oracled queries).
+#
+# Rotation ledger:
+#   round 1 (alphabetical import order): agg_*, datapipe, funnel, fn_*,
+#     join_*, dedup_*, sim_topk_* — 44 green, 6 no_oracle, 0 fail.
+#   round 2 (this window): 50 oracled queries never seen by the driver —
+#     text analysis, multimodal metadata, pipeline R8–R12, scan/filter/
+#     sort, reshape, set ops, skew, SQL dialect, streaming-batch twins,
+#     windows, UDF/UDTF, and 5 representative TPC-H shapes.
+#   round 3 (planned): the 17 still-unchecked (join_self_pairs,
+#     fn_nullsafe_eq, fn_bitwise, udtf_sessionize, remaining TPC-H) plus
+#     the formerly-rows-only queries restructured to carry oracles.
+DRIVER_WINDOW: tuple[str, ...] = (
+    "text_token_stats",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_tfidf",
+    "mm_binary_metadata",
+    "pipeline_catalog_build",
+    "pipeline_replay_select",
+    "pipeline_fanout_counts",
+    "pipeline_source_projection",
+    "replay_range",
+    "scan_project",
+    "filter_predicates",
+    "sort_limit",
+    "distinct_values",
+    "conditional_case",
+    "join_right_outer",
+    "agg_stddev_var",
+    "window_range_frame",
+    "reshape_pivot",
+    "reshape_unpivot",
+    "sort_nulls_ordering",
+    "set_union_all",
+    "set_union_distinct",
+    "set_intersect",
+    "set_except",
+    "skew_salted_agg",
+    "skew_hotkey_join",
+    "sql_grouping_sets",
+    "sql_correlated_subquery",
+    "sql_cte_multijoin",
+    "sql_exists_not_exists",
+    "sql_in_subquery_topn",
+    "stream_tumbling_window",
+    "stream_sliding_window",
+    "stream_session_window",
+    "stream_dedup_exact",
+    "window_ranking",
+    "window_analytic",
+    "window_running",
+    "topk_per_group",
+    "window_distribution",
+    "udf_scalar_pandas",
+    "udf_grouped_map",
+    "udtf_python_tokenize",
+    "tpch_q3_shipping_priority",
+    "tpch_q9_product_profit",
+    "tpch_q13_customer_distribution",
+    "tpch_q18_large_volume",
+    "tpch_q21_waiting_supplier",
+)
+
+
 def load_registry() -> dict[str, Query]:
-    """Import all query modules (side effect: fills REGISTRY)."""
+    """Import all query modules (side effect: fills REGISTRY), then
+    order the result so DRIVER_WINDOW comes first (driver rotation —
+    see the ledger above)."""
     from serverless_datalake_spark.queries import (  # noqa: F401
         aggregates,
         datapipe,
@@ -189,4 +261,9 @@ def load_registry() -> dict[str, Query]:
         windows,
     )
 
-    return REGISTRY
+    missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
+    if missing:
+        raise KeyError(f"DRIVER_WINDOW names absent from registry: {missing}")
+    ordered = {n: REGISTRY[n] for n in DRIVER_WINDOW}
+    ordered.update((n, q) for n, q in REGISTRY.items() if n not in ordered)
+    return ordered
