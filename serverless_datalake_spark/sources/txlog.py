@@ -27,11 +27,18 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 _LOG_DIR = "_txlog"
+# Committed entries are EXACTLY 8-digit names. In-flight temp files
+# (".tmp-<uuid>.json") and checkpoint temps must never be read as
+# committed state: a reader overlapping a commit would see uncommitted
+# data, and a crash between temp-write and publish would leave a
+# phantom entry forever.
+_COMMITTED = re.compile(r"\d{8}\.json")
 
 
 def _log_path(path: str) -> str:
@@ -44,24 +51,43 @@ def _entries(path: str) -> list[dict]:
         return []
     out = []
     for name in sorted(os.listdir(d)):
-        if name.endswith(".json"):
+        if _COMMITTED.fullmatch(name):
             with open(os.path.join(d, name)) as f:
                 out.append(json.load(f))
     return out
 
 
-def _commit(path: str, version: int, adds: list[str], removes: list[str]) -> None:
+def _commit(
+    path: str,
+    version: int,
+    adds: list[str],
+    removes: list[str],
+    extra: dict | None = None,
+) -> None:
+    """Publish one log entry atomically via create-if-absent.
+
+    os.link fails with EEXIST when the destination exists, which makes
+    the publication a true atomic rename-if-absent (a bare check +
+    os.rename is TOCTOU: POSIX rename silently REPLACES, so a racing
+    loser would overwrite the winner's entry). `extra` fields (e.g. the
+    streaming batch_id marker) ride inside the same single publication
+    point — there is no second write that could be torn off by a crash.
+    """
     d = _log_path(path)
     os.makedirs(d, exist_ok=True)
     entry = {"version": version, "adds": adds, "removes": removes}
+    if extra:
+        entry.update(extra)
     tmp = os.path.join(d, f".tmp-{uuid.uuid4().hex}.json")
     final = os.path.join(d, f"{version:08d}.json")
     with open(tmp, "w") as f:
         json.dump(entry, f)
-    if os.path.exists(final):  # lost the race: another committer won
+    try:
+        os.link(tmp, final)  # atomic create: EEXIST ⇒ lost the race
+    except FileExistsError:
+        raise RuntimeError(f"concurrent commit at version {version}; retry") from None
+    finally:
         os.unlink(tmp)
-        raise RuntimeError(f"concurrent commit at version {version}; retry")
-    os.rename(tmp, final)
 
 
 def live_files(path: str, version: int | None = None) -> list[str]:
@@ -75,13 +101,16 @@ def live_files(path: str, version: int | None = None) -> list[str]:
     return sorted(files)
 
 
-def txlog_write(df: DataFrame, path: str, mode: str = "append") -> int:
+def txlog_write(
+    df: DataFrame, path: str, mode: str = "append", extra: dict | None = None
+) -> int:
     """Commit df to the table atomically; returns the new version.
 
     All files of the batch become visible in ONE log entry — a reader
     replaying the log sees the whole batch or none of it, regardless
     of how many data files the write produced. `overwrite` removes
-    every prior live file in the same entry (atomic replace)."""
+    every prior live file in the same entry (atomic replace). `extra`
+    fields land in that same entry (see _commit)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     prior = _entries(path)
@@ -94,8 +123,20 @@ def txlog_write(df: DataFrame, path: str, mode: str = "append") -> int:
         if n.endswith(".parquet")
     )
     removes = live_files(path) if mode == "overwrite" else []
-    _commit(path, version, adds, removes)
+    _commit(path, version, adds, removes, extra=extra)
     return version
+
+
+def committed_batch_ids(path: str) -> set:
+    """Streaming batch-id markers present in the log: per-entry
+    ``batch_id`` fields plus ``batch_ids`` lists carried forward by
+    vacuum checkpoints (so replay dedup survives history squashing)."""
+    ids: set = set()
+    for e in _entries(path):
+        if "batch_id" in e:
+            ids.add(e["batch_id"])
+        ids.update(e.get("batch_ids", []))
+    return ids
 
 
 def txlog_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
@@ -187,21 +228,42 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     for e in entries:
         all_files.update(e["adds"])
     doomed = sorted(all_files - retained)
-    for f in doomed:
-        if os.path.exists(f):
-            os.unlink(f)
-    # squash pre-horizon history into one checkpoint-style entry so the
-    # log never references deleted files
+    # Squash pre-horizon history into one checkpoint entry FIRST, then
+    # delete what it supersedes — a reader replaying mid-vacuum sees
+    # either the old entries or an equivalent checkpoint, never a log
+    # whose horizon entry lacks the base adds. The checkpoint is
+    # replay-equivalent even while older entries still exist: it
+    # removes every pre-horizon add that is not in the base set.
     base = live_files(path, horizon)
+    squashed = [e for e in entries if e["version"] <= horizon]
+    pre_adds: set[str] = set()
+    for e in squashed:
+        pre_adds.update(e["adds"])
+    # streaming replay-dedup markers must survive the squash (a dropped
+    # batch_id would let a restarted query re-commit that batch)
+    batch_ids = sorted(
+        {e["batch_id"] for e in squashed if "batch_id" in e}
+        | {b for e in squashed for b in e.get("batch_ids", [])},
+        key=str,
+    )
+    ck = {
+        "version": horizon,
+        "adds": base,
+        "removes": sorted(pre_adds - set(base)),
+        "checkpoint": True,
+        "batch_ids": batch_ids,
+    }
+    p0 = os.path.join(_log_path(path), f"{horizon:08d}.json")
+    tmp = os.path.join(_log_path(path), f".tmp-ck-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(ck, f)
+    os.replace(tmp, p0)  # atomic swap of the horizon entry
     for e in entries:
         if e["version"] < horizon:
             os.unlink(os.path.join(_log_path(path), f"{e['version']:08d}.json"))
-    ck = {"version": horizon, "adds": base, "removes": [], "checkpoint": True}
-    p0 = os.path.join(_log_path(path), f"{horizon:08d}.json")
-    tmp = p0 + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump(ck, f)
-    os.replace(tmp, p0)
+    for f in doomed:
+        if os.path.exists(f):
+            os.unlink(f)
     return doomed
 
 

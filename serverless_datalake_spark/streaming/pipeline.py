@@ -183,31 +183,22 @@ def start_txlog_ingest_query(
     visible all-or-nothing and a crash mid-write leaves only orphaned
     data files the readers never see. Exactly-once composition: the
     checkpoint dedups batch replays on the source side, and a replayed
-    batch that already committed would re-commit — so the batch id is
-    recorded in the entry's data; the guard below skips batches whose
-    id is already the head commit's marker."""
+    batch that already committed would re-commit — so the batch id
+    rides INSIDE the atomic log-entry publication (txlog_write extra=;
+    a crash can never separate the commit from its marker), and the
+    guard below skips batches whose id is already in the log
+    (committed_batch_ids also reads markers that vacuum checkpoints
+    carried forward)."""
     from serverless_datalake_spark.sources import txlog
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        entries = txlog._entries(table_path)
-        done = {e.get("batch_id") for e in entries}
-        if batch_id in done:  # replay of an already-committed batch
-            return
-        version = txlog.txlog_write(batch.withColumn("batch_id", F.lit(batch_id)), table_path)
-        # stamp the batch id into the committed entry (same atomic
-        # file, rewritten in place after the rename — still a single
-        # publication point because readers key off the rename)
-        import json
-        import os
-
-        p = os.path.join(table_path, "_txlog", f"{version:08d}.json")
-        with open(p) as f:
-            e = json.load(f)
-        e["batch_id"] = batch_id
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(e, f)
-        os.replace(tmp, p)
+        if batch_id in txlog.committed_batch_ids(table_path):
+            return  # replay of an already-committed batch
+        txlog.txlog_write(
+            batch.withColumn("batch_id", F.lit(batch_id)),
+            table_path,
+            extra={"batch_id": batch_id},
+        )
 
     trigger = trigger or {"availableNow": True}
     return (

@@ -101,6 +101,107 @@ def test_streaming_ingest_through_txlog_is_atomic_and_replay_safe(spark, tmp_pat
     assert txlog.txlog_read(spark, table).count() == 25
 
 
+def test_inflight_and_phantom_tmp_entries_are_invisible(spark, tmp_path):
+    import json as _json
+
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path)
+    # a racing committer's in-flight temp (or a crash's leftover): a
+    # syntactically valid entry under a temp name must NOT be read as
+    # committed state — and must not shadow version ordering either
+    phantom = {"version": 99, "adds": ["/nonexistent.parquet"], "removes": []}
+    with open(os.path.join(path, "_txlog", ".tmp-deadbeef.json"), "w") as f:
+        _json.dump(phantom, f)
+    assert [e["version"] for e in txlog._entries(path)] == [0]
+    assert txlog.txlog_read(spark, path).count() == 5
+    # next commit is unaffected by the phantom's claimed version
+    assert txlog.txlog_write(_df(spark, 5, 8), path) == 1
+
+
+def test_vacuum_checkpoint_is_replay_equivalent_mid_window(spark, tmp_path):
+    import json as _json
+    import shutil
+
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 10), path)                 # v0
+    txlog.txlog_write(_df(spark, 100, 103), path, mode="overwrite")  # v1
+    txlog.txlog_write(_df(spark, 10, 15), path)                # v2
+    head_ids = {r["id"] for r in txlog.txlog_read(spark, path).collect()}
+    pre = {
+        e["version"]: _json.dumps(e) for e in txlog._entries(path)
+    }
+    backup = str(tmp_path / "logbackup")
+    shutil.copytree(os.path.join(path, "_txlog"), backup)
+
+    txlog.txlog_vacuum(path, keep_versions=1)
+    # simulate the mid-vacuum reader window: checkpoint written, old
+    # entries not yet deleted — replaying BOTH must give the same set
+    for v, blob in pre.items():
+        p = os.path.join(path, "_txlog", f"{v:08d}.json")
+        if not os.path.exists(p):
+            with open(p, "w") as f:
+                f.write(blob)
+    entries = txlog._entries(path)
+    assert any(e.get("checkpoint") for e in entries)
+    assert {r["id"] for r in txlog.txlog_read(spark, path).collect()} == head_ids
+
+
+def test_vacuum_preserves_streaming_batch_markers(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path, extra={"batch_id": 0})
+    txlog.txlog_write(_df(spark, 5, 9), path, extra={"batch_id": 1})
+    txlog.txlog_write(_df(spark, 9, 12), path, extra={"batch_id": 2})
+    assert txlog.committed_batch_ids(path) == {0, 1, 2}
+    txlog.txlog_vacuum(path, keep_versions=1)
+    # squashed history still witnesses every committed batch id
+    assert txlog.committed_batch_ids(path) == {0, 1, 2}
+
+
+def test_txlog_ingest_survives_checkpoint_loss_and_vacuum(spark, tmp_path):
+    """Exactly-once even when BOTH the streaming checkpoint is lost
+    (batch ids renumber from 0) and vacuum has squashed the log: the
+    batch_id markers carried by the checkpoint entry dedup the replay."""
+    import gzip
+    import json as _json
+
+    from serverless_datalake_spark.streaming import pipeline as sp
+
+    staging = str(tmp_path / "staging")
+    table = str(tmp_path / "table")
+    os.makedirs(staging)
+
+    def _write_file(name: str, lo: int):
+        with gzip.open(os.path.join(staging, name), "wt") as f:
+            for i in range(lo, lo + 10):
+                f.write(_json.dumps({
+                    "event_id": i, "ts": f"2024-01-01T0{i % 6}:00:00.000",
+                    "user_id": i % 4, "event_type": "clicks", "value": 1.0,
+                    "props": "{}",
+                }) + "\n")
+
+    _write_file("a.json.gz", 0)
+    q = sp.start_txlog_ingest_query(
+        sp.read_event_stream(spark, staging, dedup=False), table, str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+    _write_file("b.json.gz", 10)
+    q = sp.start_txlog_ingest_query(
+        sp.read_event_stream(spark, staging, dedup=False), table, str(tmp_path / "ck1")
+    )
+    q.awaitTermination()
+    assert txlog.txlog_read(spark, table).count() == 20
+    assert len(txlog._entries(table)) == 2
+
+    txlog.txlog_vacuum(table, keep_versions=1)
+    # fresh checkpoint: the source replays everything as new batch ids
+    # starting at 0; the preserved markers must dedup them all
+    q = sp.start_txlog_ingest_query(
+        sp.read_event_stream(spark, staging, dedup=False), table, str(tmp_path / "ck2")
+    )
+    q.awaitTermination()
+    assert txlog.txlog_read(spark, table).count() == 20
+
+
 def test_upsert_and_change_feed(spark, tmp_path):
     path = str(tmp_path / "t")
     txlog.txlog_write(_df(spark, 0, 10), path)  # v0: ids 0..9, v = 2*id
