@@ -48,15 +48,30 @@ def read_lake_as_of(
     filtered out of the scan — with the (source, batch_id) layout the
     filter prunes whole partitions."""
     cat = read_catalog(spark, catalog_path)
-    batch_ids = [
-        r["file_key"].split("/", 1)[1].removesuffix(".parquet")
-        for r in cat.where(F.col("ingest_ts") <= F.lit(as_of))
-        .select("file_key")
-        .distinct()
-        .collect()
-    ]
+    selected = _batch_id_keys(cat.where(F.col("ingest_ts") <= F.lit(as_of)))
     lake_df = spark.read.parquet(lake_path)
-    return lake_df.where(F.col("batch_id").isin(batch_ids))
+    # broadcast semi-join, NOT isin(collect()): at millions of cataloged
+    # batches a literal IN list is a giant expression tree on the
+    # driver; the join keeps selection distributed and — because
+    # batch_id is a partition column under a broadcast join — eligible
+    # for dynamic partition pruning.
+    return lake_df.join(F.broadcast(selected), on="batch_id", how="left_semi")
+
+
+def _batch_id_keys(catalog_rows: DataFrame) -> DataFrame:
+    """file_key ('{source}/{batch}.parquet') → distinct batch_id keys,
+    derived engine-side so no key list ever lands on the driver."""
+    return (
+        catalog_rows.select(
+            F.regexp_replace(
+                F.expr("substring(file_key, instr(file_key, '/') + 1)"),
+                r"\.parquet$",
+                "",
+            ).alias("batch_id")
+        )
+        .where(F.col("batch_id") != "")
+        .distinct()
+    )
 
 
 def replay(
@@ -77,12 +92,11 @@ def replay(
     ).select("file_key")
     n_batches = keys.count()
 
-    batch_ids = [
-        r["file_key"].split("/", 1)[1].removesuffix(".parquet")
-        for r in keys.collect()
-    ]
     events = spark.read.parquet(lake_path).where(F.col("source") == source)
     if "batch_id" in events.columns:
-        events = events.where(F.col("batch_id").isin(batch_ids))
+        # distributed key selection (see read_lake_as_of for rationale)
+        events = events.join(
+            F.broadcast(_batch_id_keys(keys)), on="batch_id", how="left_semi"
+        )
     events.write.mode("append").partitionBy("source").parquet(delivery_root)
     return {"n_batches": n_batches, "n_events": events.count()}

@@ -192,6 +192,11 @@ def test_snapshot_read_as_of(spark, paths):
     assert snap.where(F.col("event_id") >= 1000).count() == 0
     full = spark.read.parquet(paths["lake"])
     assert full.count() == 80
+    # selection is a distributed semi-join, not a driver-built literal
+    # IN list (which would grow with catalog size)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    assert "Join LeftSemi" in plan or "BroadcastHashJoin" in plan
+    assert "batch_id IN (" not in plan
 
 
 def test_topic_registry_fanout_and_subscribe(spark, tmp_path):
