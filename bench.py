@@ -36,8 +36,10 @@ HEADLINE = [
     "stream_dedup_exact",
     "dedup_exact",
     "dedup_minhash_lsh",
-    "sim_topk_bruteforce",
+    # the production ANN path is the LSH-bucketed probe; brute force
+    # stays in the registry as the correctness twin only
     "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
     "text_quality",
     "text_tfidf",
     "mm_decode_features",

@@ -20,6 +20,12 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def _salt_col(buckets: int):
+    """Row-position salt (see salted_agg docstring): spreads every row
+    stream over `buckets` regardless of column entropy."""
+    return F.pmod(F.monotonically_increasing_id(), F.lit(buckets))
+
+
 def salted_agg(
     df: DataFrame,
     keys: str | Sequence[str],
@@ -29,14 +35,17 @@ def salted_agg(
     """Two-phase salted aggregation.
 
     ``aggs`` maps output column → "fn(input)" with fn in
-    {count, sum, min, max, avg}. Deterministic salt (hash of a
-    uniformizer column-free random is not reproducible; we salt on
-    a per-row hash of the whole row via monotonic partition+offset-free
-    ``F.rand`` is out) — we use xxhash64 over all columns % buckets,
-    which spreads identical rows too as long as any column varies.
+    {count, sum, min, max, avg}. The salt is derived from the row's
+    POSITION (monotonically_increasing_id = partition id << 33 | row
+    offset), not its content: a content hash leaves a hot key made of
+    byte-identical duplicate rows in ONE salt bucket, which is exactly
+    the case salting exists for. Position spreads unconditionally —
+    consecutive rows round-robin over the buckets — and any salt
+    assignment is semantics-preserving for the two-phase algebraic
+    aggregation.
     """
     key_cols = [keys] if isinstance(keys, str) else list(keys)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    salt = _salt_col(buckets)
 
     partial_exprs = []
     final_exprs = []
@@ -76,10 +85,10 @@ def explode_salt_join(
 ) -> DataFrame:
     """Hot-key equi-join: salt the skewed side, replicate the small
     side across all salt values (explode), join on (key, salt). The
-    small side grows ×buckets — acceptable because it is broadcast."""
-    s = skewed.withColumn(
-        _SALT, F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
-    )
+    small side grows ×buckets — acceptable because it is broadcast.
+    Position-derived salt, as in salted_agg: identical duplicate rows
+    must spread too."""
+    s = skewed.withColumn(_SALT, _salt_col(buckets))
     replicated = small.withColumn(
         _SALT, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )

@@ -174,17 +174,42 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "agg_approx",
-    oracle=None,  # approximate sketches are engine-specific → rows-only check
+    # The sketch VALUES are engine-specific, but their error contract
+    # is not: emit the exact values plus within-tolerance certificates,
+    # whose expected values DuckDB computes exactly (HLL rsd=0.01 ⇒ 5%
+    # tolerance is ~5σ; percentile_approx accuracy=10000 pins the
+    # approximate median inside the exact [p45, p55] band).
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           TRUE AS distinct_ok,
+           TRUE AS median_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("agg", "approx"),
 )
 def agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL distinct + approximate percentile. Sketch values are
-    engine-specific so no value-hash oracle; the scale story is the
-    point: HLL is O(1) memory per group vs O(n) for exact distinct."""
+    """HLL distinct + approximate percentile, oracle-checked through
+    tolerance certificates. The scale story is the point: HLL is O(1)
+    memory per group vs O(n) for exact distinct; the exact twins here
+    exist only to prove the sketches honest."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agged = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+        F.percentile("l_extendedprice", F.lit(0.45)).alias("__p45"),
+        F.percentile("l_extendedprice", F.lit(0.55)).alias("__p55"),
+    )
+    return agged.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(F.col("approx_orders") - F.col("exact_orders"))
+            <= 0.05 * F.col("exact_orders")
+        ).alias("distinct_ok"),
+        F.col("approx_median").between(F.col("__p45"), F.col("__p55")).alias("median_ok"),
     )
 
 

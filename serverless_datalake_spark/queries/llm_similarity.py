@@ -8,8 +8,67 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import similarity
+from serverless_datalake_spark.operators.similarity import _hyperplanes
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
+
+
+def _bucket_sql(col: str, n_planes: int = 8, dim: int = 64) -> str:
+    """DuckDB expression reproducing operators.similarity.lsh_bucket
+    bit-for-bit: the ±1 hyperplanes are the same md5-derived constants,
+    and the dot product unrolls to the same left-associated addition
+    chain Spark's sequential HOF fold performs (x*+1.0 == x and
+    x*-1.0 == -x exactly, so sign decisions agree on every vector)."""
+    parts = []
+    for j, plane in enumerate(_hyperplanes(n_planes, dim)):
+        terms = "".join(
+            f" {'+' if c > 0 else '-'} {col}[{i + 1}]" for i, c in enumerate(plane)
+        )
+        parts.append(f"(CASE WHEN 0.0{terms} > 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(parts) + ")"
+
+
+_COSINE_SQL = """
+      list_aggregate(list_transform(list_zip(qb.emb, cb.emb),
+                     p -> p[1] * p[2]), 'sum')
+      / (SQRT(list_aggregate(list_transform(qb.emb, x -> x * x), 'sum'))
+         * SQRT(list_aggregate(list_transform(cb.emb, x -> x * x), 'sum')))
+"""
+
+_SPLIT_SQL = """
+    q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    )
+"""
+
+
+def _lsh_oracle(multiprobe: bool) -> str:
+    probe_src = f"SELECT query_id, emb, {_bucket_sql('emb')} AS bucket FROM q"
+    if multiprobe:
+        flips = ", ".join(f"xor(bucket, {1 << j})" for j in range(8))
+        probe_src = (
+            f"SELECT query_id, emb, unnest([bucket, {flips}]) AS bucket "
+            f"FROM ({probe_src})"
+        )
+    return f"""
+    WITH {_SPLIT_SQL},
+    qb AS ({probe_src}),
+    cb AS (SELECT corpus_id, emb, {_bucket_sql('emb')} AS bucket FROM c),
+    scored AS (
+      SELECT qb.query_id, cb.corpus_id, {_COSINE_SQL} AS score
+      FROM cb JOIN qb USING (bucket)
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 5
+    """
 
 
 def _split(spark: SparkSession, sf_dir: str):
@@ -59,8 +118,10 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_topk_lsh",
-    oracle=None,  # bucket recall is probabilistic → rows-only check;
-    # tests assert bucket-restricted results ⊆ brute-force scores.
+    # The bucket assignment is DETERMINISTIC (md5-derived hyperplanes),
+    # so the oracle recomputes the same algorithm rather than checking
+    # recall: same buckets, same candidates, same scores (_bucket_sql).
+    oracle=_lsh_oracle(multiprobe=False),
     tags=("llm", "similarity", "ann"),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -73,8 +134,9 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "sim_topk_lsh_multiprobe",
-    oracle=None,  # probe set is index-specific → rows-only check;
-    # tests assert recall >= single-probe and scores ⊆ exact.
+    # Deterministic probe sequence (own bucket + 8 Hamming-1 flips) →
+    # the oracle enumerates the same probes; see sim_topk_lsh.
+    oracle=_lsh_oracle(multiprobe=True),
     tags=("llm", "similarity", "ann"),
 )
 def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -53,22 +53,35 @@ def udf_scalar_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "udaf_grouped_agg",
-    oracle=None,  # pandas reduces in chunk order inside each group —
-    # double summation order differs from any SQL plan → rows-only
+    # An order statistic is summation-order-independent, so a pandas
+    # UDAF computing it is value-exact against SQL (a float SUM would
+    # depend on pandas chunk order and could only be rows-checked).
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(MEDIAN(l_extendedprice), 2) AS median_price,
+           ROUND(MAX(l_extendedprice) - MIN(l_extendedprice), 2) AS price_range
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
     tags=("udf", "udaf"),
 )
 def udaf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quantity-weighted average price per return flag via a
-    grouped-agg pandas UDF — the custom-UDAF extension point."""
+    """Median + range of price per return flag via grouped-agg pandas
+    UDFs — the custom-UDAF extension point, chosen as order statistics
+    so the result is deterministic under any partitioning."""
 
     @pandas_udf("double")
-    def weighted_avg_price(price: pd.Series, qty: pd.Series) -> float:
-        tq = float(qty.sum())
-        return float((price * qty).sum() / tq) if tq else 0.0
+    def median_price(price: pd.Series) -> float:
+        return float(price.median())
+
+    @pandas_udf("double")
+    def price_range(price: pd.Series) -> float:
+        return float(price.max() - price.min())
 
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        F.round(weighted_avg_price("l_extendedprice", "l_quantity"), 4).alias("wavg_price")
+        F.round(median_price("l_extendedprice"), 2).alias("median_price"),
+        F.round(price_range("l_extendedprice"), 2).alias("price_range"),
     )
 
 

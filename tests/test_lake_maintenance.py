@@ -150,3 +150,36 @@ def test_orc_round_trip_with_partitioning_and_pushdown(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "click" in plan
     assert pruned.count() == e.where(F.col("event_type") == "click").count()
+
+
+def test_compaction_of_nested_batch_layout_preserves_layout(spark, tmp_path):
+    """The streaming sink writes source=/batch_id= partitions; the
+    rewrite must partition by the SAME chain (a source=-only overwrite
+    would mix two physical layouts in one table) and the stats must
+    count nested files."""
+    lake_path = str(tmp_path / "lake")
+    rows = [
+        (b * 100 + i, f"2024-01-01T{i % 24:02d}:00:00", "clicks" if i % 2 == 0 else "tweets", f"b{b}")
+        for b in range(3)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, source string, batch_id string")
+    df.repartition(4).write.partitionBy("source", "batch_id").parquet(lake_path)
+
+    n_before, nbytes = maintenance.partition_file_stats(lake_path, "clicks")
+    assert n_before > 3  # nested files are counted
+    assert maintenance._sub_partition_keys(lake_path, "clicks") == ["batch_id"]
+
+    before_ids = sorted(r["event_id"] for r in spark.read.parquet(lake_path).collect())
+    stats = maintenance.compact_partition(spark, lake_path, "clicks")
+    assert stats["files_after"] < stats["files_before"]
+
+    # layout preserved: no parquet file directly under source=clicks/
+    flat = glob.glob(os.path.join(lake_path, "source=clicks", "*.parquet"))
+    assert flat == []
+    nested_dirs = {
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(lake_path, "source=clicks", "batch_id=*"))
+    }
+    assert nested_dirs == {"batch_id=b0", "batch_id=b1", "batch_id=b2"}
+    assert sorted(r["event_id"] for r in spark.read.parquet(lake_path).collect()) == before_ids

@@ -252,3 +252,19 @@ def test_salted_agg_property_random(spark):
         .collect()
     }
     assert got == want
+
+
+def test_salted_agg_spreads_identical_duplicate_rows(spark):
+    """A hot key made of byte-identical rows (the content-hash salt's
+    blind spot) must still spread over salt buckets AND aggregate
+    correctly."""
+    from serverless_datalake_spark.operators.skew import _SALT, _salt_col, salted_agg
+
+    df = spark.range(10_000).select(
+        F.lit("hot").alias("k"), F.lit(1).alias("v")
+    )  # every row identical
+    spread = df.withColumn(_SALT, _salt_col(16)).select(_SALT).distinct().count()
+    assert spread > 1, "identical rows landed in one salt bucket"
+
+    out = salted_agg(df, "k", {"n": "count(*)", "s": "sum(v)"}, buckets=16).collect()
+    assert [(r["k"], r["n"], r["s"]) for r in out] == [("hot", 10_000, 10_000)]
