@@ -14,10 +14,42 @@ full corpus —
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import hashlib
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import spread_for_compute, textops
+
+# Universal-hash family over a 32-bit md5-derived key:
+#   x(s)  = int(md5(s)[:8 hex], 16)            (0 ≤ x < 2^32)
+#   h_j(x) = (a_j * x + b_j) mod P             (P prime > 2^32)
+# Every piece is computable in ANY engine (md5 + integer arithmetic),
+# which is what lets the DuckDB oracle recompute MinHash/SimHash
+# signatures EXACTLY instead of settling for a rows-only check. It is
+# also cheaper than the previous xxhash64(s, j) family: the string is
+# hashed once per shingle, then each of the 64 h_j is two int ops.
+# a_j*x + b_j < 2^31 * 2^32 + 2^31 < 2^63 — no bigint overflow on
+# either engine (Spark runs ANSI mode; overflow would throw).
+_MINHASH_P = 4294967311  # smallest prime > 2^32
+
+
+def minhash_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) pairs — same constants in the Spark
+    expressions and in generated oracle SQL."""
+    out = []
+    for j in range(num_hashes):
+        da = hashlib.md5(f"minhash-a:{j}".encode()).digest()
+        db = hashlib.md5(f"minhash-b:{j}".encode()).digest()
+        a = (int.from_bytes(da[:4], "big") % (2**31 - 1)) + 1
+        b = int.from_bytes(db[:4], "big") % (2**31)
+        out.append((a, b))
+    return out
+
+
+def md5_key32(s: Column) -> Column:
+    """First 8 hex chars of md5 as a non-negative 32-bit integer key."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
 def exact_dedup_survivors(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -69,33 +101,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """num_hashes-permutation MinHash over k-word shingles.
 
-    sig[j] = min over shingles s of xxhash64(s, j). Pure HOFs —
-    signature computation is embarrassingly parallel, zero shuffle.
+    sig[j] = min over shingles s of (a_j·x(s) + b_j) mod P with
+    x = md5_key32 (see module header: engine-portable, so the oracle
+    recomputes signatures exactly). Pure HOFs — ONE pass computes the
+    key per shingle, a second carries num_hashes running minima
+    (64 separate array_min(transform(...)) columns would make Catalyst
+    re-expand the shingle expression 64× per row — measured ~70×
+    slower at sf0.1). Docs with zero shingles have no signature and
+    drop out (they cannot be near-duplicates of anything).
     """
-    sh = textops.shingles(F.col(text_col), k)
-    # ONE pass over the shingle array carrying num_hashes running
-    # minima (64 separate array_min(transform(...)) columns would make
-    # Catalyst re-expand the shingle expression 64× per row — measured
-    # ~70× slower at sf0.1). xxhash64(s, j) hashes the (shingle, seed)
-    # pair → an independent hash family per j.
-    seeds = F.array(*[F.lit(j).cast("long") for j in range(num_hashes)])
-    max_long = (1 << 63) - 1
+    ab = F.lit([[a, b] for a, b in minhash_params(num_hashes)])
     sig = F.aggregate(
-        sh,
-        F.array_repeat(F.lit(max_long).cast("long"), num_hashes),
-        lambda acc, s: F.zip_with(acc, seeds, lambda a, j: F.least(a, F.xxhash64(s, j))),
+        F.col("__keys"),
+        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc,
+            ab,
+            lambda m, p: F.least(
+                m, (F.element_at(p, 1) * x + F.element_at(p, 2)) % F.lit(_MINHASH_P)
+            ),
+        ),
     )
     narrow = spread_for_compute(docs.select(F.col(id_col), F.col(text_col)))
-    return narrow.select(F.col(id_col).alias("doc_id"), sig.alias("sig"))
+    keyed = narrow.select(
+        F.col(id_col).alias("doc_id"),
+        F.transform(textops.shingles(F.col(text_col), k), md5_key32).alias("__keys"),
+    ).where(F.size("__keys") > 0)
+    return keyed.select("doc_id", sig.alias("sig"))
 
 
 def banded_membership(
     signatures: DataFrame, bands: int, num_hashes: int
 ) -> DataFrame:
     """(doc_id, band_id, band_hash) — one row per signature band.
-    band_hash = xxhash64 of the band's sub-signature (array slice);
-    the loop lives inside a transform lambda over a tiny sequence, so
-    the expression tree stays a handful of nodes instead of unrolling
+    band_hash = the band's sub-signature values joined with '_' — an
+    engine-portable bucket key (integers format identically
+    everywhere), so oracle SQL can reproduce the exact bucketing. The
+    loop lives inside a transform lambda over a tiny sequence, so the
+    expression tree stays a handful of nodes instead of unrolling
     bands × rows_per_band element_at literals per call site."""
     r = num_hashes // bands
     bb = F.explode(
@@ -103,7 +146,10 @@ def banded_membership(
             F.sequence(F.lit(0), F.lit(bands - 1)),
             lambda b: F.struct(
                 b.cast("int").alias("band_id"),
-                F.xxhash64(F.slice("sig", b * r + 1, r)).alias("band_hash"),
+                F.array_join(
+                    F.transform(F.slice("sig", b * r + 1, r), lambda s: s.cast("string")),
+                    "_",
+                ).alias("band_hash"),
             ),
         )
     )
@@ -248,9 +294,11 @@ def simhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, bits: int = 32
 ) -> DataFrame:
     """bits-wide SimHash over the distinct token set: bit b is set iff
-    more token-hashes have bit b set than unset. HOF-only."""
+    more token-hashes have bit b set than unset. HOF-only. Token hash
+    = md5_key32 (engine-portable — the oracle recomputes the exact
+    signature; see module header)."""
     # Staged projections keep every expensive expression evaluated
-    # once: tokens → per-token hashes (one xxhash64 per token) →
+    # once: tokens → per-token hashes (one md5 per token) →
     # ONE aggregate pass carrying `bits` set-bit counters → pack.
     # (A per-bit filter() would re-scan the token array `bits` times —
     # same trap as the original MinHash implementation. shiftright
@@ -260,7 +308,7 @@ def simhash_signatures(
     hashed = spread_for_compute(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("doc_id"),
         F.size(toks).alias("__n"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
+        F.transform(toks, md5_key32).alias("__h"),
     )
     counts = F.aggregate(
         F.col("__h"),

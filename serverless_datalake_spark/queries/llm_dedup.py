@@ -7,8 +7,129 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import dedup, similarity
+from serverless_datalake_spark.operators.dedup import _MINHASH_P, minhash_params
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Oracle SQL generators. The MinHash/SimHash hash family is md5-based
+# (operators/dedup.py module header), so DuckDB recomputes the EXACT
+# signatures/buckets — the oracle runs the same deterministic
+# algorithm, not a recall approximation. Shared pieces:
+
+
+def _hex8_int(h8: str) -> str:
+    """BIGINT from 8 lowercase hex chars (DuckDB twin of md5_key32;
+    explicit BIGINT casts keep every product out of INT32 range)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({h8}, {i + 1}, 1)) - 1) * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _minhash_ctes(bands: int = 8, num_hashes: int = 64) -> str:
+    """CTE chain: tokens → 32-bit keys → 64 MIN-hash columns → band
+    membership rows with the same '_'-joined band value Spark emits."""
+    r = num_hashes // bands
+    params = minhash_params(num_hashes)
+    sig_cols = ", ".join(
+        f"MIN(({a} * x + {b}) % {_MINHASH_P}) AS s{j}" for j, (a, b) in enumerate(params)
+    )
+    bands_sql = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, {val} AS band_val FROM sigs".format(
+            b=b,
+            val=" || '_' || ".join(
+                f"CAST(s{b * r + i} AS VARCHAR)" for i in range(r)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+      FROM documents
+    ), xs AS (
+      SELECT doc_id, {_hex8_int("substr(md5(t), 1, 8)")} AS x FROM toks
+    ), sigs AS (
+      SELECT doc_id, {sig_cols} FROM xs GROUP BY doc_id
+    ), membership AS (
+      {bands_sql}
+    )"""
+
+
+def _minhash_lsh_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()},
+    buckets AS (
+      SELECT band_id, band_val, MIN(doc_id) AS bucket_rep
+      FROM membership GROUP BY band_id, band_val
+    )
+    SELECT m.doc_id,
+           MIN(b.bucket_rep) AS cluster_rep,
+           MIN(b.bucket_rep) = m.doc_id AS is_survivor
+    FROM membership m JOIN buckets b USING (band_id, band_val)
+    GROUP BY m.doc_id
+    """
+
+
+def _minhash_components_oracle() -> str:
+    """Connected components of the LSH bucket graph via recursive
+    transitive closure (each bucket is a clique, so pair edges and
+    bucket-graph components coincide); label = min reachable doc_id —
+    exactly the fixpoint Spark's label propagation converges to."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM membership a
+      JOIN membership b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id <> b.doc_id
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM sigs
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+    )
+    SELECT id AS doc_id,
+           MIN(r) AS cluster_rep,
+           MIN(r) = id AS is_survivor
+    FROM reach GROUP BY id
+    """
+
+
+def _simhash_oracle(bits: int = 32, chunks: int = 4, max_hamming: int = 3) -> str:
+    w = bits // chunks
+    mask = (1 << w) - 1
+    cnt_cols = ", ".join(f"SUM((x >> {b}) & 1) AS c{b}" for b in range(bits))
+    packed = " + ".join(
+        f"(CASE WHEN 2 * c{b} > n THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(bits)
+    )
+    chunk_sql = "\n      UNION ALL ".join(
+        f"SELECT doc_id, simhash, {c} AS chunk_id, (simhash >> {c * w}) & {mask} AS chunk_val FROM packed"
+        for c in range(chunks)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))) AS t
+      FROM documents
+    ), xs AS (
+      SELECT doc_id, {_hex8_int("substr(md5(t), 1, 8)")} AS x FROM toks
+    ), cnts AS (
+      SELECT doc_id, COUNT(*) AS n, {cnt_cols} FROM xs GROUP BY doc_id
+    ), packed AS (
+      SELECT doc_id, {packed} AS simhash FROM cnts
+    ), membership AS (
+      {chunk_sql}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM membership a
+    JOIN membership b ON a.chunk_id = b.chunk_id AND a.chunk_val = b.chunk_val
+    WHERE a.doc_id < b.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
 
 
 @query(
@@ -56,8 +177,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # LSH candidate recall is probabilistic → rows-only;
-    # tests/test_operators.py asserts candidates ⊇ brute-force pairs.
+    # The md5-based hash family makes the signatures engine-portable:
+    # the oracle recomputes the exact 64 minima, the exact band values,
+    # and the same min-doc_id bucket clustering (no recall caveat).
+    oracle=_minhash_lsh_oracle(),
     tags=("llm", "dedup", "minhash"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,8 +201,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_components",
-    oracle=None,  # bucket-graph closure is index-specific → rows-only;
-    # tests/test_operators.py verifies against a python union-find.
+    # Exact-signature banding (see dedup_minhash_lsh) + recursive
+    # transitive closure: DuckDB computes the same connected components
+    # Spark's label propagation converges to. Also double-checked
+    # against a python union-find in tests/test_operators.py.
+    oracle=_minhash_components_oracle(),
     tags=("llm", "dedup", "minhash", "components"),
 )
 def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -93,7 +219,10 @@ def dedup_minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_simhash",
-    oracle=None,  # signature banding is engine-specific → rows-only
+    # md5-based token keys → DuckDB recomputes the exact 32-bit
+    # signature, the same pigeonhole chunk buckets, and the same
+    # Hamming verification (bit_count ∘ xor).
+    oracle=_simhash_oracle(),
     tags=("llm", "dedup", "simhash"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
