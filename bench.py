@@ -40,6 +40,7 @@ HEADLINE = [
     # stays in the registry as the correctness twin only
     "sim_topk_lsh",
     "sim_topk_lsh_multiprobe",
+    "sim_topk_lsh_indexed",
     "text_quality",
     "text_tfidf",
     "mm_decode_features",

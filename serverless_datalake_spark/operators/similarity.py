@@ -184,10 +184,24 @@ def topk_lsh_multiprobe(
     )
 
 
-def ivf_centroids(corpus: DataFrame, corpus_id: str, vec: str, by: str) -> DataFrame:
-    """Per-dimension mean vector per `by` group (the fixture's label
-    column stands in for k-means assignment — deterministic, no
-    iterative fitting in the oracle path)."""
+def ivf_centroids(
+    corpus: DataFrame, corpus_id: str, vec: str, by: str, mode: str = "mean"
+) -> DataFrame:
+    """Centroid per `by` group (the fixture's label column stands in
+    for k-means assignment — deterministic, no iterative fitting).
+
+    mode='mean': per-dimension average — the classic IVF centroid, but
+    a distributed float sum whose low bits depend on partitioning.
+    mode='medoid': the group's min-id member vector (sample-
+    representative initialization) — bit-exact under ANY partitioning
+    and in any engine, which is what the oracle-checked query uses."""
+    if mode == "medoid":
+        w = Window.partitionBy(by).orderBy(corpus_id)
+        return (
+            corpus.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(F.col(by).alias("centroid_id"), _as_double(F.col(vec)).alias("centroid"))
+        )
     exploded = corpus.select(F.col(by).alias("centroid_id"), F.posexplode(_as_double(F.col(vec))))
     means = exploded.groupBy("centroid_id", "pos").agg(F.avg("col").alias("m"))
     return (
@@ -206,12 +220,13 @@ def topk_ivf(
     by: str = "label",
     k: int = 5,
     nprobe: int = 2,
+    centroid_mode: str = "mean",
 ) -> DataFrame:
     """IVF search: assign corpus vectors to centroids, route each
     query to its nprobe nearest centroids, brute-force only there.
     Scan cost drops by ~n_centroids/nprobe; partition the corpus by
     centroid_id at rest to make the probe partition-pruned."""
-    cents = ivf_centroids(corpus, corpus_id, vec, by).cache()
+    cents = ivf_centroids(corpus, corpus_id, vec, by, mode=centroid_mode).cache()
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(

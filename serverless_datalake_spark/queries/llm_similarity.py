@@ -148,16 +148,98 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sim_topk_lsh_indexed",
+    # Same algorithm as sim_topk_lsh — the index only changes WHERE the
+    # bucket assignment is computed (materialized at rest vs on the
+    # fly) — so the same oracle applies.
+    oracle=_lsh_oracle(multiprobe=False),
+    tags=("llm", "similarity", "ann", "index"),
+)
+def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN probe: the corpus is materialized ONCE
+    partitioned by LSH bucket (sources/indexes.build_ann_index); each
+    query then reads only its bucket partition — the plan shows
+    PartitionFilters on `bucket` instead of a corpus scan. Built
+    lazily per fixture dir (fixtures are immutable per round) into the
+    local warehouse; the probe is what gets timed."""
+    import os
+
+    from serverless_datalake_spark.sources import indexes
+
+    queries, corpus = _split(spark, sf_dir)
+    sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join("spark-warehouse", "ann_index_" + sf_name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        indexes.build_ann_index(corpus, path)
+    return indexes.probe_ann_index(spark, path, queries, k=5)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+      list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), 'sum')
+      / (SQRT(list_aggregate(list_transform({a}, x -> x * x), 'sum'))
+         * SQRT(list_aggregate(list_transform({b}, x -> x * x), 'sum')))
+    """
+
+
+def _ivf_oracle(k: int = 5, nprobe: int = 2) -> str:
+    """Same IVF pipeline in SQL: medoid centroids (min-id member per
+    label — bit-exact in any engine, unlike a distributed float mean),
+    nearest-centroid corpus assignment, nprobe query routing,
+    brute-force re-rank inside probed cells."""
+    return f"""
+    WITH {_SPLIT_SQL},
+    cl AS (
+      SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    cents AS (
+      SELECT label AS centroid_id, emb AS centroid
+      FROM (SELECT label, emb, ROW_NUMBER() OVER (PARTITION BY label ORDER BY corpus_id) AS rn FROM cl)
+      WHERE rn = 1
+    ),
+    c_assigned AS (
+      SELECT corpus_id, emb, centroid_id FROM (
+        SELECT cl.corpus_id, cl.emb, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY cl.corpus_id
+                                  ORDER BY {_cos_sql("cl.emb", "cents.centroid")} DESC, cents.centroid_id) AS crank
+        FROM cl CROSS JOIN cents
+      ) WHERE crank = 1
+    ),
+    q_probes AS (
+      SELECT query_id, emb, centroid_id FROM (
+        SELECT q.query_id, q.emb, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql("q.emb", "cents.centroid")} DESC, cents.centroid_id) AS crank
+        FROM q CROSS JOIN cents
+      ) WHERE crank <= {nprobe}
+    ),
+    scored AS (
+      SELECT qb.query_id, cb.corpus_id, {_COSINE_SQL} AS score
+      FROM c_assigned cb JOIN q_probes qb USING (centroid_id)
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
     "sim_topk_ivf",
-    oracle=None,  # probe set is index-specific → rows-only check
+    # Medoid centroids are deterministic and engine-portable, so the
+    # oracle recomputes the same assignment/probe/re-rank pipeline.
+    oracle=_ivf_oracle(),
     tags=("llm", "similarity", "ann"),
 )
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF: label-group centroids, nprobe=2 — the scan reads
-    ~2/k_centroids of the corpus instead of all of it."""
+    """ANN via IVF: label-cell medoid centroids, nprobe=2 — the scan
+    reads ~2/k_centroids of the corpus instead of all of it."""
     queries, corpus = _split(spark, sf_dir)
     em = load_table(spark, sf_dir, "embeddings")
     corpus_lab = em.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), "embedding", "label"
     )
-    return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2)
+    return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2, centroid_mode="medoid")
