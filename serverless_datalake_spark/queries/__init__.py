@@ -257,6 +257,7 @@ def load_registry() -> dict[str, Query]:
         streaming_batch,
         tpch_shapes,
         tpch_shapes2,
+        tpch_shapes3,
         udfs,
         windows,
     )
