@@ -175,9 +175,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     text analysis, multimodal metadata, pipeline R8–R12, scan/filter/
 #     sort, reshape, set ops, skew, SQL dialect, streaming-batch twins,
 #     windows, UDF/UDTF, and 5 representative TPC-H shapes.
-#   round 3 (planned): the 17 still-unchecked (join_self_pairs,
-#     fn_nullsafe_eq, fn_bitwise, udtf_sessionize, remaining TPC-H) plus
-#     the formerly-rows-only queries restructured to carry oracles.
+#   round 3 (planned): the still-unchecked (join_self_pairs,
+#     fn_nullsafe_eq, fn_bitwise, udtf_sessionize, remaining TPC-H
+#     incl. new Q2/Q11/Q20) plus the formerly-rows-only queries that
+#     now carry full oracles (agg_approx, dedup_minhash_lsh/
+#     components/simhash, sim_topk_lsh/multiprobe/ivf,
+#     udaf_grouped_agg) and the new sim_topk_lsh_indexed.
 DRIVER_WINDOW: tuple[str, ...] = (
     "text_token_stats",
     "text_quality",
