@@ -18,7 +18,7 @@ doubles (one division) are bit-identical across engines too.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -293,4 +293,86 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.groupBy("split", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@query(
+    "pack_greedy_bins",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, lang, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_id,
+           CAST(cum - n_tokens - 2048 * FLOOR((cum - n_tokens) / 2048.0) AS BIGINT) AS bin_offset
+    FROM packed
+    """,
+    tags=("llm", "datapipe", "packing"),
+)
+def pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — assign documents to fixed token-budget bins
+    (2048) for pre-training batch assembly. Contiguous packing by
+    running token count: bin = the budget window the doc STARTS in
+    (docs may straddle bins; the trainer splits at bin boundaries).
+    Partitioned by lang so the cumulative window parallelizes across
+    partitions — at 100 TB you pack per shard, never globally. All
+    integer math: exact under any plan."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_toks_col()).cast("long")
+    w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = d.select("doc_id", "lang", n_tok.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    bin_id = F.floor(start / 2048.0)
+    return packed.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        bin_id.cast("long").alias("bin_id"),
+        (start - 2048 * bin_id).cast("long").alias("bin_offset"),
+    )
+
+
+@query(
+    "split_kfold",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id,
+             ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * CAST(16777216 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * CAST(1048576 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) * CAST(65536 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 5, 1)) - 1) * CAST(4096 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 6, 1)) - 1) * CAST(256 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 7, 1)) - 1) * CAST(16 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 8, 1)) - 1)) AS k32
+      FROM documents
+    )
+    SELECT doc_id, CAST(k32 % 5 AS BIGINT) AS fold, k32 % 5 = 0 AS is_holdout
+    FROM keyed
+    """,
+    tags=("llm", "datapipe", "split"),
+)
+def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment (k=5) from the md5-derived
+    32-bit key of the document id — stable under re-runs, re-shards,
+    and engine changes (the property a train/eval split must have;
+    same portable hash family as the dedup operators). Zero shuffle:
+    a pure projection."""
+    from serverless_datalake_spark.operators.dedup import md5_key32
+
+    d = load_table(spark, sf_dir, "documents")
+    fold = md5_key32(F.col("doc_id").cast("string")) % 5
+    return d.select(
+        "doc_id", fold.alias("fold"), (fold == 0).alias("is_holdout")
     )

@@ -171,3 +171,80 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "token",
         F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
     )
+
+
+@query(
+    "text_token_bpe",
+    # ceil(len/4) per word ≈ subword-unit count: integer math only, so
+    # the proxy is exact on both engines.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           len(toks) AS n_words,
+           CAST(list_aggregate(list_transform(toks, x -> CAST(ceil(length(x) / 4.0) AS BIGINT)), 'sum')
+                AS BIGINT) AS n_subwords
+    FROM t
+    WHERE len(toks) > 0
+    """,
+    tags=("llm", "text", "tokens"),
+)
+def text_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token-budget estimator: whitespace words plus a subword
+    proxy (≈4 chars per BPE unit, the industry rule of thumb) — the
+    number a pre-training pipeline actually budgets by. Pure HOFs,
+    scan-bound, integer-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    n_sub = F.aggregate(
+        F.transform(toks, lambda t: F.ceil(F.length(t) / 4.0).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(toks).cast("long").alias("n_words"),
+            n_sub.alias("n_subwords"),
+        )
+        .where(F.col("n_words") > 0)
+    )
+
+
+@query(
+    "text_top_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bg GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+    tags=("llm", "text", "ngram"),
+)
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics (the n-gram LM building block): top-20
+    bigrams by exact integer count, total tie-break on the bigram
+    string. One explode + one hash aggregate; the ORDER/LIMIT is
+    TakeOrderedAndProject — no global sort materialization."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    bigrams = F.when(F.size(toks) >= 2, F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "bigram")
+        .limit(20)
+    )
