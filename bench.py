@@ -50,6 +50,7 @@ HEADLINE = [
     "tpch_q18_large_volume",
     "text_gopher_rules",
     "split_contamination",
+    "pack_greedy_bins",
 ]
 
 

@@ -138,3 +138,46 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doubled.dropDuplicates(["event_id"]).groupBy("event_type").agg(
         F.count("*").alias("n_after_dedup")
     )
+
+
+@query(
+    "stream_join_timerange",
+    oracle="""
+    SELECT c.user_id,
+           COUNT(*) AS n_pairs,
+           MIN(epoch_ms(p.ts) - epoch_ms(c.ts)) AS min_lag_ms
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click'
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts < c.ts + INTERVAL 1 HOUR
+    GROUP BY c.user_id
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream time-range join
+    (streaming/pipeline.stream_stream_enrich): click→purchase pairs of
+    the same user within one hour, aggregated per user. In streaming,
+    the same condition bounds join state via watermarks (a row can be
+    dropped once no future row can land in its range); in batch it is
+    a range-predicate equi-join on user_id — one shuffle, integer lag
+    math for exactness."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.where(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("ts").alias("c_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts")
+    )
+    pairs = c.join(p, "user_id").where(
+        (F.col("p_ts") >= F.col("c_ts"))
+        & (F.col("p_ts") < F.col("c_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    lag_ms = F.unix_millis("p_ts") - F.unix_millis("c_ts")
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min(lag_ms).alias("min_lag_ms"),
+    )
