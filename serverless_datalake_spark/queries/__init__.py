@@ -180,7 +180,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     incl. new Q2/Q11/Q20) plus the formerly-rows-only queries that
 #     now carry full oracles (agg_approx, dedup_minhash_lsh/
 #     components/simhash, sim_topk_lsh/multiprobe/ivf,
-#     udaf_grouped_agg) and the new sim_topk_lsh_indexed.
+#     udaf_grouped_agg, mm_decode_features) and the round-2 additions
+#     (sim_topk_lsh_indexed, text_token_bpe, text_top_bigrams,
+#     pack_greedy_bins, split_kfold, stream_join_timerange). As of
+#     round 2 ALL registry queries carry oracles — no rows-only rows.
 DRIVER_WINDOW: tuple[str, ...] = (
     "text_token_stats",
     "text_quality",

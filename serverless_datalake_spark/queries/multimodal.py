@@ -34,22 +34,60 @@ def mm_binary_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "media_type", "n_bytes", "sha256")
 
 
+def _hexpair(h: str, i: int) -> str:
+    """DuckDB BIGINT value of md5-hex byte i (0-based): two hex chars."""
+    c1 = f"(strpos('0123456789abcdef', substr({h}, {2 * i + 1}, 1)) - 1)"
+    c2 = f"(strpos('0123456789abcdef', substr({h}, {2 * i + 2}, 1)) - 1)"
+    return f"({c1} * 16 + {c2})"
+
+
 @query(
     "mm_decode_features",
-    oracle=None,  # decode is a deterministic stub (no codecs in the
-    # container) → rows-only; tests/test_operators.py pins outputs.
+    # The decode is an (environment-forced) deterministic stub that
+    # derives dimensions from md5(payload) bytes — which DuckDB can
+    # recompute from the text (payload = UTF-8 bytes). The oracle
+    # therefore proves the whole mapInPandas plumbing (Arrow batches,
+    # schema, null conventions, rollup) delivers exactly the declared
+    # function. Swapping in a real codec would drop this back to
+    # rows-only — noted in operators/multimodal.py.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text) AS h
+      FROM documents
+    ), d AS (
+      SELECT media_id, media_type, n_bytes,
+             CASE WHEN media_type IN ('image', 'video')
+                  THEN CAST(64 + {_hexpair('h', 0)} % 192 AS INTEGER) END AS width,
+             CASE WHEN media_type IN ('image', 'video')
+                  THEN CAST(64 + {_hexpair('h', 1)} % 192 AS INTEGER) END AS height,
+             CASE WHEN media_type IN ('audio', 'video')
+                  THEN CAST(1 + {_hexpair('h', 2)} % 120 AS INTEGER) END AS n_frames
+      FROM m
+    )
+    SELECT media_type,
+           COUNT(*) AS n,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(width), 6) AS avg_width,
+           ROUND(AVG(n_frames), 6) AS avg_frames
+    FROM d GROUP BY media_type
+    """,
     tags=("llm", "multimodal", "pandas-udf"),
 )
 def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract via mapInPandas (Arrow batches), then a
     per-media-type rollup — the real pipeline shape with a stubbed
-    codec."""
+    codec. Integer sums make the averages aggregation-order exact."""
     d = load_table(spark, sf_dir, "documents")
     media = multimodal.attach_binary_payload(d, "doc_id", "text")
     feats = multimodal.decode_features(media)
     return feats.groupBy("media_type").agg(
         F.count("*").alias("n"),
         F.sum("n_bytes").alias("total_bytes"),
-        F.avg("width").alias("avg_width"),
-        F.avg("n_frames").alias("avg_frames"),
+        F.round(F.avg("width"), 6).alias("avg_width"),
+        F.round(F.avg("n_frames"), 6).alias("avg_frames"),
     )
