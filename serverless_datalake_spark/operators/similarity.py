@@ -79,13 +79,32 @@ def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
-def lsh_bucket(vec: Column, n_planes: int, dim: int) -> Column:
+def lsh_bucket(vec: Column | str, n_planes: int, dim: int) -> Column:
     """Random-hyperplane signature: bit j = sign(v · h_j); packed int.
 
     The plane matrix is ONE nested array literal (a single Literal
     node) indexed inside the lambda — unrolling it into n_planes × dim
     `lit()` nodes made the expression tree ~500 nodes per call site
-    and tripled cold planning/codegen time (measured at sf0.1)."""
+    and tripled cold planning/codegen time (measured at sf0.1).
+
+    Pass the vector COLUMN NAME (string) on hot paths: the whole
+    expression then ships as one SQL string through F.expr — a single
+    py4j round trip instead of hundreds of Column-API calls (measured
+    ~1.0 s → ~5 ms per call site building the plan). The Column
+    overload builds the identical expression through the DataFrame API
+    (same Catalyst tree, same buckets)."""
+    if isinstance(vec, str):
+        planes_sql = "array(" + ",".join(
+            "array(" + ",".join(f"{c}D" for c in p) + ")" for p in _hyperplanes(n_planes, dim)
+        ) + ")"
+        v_sql = f"transform({vec}, x -> CAST(x AS DOUBLE))"
+        return F.expr(
+            f"aggregate(transform(sequence(0, {n_planes - 1}), j -> "
+            f"CASE WHEN aggregate(zip_with({v_sql}, element_at({planes_sql}, j + 1), "
+            f"(x, c) -> x * c), 0.0D, (a, x) -> a + x) > 0 "
+            f"THEN CAST(pow(2.0D, CAST(j AS DOUBLE)) AS INT) ELSE 0 END), "
+            f"0, (a, x) -> a + x)"
+        )
     planes = F.lit(_hyperplanes(n_planes, dim))
     v = _as_double(vec)
     bits = F.transform(
@@ -118,10 +137,10 @@ def topk_lsh(
     At scale, corpus is written partitionBy(bucket) → a query probes
     one partition instead of the whole corpus."""
     q = queries.select(
-        F.col(query_id), F.col(vec).alias("__qv"), lsh_bucket(F.col(vec), n_planes, dim).alias("bucket")
+        F.col(query_id), F.col(vec).alias("__qv"), lsh_bucket(vec, n_planes, dim).alias("bucket")
     )
     c = corpus.select(
-        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_bucket(F.col(vec), n_planes, dim).alias("bucket")
+        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_bucket(vec, n_planes, dim).alias("bucket")
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         query_id, corpus_id, cosine(F.col("__qv"), F.col("__cv")).alias("score")
@@ -153,7 +172,7 @@ def topk_lsh_multiprobe(
     q = queries.select(
         F.col(query_id),
         F.col(vec).alias("__qv"),
-        lsh_bucket(F.col(vec), n_planes, dim).alias("__b0"),
+        lsh_bucket(vec, n_planes, dim).alias("__b0"),
     )
     probes = q.select(
         query_id,
@@ -166,7 +185,7 @@ def topk_lsh_multiprobe(
         ).alias("bucket"),
     )
     c = corpus.select(
-        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_bucket(F.col(vec), n_planes, dim).alias("bucket")
+        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_bucket(vec, n_planes, dim).alias("bucket")
     )
     scored = c.join(F.broadcast(probes), "bucket").select(
         query_id, corpus_id, cosine(F.col("__qv"), F.col("__cv")).alias("score")
