@@ -110,17 +110,16 @@ def minhash_signatures(
     slower at sf0.1). Docs with zero shingles have no signature and
     drop out (they cannot be near-duplicates of anything).
     """
-    ab = F.lit([[a, b] for a, b in minhash_params(num_hashes)])
-    sig = F.aggregate(
-        F.col("__keys"),
-        F.array_repeat(F.lit(_MINHASH_P).cast("long"), num_hashes),
-        lambda acc, x: F.zip_with(
-            acc,
-            ab,
-            lambda m, p: F.least(
-                m, (F.element_at(p, 1) * x + F.element_at(p, 2)) % F.lit(_MINHASH_P)
-            ),
-        ),
+    # One F.expr SQL string instead of Column-API construction: the
+    # 64×2 constant literal plus nested lambdas cost ~0.5 s of py4j
+    # round trips per call site; the parsed tree is identical.
+    ab_sql = "array(" + ",".join(
+        f"array({a}L,{b}L)" for a, b in minhash_params(num_hashes)
+    ) + ")"
+    sig = F.expr(
+        f"aggregate(__keys, array_repeat({_MINHASH_P}L, {num_hashes}), "
+        f"(acc, x) -> zip_with(acc, {ab_sql}, "
+        f"(m, p) -> least(m, (element_at(p, 1) * x + element_at(p, 2)) % {_MINHASH_P}L)))"
     )
     narrow = spread_for_compute(docs.select(F.col(id_col), F.col(text_col)))
     keyed = narrow.select(
@@ -310,28 +309,21 @@ def simhash_signatures(
         F.size(toks).alias("__n"),
         F.transform(toks, md5_key32).alias("__h"),
     )
-    counts = F.aggregate(
-        F.col("__h"),
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, h: F.array(
-            *[
-                F.element_at(acc, b + 1)
-                # NB: `&` on Columns is logical AND; bitwiseAND is the bit op
-                + F.shiftright(h, b).bitwiseAND(F.lit(1)).cast("int")
-                for b in range(bits)
-            ]
-        ),
+    # F.expr strings for the same reason as the MinHash fold: the
+    # 32-term unrolled counter update was hundreds of py4j calls per
+    # call site; the parsed trees are identical.
+    counter_terms = ",".join(
+        f"element_at(acc, {b + 1}) + CAST(shiftright(h, {b}) & 1 AS INT)"
+        for b in range(bits)
+    )
+    counts = F.expr(
+        f"aggregate(__h, array_repeat(0, {bits}), (acc, h) -> array({counter_terms}))"
     )
     counted = hashed.select("doc_id", "__n", counts.alias("__counts"))
-    weights = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
-    packed = F.aggregate(
-        F.zip_with(
-            F.col("__counts"),
-            weights,
-            lambda c, w: F.when(c * 2 > F.col("__n"), w).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    weights_sql = "array(" + ",".join(f"{1 << b}L" for b in range(bits)) + ")"
+    packed = F.expr(
+        f"aggregate(zip_with(__counts, {weights_sql}, "
+        f"(c, w) -> CASE WHEN c * 2 > __n THEN w ELSE 0L END), 0L, (acc, x) -> acc + x)"
     )
     return counted.select("doc_id", packed.alias("simhash"))
 
