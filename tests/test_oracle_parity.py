@@ -28,6 +28,10 @@ def test_oracle_parity(spark, sf_dir, con, name):
     assert not problems, f"{name}: " + " | ".join(problems)
 
 
+# As of round 2 every registry query carries an oracle, so this
+# parametrization is empty (pytest reports one skip). It stays for the
+# day a genuinely non-oracle-able query lands (e.g. a real media codec
+# replacing the deterministic decode stub).
 @pytest.mark.parametrize("name", ROWS_ONLY)
 def test_rows_only_runs(spark, sf_dir, name):
     q = REGISTRY[name]
@@ -35,6 +39,12 @@ def test_rows_only_runs(spark, sf_dir, name):
     n = df.count()
     assert n >= 0
     assert len(df.columns) > 0
+
+
+def test_registry_is_fully_oracled():
+    """Round-2 invariant: zero rows-only queries. If you add one, make
+    sure it is genuinely not SQL-expressible (see README Correctness)."""
+    assert ROWS_ONLY == []
 
 
 def test_parity_survives_hostile_session_timezone(spark, sf_dir, con):

@@ -112,3 +112,26 @@ def test_pure_range_join_avoids_nested_loop(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "join_interval_binned")
     assert "BroadcastNestedLoop" not in plan, plan[:2000]
     assert "HashJoin" in plan
+
+
+def test_indexed_ann_probe_is_partition_pruned(spark, sf_dir):
+    """The materialized ANN probe must read only the query's bucket
+    partitions — the plan shows PartitionFilters on `bucket`, the
+    at-rest layout doing the work a corpus scan would."""
+    plan = plan_of(spark, sf_dir, "sim_topk_lsh_indexed")
+    assert "PartitionFilters: [isnotnull(bucket" in plan
+
+
+def test_tpch_q2_broadcasts_dims_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_pack_greedy_bins_single_shuffle(spark, sf_dir):
+    """Packing is one window over (lang, doc_id): exactly one data
+    exchange (the hash partitioning by lang) — a second would mean the
+    cumulative sum recomputed the shuffle."""
+    plan = plan_of(spark, sf_dir, "pack_greedy_bins")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "RunningWindowFunction" in plan or "Window" in plan
