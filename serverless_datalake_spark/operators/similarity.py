@@ -290,3 +290,121 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def pq_codebook(
+    corpus: DataFrame,
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    m: int = 8,
+    d: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization codebook: split the vector into m
+    subspaces of d dims; per subspace, n_codes code vectors.
+
+    Codes are SAMPLE-INITIALIZED (the subvectors of the n_codes
+    smallest-id corpus vectors) — deterministic and engine-portable,
+    which keeps the whole PQ pipeline oracle-checkable. Production
+    would k-means-refine each subspace codebook; every downstream
+    plan (encode, reconstruct, score) is unchanged by that swap."""
+    w = Window.orderBy(corpus_id)
+    src = (
+        corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+        .orderBy(corpus_id)
+        .limit(n_codes)
+        .withColumn("code_id", F.row_number().over(w) - 1)
+    )
+    sub = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            lambda s: F.struct(
+                s.cast("int").alias("s"),
+                F.slice("__v", s * d + 1, d).alias("code_vec"),
+            ),
+        )
+    )
+    return src.select("code_id", sub.alias("sc")).select(
+        "code_id", F.col("sc.s").alias("s"), F.col("sc.code_vec").alias("code_vec")
+    )
+
+
+def topk_pq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    k: int = 5,
+    m: int = 8,
+    d: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """ANN via product quantization: encode each corpus vector as m
+    code ids (nearest codebook entry per subspace, L2, ties to the
+    smaller code id), then score queries against the RECONSTRUCTED
+    vectors with one sequential dot fold.
+
+    dot(q, reconstruction) == Σ_s dot(q_s, code_s) — the ADC value —
+    computed as a single fold so the summation order is fixed and the
+    oracle reproduces it bit-for-bit. At real scale the same value
+    comes from the classic LUT form (m lookups per pair into a
+    per-query m×n_codes distance table) over a corpus that stores
+    ONLY the m-byte codes — a 32× memory cut at these parameters; the
+    codes are also the natural partition key for an IVF-PQ hybrid."""
+    cb = pq_codebook(corpus, corpus_id, vec, m, d, n_codes)
+
+    c = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+    c_sub = c.select(
+        corpus_id,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice("__v", s * d + 1, d).alias("sub_vec"),
+                ),
+            )
+        ).alias("sc"),
+    ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
+
+    dist = F.aggregate(
+        F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    scored_codes = c_sub.join(F.broadcast(cb), "s").select(
+        corpus_id, "s", "code_id", "code_vec", dist.alias("__dist")
+    )
+    w = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
+    codes = (
+        scored_codes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(corpus_id, "s", "code_id", "code_vec")
+    )
+    recon = (
+        codes.groupBy(corpus_id)
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code_vec"))).alias("sv"))
+        .select(
+            corpus_id,
+            F.flatten(F.transform("sv", lambda x: x["code_vec"])).alias("__rv"),
+        )
+    )
+
+    q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
+    scored = recon.crossJoin(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        dot(F.col("__qv"), F.col("__rv")).alias("score"),
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -243,3 +243,71 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("corpus_id"), "embedding", "label"
     )
     return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2, centroid_mode="medoid")
+
+
+def _pq_oracle(k: int = 5, m: int = 8, d: int = 8, n_codes: int = 16) -> str:
+    """Same PQ pipeline in SQL: sample-initialized codebooks, per-
+    subspace L2 argmin encoding (ties to the smaller code id),
+    reconstruction in subspace order, one-fold dot scoring."""
+    return f"""
+    WITH {_SPLIT_SQL},
+    cb_src AS (
+      SELECT corpus_id, emb, ROW_NUMBER() OVER (ORDER BY corpus_id) - 1 AS code_id
+      FROM c ORDER BY corpus_id LIMIT {n_codes}
+    ),
+    subs AS (SELECT unnest(range(0, {m})) AS s),
+    cb AS (
+      SELECT code_id, s, list_transform(range(1, {d + 1}), i -> emb[s * {d} + i]) AS code_vec
+      FROM cb_src, subs
+    ),
+    c_sub AS (
+      SELECT corpus_id, s, list_transform(range(1, {d + 1}), i -> emb[s * {d} + i]) AS sub_vec
+      FROM c, subs
+    ),
+    scored_codes AS (
+      SELECT corpus_id, c_sub.s AS s, code_id, code_vec,
+             list_aggregate(list_transform(list_zip(sub_vec, code_vec),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+      FROM c_sub JOIN cb ON cb.s = c_sub.s
+    ),
+    codes AS (
+      SELECT corpus_id, s, code_id, code_vec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY corpus_id, s ORDER BY dist, code_id) AS rn
+        FROM scored_codes
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT corpus_id, flatten(list(code_vec ORDER BY s)) AS rv
+      FROM codes GROUP BY corpus_id
+    ),
+    scored AS (
+      SELECT q.query_id, recon.corpus_id,
+             list_aggregate(list_transform(list_zip(q.emb, recon.rv),
+                            p -> p[1] * p[2]), 'sum') AS score
+      FROM recon CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "sim_topk_pq",
+    # Sample-initialized codebooks are deterministic selections, the
+    # encode argmin and the reconstructed-dot score are fixed-order
+    # folds — the oracle recomputes the identical PQ pipeline.
+    oracle=_pq_oracle(),
+    tags=("llm", "similarity", "ann", "pq"),
+)
+def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via product quantization (8 subspaces × 16 codes → 8-byte
+    codes, a 32× memory cut over float32 vectors): encode the corpus
+    once, score queries against reconstructions (≡ the ADC value).
+    The scale path stores only the codes and scores via per-query
+    lookup tables; IVF-PQ partitions the codes by coarse centroid."""
+    queries, corpus = _split(spark, sf_dir)
+    return similarity.topk_pq(queries, corpus, k=5)
