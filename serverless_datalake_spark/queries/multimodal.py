@@ -91,3 +91,40 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("width"), 6).alias("avg_width"),
         F.round(F.avg("n_frames"), 6).alias("avg_frames"),
     )
+
+
+@query(
+    "mm_frame_sample",
+    # The stub frame extractor rotates the payload by the frame index
+    # and hashes it — all reproducible in SQL on the ASCII fixture
+    # (byte rotation == char rotation), so the oracle proves the 1→N
+    # mapInPandas fan-out contract: which media yield frames, how many,
+    # at which indices, with which content.
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id AS media_id, text,
+             octet_length(encode(text)) AS n,
+             1 + {_hexpair('md5(text)', 2)} % 120 AS n_frames
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT media_id, text, n,
+             unnest(range(0, least(n_frames, 40), 10)) AS fi
+      FROM m
+    )
+    SELECT media_id,
+           CAST(fi AS INTEGER) AS frame_index,
+           sha256(substr(text, (fi % n) + 1) || substr(text, 1, fi % n)) AS frame_sha256
+    FROM frames
+    """,
+    tags=("llm", "multimodal", "pandas-udf"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1→N frame sampling via mapInPandas: every 10th frame, up to 4,
+    from each video-typed payload — the row-expanding UDF pattern
+    (decode → explode) a video pipeline runs, with the stub extractor
+    standing in for ffmpeg."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    frames = multimodal.sample_frames(media, every_n=10, max_frames=4)
+    return frames.select("media_id", "frame_index", "frame_sha256")

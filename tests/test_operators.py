@@ -268,3 +268,23 @@ def test_salted_agg_spreads_identical_duplicate_rows(spark):
 
     out = salted_agg(df, "k", {"n": "count(*)", "s": "sum(v)"}, buckets=16).collect()
     assert [(r["k"], r["n"], r["s"]) for r in out] == [("hot", 10_000, 10_000)]
+
+
+def test_pq_topk_beats_chance_and_is_deterministic(spark, sf_dir):
+    """PQ with sample-initialized codebooks is a coarse quantizer on
+    the near-random fixture embeddings — recall@5 vs exact won't be
+    high (k-means refinement would raise it, at the cost of the
+    oracle) — but it must beat chance by an order of magnitude
+    (random 5-of-corpus ≈ 1%) and be bit-stable across runs."""
+    from serverless_datalake_spark.operators import similarity as sim
+    from serverless_datalake_spark.tables import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < 10).select(F.col("vec_id").alias("query_id"), "embedding")
+    c = em.where(F.col("vec_id") >= 10).select(F.col("vec_id").alias("corpus_id"), "embedding")
+    exact = {(r["query_id"], r["corpus_id"]) for r in sim.topk_bruteforce(q, c, k=5).collect()}
+    pq_rows = sorted(map(tuple, sim.topk_pq(q, c, k=5).collect()))
+    pq = {(r[0], r[1]) for r in pq_rows}
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.05, f"PQ recall {recall} not above chance"
+    assert sorted(map(tuple, sim.topk_pq(q, c, k=5).collect())) == pq_rows
