@@ -408,3 +408,94 @@ def topk_pq(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def topk_ivfpq(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str = "query_id",
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    by: str = "label",
+    k: int = 5,
+    nprobe: int = 2,
+    m: int = 8,
+    d: int = 8,
+    n_codes: int = 16,
+) -> DataFrame:
+    """IVF-PQ: the standard billion-scale ANN layout. The coarse
+    quantizer (medoid centroid per cell) routes each query to nprobe
+    cells; within a cell, candidates are scored against their PQ
+    reconstructions (topk_pq's fixed-order fold). At rest the corpus
+    stores (cell_id, m-byte code) partitioned by cell — the probe is
+    a partition-pruned scan of compressed codes: cells cut the scan by
+    n_cells/nprobe, PQ cuts the bytes per row by ~32×."""
+    cents = ivf_centroids(corpus, corpus_id, vec, by, mode="medoid").cache()
+
+    def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            F.col(keep_vec),
+            "centroid_id",
+            cosine(F.col(keep_vec), F.col("centroid")).alias("cscore"),
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("centroid_id"))
+        return scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= topn)
+
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+    c_assigned = assign(c, corpus_id, "__cv", 1).select(corpus_id, "centroid_id")
+    q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
+    q_probes = assign(q, query_id, "__qv", nprobe).select(query_id, "__qv", "centroid_id")
+
+    cb = pq_codebook(corpus, corpus_id, vec, m, d, n_codes)
+    cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+    c_sub = cd.select(
+        corpus_id,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice("__v", s * d + 1, d).alias("sub_vec"),
+                ),
+            )
+        ).alias("sc"),
+    ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
+    dist = F.aggregate(
+        F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    sc = c_sub.join(F.broadcast(cb), "s").select(
+        corpus_id, "s", "code_id", "code_vec", dist.alias("__dist")
+    )
+    wmin = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
+    codes = (
+        sc.withColumn("__rn", F.row_number().over(wmin))
+        .where(F.col("__rn") == 1)
+        .select(corpus_id, "s", "code_vec")
+    )
+    recon = (
+        codes.groupBy(corpus_id)
+        .agg(F.array_sort(F.collect_list(F.struct("s", "code_vec"))).alias("sv"))
+        .select(
+            corpus_id,
+            F.flatten(F.transform("sv", lambda x: x["code_vec"])).alias("__rv"),
+        )
+    )
+
+    cand = c_assigned.join(F.broadcast(q_probes), "centroid_id").join(recon, corpus_id)
+    scored = cand.select(
+        query_id, corpus_id, dot(F.col("__qv"), F.col("__rv")).alias("score")
+    )
+    wq = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= k)
+        .select(
+            query_id,
+            corpus_id,
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

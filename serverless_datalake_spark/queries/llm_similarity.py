@@ -311,3 +311,102 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookup tables; IVF-PQ partitions the codes by coarse centroid."""
     queries, corpus = _split(spark, sf_dir)
     return similarity.topk_pq(queries, corpus, k=5)
+
+
+def _ivfpq_oracle(k: int = 5, nprobe: int = 2, m: int = 8, d: int = 8, n_codes: int = 16) -> str:
+    """IVF routing (medoid centroids, nprobe cells) composed with PQ
+    scoring (codebook/encode/reconstruct) — both deterministic, so the
+    oracle recomputes the exact hybrid pipeline."""
+    return f"""
+    WITH {_SPLIT_SQL},
+    cl AS (
+      SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    cents AS (
+      SELECT label AS centroid_id, emb AS centroid
+      FROM (SELECT label, emb, ROW_NUMBER() OVER (PARTITION BY label ORDER BY corpus_id) AS rn FROM cl)
+      WHERE rn = 1
+    ),
+    c_assigned AS (
+      SELECT corpus_id, centroid_id FROM (
+        SELECT cl.corpus_id, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY cl.corpus_id
+                                  ORDER BY {_cos_sql("cl.emb", "cents.centroid")} DESC, cents.centroid_id) AS crank
+        FROM cl CROSS JOIN cents
+      ) WHERE crank = 1
+    ),
+    q_probes AS (
+      SELECT query_id, emb, centroid_id FROM (
+        SELECT q.query_id, q.emb, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql("q.emb", "cents.centroid")} DESC, cents.centroid_id) AS crank
+        FROM q CROSS JOIN cents
+      ) WHERE crank <= {nprobe}
+    ),
+    cb_src AS (
+      SELECT corpus_id, emb, ROW_NUMBER() OVER (ORDER BY corpus_id) - 1 AS code_id
+      FROM c ORDER BY corpus_id LIMIT {n_codes}
+    ),
+    subs AS (SELECT unnest(range(0, {m})) AS s),
+    cb AS (
+      SELECT code_id, s, list_transform(range(1, {d + 1}), i -> emb[s * {d} + i]) AS code_vec
+      FROM cb_src, subs
+    ),
+    c_sub AS (
+      SELECT corpus_id, s, list_transform(range(1, {d + 1}), i -> emb[s * {d} + i]) AS sub_vec
+      FROM c, subs
+    ),
+    scored_codes AS (
+      SELECT corpus_id, c_sub.s AS s, code_id, code_vec,
+             list_aggregate(list_transform(list_zip(sub_vec, code_vec),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+      FROM c_sub JOIN cb ON cb.s = c_sub.s
+    ),
+    codes AS (
+      SELECT corpus_id, s, code_vec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY corpus_id, s ORDER BY dist, code_id) AS rn
+        FROM scored_codes
+      ) WHERE rn = 1
+    ),
+    recon AS (
+      SELECT corpus_id, flatten(list(code_vec ORDER BY s)) AS rv
+      FROM codes GROUP BY corpus_id
+    ),
+    scored AS (
+      SELECT qp.query_id, ca.corpus_id,
+             list_aggregate(list_transform(list_zip(qp.emb, recon.rv),
+                            p -> p[1] * p[2]), 'sum') AS score
+      FROM c_assigned ca
+      JOIN q_probes qp USING (centroid_id)
+      JOIN recon ON recon.corpus_id = ca.corpus_id
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "sim_topk_ivfpq",
+    # Both stages are deterministic (medoid centroids, sample-init
+    # codebooks, fixed-order folds) — the oracle recomputes the exact
+    # hybrid. See _ivf_oracle and _pq_oracle for the pieces.
+    oracle=_ivfpq_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "pq"),
+)
+def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the billion-scale ANN layout: coarse cells route each
+    query to nprobe=2 partitions, PQ codes (8×16) score candidates at
+    ~32× less memory than raw vectors. At rest: partitionBy(cell) over
+    (cell_id, code) rows → a probe reads compressed codes from two
+    partitions instead of the corpus."""
+    queries, corpus = _split(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus_lab = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    return similarity.topk_ivfpq(queries, corpus_lab, k=5, nprobe=2)
