@@ -41,6 +41,7 @@ HEADLINE = [
     "sim_topk_lsh",
     "sim_topk_lsh_multiprobe",
     "sim_topk_lsh_indexed",
+    "sim_topk_ivfpq",
     "text_quality",
     "text_tfidf",
     "mm_decode_features",
