@@ -376,3 +376,62 @@ def split_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fold.alias("fold"), (fold == 0).alias("is_holdout")
     )
+
+
+@query(
+    "profile_columns",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           COUNT(*) - COUNT(l_quantity) AS n_nulls,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           MIN(l_quantity) AS min_v, MAX(l_quantity) AS max_v
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice',
+           COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           MIN(l_extendedprice), MAX(l_extendedprice)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount',
+           COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           MIN(l_discount), MAX(l_discount)
+    FROM lineitem
+    """,
+    tags=("llm", "datapipe", "profiling"),
+)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality pass every ingestion
+    pipeline runs before training on a new source: null counts,
+    distinct cardinality, value ranges. ONE scan computes every
+    column's stats (a single aggregate row, exploded to one row per
+    column) — at 100 TB you never scan once per column."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nn_{c}"),
+            F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            F.min(c).alias(f"__mn_{c}"),
+            F.max(c).alias(f"__mx_{c}"),
+        ]
+    one = li.agg(*aggs)
+    profiled = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("col_name"),
+                    F.col(f"__nn_{c}").cast("long").alias("n_nulls"),
+                    F.col(f"__nd_{c}").alias("n_distinct"),
+                    F.col(f"__mn_{c}").alias("min_v"),
+                    F.col(f"__mx_{c}").alias("max_v"),
+                )
+                for c in cols
+            ]
+        )
+    )
+    return one.select(profiled.alias("p")).select(
+        "p.col_name", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v"
+    )
