@@ -135,3 +135,42 @@ def test_pack_greedy_bins_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "pack_greedy_bins")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """Scale posture pin: with a hot key and SMJ forced, AQE's skew
+    handling must split the oversized partition (OptimizeSkewedJoin
+    marks the join 'skew=true'). Thresholds are lowered so fixture-
+    scale data exercises the same code path a 100 TB skew would."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 90% of left rows share one key — a classic hot key
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") % 10 != 0, 7).otherwise(F.col("id") % 1000).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k")
+        j.collect()  # AQE finalizes THIS DataFrame's physical plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:3000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
