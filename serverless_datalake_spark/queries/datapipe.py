@@ -435,3 +435,119 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(profiled.alias("p")).select(
         "p.col_name", "p.n_nulls", "p.n_distinct", "p.min_v", "p.max_v"
     )
+
+
+@query(
+    "split_contamination_ngram",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks,
+             CASE WHEN {_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split
+      FROM documents
+    ), g AS (
+      SELECT doc_id, split,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 3),
+                    i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2], ' ', toks[i+3], ' ', toks[i+4])))) AS gram
+      FROM t WHERE len(toks) >= 5
+    ), train_grams AS (
+      SELECT DISTINCT gram FROM g WHERE split = 'train'
+    )
+    SELECT g.doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(tg.gram) AS n_overlap,
+           COUNT(tg.gram) * 4 >= COUNT(*) AS contaminated
+    FROM g LEFT JOIN train_grams tg USING (gram)
+    WHERE g.split = 'test'
+    GROUP BY g.doc_id
+    """,
+    tags=("llm", "datapipe", "decontamination"),
+)
+def split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-level decontamination (the GPT-3 method, 5-grams here):
+    a test document is contaminated when ≥25% of its distinct 5-grams
+    also occur anywhere in train. The train side reduces to a distinct
+    gram set (at scale: gram HASHES, bucketed) before the join — the
+    fact side never shuffles text. Exact integer counts throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _toks_col()
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+            ),
+        )
+    )
+    g = (
+        d.where(F.size(toks) >= 5)
+        .select(
+            "doc_id",
+            F.when(_bucket_col() < 90, "train").otherwise("test").alias("split"),
+            F.explode(grams).alias("gram"),
+        )
+    )
+    train_grams = (
+        g.where(F.col("split") == "train").select(F.col("gram").alias("tgram")).distinct()
+    )
+    test = g.where(F.col("split") == "test")
+    joined = test.join(
+        F.broadcast(train_grams), F.col("gram") == F.col("tgram"), "left"
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.count(F.col("tgram")).alias("n_overlap"),
+        (F.count(F.col("tgram")) * 4 >= F.count(F.lit(1))).alias("contaminated"),
+    )
+
+
+@query(
+    "mixture_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ), per AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS actual_tokens
+      FROM tok GROUP BY lang
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT lang) AS n_langs
+      FROM tok
+    )
+    SELECT per.lang, per.n_docs, per.actual_tokens,
+           ROUND(CAST(tot.total_tokens AS DOUBLE)
+                 / (tot.n_langs * per.actual_tokens), 6) AS weight
+    FROM per CROSS JOIN tot
+    """,
+    tags=("llm", "datapipe", "mixture"),
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting: per-language sampling weights that
+    rebalance the corpus to a uniform token budget per language (the
+    mixture move behind every pre-training data recipe; swap the
+    uniform target for any vector). Exact integer token sums; one
+    division per group — deterministic under any plan. The 1-row
+    totals side joins as a broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.size(_toks_col()).cast("long").alias("n_tokens"))
+    per = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("actual_tokens")
+    )
+    tot = tok.agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.count_distinct("lang").alias("n_langs"),
+    )
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "actual_tokens",
+        F.round(
+            F.col("total_tokens").cast("double")
+            / (F.col("n_langs") * F.col("actual_tokens")),
+            6,
+        ).alias("weight"),
+    )
