@@ -248,3 +248,58 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "text_quality_model",
+    # Linear model + rational squash x/(1+|x|): every op is exact IEEE
+    # (multiply/add/divide on the same values in the same order), so
+    # unlike a sigmoid there is no cross-engine libm exp() risk.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS DOUBLE) AS f_len,
+             CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1) AS f_div,
+             CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and'))) AS DOUBLE)
+               / GREATEST(len(toks), 1) AS f_stop
+      FROM t WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id,
+             -1.5 + 0.002 * f_len + 2.0 * f_div + 3.0 * f_stop AS z
+      FROM f
+    )
+    SELECT doc_id, ROUND(z / (1 + ABS(z)), 6) AS quality_score,
+           z / (1 + ABS(z)) > 0.2 AS keep
+    FROM s
+    """,
+    tags=("llm", "text", "quality", "model"),
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring — the 'run a classifier over every
+    document' pipeline shape (fastText-style linear model over cheap
+    features), with fixed published weights. Inference is a pure
+    projection: zero shuffle, scan-bound, trivially 100 TB-parallel.
+    Swap the hand weights for trained ones (or the projection for a
+    pandas-UDF ONNX call) without touching the plan."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    n = F.size(toks)
+    f_len = n.cast("double")
+    f_div = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n, F.lit(1))
+    f_stop = (
+        F.size(F.filter(toks, lambda x: x.isin("the", "a", "of", "and"))).cast("double")
+        / F.greatest(n, F.lit(1))
+    )
+    z = F.lit(-1.5) + 0.002 * f_len + 2.0 * f_div + 3.0 * f_stop
+    score = z / (1 + F.abs(z))
+    return (
+        d.where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.round(score, 6).alias("quality_score"),
+            (score > 0.2).alias("keep"),
+        )
+    )
