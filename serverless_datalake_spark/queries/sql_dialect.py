@@ -112,24 +112,28 @@ def sql_cte_multijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s.s_suppkey, s.s_name
     FROM supplier s
     WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
-                  AND l.l_quantity > 49)
+                  AND l.l_quantity > 45)
       AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey
-                      AND l2.l_returnflag = 'R' AND l2.l_quantity > 49)
+                      AND l2.l_returnflag = 'R' AND l2.l_quantity > 48
+                      AND l2.l_discount > 0.08)
     """,
     tags=("sql", "exists"),
 )
 def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS + NOT EXISTS in one predicate → planned as a left-semi
-    and a left-anti join over the same scan."""
+    and a left-anti join over the same scan. Predicates picked to be
+    non-degenerate at BOTH fixture scales (2/10 suppliers at sf0.001,
+    35/100 at sf0.01) — a 0-row result would pass parity trivially."""
     register_views(spark, sf_dir, only=("supplier", "lineitem"))
     return spark.sql(
         """
         SELECT s.s_suppkey, s.s_name
         FROM supplier s
         WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
-                      AND l.l_quantity > 49)
+                      AND l.l_quantity > 45)
           AND NOT EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_suppkey = s.s_suppkey
-                          AND l2.l_returnflag = 'R' AND l2.l_quantity > 49)
+                          AND l2.l_returnflag = 'R' AND l2.l_quantity > 48
+                          AND l2.l_discount > 0.08)
         """
     )
 
