@@ -162,3 +162,36 @@ def fn_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.levenshtein("p_name", "p_brand").alias("dist_brand"),
         F.levenshtein("p_name", F.reverse("p_name")).alias("dist_rev"),
     )
+
+
+@query(
+    "fn_datetime2",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(quarter(l_shipdate) AS INTEGER) AS ship_quarter,
+           CAST(weekofyear(l_shipdate) AS INTEGER) AS ship_isoweek,
+           CAST(dayofyear(l_shipdate) AS INTEGER) AS ship_doy,
+           last_day(l_shipdate) AS month_end,
+           CAST(l_shipdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           strftime(l_shipdate, '%Y-%m') AS ship_ym
+    FROM lineitem
+    WHERE l_orderkey % 31 = 0
+    """,
+    tags=("functions", "datetime"),
+)
+def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time batch 2: calendar navigation — quarter, ISO week,
+    day-of-year, month end, month arithmetic (with end-of-month
+    clamping, identical in both engines), year-month bucketing. All
+    integer/date-exact under the pinned UTC session."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 31 == 0)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.quarter("l_shipdate").alias("ship_quarter"),
+        F.weekofyear("l_shipdate").alias("ship_isoweek"),
+        F.dayofyear("l_shipdate").alias("ship_doy"),
+        F.last_day("l_shipdate").alias("month_end"),
+        F.add_months("l_shipdate", 3).alias("plus_3m"),
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_ym"),
+    )

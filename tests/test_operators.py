@@ -288,3 +288,44 @@ def test_pq_topk_beats_chance_and_is_deterministic(spark, sf_dir):
     recall = len(exact & pq) / len(exact)
     assert recall >= 0.05, f"PQ recall {recall} not above chance"
     assert sorted(map(tuple, sim.topk_pq(q, c, k=5).collect())) == pq_rows
+
+
+def test_pack_greedy_bins_invariants(spark, sf_dir):
+    """Packing invariants: offsets stay inside the budget, bins within
+    a lang are non-decreasing in doc_id order, and token totals are
+    conserved (nothing dropped or double-packed)."""
+    from serverless_datalake_spark.queries import load_registry
+
+    reg = load_registry()
+    rows = reg["pack_greedy_bins"].fn(spark, sf_dir).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        assert 0 <= r["bin_offset"] < 2048
+        assert r["bin_id"] >= 0
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        bins = [r["bin_id"] for r in rs]
+        assert bins == sorted(bins), f"bins not monotone for {lang}"
+        # running reconstruction: offset must equal cumsum % / floor logic
+        cum = 0
+        for r in rs:
+            assert r["bin_id"] == cum // 2048
+            assert r["bin_offset"] == cum - 2048 * (cum // 2048)
+            cum += r["n_tokens"]
+
+
+def test_split_kfold_balanced_and_stable(spark, sf_dir):
+    from serverless_datalake_spark.queries import load_registry
+
+    reg = load_registry()
+    a = sorted(map(tuple, reg["split_kfold"].fn(spark, sf_dir).collect()))
+    b = sorted(map(tuple, reg["split_kfold"].fn(spark, sf_dir).collect()))
+    assert a == b  # stable across runs
+    folds = [r[1] for r in a]
+    assert set(folds) <= {0, 1, 2, 3, 4}
+    n = len(folds)
+    for f in range(5):
+        share = folds.count(f) / n
+        assert 0.1 <= share <= 0.3, f"fold {f} share {share}"

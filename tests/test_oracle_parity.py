@@ -59,3 +59,18 @@ def test_parity_survives_hostile_session_timezone(spark, sf_dir, con):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_md5_family_survives_hostile_session(spark, sf_dir, con):
+    """The md5-derived hash family (dedup/ANN oracles) must be immune
+    to session-level settings: hostile timezone and odd shuffle
+    parallelism change neither signatures nor band buckets."""
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    spark.conf.set("spark.sql.shuffle.partitions", "13")
+    try:
+        q = REGISTRY["dedup_minhash_lsh"]
+        problems = compare(q.fn(spark, sf_dir), con, q.oracle)
+        assert not problems, problems
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.shuffle.partitions", "16")
