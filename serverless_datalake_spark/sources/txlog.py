@@ -300,3 +300,24 @@ def txlog_optimize(
     )
     _commit(path, version, adds, removes=old)
     return version
+
+
+def txlog_history(spark: SparkSession, path: str) -> DataFrame:
+    """DESCRIBE HISTORY equivalent: one row per committed version with
+    its operation shape (adds/removes counts, checkpoint flag,
+    streaming batch id) — the operational introspection surface every
+    table format exposes. Reads only the log (no data files)."""
+    rows = [
+        (
+            e["version"],
+            len(e["adds"]),
+            len(e["removes"]),
+            bool(e.get("checkpoint", False)),
+            e.get("batch_id"),
+        )
+        for e in _entries(path)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "version long, n_adds int, n_removes int, is_checkpoint boolean, batch_id long",
+    )

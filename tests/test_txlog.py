@@ -275,3 +275,21 @@ def test_optimize_zorder_clusters_snapshot(spark, tmp_path):
     assert _avg_file_coverage(zdir, "b") < 0.6
     # pre-optimize version still resolves its own (unclustered) files
     assert txlog.txlog_read(spark, path, v - 1).count() == 4000
+
+
+def test_history_describes_commits(spark, tmp_path):
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 10).repartition(2), path)
+    txlog.txlog_write(_df(spark, 10, 15), path, extra={"batch_id": 7})
+    live_before = len(txlog.live_files(path))
+    txlog.txlog_write(_df(spark, 100, 103), path, mode="overwrite")
+    h = {r["version"]: r for r in txlog.txlog_history(spark, path).collect()}
+    assert set(h) == {0, 1, 2}
+    assert h[0]["n_adds"] == 2 and h[0]["n_removes"] == 0
+    assert h[1]["batch_id"] == 7
+    # overwrite retires every previously-live file
+    assert h[2]["n_removes"] == live_before
+    assert not any(r["is_checkpoint"] for r in h.values())
+    txlog.txlog_vacuum(path, keep_versions=1)
+    h2 = txlog.txlog_history(spark, path).collect()
+    assert len(h2) == 1 and h2[0]["is_checkpoint"]
