@@ -195,3 +195,40 @@ def fn_datetime2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months("l_shipdate", 3).alias("plus_3m"),
         F.date_format("l_shipdate", "yyyy-MM").alias("ship_ym"),
     )
+
+
+@query(
+    "fn_string3",
+    # DuckDB has no overlay(); left||repl||substr is the exact
+    # equivalent for the default replace-length form.
+    oracle="""
+    SELECT p_partkey,
+           split_part(p_brand, '#', 2) AS brand_num,
+           translate(p_name, 'aeiou', '12345') AS name_translated,
+           repeat(left(p_name, 2), 2) AS name_stutter,
+           reverse(p_name) AS name_reversed,
+           contains(p_name, 'red') AS has_red,
+           starts_with(p_name, 'small') AS is_small,
+           ends_with(p_type, 'ECONOMY') AS is_economy,
+           left(p_name, 1) || '__' || substr(p_name, 4) AS name_overlay
+    FROM part
+    WHERE p_partkey % 3 = 0
+    """,
+    tags=("functions", "string"),
+)
+def fn_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String batch 3: split_part, translate, repeat, reverse,
+    contains/starts_with/ends_with predicates, overlay — rounding out
+    the scalar string surface; all pure codegen expressions."""
+    p = load_table(spark, sf_dir, "part").where(F.col("p_partkey") % 3 == 0)
+    return p.select(
+        "p_partkey",
+        F.split_part("p_brand", F.lit("#"), F.lit(2)).alias("brand_num"),
+        F.translate("p_name", "aeiou", "12345").alias("name_translated"),
+        F.repeat(F.left("p_name", F.lit(2)), 2).alias("name_stutter"),
+        F.reverse("p_name").alias("name_reversed"),
+        F.contains("p_name", F.lit("red")).alias("has_red"),
+        F.startswith("p_name", F.lit("small")).alias("is_small"),
+        F.endswith("p_type", F.lit("ECONOMY")).alias("is_economy"),
+        F.overlay("p_name", F.lit("__"), F.lit(2)).alias("name_overlay"),
+    )
