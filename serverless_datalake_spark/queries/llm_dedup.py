@@ -257,3 +257,56 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/similarity.lsh_bucket)."""
     em = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") % 5 == 0)
     return similarity.embedding_near_dup_pairs(em, "vec_id", "embedding", threshold=0.3)
+
+
+@query(
+    "dedup_embedding_lsh",
+    # Deterministic hyperplane buckets (same md5 planes as the ANN
+    # family) → the oracle recomputes the identical bucketing and the
+    # identical cosine verification.
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), b AS (
+      SELECT vec_id, emb, ((CASE WHEN 0.0 - emb[1] + emb[2] - emb[3] - emb[4] + emb[5] + emb[6] + emb[7] - emb[8] + emb[9] + emb[10] + emb[11] + emb[12] - emb[13] + emb[14] - emb[15] + emb[16] + emb[17] + emb[18] + emb[19] - emb[20] - emb[21] + emb[22] - emb[23] + emb[24] - emb[25] - emb[26] - emb[27] - emb[28] - emb[29] - emb[30] - emb[31] - emb[32] - emb[33] - emb[34] + emb[35] - emb[36] - emb[37] - emb[38] + emb[39] - emb[40] - emb[41] - emb[42] + emb[43] - emb[44] - emb[45] + emb[46] - emb[47] - emb[48] - emb[49] - emb[50] - emb[51] + emb[52] + emb[53] + emb[54] + emb[55] + emb[56] + emb[57] - emb[58] + emb[59] + emb[60] + emb[61] + emb[62] - emb[63] - emb[64] > 0 THEN 1 ELSE 0 END) + (CASE WHEN 0.0 + emb[1] + emb[2] - emb[3] + emb[4] - emb[5] - emb[6] - emb[7] + emb[8] + emb[9] - emb[10] + emb[11] - emb[12] - emb[13] + emb[14] - emb[15] + emb[16] - emb[17] + emb[18] + emb[19] + emb[20] - emb[21] + emb[22] + emb[23] + emb[24] + emb[25] - emb[26] - emb[27] - emb[28] + emb[29] + emb[30] + emb[31] - emb[32] - emb[33] + emb[34] - emb[35] + emb[36] - emb[37] + emb[38] - emb[39] - emb[40] - emb[41] + emb[42] + emb[43] - emb[44] - emb[45] - emb[46] + emb[47] - emb[48] - emb[49] - emb[50] - emb[51] + emb[52] + emb[53] - emb[54] + emb[55] - emb[56] - emb[57] + emb[58] + emb[59] - emb[60] - emb[61] - emb[62] - emb[63] + emb[64] > 0 THEN 2 ELSE 0 END) + (CASE WHEN 0.0 + emb[1] + emb[2] - emb[3] + emb[4] + emb[5] + emb[6] + emb[7] + emb[8] - emb[9] - emb[10] + emb[11] - emb[12] - emb[13] + emb[14] - emb[15] + emb[16] - emb[17] + emb[18] + emb[19] + emb[20] - emb[21] + emb[22] - emb[23] - emb[24] + emb[25] + emb[26] - emb[27] + emb[28] - emb[29] - emb[30] + emb[31] - emb[32] + emb[33] + emb[34] - emb[35] - emb[36] - emb[37] - emb[38] - emb[39] - emb[40] + emb[41] + emb[42] - emb[43] - emb[44] - emb[45] + emb[46] + emb[47] - emb[48] + emb[49] - emb[50] + emb[51] - emb[52] + emb[53] - emb[54] - emb[55] - emb[56] + emb[57] - emb[58] - emb[59] - emb[60] + emb[61] - emb[62] - emb[63] - emb[64] > 0 THEN 4 ELSE 0 END) + (CASE WHEN 0.0 + emb[1] + emb[2] - emb[3] + emb[4] - emb[5] + emb[6] - emb[7] - emb[8] + emb[9] - emb[10] + emb[11] + emb[12] - emb[13] + emb[14] - emb[15] + emb[16] + emb[17] - emb[18] + emb[19] + emb[20] + emb[21] - emb[22] - emb[23] - emb[24] + emb[25] - emb[26] + emb[27] + emb[28] + emb[29] - emb[30] + emb[31] - emb[32] + emb[33] - emb[34] - emb[35] - emb[36] - emb[37] + emb[38] - emb[39] - emb[40] + emb[41] - emb[42] - emb[43] + emb[44] - emb[45] + emb[46] + emb[47] - emb[48] - emb[49] + emb[50] + emb[51] - emb[52] - emb[53] + emb[54] - emb[55] + emb[56] + emb[57] + emb[58] + emb[59] - emb[60] + emb[61] - emb[62] - emb[63] + emb[64] > 0 THEN 8 ELSE 0 END) + (CASE WHEN 0.0 - emb[1] - emb[2] - emb[3] - emb[4] + emb[5] + emb[6] + emb[7] + emb[8] - emb[9] + emb[10] - emb[11] - emb[12] + emb[13] - emb[14] + emb[15] + emb[16] + emb[17] + emb[18] - emb[19] - emb[20] - emb[21] - emb[22] + emb[23] + emb[24] - emb[25] + emb[26] - emb[27] + emb[28] - emb[29] - emb[30] - emb[31] - emb[32] - emb[33] + emb[34] + emb[35] + emb[36] + emb[37] + emb[38] - emb[39] - emb[40] - emb[41] - emb[42] - emb[43] - emb[44] + emb[45] - emb[46] + emb[47] + emb[48] - emb[49] + emb[50] + emb[51] - emb[52] - emb[53] - emb[54] - emb[55] + emb[56] + emb[57] + emb[58] - emb[59] - emb[60] - emb[61] + emb[62] - emb[63] + emb[64] > 0 THEN 16 ELSE 0 END) + (CASE WHEN 0.0 - emb[1] + emb[2] - emb[3] + emb[4] + emb[5] + emb[6] + emb[7] - emb[8] - emb[9] - emb[10] - emb[11] - emb[12] + emb[13] - emb[14] - emb[15] - emb[16] - emb[17] + emb[18] - emb[19] + emb[20] - emb[21] - emb[22] - emb[23] - emb[24] + emb[25] + emb[26] + emb[27] + emb[28] - emb[29] - emb[30] + emb[31] + emb[32] - emb[33] + emb[34] - emb[35] + emb[36] + emb[37] - emb[38] - emb[39] + emb[40] + emb[41] + emb[42] + emb[43] + emb[44] - emb[45] + emb[46] - emb[47] + emb[48] + emb[49] + emb[50] + emb[51] + emb[52] - emb[53] - emb[54] + emb[55] + emb[56] + emb[57] + emb[58] + emb[59] + emb[60] + emb[61] - emb[62] + emb[63] - emb[64] > 0 THEN 32 ELSE 0 END) + (CASE WHEN 0.0 - emb[1] - emb[2] + emb[3] + emb[4] - emb[5] - emb[6] - emb[7] + emb[8] - emb[9] - emb[10] - emb[11] + emb[12] - emb[13] + emb[14] + emb[15] + emb[16] - emb[17] + emb[18] + emb[19] - emb[20] - emb[21] - emb[22] - emb[23] + emb[24] + emb[25] + emb[26] - emb[27] - emb[28] + emb[29] - emb[30] + emb[31] - emb[32] - emb[33] + emb[34] + emb[35] + emb[36] - emb[37] - emb[38] + emb[39] - emb[40] - emb[41] - emb[42] + emb[43] + emb[44] - emb[45] - emb[46] - emb[47] + emb[48] - emb[49] + emb[50] + emb[51] + emb[52] - emb[53] + emb[54] - emb[55] + emb[56] + emb[57] - emb[58] + emb[59] + emb[60] + emb[61] - emb[62] - emb[63] - emb[64] > 0 THEN 64 ELSE 0 END) + (CASE WHEN 0.0 - emb[1] - emb[2] + emb[3] - emb[4] + emb[5] + emb[6] - emb[7] - emb[8] + emb[9] - emb[10] - emb[11] - emb[12] + emb[13] + emb[14] + emb[15] - emb[16] - emb[17] + emb[18] + emb[19] + emb[20] + emb[21] + emb[22] + emb[23] + emb[24] + emb[25] + emb[26] + emb[27] - emb[28] + emb[29] + emb[30] - emb[31] - emb[32] - emb[33] + emb[34] - emb[35] - emb[36] + emb[37] - emb[38] + emb[39] + emb[40] - emb[41] - emb[42] - emb[43] - emb[44] + emb[45] + emb[46] - emb[47] + emb[48] + emb[49] + emb[50] - emb[51] - emb[52] + emb[53] + emb[54] + emb[55] + emb[56] + emb[57] + emb[58] - emb[59] - emb[60] - emb[61] - emb[62] + emb[63] + emb[64] > 0 THEN 128 ELSE 0 END)) AS bucket FROM v
+    )
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND(list_aggregate(list_transform(list_zip(a.emb, b2.emb),
+                          p -> p[1] * p[2]), 'sum')
+           / (SQRT(list_aggregate(list_transform(a.emb, x -> x * x), 'sum'))
+              * SQRT(list_aggregate(list_transform(b2.emb, x -> x * x), 'sum'))), 6) AS cos_sim
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    WHERE list_aggregate(list_transform(list_zip(a.emb, b2.emb),
+                         p -> p[1] * p[2]), 'sum')
+          / (SQRT(list_aggregate(list_transform(a.emb, x -> x * x), 'sum'))
+             * SQRT(list_aggregate(list_transform(b2.emb, x -> x * x), 'sum'))) >= 0.3
+    """,
+    tags=("llm", "dedup", "embedding", "ann"),
+)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production twin of dedup_embedding_cosine: candidate pairs
+    come from shared hyperplane-LSH buckets (ONE bucket shuffle over
+    the full table — no sample, no crossJoin), then exact cosine
+    verification ≥ 0.3. At 100 TB the bucket column is the at-rest
+    partition key (sources/indexes.build_ann_index) so admission of
+    new vectors probes single partitions."""
+    from serverless_datalake_spark.operators.similarity import cosine, lsh_bucket
+
+    em = load_table(spark, sf_dir, "embeddings")
+    b = em.select(
+        "vec_id",
+        F.col("embedding"),
+        lsh_bucket("embedding", 8, 64).alias("bucket"),
+    )
+    a = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"), "bucket"
+    )
+    c = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"), "bucket"
+    )
+    pairs = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
+    cs = cosine(F.col("__va"), F.col("__vb"))
+    return pairs.where(cs >= 0.3).select(
+        "id_a", "id_b", F.round(cs, 6).alias("cos_sim")
+    )
