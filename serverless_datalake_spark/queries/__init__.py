@@ -171,70 +171,71 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 # Rotation ledger:
 #   round 1 (alphabetical import order): agg_*, datapipe, funnel, fn_*,
 #     join_*, dedup_*, sim_topk_* — 44 green, 6 no_oracle, 0 fail.
-#   round 2 (this window): 50 oracled queries never seen by the driver —
-#     text analysis, multimodal metadata, pipeline R8–R12, scan/filter/
+#   round 2: 50 oracled queries never seen by the driver — text
+#     analysis, multimodal metadata, pipeline R8–R12, scan/filter/
 #     sort, reshape, set ops, skew, SQL dialect, streaming-batch twins,
-#     windows, UDF/UDTF, and 5 representative TPC-H shapes.
-#   round 3 (planned): the still-unchecked (join_self_pairs,
-#     fn_nullsafe_eq, fn_bitwise, udtf_sessionize, remaining TPC-H
-#     incl. new Q2/Q11/Q20) plus the formerly-rows-only queries that
-#     now carry full oracles (agg_approx, dedup_minhash_lsh/
-#     components/simhash, sim_topk_lsh/multiprobe/ivf,
-#     udaf_grouped_agg, mm_decode_features) and the round-2 additions
-#     (sim_topk_lsh_indexed, text_token_bpe, text_top_bigrams,
-#     pack_greedy_bins, split_kfold, stream_join_timerange). As of
-#     round 2 ALL registry queries carry oracles — no rows-only rows.
+#     windows, UDF/UDTF, and 5 representative TPC-H shapes. 50/50 green.
+#   round 3 (this window): the exact set of 46 queries with no green
+#     driver row across rounds 1–2 (computed from CORRECTNESS_r01+r02:
+#     the 40 never-windowed + the 6 round-1 `no_oracle` rows that have
+#     since gained oracles), plus 4 re-confirmation slots for
+#     production paths touched this round (flagship replay, exact
+#     dedup, brute-force ANN baseline, tf-idf). Green ⇒ every one of
+#     the 140 registry queries has appeared driver-green at least once.
 DRIVER_WINDOW: tuple[str, ...] = (
-    "text_token_stats",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf",
-    "mm_binary_metadata",
-    "pipeline_catalog_build",
-    "pipeline_replay_select",
-    "pipeline_fanout_counts",
-    "pipeline_source_projection",
+    # 6 former round-1 `no_oracle` rows, oracled since round 2
+    "agg_approx",
+    "dedup_minhash_lsh",
+    "dedup_minhash_components",
+    "dedup_simhash",
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    # 40 never-windowed
+    "agg_hll_mergeable",
+    "pack_greedy_bins",
+    "split_kfold",
+    "profile_columns",
+    "split_contamination_ngram",
+    "mixture_weights",
+    "fn_datetime2",
+    "fn_string3",
+    "dedup_embedding_lsh",
+    "sim_topk_lsh_indexed",
+    "sim_topk_ivf",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "text_token_bpe",
+    "text_top_bigrams",
+    "text_quality_model",
+    "mm_decode_features",
+    "mm_frame_sample",
+    "join_self_pairs",
+    "fn_nullsafe_eq",
+    "fn_bitwise",
+    "stream_join_timerange",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q4_priority_check",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_counts",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counting",
+    "tpch_q17_small_quantity",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_potential_promotion",
+    "tpch_q22_dormant_customers",
+    "udaf_grouped_agg",
+    "udtf_sessionize",
+    # 4 spare slots: re-confirm production paths touched this round
     "replay_range",
-    "scan_project",
-    "filter_predicates",
-    "sort_limit",
-    "distinct_values",
-    "conditional_case",
-    "join_right_outer",
-    "agg_stddev_var",
-    "window_range_frame",
-    "reshape_pivot",
-    "reshape_unpivot",
-    "sort_nulls_ordering",
-    "set_union_all",
-    "set_union_distinct",
-    "set_intersect",
-    "set_except",
-    "skew_salted_agg",
-    "skew_hotkey_join",
-    "sql_grouping_sets",
-    "sql_correlated_subquery",
-    "sql_cte_multijoin",
-    "sql_exists_not_exists",
-    "sql_in_subquery_topn",
-    "stream_tumbling_window",
-    "stream_sliding_window",
-    "stream_session_window",
-    "stream_dedup_exact",
-    "window_ranking",
-    "window_analytic",
-    "window_running",
-    "topk_per_group",
-    "window_distribution",
-    "udf_scalar_pandas",
-    "udf_grouped_map",
-    "udtf_python_tokenize",
-    "tpch_q3_shipping_priority",
-    "tpch_q9_product_profit",
-    "tpch_q13_customer_distribution",
-    "tpch_q18_large_volume",
-    "tpch_q21_waiting_supplier",
+    "dedup_exact",
+    "sim_topk_bruteforce",
+    "text_tfidf",
 )
 
 

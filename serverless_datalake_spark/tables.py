@@ -70,12 +70,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     ensure_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
-    # TIMESTAMP(NANOS) parquet columns arrive as long (nanosAsLong,
-    # session.py); convert to microsecond timestamps. `div` is integer
-    # division — a double division would lose precision at 1e18 ns.
+    # The event-time column must always surface as TIMESTAMP (LTZ, UTC
+    # session) no matter which physical layout the fixtures use:
+    #  * TIMESTAMP(NANOS) arrives as long (nanosAsLong, session.py) —
+    #    convert via integer division (`div`; double division would
+    #    lose precision at 1e18 ns);
+    #  * naive timestamp[us] arrives as TIMESTAMP_NTZ — cast (value-
+    #    preserving under the enforced UTC session tz). Functions like
+    #    unix_millis/unix_micros reject NTZ, so normalizing here keeps
+    #    every downstream query layout-agnostic.
     for col, dtype in df.dtypes:
-        if col in ("ts",) and dtype == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+        if col in ("ts",):
+            if dtype == "bigint":
+                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+            elif dtype == "timestamp_ntz":
+                df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
@@ -96,6 +105,8 @@ def load_events_pushdown(
     if dict(df.dtypes).get("ts") != "bigint":  # plain-timestamp layout
         if ts_between:
             df = df.where(F.col("ts").between(*ts_between))
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     if ts_between:
         lo, hi = (
