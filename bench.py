@@ -67,14 +67,21 @@ def main() -> None:
         reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    def run(name: str) -> float:
-        # min of two executions: the first pays per-query codegen /
+    def run(name: str) -> tuple[float, float]:
+        # min of three executions: the first pays per-query codegen /
         # Python-worker spawn and any transient host-load spike; the
-        # min is the reproducible steady-state cost of the plan
-        return min(run_once(name), run_once(name))
+        # min is the reproducible steady-state cost of the plan. The
+        # spread (max−min over the min) is reported per query so host
+        # noise (±30% observed on this box) is visible instead of
+        # masquerading as a plan regression.
+        samples = [run_once(name) for _ in range(3)]
+        lo = min(samples)
+        return lo, (max(samples) - lo) / lo if lo else 0.0
 
     run_once("scan_project")  # warmup: JVM + codegen + parquet footer cache
-    times = {name: round(run(name), 3) for name in HEADLINE}
+    measured = {name: run(name) for name in HEADLINE}
+    times = {name: round(lo, 3) for name, (lo, _) in measured.items()}
+    spread = {name: round(sp, 2) for name, (_, sp) in measured.items()}
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -83,6 +90,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
                 "sf": sf,
             }
         )

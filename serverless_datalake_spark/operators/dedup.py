@@ -15,11 +15,14 @@ full corpus —
 from __future__ import annotations
 
 import hashlib
+import logging
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import spread_for_compute, textops
+
+_LOG = logging.getLogger(__name__)
 
 # Universal-hash family over a 32-bit md5-derived key:
 #   x(s)  = int(md5(s)[:8 hex], 16)            (0 ≤ x < 2^32)
@@ -240,6 +243,7 @@ def minhash_dedup_components(
     bands: int = 16,
     k: int = 3,
     max_iters: int = 20,
+    checkpoint_every: int = 5,
 ) -> DataFrame:
     """Full connected-components dedup clustering over the LSH bucket
     graph (the transitive closure minhash_dedup_survivors skips).
@@ -252,15 +256,21 @@ def minhash_dedup_components(
     million-doc near-dup chain. Labels are monotone non-increasing
     (min ops only; label(y) ≤ y for every y), so convergence is
     detected by an unchanged SUM(label) — one aggregate on the cached
-    labels, no join against the previous iteration. Checkpoint-free
-    because the per-iteration lineage is flat (re-reads recompute two
-    shuffles, not a recursion).
+    labels, no join against the previous iteration.
+
+    Although caching keeps recomputation flat, the logical plan still
+    nests one level per iteration; on a large component graph that
+    lineage makes every task-retry/cache-eviction recompute the whole
+    chain. ``localCheckpoint`` every `checkpoint_every` iterations
+    truncates it (blocks materialize on executors; no HDFS dir needed,
+    matching the fault domain of the cached blocks it replaces).
     """
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
     membership = banded_membership(sigs, bands, num_hashes).distinct().cache()
     labels = membership.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     prev_sum = None
-    for _ in range(max_iters):
+    n_iters = 0
+    for it in range(max_iters):
         bucket_min = (
             membership.join(labels, "doc_id")
             .groupBy("band_id", "band_hash")
@@ -276,20 +286,24 @@ def minhash_dedup_components(
         lut = neighbor_min.select(
             F.col("doc_id").alias("__l"), F.col("label").alias("__ll")
         )
-        new_labels = (
-            neighbor_min.join(lut, neighbor_min.label == F.col("__l"), "left")
-            .select("doc_id", F.coalesce("__ll", "label").alias("label"))
-            .cache()
-        )
+        new_labels = neighbor_min.join(
+            lut, neighbor_min.label == F.col("__l"), "left"
+        ).select("doc_id", F.coalesce("__ll", "label").alias("label"))
+        if (it + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
+        else:
+            new_labels = new_labels.cache()
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
         # drop the superseded iteration's cache — otherwise every
         # round leaks a cached DataFrame (and its executor memory)
         if labels.is_cached:
             labels.unpersist()
         labels = new_labels
+        n_iters = it + 1
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    _LOG.info("minhash_components converged after %d iterations", n_iters)
     membership.unpersist()
     return labels.select(
         "doc_id",

@@ -292,6 +292,24 @@ def embedding_near_dup_pairs(
     )
 
 
+def _explode_subspaces(
+    df: DataFrame, id_col: str, vec_col: str, m: int, d: int, out: str
+) -> DataFrame:
+    """(id, vec) → (id, s, out) rows, one per subspace slice."""
+    return df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.cast("int").alias("s"),
+                    F.slice(vec_col, s * d + 1, d).alias(out),
+                ),
+            )
+        ).alias("sc"),
+    ).select(id_col, F.col("sc.s").alias("s"), F.col(f"sc.{out}").alias(out))
+
+
 def pq_codebook(
     corpus: DataFrame,
     corpus_id: str = "corpus_id",
@@ -299,15 +317,31 @@ def pq_codebook(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
+    refine_iters: int = 2,
+    sample_n: int = 128,
 ) -> DataFrame:
     """Product-quantization codebook: split the vector into m
     subspaces of d dims; per subspace, n_codes code vectors.
 
-    Codes are SAMPLE-INITIALIZED (the subvectors of the n_codes
-    smallest-id corpus vectors) — deterministic and engine-portable,
-    which keeps the whole PQ pipeline oracle-checkable. Production
-    would k-means-refine each subspace codebook; every downstream
-    plan (encode, reconstruct, score) is unchanged by that swap."""
+    Codes are sample-initialized (the subvectors of the n_codes
+    smallest-id corpus vectors), then refined with `refine_iters`
+    Lloyd's (k-means) iterations over a deterministic training sample
+    (the `sample_n` smallest-id vectors — bounded size is the standard
+    ANN practice: FAISS trains codebooks on a corpus sample too, so
+    the training cost stays flat while the corpus grows).
+
+    Everything is ENGINE-PORTABLE, keeping the pipeline
+    oracle-checkable with refinement on:
+    * assignment: per-subspace L2 argmin, sequential-fold distance,
+      ties to the smaller code id — bit-exact in any engine;
+    * update: per-dimension mean summed as a sequential left fold in
+      corpus_id order (array_sort(collect_list) → aggregate), NOT a
+      distributed partial-sum — so DuckDB's ordered list fold
+      reproduces each new centroid bit-for-bit;
+    * empty clusters keep their previous code (COALESCE after a left
+      join), as in classic Lloyd's.
+    Lloyd's never increases the within-cluster SSE on the training
+    sample — asserted by tests/test_pq_refine.py."""
     w = Window.orderBy(corpus_id)
     src = (
         corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
@@ -324,9 +358,52 @@ def pq_codebook(
             ),
         )
     )
-    return src.select("code_id", sub.alias("sc")).select(
+    cb = src.select("code_id", sub.alias("sc")).select(
         "code_id", F.col("sc.s").alias("s"), F.col("sc.code_vec").alias("code_vec")
     )
+    if refine_iters <= 0:
+        return cb
+
+    sample = (
+        corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+        .orderBy(corpus_id)
+        .limit(sample_n)
+    )
+    smp = _explode_subspaces(sample, corpus_id, "__v", m, d, "sub_vec")
+
+    dist = F.aggregate(
+        F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    for _ in range(refine_iters):
+        scored = smp.join(F.broadcast(cb), "s").select(
+            corpus_id, "s", "code_id", "sub_vec", dist.alias("__dist")
+        )
+        wmin = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(wmin))
+            .where(F.col("__rn") == 1)
+            .select(corpus_id, "s", "code_id", "sub_vec")
+        )
+        grouped = assigned.groupBy("s", "code_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(corpus_id).alias("i"), F.col("sub_vec").alias("v")))
+            ).alias("__arr")
+        )
+        vs = F.transform(F.col("__arr"), lambda x: x["v"])
+        mean_vec = F.transform(
+            F.sequence(F.lit(0), F.lit(d - 1)),
+            lambda i: F.aggregate(
+                vs, F.lit(0.0), lambda a, v: a + F.element_at(v, (i + 1).cast("int"))
+            )
+            / F.size("__arr"),
+        )
+        means = grouped.select("s", "code_id", mean_vec.alias("__new_vec"))
+        cb = cb.join(means, ["s", "code_id"], "left").select(
+            "code_id", "s", F.coalesce("__new_vec", "code_vec").alias("code_vec")
+        )
+    return cb
 
 
 def topk_pq(
@@ -339,6 +416,9 @@ def topk_pq(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
+    refine_iters: int = 2,
+    sample_n: int = 128,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """ANN via product quantization: encode each corpus vector as m
     code ids (nearest codebook entry per subspace, L2, ties to the
@@ -351,8 +431,14 @@ def topk_pq(
     comes from the classic LUT form (m lookups per pair into a
     per-query m×n_codes distance table) over a corpus that stores
     ONLY the m-byte codes — a 32× memory cut at these parameters; the
-    codes are also the natural partition key for an IVF-PQ hybrid."""
-    cb = pq_codebook(corpus, corpus_id, vec, m, d, n_codes)
+    codes are also the natural partition key for an IVF-PQ hybrid.
+
+    Pass ``codebook`` (a (code_id, s, code_vec) frame, e.g. a
+    pre-trained/materialized one) to keep the training subtree out of
+    the probe plan — the FAISS separation of train() from search()."""
+    cb = codebook if codebook is not None else pq_codebook(
+        corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
+    )
 
     c = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
     c_sub = c.select(
@@ -422,6 +508,9 @@ def topk_ivfpq(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
+    refine_iters: int = 2,
+    sample_n: int = 128,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN layout. The coarse
     quantizer (medoid centroid per cell) routes each query to nprobe
@@ -447,7 +536,9 @@ def topk_ivfpq(
     q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
     q_probes = assign(q, query_id, "__qv", nprobe).select(query_id, "__qv", "centroid_id")
 
-    cb = pq_codebook(corpus, corpus_id, vec, m, d, n_codes)
+    cb = codebook if codebook is not None else pq_codebook(
+        corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
+    )
     cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
     c_sub = cd.select(
         corpus_id,

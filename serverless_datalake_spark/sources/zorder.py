@@ -55,17 +55,24 @@ def write_zordered(
     col_a: str,
     col_b: str,
     files: int = 16,
+    method: str = "approx",
 ) -> None:
     """Write df clustered along the Morton curve of (col_a, col_b):
     range-partition on the z-key into `files` tasks, sort within each,
     drop the key. Every output file then covers ~1/√files of each
     dimension's range instead of 1/files of one and 100% of the other.
 
-    NOTE: percent_rank in zorder_key uses a global Window — one pass
-    with a range-partitioned sort at scale; for 100 TB use an
-    approx-quantile binning instead (same layout, no global sort).
+    ``method="approx"`` (default) computes the key via approx-quantile
+    binning (zorder_key_approx: one Greenwald–Khanna scan per column,
+    no global sort) — the 100 TB path. ``method="exact"`` uses the
+    percent_rank key (zorder_key), whose global Window single-partitions
+    the sort; it exists for small-data tests and bucket-resolution
+    comparisons only.
     """
-    zdf = zorder_key(df, col_a, col_b)
+    if method not in ("approx", "exact"):
+        raise ValueError(f"method {method!r}")
+    key_fn = zorder_key_approx if method == "approx" else zorder_key
+    zdf = key_fn(df, col_a, col_b)
     (
         zdf.repartitionByRange(files, "__zkey")
         .sortWithinPartitions("__zkey")

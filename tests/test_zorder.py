@@ -87,3 +87,18 @@ def test_zorder_approx_variant_clusters_without_global_sort(spark, sf_dir, tmp_p
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_zorder_exact_method_still_available(spark, sf_dir, tmp_path):
+    """write_zordered defaults to the approx key (no global sort); the
+    exact percent_rank path stays selectable and produces an equally
+    clustered layout on small data."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select(F.unix_timestamp("ts").alias("ts_s"), "user_id", "value")
+    )
+    zpath = str(tmp_path / "ze")
+    write_zordered(e, zpath, "ts_s", "user_id", files=8, method="exact")
+    assert _avg_file_coverage(zpath, "ts_s") < 0.6
+    assert _avg_file_coverage(zpath, "user_id") < 0.6
+    assert spark.read.parquet(zpath).count() == e.count()
