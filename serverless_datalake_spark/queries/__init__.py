@@ -251,6 +251,7 @@ def load_registry() -> dict[str, Query]:
         functions2,
         joins,
         llm_dedup,
+        llm_guard,
         llm_similarity,
         llm_text,
         multimodal,

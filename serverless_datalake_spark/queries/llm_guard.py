@@ -1,0 +1,309 @@
+"""Data-guard operators for a training-data pipeline over `documents`
+and `embeddings`: PII detection/redaction, text normalization, URL
+canonicalization dedup, semantic train-vs-eval decontamination, and
+per-source heavy hitters.
+
+These are the compliance/safety/cleanliness passes every large-scale
+corpus build runs between raw ingest and tokenization. All of them are
+scan-shaped (regexp/HOF per row, tiny aggregates) or broadcast-shaped
+(the eval set in decontamination is small by construction), so every
+operator here scales linearly with corpus bytes and shuffles at most
+one small aggregate — the right posture for 100 TB.
+
+The fixture corpus is synthetic word-salad with no real PII/URLs, so
+these queries first derive a `raw` column that deterministically
+injects email/phone/URL patterns from doc_id (plain integer arithmetic
++ concat, identical SQL text in both engines). The operators
+themselves are generic regexp passes — the injection is test harness,
+not operator logic.
+
+Engine-portability notes (same discipline as queries/datapipe.py):
+* regex patterns avoid backslash escapes entirely (Spark SQL string
+  literals interpret `\\`, DuckDB standard strings do not): literal
+  dot/question-mark via character classes `[.]` `[?]`, whitespace via
+  chr(9)/chr(10)/chr(13) concatenation;
+* Spark's regexp_replace is global; DuckDB needs the 'g' flag — the
+  oracle SQL carries it;
+* counts cast to BIGINT on both sides (DuckDB len() is BIGINT,
+  Spark size() is INT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.operators.similarity import cosine
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+# Deterministic PII/URL injection — identical SQL text in both engines.
+_RAW_SQL = (
+    "text || ' contact user' || CAST(doc_id AS STRING) || '@mail' || "
+    "CAST(doc_id % 5 AS STRING) || '.com call 555-' || "
+    "CAST(1000 + doc_id % 9000 AS STRING) || ' visit ' || ("
+    "'http://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || "
+    "'site' || CAST(doc_id % 7 AS STRING) || '.com/p/' || "
+    "CAST(doc_id % 13 AS STRING) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END))"
+)
+
+# The injected URL alone (for canonicalization dedup).
+_URL_SQL = (
+    "'http://' || (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END) || "
+    "'site' || CAST(doc_id % 7 AS STRING) || '.com/p/' || "
+    "CAST(doc_id % 13 AS STRING) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '?utm=x' ELSE '' END)"
+)
+
+_EMAIL_RE = "[a-z0-9]+@[a-z0-9]+[.]com"
+_PHONE_RE = "555-[0-9][0-9][0-9][0-9]"
+_URL_RE = "http://[a-z0-9./?=]+"
+
+
+@query(
+    "pii_detect",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(raw, '{_URL_RE}')) AS BIGINT) AS n_urls
+    FROM (SELECT doc_id, {_RAW_SQL} AS raw FROM documents) t
+    """,
+    tags=("llm", "guard", "pii"),
+)
+def pii_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII surface counts (emails, phone numbers, URLs)
+    via JVM-side regexp_extract_all — the triage pass that decides
+    which documents need redaction. One scan, zero shuffles; the
+    regexes stay inside whole-stage codegen (no UDF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.withColumn("raw", F.expr(_RAW_SQL))
+    return raw.select(
+        "doc_id",
+        F.expr(f"CAST(size(regexp_extract_all(raw, '{_EMAIL_RE}', 0)) AS BIGINT)").alias("n_emails"),
+        F.expr(f"CAST(size(regexp_extract_all(raw, '{_PHONE_RE}', 0)) AS BIGINT)").alias("n_phones"),
+        F.expr(f"CAST(size(regexp_extract_all(raw, '{_URL_RE}', 0)) AS BIGINT)").alias("n_urls"),
+    )
+
+
+@query(
+    "pii_redact",
+    oracle=f"""
+    SELECT doc_id, redacted,
+           CAST(length(raw) - length(redacted) AS BIGINT) AS n_chars_removed
+    FROM (
+      SELECT doc_id, raw,
+             regexp_replace(regexp_replace(regexp_replace(raw,
+               '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g'),
+               '{_URL_RE}', '<URL>', 'g') AS redacted
+      FROM (SELECT doc_id, {_RAW_SQL} AS raw FROM documents) t
+    ) r
+    """,
+    tags=("llm", "guard", "pii"),
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: replace every email/phone/URL with a typed
+    placeholder token, reporting bytes removed. The write-side twin of
+    pii_detect — same single-scan shape; placeholders keep token
+    positions roughly stable for downstream tokenization."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.withColumn("raw", F.expr(_RAW_SQL))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE,
+            "<PHONE>",
+        ),
+        _URL_RE,
+        "<URL>",
+    )
+    return raw.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        (F.length("raw") - F.length(redacted)).cast("long").alias("n_chars_removed"),
+    )
+
+
+@query(
+    "text_clean_normalize",
+    oracle=f"""
+    SELECT doc_id,
+           trim(regexp_replace(noisy,
+                '[' || chr(9) || chr(10) || chr(13) || ' ]+', ' ', 'g')) AS clean_text,
+           CAST(length(noisy) AS BIGINT) AS n_raw_chars
+    FROM (
+      SELECT doc_id,
+             chr(9) || text ||
+             (CASE WHEN doc_id % 3 = 0 THEN chr(13) || chr(10) ELSE ' ' END) || '  ' AS noisy
+      FROM documents
+    ) t
+    """,
+    tags=("llm", "guard", "clean"),
+)
+def text_clean_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace/control-character normalization: collapse runs of
+    tab/CR/LF/space to single spaces and trim — the first cleaning
+    pass of every corpus build (tokenizers see one canonical spacing).
+    Deterministic noise is injected first since the fixture text is
+    already clean. Scan-bound, codegen-only."""
+    docs = load_table(spark, sf_dir, "documents")
+    noisy = docs.withColumn(
+        "noisy",
+        F.expr(
+            "chr(9) || text || "
+            "(CASE WHEN doc_id % 3 = 0 THEN chr(13) || chr(10) ELSE ' ' END) || '  '"
+        ),
+    )
+    clean = F.trim(
+        F.expr("regexp_replace(noisy, '[' || chr(9) || chr(10) || chr(13) || ' ]+', ' ')")
+    )
+    return noisy.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length("noisy").cast("long").alias("n_raw_chars"),
+    )
+
+
+@query(
+    "dedup_url_canonical",
+    oracle=f"""
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_variants,
+           MIN(doc_id) AS rep_doc_id
+    FROM (
+      SELECT doc_id, url,
+             regexp_replace(regexp_replace(regexp_replace(url,
+               '[?].*$', ''),
+               '^http://(www[.])?', ''),
+               '/$', '') AS canonical_url
+      FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents) t
+    ) c
+    GROUP BY canonical_url
+    """,
+    tags=("llm", "guard", "dedup", "url"),
+)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup: strip scheme, `www.`, query string
+    and trailing slash, then group — the standard first-line web-crawl
+    dedup (CommonCrawl-style pipelines drop ~40% of fetches on
+    canonical-URL identity before any content hashing). One hash
+    aggregate on the canonical key; min-id representative."""
+    docs = load_table(spark, sf_dir, "documents")
+    urls = docs.select("doc_id", F.expr(_URL_SQL).alias("url"))
+    canon = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("url"), "[?].*$", ""),
+            "^http://(www[.])?",
+            "",
+        ),
+        "/$",
+        "",
+    )
+    return (
+        urls.withColumn("canonical_url", canon)
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("url").alias("n_variants"),
+            F.min("doc_id").alias("rep_doc_id"),
+        )
+    )
+
+
+@query(
+    "decontaminate_semantic",
+    oracle="""
+    WITH ev AS (
+      SELECT vec_id AS eval_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 10
+    ), tr AS (
+      SELECT vec_id AS train_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+      SELECT tr.train_id, ev.eval_id,
+             list_aggregate(list_transform(list_zip(tr.emb, ev.emb),
+                            p -> p[1] * p[2]), 'sum')
+             / (SQRT(list_aggregate(list_transform(tr.emb, x -> x * x), 'sum'))
+                * SQRT(list_aggregate(list_transform(ev.emb, x -> x * x), 'sum'))) AS score
+      FROM tr CROSS JOIN ev
+    ), best AS (
+      SELECT train_id, eval_id, score,
+             ROW_NUMBER() OVER (PARTITION BY train_id
+                                ORDER BY score DESC, eval_id) AS rn
+      FROM scored
+    )
+    SELECT train_id, eval_id AS closest_eval_id, ROUND(score, 6) AS score
+    FROM best WHERE rn = 1 AND score >= 0.30
+    """,
+    tags=("llm", "guard", "decontamination", "similarity"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic train/eval decontamination: flag training vectors whose
+    embedding is too close (cosine ≥ 0.30) to any held-out eval vector
+    — the embedding-space complement of n-gram contamination checks
+    (split_contamination_ngram), catching paraphrased leakage n-grams
+    miss. The eval set is small by construction → broadcast; one corpus
+    scan, per-row top-1 window. At larger eval sets, pre-bucket both
+    sides with lsh_bucket and check only same-bucket pairs (the
+    dedup_embedding_lsh layout)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    ev = em.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__ev")
+    )
+    tr = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("train_id"), F.col("embedding").alias("__tv")
+    )
+    scored = tr.crossJoin(F.broadcast(ev)).select(
+        "train_id", "eval_id", cosine(F.col("__tv"), F.col("__ev")).alias("score")
+    )
+    w = Window.partitionBy("train_id").orderBy(F.col("score").desc(), F.col("eval_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("score") >= 0.30))
+        .select(
+            "train_id",
+            F.col("eval_id").alias("closest_eval_id"),
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "text_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+      FROM documents
+    ), counts AS (
+      SELECT source, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM toks GROUP BY source, token
+    ), ranked AS (
+      SELECT source, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rank
+      FROM counts
+    )
+    SELECT source, token, cnt, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("llm", "guard", "text", "topk"),
+)
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequent-token heavy hitters (top-5, deterministic
+    tie-break): the vocabulary-skew probe run before tokenizer
+    training/mixture weighting. Shape at scale: explode → partial
+    count map-side → ONE shuffle on (source, token) → per-source
+    window top-k with WindowGroupLimit pushdown; no collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("token"),
+    )
+    counts = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("token"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("source", "token", "cnt", F.col("rank").cast("long").alias("rank"))
+    )
