@@ -52,6 +52,12 @@ HEADLINE = [
     "text_gopher_rules",
     "split_contamination",
     "pack_greedy_bins",
+    # data-guard family (round 3): redaction, URL dedup, semantic
+    # decontamination, heavy hitters — the compliance/cleanliness scans
+    "pii_redact",
+    "dedup_url_canonical",
+    "decontaminate_semantic",
+    "text_heavy_hitters",
 ]
 
 
