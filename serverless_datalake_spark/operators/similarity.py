@@ -230,6 +230,65 @@ def ivf_centroids(
     )
 
 
+def ivf_centroids_refined(
+    corpus: DataFrame,
+    corpus_id: str = "corpus_id",
+    vec: str = "embedding",
+    by: str = "label",
+    dim: int = 64,
+    refine_iters: int = 2,
+    sample_n: int = 256,
+) -> DataFrame:
+    """Spherical-k-means refinement of the IVF coarse quantizer:
+    label-medoid initialization (deterministic), then `refine_iters`
+    rounds of cosine-assignment → mean update over a bounded
+    smallest-id training sample.
+
+    Engine-portable like pq_codebook's refinement: cosine assignment
+    uses sequential folds (ties to the smaller centroid id), the mean
+    is a per-dimension ordered left fold in corpus_id order, and empty
+    cells keep their previous centroid. Centroids are NOT re-normalized
+    — cosine ranking is scale-invariant, so the unnormalized mean
+    yields the same assignments as the spherical-k-means unit mean
+    while keeping the SQL twin one step shorter. The cosine objective
+    Σ max_c cos(x, c) is non-decreasing per round (spherical k-means
+    monotonicity; asserted in tests/test_pq_refine.py)."""
+    cents = ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
+    sample = (
+        corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+        .orderBy(corpus_id)
+        .limit(sample_n)
+    )
+    for _ in range(refine_iters):
+        scored = sample.crossJoin(F.broadcast(cents)).select(
+            corpus_id, "__v", "centroid_id", cosine(F.col("__v"), F.col("centroid")).alias("__cs")
+        )
+        w = Window.partitionBy(corpus_id).orderBy(F.col("__cs").desc(), F.col("centroid_id"))
+        assigned = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(corpus_id, "centroid_id", "__v")
+        )
+        grouped = assigned.groupBy("centroid_id").agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(corpus_id).alias("i"), F.col("__v").alias("v")))
+            ).alias("__arr")
+        )
+        vs = F.transform(F.col("__arr"), lambda x: x["v"])
+        mean_vec = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: F.aggregate(
+                vs, F.lit(0.0), lambda a, v: a + F.element_at(v, (i + 1).cast("int"))
+            )
+            / F.size("__arr"),
+        )
+        means = grouped.select("centroid_id", mean_vec.alias("__new_c"))
+        cents = cents.join(means, "centroid_id", "left").select(
+            "centroid_id", F.coalesce("__new_c", "centroid").alias("centroid")
+        )
+    return cents
+
+
 def topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -240,12 +299,16 @@ def topk_ivf(
     k: int = 5,
     nprobe: int = 2,
     centroid_mode: str = "mean",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF search: assign corpus vectors to centroids, route each
     query to its nprobe nearest centroids, brute-force only there.
     Scan cost drops by ~n_centroids/nprobe; partition the corpus by
     centroid_id at rest to make the probe partition-pruned."""
-    cents = ivf_centroids(corpus, corpus_id, vec, by, mode=centroid_mode).cache()
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(corpus, corpus_id, vec, by, mode=centroid_mode)
+    ).cache()
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
@@ -511,6 +574,7 @@ def topk_ivfpq(
     refine_iters: int = 2,
     sample_n: int = 128,
     codebook: DataFrame | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN layout. The coarse
     quantizer (medoid centroid per cell) routes each query to nprobe
@@ -519,7 +583,10 @@ def topk_ivfpq(
     stores (cell_id, m-byte code) partitioned by cell — the probe is
     a partition-pruned scan of compressed codes: cells cut the scan by
     n_cells/nprobe, PQ cuts the bytes per row by ~32×."""
-    cents = ivf_centroids(corpus, corpus_id, vec, by, mode="medoid").cache()
+    cents = (
+        centroids if centroids is not None
+        else ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
+    ).cache()
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(

@@ -89,6 +89,7 @@ def _split(spark: SparkSession, sf_dir: str):
 # search() split: training cost is paid once, probe plans stay free of
 # the Lloyd's-iteration subtree.
 _CB_CACHE: dict[str, list] = {}
+_CENT_CACHE: dict[str, list] = {}
 
 
 def _refined_codebook(spark: SparkSession, sf_dir: str, corpus) -> "DataFrame":
@@ -101,6 +102,19 @@ def _refined_codebook(spark: SparkSession, sf_dir: str, corpus) -> "DataFrame":
     return spark.createDataFrame(
         rows, "code_id int, s int, code_vec array<double>"
     )
+
+
+def _refined_centroids(spark: SparkSession, sf_dir: str, corpus_lab) -> "DataFrame":
+    """Spherical-k-means-refined coarse quantizer, trained once per
+    fixture dir (10 tiny rows collected) — the IVF counterpart of
+    _refined_codebook's train/search split."""
+    from serverless_datalake_spark.operators.similarity import ivf_centroids_refined
+
+    rows = _CENT_CACHE.get(sf_dir)
+    if rows is None:
+        rows = ivf_centroids_refined(corpus_lab).collect()
+        _CENT_CACHE[sf_dir] = rows
+    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
 
 
 @query(
@@ -203,9 +217,53 @@ def _cos_sql(a: str, b: str) -> str:
     """
 
 
+def _ivf_cents_sql(refine_iters: int = 2, sample_n: int = 256, dim: int = 64) -> str:
+    """CTE chain recomputing operators.similarity.ivf_centroids_refined
+    bit-for-bit, ending in a CTE named `cents`: label-medoid init, then
+    spherical-k-means rounds (cosine assignment with ties to the
+    smaller centroid id; per-dimension ordered-fold mean update over
+    the smallest-`sample_n`-id training sample; empty cells keep their
+    centroid). Same determinism contract as _pq_codebook_sql."""
+    init_name = "cents" if refine_iters == 0 else "cents0"
+    parts = [
+        f"""
+    {init_name} AS (
+      SELECT label AS centroid_id, emb AS centroid
+      FROM (SELECT label, emb, ROW_NUMBER() OVER (PARTITION BY label ORDER BY corpus_id) AS rn FROM cl)
+      WHERE rn = 1
+    ),
+    csmp AS (
+      SELECT corpus_id, emb FROM cl ORDER BY corpus_id LIMIT {sample_n}
+    )"""
+    ]
+    for t in range(refine_iters):
+        nxt = "cents" if t == refine_iters - 1 else f"cents{t + 1}"
+        parts.append(f"""
+    casg{t} AS (
+      SELECT corpus_id, centroid_id, emb FROM (
+        SELECT csmp.corpus_id, cents{t}.centroid_id, csmp.emb,
+               ROW_NUMBER() OVER (PARTITION BY csmp.corpus_id
+                 ORDER BY {_cos_sql("csmp.emb", f"cents{t}.centroid")} DESC, cents{t}.centroid_id) AS rn
+        FROM csmp CROSS JOIN cents{t}
+      ) WHERE rn = 1
+    ),
+    cmu{t} AS (
+      SELECT centroid_id,
+             list_transform(range(1, {dim + 1}), i ->
+               list_aggregate(list_transform(vs, v -> v[i]), 'sum') / len(vs)) AS new_c
+      FROM (SELECT centroid_id, list(emb ORDER BY corpus_id) AS vs
+            FROM casg{t} GROUP BY centroid_id)
+    ),
+    {nxt} AS (
+      SELECT cents{t}.centroid_id, COALESCE(cmu{t}.new_c, cents{t}.centroid) AS centroid
+      FROM cents{t} LEFT JOIN cmu{t} USING (centroid_id)
+    )""")
+    return ",".join(parts)
+
+
 def _ivf_oracle(k: int = 5, nprobe: int = 2) -> str:
-    """Same IVF pipeline in SQL: medoid centroids (min-id member per
-    label — bit-exact in any engine, unlike a distributed float mean),
+    """Same IVF pipeline in SQL: spherical-k-means-refined centroids
+    (label-medoid init — bit-exact in any engine, see _ivf_cents_sql),
     nearest-centroid corpus assignment, nprobe query routing,
     brute-force re-rank inside probed cells."""
     return f"""
@@ -214,11 +272,7 @@ def _ivf_oracle(k: int = 5, nprobe: int = 2) -> str:
       SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
       FROM embeddings WHERE vec_id >= 10
     ),
-    cents AS (
-      SELECT label AS centroid_id, emb AS centroid
-      FROM (SELECT label, emb, ROW_NUMBER() OVER (PARTITION BY label ORDER BY corpus_id) AS rn FROM cl)
-      WHERE rn = 1
-    ),
+    {_ivf_cents_sql()},
     c_assigned AS (
       SELECT corpus_id, emb, centroid_id FROM (
         SELECT cl.corpus_id, cl.emb, cents.centroid_id,
@@ -263,7 +317,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_lab = em.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), "embedding", "label"
     )
-    return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2, centroid_mode="medoid")
+    cents = _refined_centroids(spark, sf_dir, corpus_lab)
+    return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2, centroids=cents)
 
 
 def _pq_codebook_sql(m: int, d: int, n_codes: int, refine_iters: int, sample_n: int) -> str:
@@ -410,11 +465,7 @@ def _ivfpq_oracle(
       SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
       FROM embeddings WHERE vec_id >= 10
     ),
-    cents AS (
-      SELECT label AS centroid_id, emb AS centroid
-      FROM (SELECT label, emb, ROW_NUMBER() OVER (PARTITION BY label ORDER BY corpus_id) AS rn FROM cl)
-      WHERE rn = 1
-    ),
+    {_ivf_cents_sql()},
     c_assigned AS (
       SELECT corpus_id, centroid_id FROM (
         SELECT cl.corpus_id, cents.centroid_id,
@@ -489,4 +540,7 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_lab = em.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), "embedding", "label"
     )
-    return similarity.topk_ivfpq(queries, corpus_lab, k=5, nprobe=2, codebook=cb)
+    cents = _refined_centroids(spark, sf_dir, corpus_lab)
+    return similarity.topk_ivfpq(
+        queries, corpus_lab, k=5, nprobe=2, codebook=cb, centroids=cents
+    )
