@@ -300,15 +300,21 @@ def topk_ivf(
     nprobe: int = 2,
     centroid_mode: str = "mean",
     centroids: DataFrame | None = None,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF search: assign corpus vectors to centroids, route each
     query to its nprobe nearest centroids, brute-force only there.
     Scan cost drops by ~n_centroids/nprobe; partition the corpus by
     centroid_id at rest to make the probe partition-pruned."""
-    cents = (
-        centroids if centroids is not None
-        else ivf_centroids(corpus, corpus_id, vec, by, mode=centroid_mode)
-    ).cache()
+    if centroid_rows is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            centroid_rows, "centroid_id int, centroid array<double>"
+        ).cache()
+    else:
+        cents = (
+            centroids if centroids is not None
+            else ivf_centroids(corpus, corpus_id, vec, by, mode=centroid_mode)
+        ).cache()
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
@@ -321,7 +327,17 @@ def topk_ivf(
         return scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= topn)
 
     c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
-    c_assigned = assign(c, corpus_id, "__cv", 1).select(corpus_id, "__cv", "centroid_id")
+    if centroid_rows is not None:
+        # map-only corpus assignment (see ivf_assign_expr)
+        c_assigned = c.select(
+            corpus_id,
+            "__cv",
+            ivf_assign_expr(
+                centroid_rows, "transform(__cv, x -> CAST(x AS DOUBLE))"
+            ).alias("centroid_id"),
+        )
+    else:
+        c_assigned = assign(c, corpus_id, "__cv", 1).select(corpus_id, "__cv", "centroid_id")
     q = queries.select(F.col(query_id), F.col(vec).alias("__qv"))
     q_probes = assign(q, query_id, "__qv", nprobe).select(query_id, "__qv", "centroid_id")
 
@@ -469,6 +485,91 @@ def pq_codebook(
     return cb
 
 
+def ivf_assign_expr(centroid_rows: list, vec_sql: str) -> Column:
+    """Nearest-centroid cell assignment as ONE shuffle-free projection,
+    given the trained coarse quantizer as driver-side rows
+    (centroid_id, centroid).
+
+    Replaces the crossJoin(centroids) + per-row window top-1 on the
+    CORPUS side — which shuffles corpus × n_cells rows by corpus_id at
+    scale — with a fold argmax over a centroid literal (ties keep the
+    smallest centroid_id, identical to the window's ORDER BY cscore
+    DESC, centroid_id). Scores are the exact cosine folds the
+    DataFrame path computes, so assignments are bit-identical. The
+    query side keeps the window (it needs top-nprobe and is the tiny
+    side)."""
+    rows = sorted(centroid_rows, key=lambda r: r["centroid_id"])
+    ids_sql = "array(" + ",".join(str(int(r["centroid_id"])) for r in rows) + ")"
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r["centroid"]) + ")" for r in rows
+    ) + ")"
+    n = len(rows)
+    # bind the cast vector (v) and its norm (nv) ONCE via the
+    # transform-over-singleton trick — without it every centroid
+    # comparison recomputes the row vector's cast and norm folds
+    cos = (
+        f"transform({cents_sql}, c -> "
+        f"aggregate(zip_with(v, c, (x, y) -> x * y), 0.0D, (a, x) -> a + x) / "
+        f"(nv * SQRT(aggregate(transform(c, x -> x * x), 0.0D, (a, x) -> a + x))))"
+    )
+    argmax = (
+        f"aggregate(sequence(1, {n - 1}), 1, (bi, j) -> "
+        f"CASE WHEN element_at(cs, j + 1) > element_at(cs, bi) THEN j + 1 ELSE bi END)"
+    )
+    return F.expr(
+        f"element_at(transform(array({vec_sql}), v -> "
+        f"element_at(transform(array(SQRT(aggregate(transform(v, x -> x * x), 0.0D, (a, x) -> a + x))), nv -> "
+        f"element_at({ids_sql}, element_at(transform(array({cos}), cs -> {argmax}), 1))"
+        f"), 1)), 1)"
+    )
+
+
+def pq_reconstruct_expr(
+    codebook_rows: list, m: int, d: int, n_codes: int, vec_sql: str
+) -> Column:
+    """PQ encode+reconstruct as ONE shuffle-free projection, given the
+    trained codebook as driver-side rows (code_id, s, code_vec).
+
+    The codebook ships as a single nested array literal (m × n_codes ×
+    d doubles); per subspace, the nearest code is picked by a
+    sequential fold over the distance array (strict `<` keeps the
+    earliest index, identical to the join+window path's
+    ORDER BY dist, code_id), and the chosen code vectors are flattened
+    in subspace order. Same bits as the DataFrame-codebook path — but
+    zero shuffles and zero joins: at 100 TB, encode becomes a map-only
+    scan instead of a (corpus × m)-row shuffle + window + regroup. The
+    whole expression is one SQL string (one py4j round trip, one
+    Literal node — the lsh_bucket lesson)."""
+    codes: dict[tuple[int, int], list[float]] = {}
+    for r in codebook_rows:
+        codes[(r["s"], r["code_id"])] = list(r["code_vec"])
+    cb_sql = "array(" + ",".join(
+        "array(" + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in codes[(s, j)]) + ")"
+            for j in range(n_codes)
+        ) + ")"
+        for s in range(m)
+    ) + ")"
+    dists = (
+        f"transform(element_at(cb, s + 1), cv -> "
+        f"aggregate(zip_with(slice({vec_sql}, s * {d} + 1, {d}), cv, "
+        f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x))"
+    )
+    argmin = (
+        f"aggregate(sequence(1, {n_codes - 1}), 1, (bi, j) -> "
+        f"CASE WHEN element_at(ds, j + 1) < element_at(ds, bi) THEN j + 1 ELSE bi END)"
+    )
+    # bind the codebook literal ONCE (transform-over-singleton) — it
+    # is ~20 KB of doubles; inlining it at both use sites doubles the
+    # expression tree and codegen size
+    return F.expr(
+        f"element_at(transform(array({cb_sql}), cb -> "
+        f"flatten(transform(sequence(0, {m - 1}), s -> "
+        f"element_at(transform(array({dists}), ds -> "
+        f"element_at(element_at(cb, s + 1), {argmin})), 1)))), 1)"
+    )
+
+
 def topk_pq(
     queries: DataFrame,
     corpus: DataFrame,
@@ -482,6 +583,7 @@ def topk_pq(
     refine_iters: int = 2,
     sample_n: int = 128,
     codebook: DataFrame | None = None,
+    codebook_rows: list | None = None,
 ) -> DataFrame:
     """ANN via product quantization: encode each corpus vector as m
     code ids (nearest codebook entry per subspace, L2, ties to the
@@ -498,47 +600,55 @@ def topk_pq(
 
     Pass ``codebook`` (a (code_id, s, code_vec) frame, e.g. a
     pre-trained/materialized one) to keep the training subtree out of
-    the probe plan — the FAISS separation of train() from search()."""
-    cb = codebook if codebook is not None else pq_codebook(
-        corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
-    )
-
+    the probe plan, or ``codebook_rows`` (its collected rows) to also
+    collapse encode+reconstruct into one shuffle-free projection
+    (pq_reconstruct_expr) — the FAISS separation of train() from
+    search()."""
     c = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
-    c_sub = c.select(
-        corpus_id,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("s"),
-                    F.slice("__v", s * d + 1, d).alias("sub_vec"),
-                ),
-            )
-        ).alias("sc"),
-    ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
-
-    dist = F.aggregate(
-        F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    scored_codes = c_sub.join(F.broadcast(cb), "s").select(
-        corpus_id, "s", "code_id", "code_vec", dist.alias("__dist")
-    )
-    w = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
-    codes = (
-        scored_codes.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .select(corpus_id, "s", "code_id", "code_vec")
-    )
-    recon = (
-        codes.groupBy(corpus_id)
-        .agg(F.array_sort(F.collect_list(F.struct("s", "code_vec"))).alias("sv"))
-        .select(
+    if codebook_rows is not None:
+        recon = c.select(
             corpus_id,
-            F.flatten(F.transform("sv", lambda x: x["code_vec"])).alias("__rv"),
+            pq_reconstruct_expr(codebook_rows, m, d, n_codes, "__v").alias("__rv"),
         )
-    )
+    else:
+        cb = codebook if codebook is not None else pq_codebook(
+            corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
+        )
+        c_sub = c.select(
+            corpus_id,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("s"),
+                        F.slice("__v", s * d + 1, d).alias("sub_vec"),
+                    ),
+                )
+            ).alias("sc"),
+        ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
+
+        dist = F.aggregate(
+            F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        scored_codes = c_sub.join(F.broadcast(cb), "s").select(
+            corpus_id, "s", "code_id", "code_vec", dist.alias("__dist")
+        )
+        w = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
+        codes = (
+            scored_codes.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select(corpus_id, "s", "code_id", "code_vec")
+        )
+        recon = (
+            codes.groupBy(corpus_id)
+            .agg(F.array_sort(F.collect_list(F.struct("s", "code_vec"))).alias("sv"))
+            .select(
+                corpus_id,
+                F.flatten(F.transform("sv", lambda x: x["code_vec"])).alias("__rv"),
+            )
+        )
 
     q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
     scored = recon.crossJoin(F.broadcast(q)).select(
@@ -575,6 +685,8 @@ def topk_ivfpq(
     sample_n: int = 128,
     codebook: DataFrame | None = None,
     centroids: DataFrame | None = None,
+    codebook_rows: list | None = None,
+    centroid_rows: list | None = None,
 ) -> DataFrame:
     """IVF-PQ: the standard billion-scale ANN layout. The coarse
     quantizer (medoid centroid per cell) routes each query to nprobe
@@ -582,11 +694,20 @@ def topk_ivfpq(
     reconstructions (topk_pq's fixed-order fold). At rest the corpus
     stores (cell_id, m-byte code) partitioned by cell — the probe is
     a partition-pruned scan of compressed codes: cells cut the scan by
-    n_cells/nprobe, PQ cuts the bytes per row by ~32×."""
-    cents = (
-        centroids if centroids is not None
-        else ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
-    ).cache()
+    n_cells/nprobe, PQ cuts the bytes per row by ~32×.
+
+    ``codebook_rows`` (the trained codebook collected to the driver)
+    collapses encode+reconstruct into one shuffle-free projection —
+    see pq_reconstruct_expr."""
+    if centroid_rows is not None:
+        cents = corpus.sparkSession.createDataFrame(
+            centroid_rows, "centroid_id int, centroid array<double>"
+        ).cache()
+    else:
+        cents = (
+            centroids if centroids is not None
+            else ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
+        ).cache()
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
@@ -598,49 +719,93 @@ def topk_ivfpq(
         w = Window.partitionBy(id_col).orderBy(F.col("cscore").desc(), F.col("centroid_id"))
         return scored.withColumn("crank", F.row_number().over(w)).where(F.col("crank") <= topn)
 
-    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
-    c_assigned = assign(c, corpus_id, "__cv", 1).select(corpus_id, "centroid_id")
     q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
     q_probes = assign(q, query_id, "__qv", nprobe).select(query_id, "__qv", "centroid_id")
 
-    cb = codebook if codebook is not None else pq_codebook(
-        corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
-    )
-    cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
-    c_sub = cd.select(
-        corpus_id,
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.struct(
-                    s.cast("int").alias("s"),
-                    F.slice("__v", s * d + 1, d).alias("sub_vec"),
-                ),
-            )
-        ).alias("sc"),
-    ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
-    dist = F.aggregate(
-        F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
-    sc = c_sub.join(F.broadcast(cb), "s").select(
-        corpus_id, "s", "code_id", "code_vec", dist.alias("__dist")
-    )
-    wmin = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
-    codes = (
-        sc.withColumn("__rn", F.row_number().over(wmin))
-        .where(F.col("__rn") == 1)
-        .select(corpus_id, "s", "code_vec")
-    )
-    recon = (
-        codes.groupBy(corpus_id)
-        .agg(F.array_sort(F.collect_list(F.struct("s", "code_vec"))).alias("sv"))
-        .select(
+    if centroid_rows is not None and codebook_rows is not None:
+        # the fully-literal path: cell assignment AND PQ reconstruction
+        # in ONE map-only projection over a single corpus scan — no
+        # self-join of assignment against reconstruction, no shuffle
+        # before the probe join (this is the at-rest layout's compute
+        # twin: at scale `enc` IS the table partitionBy(centroid_id))
+        cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+        enc = cd.select(
             corpus_id,
-            F.flatten(F.transform("sv", lambda x: x["code_vec"])).alias("__rv"),
+            ivf_assign_expr(centroid_rows, "__v").alias("centroid_id"),
+            pq_reconstruct_expr(codebook_rows, m, d, n_codes, "__v").alias("__rv"),
         )
-    )
+        cand = enc.join(F.broadcast(q_probes), "centroid_id")
+        scored = cand.select(
+            query_id, corpus_id, dot(F.col("__qv"), F.col("__rv")).alias("score")
+        )
+        wq = Window.partitionBy(query_id).orderBy(F.col("score").desc(), F.col(corpus_id))
+        return (
+            scored.withColumn("rank", F.row_number().over(wq))
+            .where(F.col("rank") <= k)
+            .select(
+                query_id,
+                corpus_id,
+                F.round("score", 6).alias("score"),
+                F.col("rank").cast("long").alias("rank"),
+            )
+        )
+
+    c = corpus.select(F.col(corpus_id), F.col(vec).alias("__cv"))
+    if centroid_rows is not None:
+        # map-only corpus assignment (see ivf_assign_expr)
+        c_assigned = c.select(
+            corpus_id,
+            ivf_assign_expr(
+                centroid_rows, "transform(__cv, x -> CAST(x AS DOUBLE))"
+            ).alias("centroid_id"),
+        )
+    else:
+        c_assigned = assign(c, corpus_id, "__cv", 1).select(corpus_id, "centroid_id")
+
+    cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+    if codebook_rows is not None:
+        recon = cd.select(
+            corpus_id,
+            pq_reconstruct_expr(codebook_rows, m, d, n_codes, "__v").alias("__rv"),
+        )
+    else:
+        cb = codebook if codebook is not None else pq_codebook(
+            corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
+        )
+        c_sub = cd.select(
+            corpus_id,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(m - 1)),
+                    lambda s: F.struct(
+                        s.cast("int").alias("s"),
+                        F.slice("__v", s * d + 1, d).alias("sub_vec"),
+                    ),
+                )
+            ).alias("sc"),
+        ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
+        dist = F.aggregate(
+            F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        sc = c_sub.join(F.broadcast(cb), "s").select(
+            corpus_id, "s", "code_id", "code_vec", dist.alias("__dist")
+        )
+        wmin = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
+        codes = (
+            sc.withColumn("__rn", F.row_number().over(wmin))
+            .where(F.col("__rn") == 1)
+            .select(corpus_id, "s", "code_vec")
+        )
+        recon = (
+            codes.groupBy(corpus_id)
+            .agg(F.array_sort(F.collect_list(F.struct("s", "code_vec"))).alias("sv"))
+            .select(
+                corpus_id,
+                F.flatten(F.transform("sv", lambda x: x["code_vec"])).alias("__rv"),
+            )
+        )
 
     cand = c_assigned.join(F.broadcast(q_probes), "centroid_id").join(recon, corpus_id)
     scored = cand.select(

@@ -92,29 +92,31 @@ _CB_CACHE: dict[str, list] = {}
 _CENT_CACHE: dict[str, list] = {}
 
 
-def _refined_codebook(spark: SparkSession, sf_dir: str, corpus) -> "DataFrame":
+def _codebook_rows(sf_dir: str, corpus) -> list:
+    """Trained codebook rows (collected once per fixture dir); probes
+    inline them as a literal via pq_reconstruct_expr — encode becomes a
+    shuffle-free projection."""
     from serverless_datalake_spark.operators.similarity import pq_codebook
 
     rows = _CB_CACHE.get(sf_dir)
     if rows is None:
         rows = pq_codebook(corpus, "corpus_id", "embedding").collect()
         _CB_CACHE[sf_dir] = rows
-    return spark.createDataFrame(
-        rows, "code_id int, s int, code_vec array<double>"
-    )
+    return rows
 
 
-def _refined_centroids(spark: SparkSession, sf_dir: str, corpus_lab) -> "DataFrame":
-    """Spherical-k-means-refined coarse quantizer, trained once per
-    fixture dir (10 tiny rows collected) — the IVF counterpart of
-    _refined_codebook's train/search split."""
+def _centroid_rows(sf_dir: str, corpus_lab) -> list:
+    """Spherical-k-means-refined coarse quantizer rows, trained once
+    per fixture dir (10 tiny rows collected) — the IVF counterpart of
+    _codebook_rows' train/search split; probes inline them via
+    ivf_assign_expr (map-only corpus assignment)."""
     from serverless_datalake_spark.operators.similarity import ivf_centroids_refined
 
     rows = _CENT_CACHE.get(sf_dir)
     if rows is None:
         rows = ivf_centroids_refined(corpus_lab).collect()
         _CENT_CACHE[sf_dir] = rows
-    return spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+    return rows
 
 
 @query(
@@ -317,8 +319,8 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_lab = em.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), "embedding", "label"
     )
-    cents = _refined_centroids(spark, sf_dir, corpus_lab)
-    return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2, centroids=cents)
+    cents = _centroid_rows(sf_dir, corpus_lab)
+    return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2, centroid_rows=cents)
 
 
 def _pq_codebook_sql(m: int, d: int, n_codes: int, refine_iters: int, sample_n: int) -> str:
@@ -443,8 +445,8 @@ def sim_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     The scale path stores only the codes and scores via per-query
     lookup tables; IVF-PQ partitions the codes by coarse centroid."""
     queries, corpus = _split(spark, sf_dir)
-    cb = _refined_codebook(spark, sf_dir, corpus)
-    return similarity.topk_pq(queries, corpus, k=5, codebook=cb)
+    rows = _codebook_rows(sf_dir, corpus)
+    return similarity.topk_pq(queries, corpus, k=5, codebook_rows=rows)
 
 
 def _ivfpq_oracle(
@@ -535,12 +537,12 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cell_id, code) rows → a probe reads compressed codes from two
     partitions instead of the corpus."""
     queries, corpus = _split(spark, sf_dir)
-    cb = _refined_codebook(spark, sf_dir, corpus)
+    rows = _codebook_rows(sf_dir, corpus)
     em = load_table(spark, sf_dir, "embeddings")
     corpus_lab = em.where(F.col("vec_id") >= 10).select(
         F.col("vec_id").alias("corpus_id"), "embedding", "label"
     )
-    cents = _refined_centroids(spark, sf_dir, corpus_lab)
+    cents = _centroid_rows(sf_dir, corpus_lab)
     return similarity.topk_ivfpq(
-        queries, corpus_lab, k=5, nprobe=2, codebook=cb, centroids=cents
+        queries, corpus_lab, k=5, nprobe=2, codebook_rows=rows, centroid_rows=cents
     )
