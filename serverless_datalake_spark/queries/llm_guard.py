@@ -272,6 +272,80 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_intra_lines",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), l AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)), i ->
+               struct_pack(line_no := i,
+                           line := array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')))) AS s
+      FROM t
+    ), lines AS (
+      SELECT doc_id, s.line_no AS line_no, s.line AS line FROM l
+    ), flagged AS (
+      SELECT doc_id, line_no, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    )
+    SELECT doc_id,
+           COALESCE(array_to_string(list(line ORDER BY line_no) FILTER (WHERE rn = 1), ' '), '') AS kept_text,
+           CAST(COUNT(CASE WHEN rn = 1 THEN 1 END) AS BIGINT) AS n_lines_kept,
+           CAST(COUNT(*) AS BIGINT) AS n_lines_total
+    FROM flagged
+    GROUP BY doc_id
+    """,
+    tags=("llm", "guard", "dedup", "lines"),
+)
+def dedup_intra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level dedup across the corpus: segment each
+    document into lines (10-token windows here — the fixture text has
+    no newlines), keep only the globally-first occurrence of each
+    distinct line (ordered by doc_id, line_no), and rebuild documents
+    from their surviving lines in order. This is the pass that strips
+    boilerplate (headers, cookie banners, licence blocks) repeated
+    across a web corpus.
+
+    Shape at scale: explode → ONE shuffle keyed by line (at 100 TB
+    key by md5(line) so the shuffle carries 16-byte keys, not text) →
+    window first-occurrence → regroup per doc. Both shuffles are
+    linear in corpus lines; no cross-document comparison ever
+    materializes."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    lines = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1,
+                ),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            )
+        ).alias("line_no", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    flagged = lines.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("line_no").alias("line_no"), F.col("line").alias("line"))
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list(kept_struct)), lambda x: x["line"]),
+                " ",
+            ).alias("kept_text"),
+            F.count(F.when(F.col("rn") == 1, 1)).alias("n_lines_kept"),
+            F.count("*").alias("n_lines_total"),
+        )
+    )
+
+
+@query(
     "text_heavy_hitters",
     oracle="""
     WITH toks AS (
