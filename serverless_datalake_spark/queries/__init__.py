@@ -181,7 +181,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     since gained oracles), plus 4 re-confirmation slots for
 #     production paths touched this round (flagship replay, exact
 #     dedup, brute-force ANN baseline, tf-idf). Green ⇒ every one of
-#     the 140 registry queries has appeared driver-green at least once.
+#     the 140 pre-round-3 registry queries has appeared driver-green
+#     at least once.
+#   round 4 (planned): the 7 data-guard queries added in round 3
+#     (pii_detect, pii_redact, text_clean_normalize,
+#     dedup_url_canonical, decontaminate_semantic, text_heavy_hitters,
+#     dedup_intra_lines) plus any round-3 window row that did not come
+#     back green, then free slots for re-confirmations.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 6 former round-1 `no_oracle` rows, oracled since round 2
     "agg_approx",
