@@ -186,8 +186,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   round 4 (planned): the 7 data-guard queries added in round 3
 #     (pii_detect, pii_redact, text_clean_normalize,
 #     dedup_url_canonical, decontaminate_semantic, text_heavy_hitters,
-#     dedup_intra_lines) plus any round-3 window row that did not come
-#     back green, then free slots for re-confirmations.
+#     dedup_intra_lines) and the 3 feature-engineering queries
+#     (feature_minmax_scale, feature_zscore, feature_winsorize), plus
+#     any round-3 window row that did not come back green, then free
+#     slots for re-confirmations.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 6 former round-1 `no_oracle` rows, oracled since round 2
     "agg_approx",
@@ -252,6 +254,7 @@ def load_registry() -> dict[str, Query]:
     from serverless_datalake_spark.queries import (  # noqa: F401
         aggregates,
         datapipe,
+        features,
         funnel,
         functions,
         functions2,
