@@ -167,3 +167,46 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("s_suppkey", 2).over(w_full).alias("second_best"),
     )
+
+
+@query(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT user_id, event_id,
+           LAST_VALUE(click_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_value,
+           FIRST_VALUE(click_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_click_value
+    FROM (
+      SELECT user_id, event_id, ts,
+             CASE WHEN event_type = 'click' THEN value END AS click_value
+      FROM events
+    ) t
+    """,
+    tags=("window", "analytic", "ignore_nulls"),
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS analytics — last-observation-carried-forward
+    gap fill (each event carries the user's most recent click value)
+    plus first-non-null over the full partition. The standard
+    time-series forward-fill, one shuffle on the partition key; also
+    the primitive behind the as-of join composition
+    (operators/asof.py)."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(F.col("event_type") == "click", F.col("value")).alias("click_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return clicks.select(
+        "user_id",
+        "event_id",
+        F.last("click_value", ignorenulls=True).over(w_run).alias("last_click_value"),
+        F.first("click_value", ignorenulls=True).over(w_full).alias("first_click_value"),
+    )
