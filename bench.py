@@ -42,6 +42,7 @@ HEADLINE = [
     "sim_topk_lsh_multiprobe",
     "sim_topk_lsh_indexed",
     "sim_topk_ivfpq",
+    "sim_topk_ivfpq_residual",
     "text_quality",
     "text_tfidf",
     "mm_decode_features",

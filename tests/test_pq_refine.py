@@ -140,3 +140,59 @@ def test_ivf_refinement_improves_recall_sf001():
         return len(got & truth) / len(truth)
 
     assert recall(2) >= recall(0)
+
+
+def test_residual_pq_reconstructs_better_than_plain(spark, sf_dir):
+    """Residual IVF-PQ (encode x − centroid) must reconstruct strictly
+    better than plain PQ for the same code budget; recall must not
+    degrade. The fixture embeddings are near-uniform (weak clusters,
+    centroid norms ≈ 0.32) so the margin is modest here; on clustered
+    corpora it grows with cluster tightness."""
+    from serverless_datalake_spark.operators.similarity import (
+        ivf_assign_expr,
+        ivf_centroid_vec_expr,
+        ivf_centroids_refined,
+        pq_codebook,
+        pq_reconstruct_expr,
+        pq_residual_codebook,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    c = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    cent_rows = ivf_centroids_refined(c).collect()
+    cb_rows = pq_codebook(c, "corpus_id", "embedding").collect()
+    rcb_rows = pq_residual_codebook(
+        c, "corpus_id", "embedding", centroid_rows=cent_rows
+    ).collect()
+    cd = c.select("corpus_id", _as_double(F.col("embedding")).alias("__v"))
+
+    def err(av):
+        return F.aggregate(
+            F.zip_with("__v", av, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+
+    plain = (
+        cd.select(err(pq_reconstruct_expr(cb_rows, M, D, 16, "__v")).alias("e"))
+        .agg(F.avg("e"))
+        .collect()[0][0]
+    )
+    resid = (
+        cd.select("__v", ivf_centroid_vec_expr(cent_rows, "__v").alias("__cv"))
+        .select("__v", "__cv", F.zip_with("__v", "__cv", lambda x, y: x - y).alias("__r"))
+        .select(
+            err(
+                F.zip_with(
+                    "__cv",
+                    pq_reconstruct_expr(rcb_rows, M, D, 16, "__r"),
+                    lambda x, y: x + y,
+                )
+            ).alias("e")
+        )
+        .agg(F.avg("e"))
+        .collect()[0][0]
+    )
+    assert resid < plain
