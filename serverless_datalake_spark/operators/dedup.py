@@ -294,8 +294,12 @@ def minhash_dedup_components(
         else:
             new_labels = new_labels.cache()
         new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
-        # drop the superseded iteration's cache — otherwise every
-        # round leaks a cached DataFrame (and its executor memory)
+        # drop the superseded iteration's CACHED frame eagerly; a
+        # superseded localCheckpoint's blocks are not in the cache
+        # manager (is_cached is False for them) — they are reclaimed by
+        # the ContextCleaner once the rebinding below drops the last
+        # reference, so at most one checkpointed label table lingers
+        # between GC cycles (each is just (doc_id, label) pairs)
         if labels.is_cached:
             labels.unpersist()
         labels = new_labels

@@ -552,6 +552,19 @@ def ivf_centroid_vec_expr(centroid_rows: list, vec_sql: str) -> Column:
     )
 
 
+def ivf_centroid_lookup_expr(centroid_rows: list, id_sql: str) -> Column:
+    """Centroid VECTOR by already-computed cell id — an array_position
+    lookup into the sorted centroid literal. Pair with ivf_assign_expr
+    to avoid re-running the full cosine argmax fold a second time when
+    both the id and the vector are needed (residual computation)."""
+    rows = sorted(centroid_rows, key=lambda r: r["centroid_id"])
+    ids_sql = "array(" + ",".join(str(int(r["centroid_id"])) for r in rows) + ")"
+    cents_sql = "array(" + ",".join(
+        "array(" + ",".join(f"{float(x)!r}D" for x in r["centroid"]) + ")" for r in rows
+    ) + ")"
+    return F.expr(f"element_at({cents_sql}, CAST(array_position({ids_sql}, {id_sql}) AS INT))")
+
+
 def pq_residual_codebook(
     corpus: DataFrame,
     corpus_id: str = "corpus_id",
@@ -570,12 +583,16 @@ def pq_residual_codebook(
     end-to-end: cell choice via the literal-centroid fold argmax,
     residual as an exact elementwise subtraction, then the standard
     Lloyd's-refined pq_codebook over the residual frame."""
+    if centroid_rows is None:
+        raise ValueError("pq_residual_codebook requires trained centroid_rows")
     cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
     residuals = cd.select(
+        F.col(corpus_id), "__v", ivf_assign_expr(centroid_rows, "__v").alias("__cell")
+    ).select(
         F.col(corpus_id),
         F.zip_with(
             F.col("__v"),
-            ivf_centroid_vec_expr(centroid_rows, "__v"),
+            ivf_centroid_lookup_expr(centroid_rows, "__cell"),
             lambda x, y: x - y,
         ).alias("__r"),
     )
@@ -624,13 +641,18 @@ def topk_ivfpq_residual(
     )
 
     cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+    # one argmax fold for the cell id, then an O(1) literal lookup for
+    # its vector — NOT a second argmax (subexpression elimination does
+    # not reach inside HOF lambdas, so two folds would run twice)
     with_cell = cd.select(
-        corpus_id,
-        ivf_assign_expr(centroid_rows, "__v").alias("centroid_id"),
-        ivf_centroid_vec_expr(centroid_rows, "__v").alias("__cvec"),
-        "__v",
+        corpus_id, "__v", ivf_assign_expr(centroid_rows, "__v").alias("centroid_id")
     )
     with_res = with_cell.select(
+        corpus_id,
+        "centroid_id",
+        ivf_centroid_lookup_expr(centroid_rows, "centroid_id").alias("__cvec"),
+        "__v",
+    ).select(
         corpus_id,
         "centroid_id",
         "__cvec",
@@ -752,18 +774,7 @@ def topk_pq(
         cb = codebook if codebook is not None else pq_codebook(
             corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
         )
-        c_sub = c.select(
-            corpus_id,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.struct(
-                        s.cast("int").alias("s"),
-                        F.slice("__v", s * d + 1, d).alias("sub_vec"),
-                    ),
-                )
-            ).alias("sc"),
-        ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
+        c_sub = _explode_subspaces(c, corpus_id, "__v", m, d, "sub_vec")
 
         dist = F.aggregate(
             F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
@@ -910,18 +921,7 @@ def topk_ivfpq(
         cb = codebook if codebook is not None else pq_codebook(
             corpus, corpus_id, vec, m, d, n_codes, refine_iters, sample_n
         )
-        c_sub = cd.select(
-            corpus_id,
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(m - 1)),
-                    lambda s: F.struct(
-                        s.cast("int").alias("s"),
-                        F.slice("__v", s * d + 1, d).alias("sub_vec"),
-                    ),
-                )
-            ).alias("sc"),
-        ).select(corpus_id, F.col("sc.s").alias("s"), F.col("sc.sub_vec").alias("sub_vec"))
+        c_sub = _explode_subspaces(cd, corpus_id, "__v", m, d, "sub_vec")
         dist = F.aggregate(
             F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
             F.lit(0.0),

@@ -34,7 +34,8 @@ from serverless_datalake_spark.tables import load_table
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_orderkey, l_linenumber, grp,
-           ROUND((l_extendedprice - mn) / (mx - mn), 6) AS price_scaled
+           ROUND(CASE WHEN mx = mn THEN 0.5
+                      ELSE (l_extendedprice - mn) / (mx - mn) END, 6) AS price_scaled
     FROM lineitem JOIN stats ON l_returnflag = grp
     WHERE l_orderkey < 1000
     """,
@@ -57,7 +58,12 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linenumber",
             "grp",
             F.round(
-                (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn")), 6
+                # constant-valued group: map everything to mid-range
+                # rather than NULL-from-0/0 (same CASE in the oracle)
+                F.when(F.col("mx") == F.col("mn"), F.lit(0.5)).otherwise(
+                    (F.col("l_extendedprice") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                ),
+                6,
             ).alias("price_scaled"),
         )
     )
@@ -73,7 +79,9 @@ def feature_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_orderkey, l_linenumber, grp,
-           ROUND((l_quantity - s / n) / SQRT((ss - (s / n) * s) / (n - 1)), 6) AS qty_z
+           ROUND(CASE WHEN n <= 1 OR ss - (s / n) * s <= 0 THEN 0.0
+                      ELSE (l_quantity - s / n) / SQRT((ss - (s / n) * s) / (n - 1)) END,
+                 6) AS qty_z
     FROM lineitem JOIN stats ON l_returnflag = grp
     WHERE l_orderkey < 1000
     """,
@@ -94,8 +102,14 @@ def feature_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
     )
     mean = F.col("s") / F.col("n")
-    z = (F.col("l_quantity") - mean) / F.sqrt(
-        (F.col("ss") - mean * F.col("s")) / (F.col("n") - 1)
+    # single-row or constant group: z := 0 rather than NULL-from-0/0
+    # (same CASE in the oracle; the ss − mean·s compare is exact since
+    # both operands are exact — see module header)
+    z = F.when(
+        (F.col("n") <= 1) | (F.col("ss") - mean * F.col("s") <= 0), F.lit(0.0)
+    ).otherwise(
+        (F.col("l_quantity") - mean)
+        / F.sqrt((F.col("ss") - mean * F.col("s")) / (F.col("n") - 1))
     )
     return (
         li.join(F.broadcast(stats), li.l_returnflag == stats.grp)

@@ -315,17 +315,24 @@ def dedup_intra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     materializes."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    lines = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(
-                    F.lit(0),
-                    F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1,
-                ),
-                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-            )
-        ).alias("line_no", "line"),
+    lines = (
+        docs
+        # empty/whitespace-only docs produce zero lines in the oracle's
+        # range(0, 0); Spark's sequence(0, -1) would instead DESCEND and
+        # emit two phantom lines — drop such docs before exploding
+        .where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1,
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+                )
+            ).alias("line_no", "line"),
+        )
     )
     w = Window.partitionBy("line").orderBy("doc_id", "line_no")
     flagged = lines.withColumn("rn", F.row_number().over(w))

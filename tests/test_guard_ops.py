@@ -80,19 +80,27 @@ def test_intra_line_dedup_conserves_and_dedups(spark, sf_dir):
         F.sum("n_lines_kept").alias("kept"), F.sum("n_lines_total").alias("total")
     ).collect()[0]
     assert 0 < agg.kept <= agg.total
-    # global first-occurrence-wins ⇒ kept line multiset has no duplicates
+    # something actually deduplicated (the fixtures repeat lines)
+    assert agg.kept < agg.total
+    # global first-occurrence-wins ⇒ re-segmenting the kept text into
+    # 10-token lines must yield a GLOBALLY unique line multiset
+    toks = F.filter(F.split(F.col("kept_text"), " "), lambda x: x != "")
     kept_lines = (
         out.where(F.col("kept_text") != "")
-        .select(F.explode(F.split("kept_text", " ")).alias("tok"))
-        .count()
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+                )
+            ).alias("line")
+        )
     )
-    distinct_kept = (
-        out.where(F.col("kept_text") != "")
-        .select("doc_id", "kept_text")
-        .withColumn("line", F.explode(F.array("kept_text")))
-        .count()
-    )
-    assert kept_lines > 0 and distinct_kept > 0
+    n_lines = kept_lines.count()
+    n_distinct = kept_lines.distinct().count()
+    assert n_lines > 0 and n_lines == n_distinct
     # the doc with doc_id 0 keeps at least its own first line (nothing
     # precedes (0, 0) in the global order)
     first = out.where(F.col("doc_id") == 0).collect()[0]
