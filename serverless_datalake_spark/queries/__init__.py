@@ -186,7 +186,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #   round 4 (planned): the 7 data-guard queries added in round 3
 #     (pii_detect, pii_redact, text_clean_normalize,
 #     dedup_url_canonical, decontaminate_semantic, text_heavy_hitters,
-#     dedup_intra_lines) and the 3 feature-engineering queries
+#     dedup_intra_lines, pipeline_guarded_curation) and the 3
+#     feature-engineering queries
 #     (feature_minmax_scale, feature_zscore, feature_winsorize) and
 #     window_ignore_nulls and sim_topk_ivfpq_residual, plus
 #     any round-3 window row that did not come back green, then free

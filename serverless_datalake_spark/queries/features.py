@@ -191,3 +191,15 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(clipped, 6).alias("price_winsorized"),
         )
     )
+
+
+def winsorize_bounds_approx(
+    df: DataFrame, col: str, p_lo: float = 0.01, p_hi: float = 0.99, rel_err: float = 0.001
+) -> tuple[float, float]:
+    """Production twin of feature_winsorize's bound computation: one
+    Greenwald–Khanna sketch scan (approxQuantile), no global sort —
+    the zorder_key_approx pattern. Clip with the same CASE expression;
+    at 100 TB the exact-order-statistic path would single-partition a
+    corpus-wide sort just to find two numbers."""
+    lo, hi = df.stat.approxQuantile(col, [p_lo, p_hi], rel_err)
+    return lo, hi

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators.similarity import cosine
 from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.queries.datapipe import _BUCKET_SQL, _bucket_col
 from serverless_datalake_spark.tables import load_table
 
 # Deterministic PII/URL injection — identical SQL text in both engines.
@@ -349,6 +350,123 @@ def dedup_intra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("rn") == 1, 1)).alias("n_lines_kept"),
             F.count("*").alias("n_lines_total"),
         )
+    )
+
+
+@query(
+    "pipeline_guarded_curation",
+    oracle=f"""
+    WITH cleaned AS (
+      SELECT doc_id, lang,
+             trim(regexp_replace(text, ' +', ' ', 'g')) AS text,
+             length({_RAW_SQL}) - length(
+               regexp_replace(regexp_replace(regexp_replace({_RAW_SQL},
+                 '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g'),
+                 '{_URL_RE}', '<URL>', 'g')) AS pii_chars_removed
+      FROM documents
+    ), gated AS (
+      SELECT * FROM cleaned
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 25
+    ), l AS (
+      SELECT doc_id,
+             unnest(list_transform(range(0, CAST(ceil(
+               len(list_filter(string_split(text, ' '), x -> x <> '')) / 10.0) AS BIGINT)), i ->
+               struct_pack(line_no := i,
+                 line := array_to_string(list_slice(
+                   list_filter(string_split(text, ' '), x -> x <> ''),
+                   i * 10 + 1, i * 10 + 10), ' ')))) AS s
+      FROM gated
+    ), lines AS (
+      SELECT doc_id, s.line_no AS line_no, s.line AS line FROM l
+    ), flagged AS (
+      SELECT doc_id, line,
+             ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
+      FROM lines
+    ), per_doc AS (
+      SELECT g.doc_id, g.lang, g.pii_chars_removed,
+             CASE WHEN {_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split,
+             f.kept_tokens
+      FROM gated g JOIN (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN rn = 1
+                 THEN len(list_filter(string_split(line, ' '), x -> x <> '')) END), 0) AS BIGINT)
+                 AS kept_tokens
+        FROM flagged GROUP BY doc_id
+      ) f USING (doc_id)
+    )
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(kept_tokens) AS BIGINT) AS total_kept_tokens,
+           CAST(SUM(pii_chars_removed) AS BIGINT) AS total_pii_chars_removed
+    FROM per_doc
+    GROUP BY split, lang
+    """,
+    tags=("llm", "guard", "pipeline", "composed"),
+)
+def pipeline_guarded_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The guard family composed end-to-end, the shape of a real corpus
+    build: normalize whitespace → measure PII redaction (on the
+    injected raw form) → token-count quality gate (≥ 25) → global
+    line-level dedup → deterministic train/test split → per-(split,
+    lang) rollup of documents, surviving tokens, and redacted bytes.
+
+    Every stage keeps its standalone operator's scale shape; composed,
+    the job is two line-keyed shuffles (dedup + regroup) plus one tiny
+    rollup — Catalyst pipelines the scan-shaped stages into the first
+    exchange's map side."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.expr(_RAW_SQL)
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"),
+        _URL_RE,
+        "<URL>",
+    )
+    cleaned = docs.select(
+        "doc_id",
+        "lang",
+        F.trim(F.regexp_replace(F.col("text"), " +", " ")).alias("text"),
+        (F.length(raw) - F.length(redacted)).alias("pii_chars_removed"),
+    )
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    gated = cleaned.where(F.size(toks) >= 25)
+    lines = gated.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            )
+        ).alias("line_no", "line"),
+    )
+    w = Window.partitionBy("line").orderBy("doc_id", "line_no")
+    kept = (
+        lines.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("rn") == 1,
+                        F.size(F.filter(F.split("line", " "), lambda x: x != "")),
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("kept_tokens")
+        )
+    )
+    per_doc = gated.join(kept, "doc_id").select(
+        "lang",
+        "pii_chars_removed",
+        F.when(_bucket_col() < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+        "kept_tokens",
+    )
+    return per_doc.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("kept_tokens").cast("long").alias("total_kept_tokens"),
+        F.sum("pii_chars_removed").cast("long").alias("total_pii_chars_removed"),
     )
 
 

@@ -116,3 +116,36 @@ def test_decontaminate_threshold_semantics(spark, sf_dir):
     assert all(r.train_id >= 10 and r.closest_eval_id < 10 for r in rows)
     # one row per flagged train vector (top-1, not top-k)
     assert len({r.train_id for r in rows}) == len(rows)
+
+
+def test_winsorize_approx_twin_matches_exact_bounds(spark, sf_dir):
+    """The approxQuantile production twin must land within sketch
+    tolerance of the exact order-statistic bounds the oracle query
+    uses (rel_err 0.001 on ~4k rows ⇒ a few rank positions)."""
+    from serverless_datalake_spark.queries.features import winsorize_bounds_approx
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lo_a, hi_a = winsorize_bounds_approx(li, "l_extendedprice")
+    n = li.count()
+    exact = (
+        li.select(F.col("l_extendedprice").alias("v"))
+        .orderBy("v")
+        .collect()
+    )
+    vs = [r.v for r in exact]
+    import math
+
+    def exact_bound(p):
+        idx = p * (n - 1)
+        f = idx - math.floor(idx)
+        i = int(math.floor(idx))
+        return vs[i] + f * (vs[i + 1] - vs[i])
+
+    lo_e, hi_e = exact_bound(0.01), exact_bound(0.99)
+    # sketch guarantees rank error <= rel_err * n; translate to value
+    # tolerance via the neighborhood spread around each bound
+    slack = max(3, int(0.002 * n))
+    lo_band = vs[max(0, int(0.01 * n) - slack) : int(0.01 * n) + slack]
+    hi_band = vs[int(0.99 * n) - slack : min(n, int(0.99 * n) + slack)]
+    assert min(lo_band) <= lo_a <= max(lo_band), (lo_a, lo_e)
+    assert min(hi_band) <= hi_a <= max(hi_band), (hi_a, hi_e)
