@@ -189,7 +189,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     dedup_intra_lines, pipeline_guarded_curation) and the 3
 #     feature-engineering queries
 #     (feature_minmax_scale, feature_zscore, feature_winsorize) and
-#     window_ignore_nulls and sim_topk_ivfpq_residual, plus
+#     window_ignore_nulls, sim_topk_ivfpq_residual, and
+#     sql_recursive_cte, plus
 #     any round-3 window row that did not come back green, then free
 #     slots for re-confirmations.
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -164,3 +164,40 @@ def sql_in_subquery_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 50
         """
     )
+
+
+@query(
+    "sql_recursive_cte",
+    oracle="""
+    WITH RECURSIVE spine(d) AS (
+      SELECT DATE '1995-01-01'
+      UNION ALL
+      SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine WHERE d < DATE '1995-03-31'
+    )
+    SELECT spine.d AS day, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+    FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = spine.d
+    GROUP BY spine.d
+    """,
+    tags=("sql", "recursive", "gapfill"),
+)
+def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE (Spark 4's recursive CTE): generate a dense
+    90-day date spine, left-join daily order counts — the calendar
+    gap-fill every reporting pipeline needs (days with zero orders
+    appear as 0, which a plain GROUP BY over fact rows cannot
+    produce). The spine is driver-tiny and broadcast; recursion depth
+    is bounded by the date range, not data size. Identical SQL text
+    runs on both engines."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(d) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM spine WHERE d < DATE '1995-03-31'
+        )
+        SELECT spine.d AS day, CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders
+        FROM spine LEFT JOIN orders ON CAST(o_orderdate AS DATE) = spine.d
+        GROUP BY spine.d
+        """
+    )
