@@ -53,6 +53,7 @@ HEADLINE = [
     "text_gopher_rules",
     "split_contamination",
     "pack_greedy_bins",
+    "pipeline_guarded_curation",
     # data-guard family (round 3): redaction, URL dedup, semantic
     # decontamination, heavy hitters — the compliance/cleanliness scans
     "pii_redact",
