@@ -190,7 +190,7 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     feature-engineering queries
 #     (feature_minmax_scale, feature_zscore, feature_winsorize) and
 #     window_ignore_nulls, sim_topk_ivfpq_residual, and
-#     sql_recursive_cte, plus
+#     sql_recursive_cte, sample_balanced_cap, dedup_keep_longest, plus
 #     any round-3 window row that did not come back green, then free
 #     slots for re-confirmations.
 DRIVER_WINDOW: tuple[str, ...] = (

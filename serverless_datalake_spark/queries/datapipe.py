@@ -551,3 +551,84 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weight"),
     )
+
+
+@query(
+    "sample_balanced_cap",
+    oracle=f"""
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY {_BUCKET_SQL}, doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 60
+    GROUP BY lang
+    """,
+    tags=("llm", "datapipe", "sampling"),
+)
+def sample_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-class downsampling: cap every language at 60
+    documents, chosen by deterministic hash order (so the cap is
+    stable under re-runs and incremental additions — a new document
+    only displaces the current max-hash member, never reshuffles the
+    whole class). The mixture-balancing step before training when one
+    class dominates the corpus. One window shuffle on the class key;
+    WindowGroupLimit prunes per-class work map-side."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(_bucket_col(), "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 60)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+@query(
+    "dedup_keep_longest",
+    oracle="""
+    SELECT doc_id, fingerprint, n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_sort(list_distinct(
+               list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint,
+             ROW_NUMBER() OVER (
+               PARTITION BY md5(array_to_string(list_sort(list_distinct(
+                 list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+               ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn = 1 AND n_chars >= 300
+    """,
+    tags=("llm", "datapipe", "dedup", "policy"),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup survivor POLICY variant: cluster documents by bag-of-words
+    fingerprint (sorted distinct tokens — catches shuffled/reordered
+    copies exact hashing misses) and keep the LONGEST member instead of
+    the smallest-id one — the 'keep the most complete version' rule
+    real pipelines prefer when near-copies differ by truncation. Same
+    single-shuffle shape as dedup_exact; the policy is just the window
+    order. Output filtered to long docs to keep the check focused."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
+            ),
+            " ",
+        )
+    )
+    w = Window.partitionBy("fingerprint").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    return (
+        docs.withColumn("fingerprint", fp)
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("n_chars") >= 300))
+        .select("doc_id", "fingerprint", "n_chars")
+    )
