@@ -174,3 +174,40 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_guard_scans_stay_shuffle_free(spark, sf_dir):
+    """The regexp guard passes must be pure projections: no exchange,
+    no UDF in the plan (whole-stage codegen end to end)."""
+    for name in ("pii_detect", "pii_redact", "text_clean_normalize"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "Exchange" not in plan, name
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_heavy_hitters_prunes_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "text_heavy_hitters")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_literal_ann_paths_are_map_only_before_probe(spark, sf_dir):
+    """The literal-codebook/centroid encode must not shuffle the corpus
+    before the probe join: sim_topk_pq's whole corpus side is scan +
+    projection (2 exchanges total: the top-k window + AQE read), and
+    the ivfpq variants keep the corpus-side assignment join-free."""
+    plan = plan_of(spark, sf_dir, "sim_topk_pq")
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    assert "SortMergeJoin" not in plan
+    for name in ("sim_topk_ivfpq", "sim_topk_ivfpq_residual"):
+        plan = plan_of(spark, sf_dir, name)
+        # one broadcast probe join; no shuffle join anywhere
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_feature_stats_broadcast_back(spark, sf_dir):
+    for name in ("feature_minmax_scale", "feature_zscore"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
