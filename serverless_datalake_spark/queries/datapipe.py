@@ -592,15 +592,13 @@ def sample_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_keep_longest",
-    oracle="""
+    oracle=f"""
     SELECT doc_id, fingerprint, n_chars
     FROM (
       SELECT doc_id, n_chars,
-             md5(array_to_string(list_sort(list_distinct(
-               list_filter(string_split(text, ' '), x -> x <> ''))), ' ')) AS fingerprint,
+             md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fingerprint,
              ROW_NUMBER() OVER (
-               PARTITION BY md5(array_to_string(list_sort(list_distinct(
-                 list_filter(string_split(text, ' '), x -> x <> ''))), ' '))
+               PARTITION BY md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
                ORDER BY n_chars DESC, doc_id) AS rn
       FROM documents
     ) t
@@ -617,14 +615,7 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-shuffle shape as dedup_exact; the policy is just the window
     order. Output filtered to long docs to keep the check focused."""
     docs = load_table(spark, sf_dir, "documents")
-    fp = F.md5(
-        F.array_join(
-            F.array_sort(
-                F.array_distinct(F.filter(F.split(F.col("text"), " "), lambda x: x != ""))
-            ),
-            " ",
-        )
-    )
+    fp = F.md5(F.array_join(F.array_sort(F.array_distinct(_toks_col())), " "))
     w = Window.partitionBy("fingerprint").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
     return (
         docs.withColumn("fingerprint", fp)

@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators.similarity import cosine
 from serverless_datalake_spark.queries import query
-from serverless_datalake_spark.queries.datapipe import _BUCKET_SQL, _bucket_col
+from serverless_datalake_spark.queries.datapipe import (
+    _BUCKET_SQL,
+    _TOKS_SQL,
+    _bucket_col,
+    _toks_col,
+)
 from serverless_datalake_spark.tables import load_table
 
 # Deterministic PII/URL injection — identical SQL text in both engines.
@@ -272,18 +277,39 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _segment_lines(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
+    """10-token line segmentation shared by dedup_intra_lines and
+    pipeline_guarded_curation → (doc_id, *carry, line_no, line).
+    Empty/whitespace-only docs produce zero lines (matching the
+    oracles' range(0, 0)); Spark's sequence(0, -1) would instead
+    DESCEND and emit two phantom lines, hence the guard."""
+    toks = _toks_col()
+    return df.where(F.size(toks) > 0).select(
+        "doc_id",
+        *carry,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1),
+                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+            )
+        ).alias("line_no", "line"),
+    )
+
+
+# the matching oracle CTE body (FROM <src>; emits doc_id, line_no, line)
+def _lines_sql(src: str, extra_cols: str = "") -> str:
+    return f"""
+      SELECT doc_id,{extra_cols}
+             unnest(list_transform(range(0, CAST(ceil(len({_TOKS_SQL}) / 10.0) AS BIGINT)), i ->
+               struct_pack(line_no := i,
+                 line := array_to_string(list_slice({_TOKS_SQL}, i * 10 + 1, i * 10 + 10), ' ')))) AS s
+      FROM {src}"""
+
+
 @query(
     "dedup_intra_lines",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents
-    ), l AS (
-      SELECT doc_id,
-             unnest(list_transform(range(0, CAST(ceil(len(toks) / 10.0) AS BIGINT)), i ->
-               struct_pack(line_no := i,
-                           line := array_to_string(list_slice(toks, i * 10 + 1, i * 10 + 10), ' ')))) AS s
-      FROM t
+    oracle=f"""
+    WITH l AS ({_lines_sql("documents")}
     ), lines AS (
       SELECT doc_id, s.line_no AS line_no, s.line AS line FROM l
     ), flagged AS (
@@ -315,26 +341,7 @@ def dedup_intra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus lines; no cross-document comparison ever
     materializes."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    lines = (
-        docs
-        # empty/whitespace-only docs produce zero lines in the oracle's
-        # range(0, 0); Spark's sequence(0, -1) would instead DESCEND and
-        # emit two phantom lines — drop such docs before exploding
-        .where(F.size(toks) > 0)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(
-                        F.lit(0),
-                        F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1,
-                    ),
-                    lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-                )
-            ).alias("line_no", "line"),
-        )
-    )
+    lines = _segment_lines(docs)
     w = Window.partitionBy("line").orderBy("doc_id", "line_no")
     flagged = lines.withColumn("rn", F.row_number().over(w))
     kept_struct = F.when(
@@ -368,32 +375,21 @@ def dedup_intra_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), gated AS (
       SELECT * FROM cleaned
       WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 25
-    ), l AS (
-      SELECT doc_id,
-             unnest(list_transform(range(0, CAST(ceil(
-               len(list_filter(string_split(text, ' '), x -> x <> '')) / 10.0) AS BIGINT)), i ->
-               struct_pack(line_no := i,
-                 line := array_to_string(list_slice(
-                   list_filter(string_split(text, ' '), x -> x <> ''),
-                   i * 10 + 1, i * 10 + 10), ' ')))) AS s
-      FROM gated
+    ), l AS ({_lines_sql("gated", " lang, pii_chars_removed,")}
     ), lines AS (
-      SELECT doc_id, s.line_no AS line_no, s.line AS line FROM l
+      SELECT doc_id, lang, pii_chars_removed,
+             s.line_no AS line_no, s.line AS line FROM l
     ), flagged AS (
-      SELECT doc_id, line,
+      SELECT doc_id, lang, pii_chars_removed, line,
              ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn
       FROM lines
     ), per_doc AS (
-      SELECT g.doc_id, g.lang, g.pii_chars_removed,
+      SELECT doc_id, MIN(lang) AS lang, MIN(pii_chars_removed) AS pii_chars_removed,
              CASE WHEN {_BUCKET_SQL} < 90 THEN 'train' ELSE 'test' END AS split,
-             f.kept_tokens
-      FROM gated g JOIN (
-        SELECT doc_id,
-               CAST(COALESCE(SUM(CASE WHEN rn = 1
-                 THEN len(list_filter(string_split(line, ' '), x -> x <> '')) END), 0) AS BIGINT)
-                 AS kept_tokens
-        FROM flagged GROUP BY doc_id
-      ) f USING (doc_id)
+             CAST(COALESCE(SUM(CASE WHEN rn = 1
+               THEN len(list_filter(string_split(line, ' '), x -> x <> '')) END), 0) AS BIGINT)
+               AS kept_tokens
+      FROM flagged GROUP BY doc_id
     )
     SELECT split, lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
@@ -428,22 +424,19 @@ def pipeline_guarded_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.regexp_replace(F.col("text"), " +", " ")).alias("text"),
         (F.length(raw) - F.length(redacted)).alias("pii_chars_removed"),
     )
-    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
-    gated = cleaned.where(F.size(toks) >= 25)
-    lines = gated.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1),
-                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-            )
-        ).alias("line_no", "line"),
-    )
+    gated = cleaned.where(F.size(_toks_col()) >= 25)
+    # doc metadata rides THROUGH the line explode (first/min per doc on
+    # the regroup) — a gated ⨝ kept self-join would rescan the corpus
+    # and re-run every regexp, and its build side is corpus-sized (not
+    # broadcastable at scale)
+    lines = _segment_lines(gated, carry=("lang", "pii_chars_removed"))
     w = Window.partitionBy("line").orderBy("doc_id", "line_no")
-    kept = (
+    per_doc = (
         lines.withColumn("rn", F.row_number().over(w))
         .groupBy("doc_id")
         .agg(
+            F.min("lang").alias("lang"),
+            F.min("pii_chars_removed").alias("pii_chars_removed"),
             F.coalesce(
                 F.sum(
                     F.when(
@@ -454,14 +447,14 @@ def pipeline_guarded_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             )
             .cast("long")
-            .alias("kept_tokens")
+            .alias("kept_tokens"),
         )
-    )
-    per_doc = gated.join(kept, "doc_id").select(
-        "lang",
-        "pii_chars_removed",
-        F.when(_bucket_col() < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
-        "kept_tokens",
+        .select(
+            "lang",
+            "pii_chars_removed",
+            F.when(_bucket_col() < 90, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+            "kept_tokens",
+        )
     )
     return per_doc.groupBy("split", "lang").agg(
         F.count("*").alias("n_docs"),
@@ -495,10 +488,7 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     count map-side → ONE shuffle on (source, token) → per-source
     window top-k with WindowGroupLimit pushdown; no collect."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source",
-        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("token"),
-    )
+    toks = docs.select("source", F.explode(_toks_col()).alias("token"))
     counts = toks.groupBy("source", "token").agg(F.count("*").alias("cnt"))
     w = Window.partitionBy("source").orderBy(F.col("cnt").desc(), F.col("token"))
     return (
