@@ -259,6 +259,108 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dup_pairs(em, "vec_id", "embedding", threshold=0.3)
 
 
+# Spherical-k-means centroids over the FULL embeddings table (the
+# similarity module's cache covers only the vec_id>=10 corpus split),
+# trained once per fixture dir — same train/search split rationale as
+# llm_similarity._centroid_rows.
+_SEMDEDUP_CENTS: dict[str, list] = {}
+
+
+def _semdedup_oracle(threshold: float = 0.3) -> str:
+    """SemDeDup in SQL: the shared spherical-k-means CTE chain
+    (llm_similarity._ivf_cents_sql) over the full table, fold-cosine
+    cluster assignment, then intra-cluster duplicate marking."""
+    from serverless_datalake_spark.queries.llm_similarity import (
+        _cos_sql,
+        _ivf_cents_sql,
+    )
+
+    return f"""
+    WITH cl AS (
+      SELECT vec_id AS corpus_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb, label
+      FROM embeddings
+    ),
+    {_ivf_cents_sql()},
+    asg AS (
+      SELECT corpus_id, emb, centroid_id FROM (
+        SELECT cl.corpus_id, cl.emb, cents.centroid_id,
+               ROW_NUMBER() OVER (PARTITION BY cl.corpus_id
+                                  ORDER BY {_cos_sql("cl.emb", "cents.centroid")} DESC, cents.centroid_id) AS rn
+        FROM cl CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT b.corpus_id AS dup_id
+      FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.corpus_id < b.corpus_id
+      WHERE {_cos_sql("a.emb", "b.emb")} >= {threshold}
+    )
+    SELECT asg.corpus_id AS vec_id,
+           CAST(asg.centroid_id AS INTEGER) AS cluster_id,
+           dups.dup_id IS NULL AS is_survivor
+    FROM asg LEFT JOIN dups ON asg.corpus_id = dups.dup_id
+    """
+
+
+@query(
+    "dedup_semdedup",
+    # Centroid training, fold-cosine assignment (ties to the smaller
+    # centroid id), and the intra-cluster cosine verify all reuse the
+    # proven deterministic idioms from the ANN family — the oracle
+    # recomputes the exact pipeline, not a recall approximation.
+    oracle=_semdedup_oracle(),
+    tags=("llm", "dedup", "embedding", "semdedup"),
+)
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then mark duplicates ONLY within each cluster — a vector is
+    pruned when a lower-id vector in the same cluster has cosine ≥ τ;
+    min-id survivors keep the semantics deterministic.
+
+    This is the scale-correct semantic-dedup layout: clustering bounds
+    the quadratic term to Σ|cluster|² instead of N² (pick k ∝ N so
+    cluster sizes stay bounded), the cluster id is the natural at-rest
+    partition key (intra-cluster pairing becomes a co-partitioned
+    self-join with NO cross-cluster shuffle), and cell assignment is a
+    map-only fold over broadcast-literal centroids
+    (operators/similarity.ivf_assign_expr) — one corpus scan, one
+    bounded pair join. The brute-force twin is dedup_embedding_cosine;
+    the hyperplane-bucket twin is dedup_embedding_lsh (buckets by
+    random planes; SemDeDup buckets by learned cluster structure,
+    which concentrates true neighbors far better on clustered data).
+    """
+    from serverless_datalake_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        ivf_assign_expr,
+        ivf_centroids_refined,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus_lab = em.select(F.col("vec_id").alias("corpus_id"), "embedding", "label")
+    rows = _SEMDEDUP_CENTS.get(sf_dir)
+    if rows is None:
+        rows = ivf_centroids_refined(corpus_lab).collect()
+        _SEMDEDUP_CENTS[sf_dir] = rows
+
+    asg = em.select("vec_id", _as_double(F.col("embedding")).alias("__v")).withColumn(
+        "cluster_id", ivf_assign_expr(rows, "__v")
+    )
+    a = asg.select(F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cluster_id")
+    b = asg.select(F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "cluster_id")
+    dups = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("__va"), F.col("__vb")) >= 0.3)
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return asg.join(dups, asg.vec_id == dups.dup_id, "left").select(
+        "vec_id",
+        F.col("cluster_id").cast("int").alias("cluster_id"),
+        F.col("dup_id").isNull().alias("is_survivor"),
+    )
+
+
 @query(
     "dedup_embedding_lsh",
     # Deterministic hyperplane buckets (same md5 planes as the ANN
