@@ -328,3 +328,105 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05 * F.col("exact_orders")
         ).alias("merged_ok"),
     )
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle="""
+    WITH stats AS (
+      SELECT l_returnflag, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    ), hist AS (
+      SELECT li.l_returnflag,
+             CASE WHEN s.hi = s.lo THEN 0
+                  ELSE LEAST(CAST(FLOOR((li.l_extendedprice - s.lo)
+                                        / ((s.hi - s.lo) / 128.0)) AS INTEGER), 127)
+             END AS bin,
+             COUNT(*) AS cnt
+      FROM lineitem li JOIN stats s USING (l_returnflag)
+      GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum
+      FROM hist
+    ), targets AS (
+      SELECT l_returnflag, lo, hi, n, p, p * n AS target
+      FROM stats, UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE), CAST(0.99 AS DOUBLE)]) AS u(p)
+    ), first_bin AS (
+      SELECT * FROM (
+        SELECT t.l_returnflag, t.p, t.lo, t.hi, t.n, t.target, c.bin, c.cnt, c.cum,
+               ROW_NUMBER() OVER (PARTITION BY t.l_returnflag, t.p ORDER BY c.bin) AS rn
+        FROM targets t JOIN cum c USING (l_returnflag)
+        WHERE c.cum >= t.target
+      ) WHERE rn = 1
+    )
+    SELECT l_returnflag, p,
+           ROUND(CASE WHEN hi = lo THEN lo
+                      ELSE lo + ((hi - lo) / 128.0)
+                           * (bin + (target - (cum - cnt)) / cnt) END, 4) AS q_est,
+           CAST(n AS BIGINT) AS n
+    FROM first_bin
+    """,
+    tags=("agg", "sketch", "quantile"),
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (the fixed-bin cousin of
+    t-digest): one stats pass (min/max/count per group), one histogram
+    pass binning values into 128 equi-width buckets, then p50/p90/p99
+    read off the cumulative counts with linear interpolation inside
+    the containing bin.
+
+    The sketch IS the (group, bin, count) relation — associative and
+    mergeable, so partial aggregation combines map-side and shards
+    merge by summing counts; estimating a quantile over 100 TB costs
+    two scans and a 128-row-per-group reduction instead of the full
+    sort exact percentiles need (agg_percentile_exact is the exact
+    twin; error is bounded by one bin width = range/128). All
+    arithmetic is +,-,*,/,floor on identical inputs, so both engines
+    agree bit-for-bit before the final round."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(128.0)
+    bin_ = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((F.col("l_extendedprice") - F.col("lo")) / width).cast("int"),
+            F.lit(127),
+        )
+    )
+    hist = (
+        li.select("l_returnflag", "l_extendedprice")
+        .join(F.broadcast(stats), "l_returnflag")
+        .withColumn("bin", bin_)
+        .groupBy("l_returnflag", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum = hist.withColumn(
+        "cum", F.sum("cnt").over(Window.partitionBy("l_returnflag").orderBy("bin"))
+    ).select("l_returnflag", "bin", "cnt", "cum")
+    targets = stats.select(
+        "l_returnflag",
+        "lo",
+        "hi",
+        "n",
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p"),
+    ).withColumn("target", F.col("p") * F.col("n"))
+    cand = targets.join(cum, "l_returnflag").where(F.col("cum") >= F.col("target"))
+    w2 = Window.partitionBy("l_returnflag", "p").orderBy("bin")
+    first = cand.withColumn("rn", F.row_number().over(w2)).where(F.col("rn") == 1)
+    est = F.when(F.col("hi") == F.col("lo"), F.col("lo")).otherwise(
+        F.col("lo")
+        + width * (F.col("bin") + (F.col("target") - (F.col("cum") - F.col("cnt"))) / F.col("cnt"))
+    )
+    return first.select(
+        "l_returnflag",
+        "p",
+        F.round(est, 4).alias("q_est"),
+        F.col("n").cast("long").alias("n"),
+    )

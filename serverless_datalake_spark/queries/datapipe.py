@@ -591,6 +591,57 @@ def sample_balanced_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_weighted",
+    oracle=f"""
+    SELECT source, doc_id, n_chars,
+           ROUND(CAST(((doc_id * 2654435761) % 4294967296) AS DOUBLE)
+                 / GREATEST(n_chars, 1), 6) AS priority,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY CAST(((doc_id * 2654435761) % 4294967296) AS DOUBLE)
+                        / GREATEST(n_chars, 1), doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 20
+    """,
+    tags=("llm", "datapipe", "sampling", "weighted"),
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (priority
+    sampling à la Efraimidis–Spirakis, with the transcendental-free
+    key h/w instead of u^(1/w)): each document draws a uniform 32-bit
+    hash h from the multiplicative hash family and is ranked by
+    h / weight — larger weights (here n_chars: prefer long documents)
+    systematically shrink the key, so inclusion probability grows with
+    weight while staying a pure function of (doc_id, weight). Top-20
+    per source.
+
+    Scale shape: one window shuffle on the stratum key with
+    WindowGroupLimit map-side pruning — same plan family as
+    sample_balanced_cap, and the key arithmetic (integer hash, one
+    IEEE division) is bit-portable across engines, unlike log/pow
+    formulations."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr("(doc_id * 2654435761) % 4294967296").cast("double")
+    prio = h / F.greatest(F.col("n_chars"), F.lit(1))
+    w = Window.partitionBy("source").orderBy(prio, "doc_id")
+    return (
+        docs.withColumn("priority", prio)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 20)
+        .select(
+            "source",
+            "doc_id",
+            "n_chars",
+            F.round("priority", 6).alias("priority"),
+            F.col("rn").cast("long").alias("rank"),
+        )
+    )
+
+
+@query(
     "dedup_keep_longest",
     oracle=f"""
     SELECT doc_id, fingerprint, n_chars
