@@ -275,6 +275,7 @@ def load_registry() -> dict[str, Query]:
         skew_resilience,
         sql_dialect,
         streaming_batch,
+        timeseries,
         tpch_shapes,
         tpch_shapes2,
         tpch_shapes3,

@@ -1,0 +1,144 @@
+"""Time-series resampling over `events` — the hypertable-style
+continuous-aggregate surface (regular-grid rollup + gap fill) that
+metric/telemetry pipelines layer on an event stream.
+
+Determinism discipline: bucket keys are exact integer epoch-hours,
+observed bucket values are ROUND(SUM, 2)/COUNT (the sum's intrinsic
+decimal precision is 2 — fixture values carry 2 decimals — so the
+round erases engine ulp-drift and both engines then hold bit-identical
+doubles), and interpolation is one identical +,-,*,/ DAG over those
+doubles — bit-portable with no further rounding care needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+
+@query(
+    "ts_resample_interpolate",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) / COUNT(*) AS v_obs,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ), spine AS (
+      SELECT event_type, unnest(range(lo, hi + 1)) AS h
+      FROM (SELECT event_type, MIN(h) AS lo, MAX(h) AS hi FROM obs GROUP BY 1)
+    ), grid AS (
+      SELECT s.event_type, s.h, obs.v_obs, COALESCE(obs.n, 0) AS n,
+             obs.v_obs IS NOT NULL AS is_observed
+      FROM spine s LEFT JOIN obs ON obs.event_type = s.event_type AND obs.h = s.h
+    ), filled AS (
+      SELECT event_type, h, v_obs, n, is_observed,
+             LAST_VALUE(v_obs IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+             LAST_VALUE(CASE WHEN is_observed THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+             FIRST_VALUE(v_obs IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN is_observed THEN h END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid
+    )
+    SELECT event_type, h * 3600 AS bucket_start, is_observed, CAST(n AS BIGINT) AS n,
+           ROUND(CASE
+             WHEN is_observed THEN v_obs
+             WHEN pv IS NOT NULL AND nv IS NOT NULL
+               THEN pv + (nv - pv) * (CAST(h - ph AS DOUBLE) / (nh - ph))
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END, 4) AS value_interp
+    FROM filled
+    """,
+    tags=("timeseries", "resample", "interpolate"),
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a regular 1-hour grid per event_type and
+    linearly interpolate the empty buckets (TimescaleDB
+    time_bucket_gapfill + interpolate, InfluxDB fill(linear)):
+    hourly mean value per type, a dense hour spine from each type's
+    first to last observation, and for missing buckets
+    v = prev + (next − prev) · Δt/Δspan between the nearest observed
+    neighbors (carry-forward/backward at the edges).
+
+    Scale shape: the rollup is one partial-aggregated shuffle on
+    (type, hour) — the raw events are never joined against the spine;
+    the spine join and both gap-fill windows run on the ALREADY
+    AGGREGATED grid (rows = types × hours, orders of magnitude smaller
+    than the input), partitioned by event_type. At 100 TB the grid for
+    a year of hourly buckets is ~9k rows per series — driver-trivial
+    regardless of input volume."""
+    e = load_table(spark, sf_dir, "events")
+    obs = (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(ts AS LONG) DIV 3600").alias("h"),
+        )
+        .agg(
+            (F.round(F.sum("value"), 2) / F.count(F.lit(1))).alias("v_obs"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    spine = (
+        obs.groupBy("event_type")
+        .agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("h"),
+        )
+    )
+    grid = (
+        spine.join(obs, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            "h",
+            "v_obs",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.col("v_obs").isNotNull().alias("is_observed"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    w_back = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_fwd = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    obs_h = F.when(F.col("is_observed"), F.col("h"))
+    filled = grid.select(
+        "event_type",
+        "h",
+        "v_obs",
+        "n",
+        "is_observed",
+        F.last("v_obs", ignorenulls=True).over(w_back).alias("pv"),
+        F.last(obs_h, ignorenulls=True).over(w_back).alias("ph"),
+        F.first("v_obs", ignorenulls=True).over(w_fwd).alias("nv"),
+        F.first(obs_h, ignorenulls=True).over(w_fwd).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("is_observed"), F.col("v_obs"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((F.col("h") - F.col("ph")).cast("double") / (F.col("nh") - F.col("ph"))),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return filled.select(
+        "event_type",
+        (F.col("h") * 3600).alias("bucket_start"),
+        "is_observed",
+        F.col("n").cast("long").alias("n"),
+        F.round(interp, 4).alias("value_interp"),
+    )
