@@ -37,6 +37,7 @@ def asof_join(
     right_cols: Sequence[str],
     prefix: str = "asof_",
     direction: str = "backward",
+    tolerance_sec: float | None = None,
 ) -> DataFrame:
     """For each left row, attach the nearest right row within the same
     ``on`` key(s): direction="backward" → greatest ``right_ts`` <=
@@ -45,10 +46,18 @@ def asof_join(
 
     Attached columns are named ``{prefix}{col}``; all-null when no
     matching right row exists (left-outer semantics).
+
+    ``tolerance_sec`` (pandas merge_asof's ``tolerance``): a match
+    further than this many seconds from ``left_ts`` is discarded —
+    the attached columns go null, exactly as if no right row existed.
+    Applied as a post-fill mask on the carried payload (the matched
+    timestamp rides inside the payload struct), so the plan cost is
+    unchanged: still ONE shuffle, no range join.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on_cols = [on] if isinstance(on, str) else list(on)
+    _MATCH_TS = "__asof_match_ts"
 
     l_tagged = (
         left.withColumn(_SORT_TS, F.col(left_ts))
@@ -56,7 +65,9 @@ def asof_join(
         .withColumn(
             _PAYLOAD,
             F.lit(None).cast(
-                "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+                "struct<"
+                + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols)
+                + f",{_MATCH_TS}:{right.schema[right_ts].dataType.simpleString()}>"
             ),
         )
     )
@@ -64,7 +75,9 @@ def asof_join(
         *on_cols,
         F.col(right_ts).alias(_SORT_TS),
         F.lit(0).alias(_RANK),
-        F.struct(*[F.col(c) for c in right_cols]).alias(_PAYLOAD),
+        F.struct(
+            *[F.col(c) for c in right_cols], F.col(right_ts).alias(_MATCH_TS)
+        ).alias(_PAYLOAD),
     )
 
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
@@ -81,6 +94,16 @@ def asof_join(
     filled = unioned.withColumn(_PAYLOAD, F.last(_PAYLOAD, ignorenulls=True).over(w))
 
     out = filled.where(F.col(_RANK) == 1)
-    for c in right_cols:
-        out = out.withColumn(f"{prefix}{c}", F.col(_PAYLOAD)[c])
+    if tolerance_sec is not None:
+        within = (
+            F.abs(
+                F.col(left_ts).cast("double") - F.col(_PAYLOAD)[_MATCH_TS].cast("double")
+            )
+            <= F.lit(float(tolerance_sec))
+        )
+        for c in right_cols:
+            out = out.withColumn(f"{prefix}{c}", F.when(within, F.col(_PAYLOAD)[c]))
+    else:
+        for c in right_cols:
+            out = out.withColumn(f"{prefix}{c}", F.col(_PAYLOAD)[c])
     return out.drop(_SORT_TS, _RANK, _PAYLOAD)

@@ -259,6 +259,59 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    )
+    SELECT p.user_id,
+           CAST(FLOOR(EPOCH(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_epoch,
+           ROUND(p.value, 2) AS value,
+           CASE WHEN EPOCH(CAST(p.ts AS TIMESTAMP)) - EPOCH(CAST(s.ts AS TIMESTAMP)) <= 86400.0
+                THEN CAST(FLOOR(EPOCH(CAST(s.ts AS TIMESTAMP))) AS BIGINT) END AS signup_epoch,
+           COALESCE(EPOCH(CAST(p.ts AS TIMESTAMP)) - EPOCH(CAST(s.ts AS TIMESTAMP)) <= 86400.0,
+                    FALSE) AS matched
+    FROM purchases p
+    LEFT JOIN LATERAL (
+      SELECT ts FROM signups s
+      WHERE s.user_id = p.user_id AND s.ts <= p.ts
+      ORDER BY s.ts DESC LIMIT 1
+    ) s ON TRUE
+    """,
+    tags=("join", "asof", "tolerance"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof
+    ``tolerance``): each purchase takes the user's latest signup
+    at-or-before it, but a match older than 24 hours is discarded —
+    the attribution-window rule ad/conversion pipelines apply. Same
+    single-shuffle union+window composition as join_asof; the
+    tolerance is a post-fill mask on the carried payload
+    (operators/asof.py), so the plan shape is identical."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts"],
+        tolerance_sec=86400,
+    )
+    return joined.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("purchase_epoch"),
+        F.round("value", 2).alias("value"),
+        F.col("asof_ts").cast("timestamp").cast("long").alias("signup_epoch"),
+        F.col("asof_ts").isNotNull().alias("matched"),
+    )
+
+
+@query(
     "join_interval_binned",
     oracle="""
     SELECT o.o_orderkey, COUNT(*) AS n_shipments
