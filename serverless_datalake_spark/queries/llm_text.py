@@ -303,3 +303,79 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             (score > 0.2).alias("keep"),
         )
     )
+
+
+@query(
+    "text_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), st AS (
+      SELECT source, t, COUNT(*) AS c FROM tok GROUP BY 1, 2
+    ), s_tot AS (
+      SELECT source, CAST(SUM(c) AS BIGINT) AS ns FROM st GROUP BY 1
+    ), g AS (
+      SELECT t, CAST(SUM(c) AS BIGINT) AS cg FROM st GROUP BY 1
+    ), g_tot AS (
+      SELECT CAST(SUM(cg) AS BIGINT) AS ng FROM g
+    ), contrib AS (
+      SELECT st.source, st.t, s_tot.ns,
+             ROUND((CAST(st.c AS DOUBLE) / CAST(s_tot.ns AS DOUBLE))
+                   * ln((CAST(st.c AS DOUBLE) / CAST(s_tot.ns AS DOUBLE))
+                        / (CAST(g.cg AS DOUBLE) / CAST(g_tot.ng AS DOUBLE))), 8) AS kc
+      FROM st
+      JOIN s_tot USING (source)
+      JOIN g USING (t)
+      CROSS JOIN g_tot
+    )
+    SELECT source,
+           ROUND(list_aggregate(list(kc ORDER BY t), 'sum'), 6) AS kl_divergence,
+           MIN(ns) AS n_tokens
+    FROM contrib
+    GROUP BY source
+    """,
+    tags=("llm", "text", "drift"),
+)
+def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source unigram distribution ‖
+    corpus unigram distribution) — the mixture-monitoring statistic
+    that flags a domain whose token distribution has wandered from the
+    corpus (new crawl snapshot, contaminated shard, template spam).
+
+    Cross-engine float discipline: each token's contribution
+    p·ln(p/q) is rounded at 8 decimals (ln agrees across engines at
+    far finer grain — the tf-idf precedent), then summed as an
+    ORDERED fold over the token-sorted list so both engines add
+    identical doubles in identical order.
+
+    Scale shape: one (source, token) count shuffle, a token-keyed join
+    against the global counts (vocabulary-sized, not corpus-sized),
+    and a per-source fold bounded by vocabulary size — no pass over
+    the raw text after the first count."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("t"),
+    )
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    g = st.groupBy("t").agg(F.sum("c").alias("cg"))
+    g_tot = g.agg(F.sum("cg").alias("ng"))
+    p = F.col("c").cast("double") / F.col("ns").cast("double")
+    q = F.col("cg").cast("double") / F.col("ng").cast("double")
+    kc = F.round(p * F.log(p / q), 8)
+    contrib = (
+        st.join(s_tot, "source")
+        .join(g, "t")
+        .crossJoin(F.broadcast(g_tot))
+        .select("source", "t", "ns", kc.alias("kc"))
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("kc"))))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["kc"]), F.lit(0.0), lambda a, x: a + x
+    )
+    return contrib.groupBy("source").agg(
+        F.round(folded, 6).alias("kl_divergence"),
+        F.min("ns").alias("n_tokens"),
+    )
