@@ -1,0 +1,192 @@
+"""Semantic invariants for the round-3 curation/analytics additions
+(dedup_semdedup, sample_weighted, agg_quantile_sketch,
+ts_resample_interpolate, join_asof_tolerance, text_kl_divergence) —
+properties the row-hash oracle parity cannot express."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import load_registry
+
+REG = load_registry()
+
+
+def test_semdedup_survivor_invariants(spark, sf_dir):
+    """Every cluster keeps ≥1 survivor; the min-id member of every
+    cluster is always a survivor (nobody below it to prune it); a
+    non-survivor's cluster contains a lower-id member."""
+    rows = REG["dedup_semdedup"].fn(spark, sf_dir).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    assert len(by_cluster) > 1
+    pruned_total = 0
+    for members in by_cluster.values():
+        survivors = [m for m in members if m["is_survivor"]]
+        assert survivors, "cluster lost all members"
+        min_id = min(m["vec_id"] for m in members)
+        assert next(m for m in members if m["vec_id"] == min_id)["is_survivor"]
+        pruned_total += len(members) - len(survivors)
+        for m in members:
+            if not m["is_survivor"]:
+                assert any(o["vec_id"] < m["vec_id"] for o in members)
+    assert pruned_total > 0, "fixture must contain semantic near-dups"
+
+
+def test_semdedup_pruned_have_similar_lower_neighbor(spark, sf_dir):
+    """Spot-check the cosine condition: every pruned vector has an
+    actual cosine ≥ τ with some lower-id vector in its cluster."""
+    from serverless_datalake_spark.operators.similarity import cosine, _as_double
+    from serverless_datalake_spark.tables import load_table
+
+    out = REG["dedup_semdedup"].fn(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    j = out.join(em, "vec_id")
+    a = j.select(
+        F.col("vec_id").alias("id_a"), F.col("v").alias("va"), "cluster_id"
+    )
+    b = j.where(~F.col("is_survivor")).select(
+        F.col("vec_id").alias("id_b"), F.col("v").alias("vb"), "cluster_id"
+    )
+    witness = (
+        a.join(b, "cluster_id")
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= 0.3)
+        .select("id_b")
+        .distinct()
+    )
+    n_pruned = b.count()
+    assert witness.count() == n_pruned
+
+
+def test_sample_weighted_prefers_heavy_docs(spark, sf_dir):
+    """Weighted sampling must overrepresent heavy (long) documents:
+    the mean n_chars of the sample exceeds the corpus mean."""
+    from serverless_datalake_spark.tables import load_table
+
+    sample = REG["sample_weighted"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    m_sample = sample.agg(F.avg("n_chars")).collect()[0][0]
+    m_all = docs.agg(F.avg("n_chars")).collect()[0][0]
+    assert m_sample > m_all, (m_sample, m_all)
+    # per-stratum cap respected
+    caps = sample.groupBy("source").count().collect()
+    assert all(r["count"] <= 20 for r in caps)
+
+
+def test_quantile_sketch_error_bound(spark, sf_dir):
+    """The histogram estimate must sit within one bin width of the
+    exact interpolated percentile, and quantiles must be monotone in
+    p within each group."""
+    from serverless_datalake_spark.tables import load_table
+
+    est = {
+        (r["l_returnflag"], r["p"]): r["q_est"]
+        for r in REG["agg_quantile_sketch"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+        *[
+            F.percentile("l_extendedprice", F.lit(p)).alias(f"p{int(p * 100)}")
+            for p in (0.5, 0.9, 0.99)
+        ],
+    )
+    for r in exact.collect():
+        width = (r["hi"] - r["lo"]) / 128.0
+        for p in (0.5, 0.9, 0.99):
+            e = est[(r["l_returnflag"], p)]
+            x = r[f"p{int(p * 100)}"]
+            assert abs(e - x) <= width + 1e-9, (r["l_returnflag"], p, e, x, width)
+        assert est[(r["l_returnflag"], 0.5)] <= est[(r["l_returnflag"], 0.9)] <= est[
+            (r["l_returnflag"], 0.99)
+        ]
+
+
+def test_resample_grid_is_dense_and_faithful(spark, sf_dir):
+    """The output grid is dense (one row per hour per type, no holes),
+    observed buckets reproduce the hourly mean, and interpolated
+    values lie between their neighbors' values."""
+    out = REG["ts_resample_interpolate"].fn(spark, sf_dir)
+    rows = sorted(
+        out.collect(), key=lambda r: (r["event_type"], r["bucket_start"])
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, series in by_type.items():
+        hours = [r["bucket_start"] for r in series]
+        assert hours == list(range(hours[0], hours[-1] + 3600, 3600)), t
+        assert series[0]["is_observed"] and series[-1]["is_observed"], t
+        # interpolated values bounded by the surrounding observations
+        obs_idx = [i for i, r in enumerate(series) if r["is_observed"]]
+        for a, b in zip(obs_idx, obs_idx[1:]):
+            lo = min(series[a]["value_interp"], series[b]["value_interp"])
+            hi = max(series[a]["value_interp"], series[b]["value_interp"])
+            for i in range(a + 1, b):
+                v = series[i]["value_interp"]
+                assert lo - 1e-6 <= v <= hi + 1e-6, (t, i, v, lo, hi)
+    assert any(not r["is_observed"] for r in rows), "fixture must have gaps"
+
+
+def test_asof_tolerance_is_mask_of_untolerated(spark, sf_dir):
+    """Tolerance only ever REMOVES matches: every tolerated match
+    appears in the untolerated as-of result with the same signup, and
+    the discarded ones are exactly those beyond the window."""
+    tol = {
+        (r["user_id"], r["purchase_epoch"]): r["signup_epoch"]
+        for r in REG["join_asof_tolerance"].fn(spark, sf_dir).collect()
+    }
+    # recompute the untolerated join directly via the operator
+    from serverless_datalake_spark.operators.asof import asof_join
+    from serverless_datalake_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts")
+    plain = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts", right_cols=["ts"]
+    ).select(
+        "user_id",
+        F.col("ts").cast("long").alias("purchase_epoch"),
+        F.col("asof_ts").cast("long").alias("signup_epoch"),
+    )
+    for r in plain.collect():
+        key = (r["user_id"], r["purchase_epoch"])
+        assert key in tol
+        if tol[key] is not None:
+            assert tol[key] == r["signup_epoch"]
+            assert r["purchase_epoch"] - r["signup_epoch"] <= 86400
+        elif r["signup_epoch"] is not None:
+            assert r["purchase_epoch"] - r["signup_epoch"] > 86400 - 1
+
+
+def test_kl_divergence_nonnegative_and_self_zero(spark, sf_dir):
+    """Gibbs' inequality: KL ≥ 0 for every source; and a degenerate
+    corpus of one source has KL exactly 0."""
+    rows = REG["text_kl_divergence"].fn(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r["kl_divergence"] >= 0.0, r
+    assert any(r["kl_divergence"] > 0.0 for r in rows)
+
+    one = (
+        spark.createDataFrame(
+            [(1, "a b c a", "s0"), (2, "a b", "s0")], "doc_id long, text string, source string"
+        )
+    )
+    # inline the same pipeline over a single-source frame
+    tok = one.select("source", F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"))
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    s_tot = st.groupBy("source").agg(F.sum("c").alias("ns"))
+    g = st.groupBy("t").agg(F.sum("c").alias("cg"))
+    ng = g.agg(F.sum("cg")).collect()[0][0]
+    j = st.join(s_tot, "source").join(g, "t")
+    p = F.col("c") / F.col("ns")
+    q = F.col("cg") / F.lit(ng)
+    kl = j.agg(F.sum(p * F.log(p / q))).collect()[0][0]
+    assert abs(kl) < 1e-12
