@@ -347,14 +347,20 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = asg.select(F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cluster_id")
     b = asg.select(F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "cluster_id")
+    # big-big self-join co-partitioned on the cluster key; the
+    # shuffle-hash hint skips the per-partition sorts an SMJ would pay
+    # on (id, 64-dim vector) rows — cluster populations are bounded by
+    # construction, so the hash side always fits.
     dups = (
-        a.join(b, "cluster_id")
+        a.join(b.hint("shuffle_hash"), "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
         .where(cosine(F.col("__va"), F.col("__vb")) >= 0.3)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
-    return asg.join(dups, asg.vec_id == dups.dup_id, "left").select(
+    # the dup-flag attach joins on vec_id — co-partitioned hash join
+    # (never broadcast: at scale the duplicate set is corpus-sized)
+    return asg.join(dups.hint("shuffle_hash"), asg.vec_id == dups.dup_id, "left").select(
         "vec_id",
         F.col("cluster_id").cast("int").alias("cluster_id"),
         F.col("dup_id").isNull().alias("is_survivor"),

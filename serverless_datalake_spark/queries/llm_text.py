@@ -353,23 +353,27 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the global counts (vocabulary-sized, not corpus-sized),
     and a per-source fold bounded by vocabulary size — no pass over
     the raw text after the first count."""
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "source",
         F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("t"),
     )
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
-    s_tot = st.groupBy("source").agg(F.sum("c").alias("ns"))
-    g = st.groupBy("t").agg(F.sum("c").alias("cg"))
-    g_tot = g.agg(F.sum("cg").alias("ng"))
+    # per-source and per-token totals as windows over the ALREADY
+    # vocabulary-sized count relation (no self-joins, no recompute of
+    # the corpus scan per branch); only the 1-row grand total rides in
+    # via a broadcast cross join.
+    ns = F.sum("c").over(Window.partitionBy("source"))
+    cg = F.sum("c").over(Window.partitionBy("t"))
+    g_tot = st.groupBy().agg(F.sum("c").alias("ng"))
+    with_tots = st.select("source", "t", "c", ns.alias("ns"), cg.alias("cg"))
     p = F.col("c").cast("double") / F.col("ns").cast("double")
     q = F.col("cg").cast("double") / F.col("ng").cast("double")
     kc = F.round(p * F.log(p / q), 8)
-    contrib = (
-        st.join(s_tot, "source")
-        .join(g, "t")
-        .crossJoin(F.broadcast(g_tot))
-        .select("source", "t", "ns", kc.alias("kc"))
+    contrib = with_tots.crossJoin(F.broadcast(g_tot)).select(
+        "source", "t", "ns", kc.alias("kc")
     )
     arr = F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("kc"))))
     folded = F.aggregate(
