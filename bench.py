@@ -60,6 +60,13 @@ HEADLINE = [
     "dedup_url_canonical",
     "decontaminate_semantic",
     "text_heavy_hitters",
+    # curation/analytics additions (round 3, late): cluster-based
+    # semantic dedup, mergeable quantile sketch, grid resample+gap
+    # fill, corpus-drift KL
+    "dedup_semdedup",
+    "agg_quantile_sketch",
+    "ts_resample_interpolate",
+    "text_kl_divergence",
 ]
 
 

@@ -183,16 +183,20 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     dedup, brute-force ANN baseline, tf-idf). Green ⇒ every one of
 #     the 140 pre-round-3 registry queries has appeared driver-green
 #     at least once.
-#   round 4 (planned): the 7 data-guard queries added in round 3
+#   round 4 (planned): the 8 data-guard queries added in round 3
 #     (pii_detect, pii_redact, text_clean_normalize,
 #     dedup_url_canonical, decontaminate_semantic, text_heavy_hitters,
-#     dedup_intra_lines, pipeline_guarded_curation) and the 3
+#     dedup_intra_lines, pipeline_guarded_curation), the 3
 #     feature-engineering queries
-#     (feature_minmax_scale, feature_zscore, feature_winsorize) and
-#     window_ignore_nulls, sim_topk_ivfpq_residual, and
-#     sql_recursive_cte, sample_balanced_cap, dedup_keep_longest, plus
-#     any round-3 window row that did not come back green, then free
-#     slots for re-confirmations.
+#     (feature_minmax_scale, feature_zscore, feature_winsorize),
+#     window_ignore_nulls, sim_topk_ivfpq_residual,
+#     sql_recursive_cte, sample_balanced_cap, dedup_keep_longest, and
+#     the 6 curation/analytics queries added late in round 3
+#     (dedup_semdedup, sample_weighted, agg_quantile_sketch,
+#     ts_resample_interpolate, join_asof_tolerance,
+#     text_kl_divergence) — 22 so far — plus any round-3 window row
+#     that did not come back green, then free slots for
+#     re-confirmations.
 DRIVER_WINDOW: tuple[str, ...] = (
     # 6 former round-1 `no_oracle` rows, oracled since round 2
     "agg_approx",

@@ -211,3 +211,48 @@ def test_feature_stats_broadcast_back(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         assert "BroadcastHashJoin" in plan, name
         assert "SortMergeJoin" not in plan, name
+
+
+def test_semdedup_hash_joins_no_sort_no_cartesian(spark, sf_dir):
+    """SemDeDup's pair join must stay a co-partitioned HASH join on
+    the cluster key (no SMJ sorts over vector payloads, no cartesian),
+    and the encode side must be a map-only fold (no join before the
+    cluster shuffle)."""
+    plan = plan_of(spark, sf_dir, "dedup_semdedup")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("ShuffledHashJoin") == 2
+
+
+def test_quantile_sketch_partial_aggregates(spark, sf_dir):
+    """Both passes (stats, histogram) must partial-aggregate map-side
+    — the mergeability that makes the sketch the 100 TB path."""
+    plan = plan_of(spark, sf_dir, "agg_quantile_sketch")
+    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_resample_windows_are_partitioned(spark, sf_dir):
+    """Gap-fill windows run per event_type — no global single-partition
+    window (the zorder lesson)."""
+    df = REGISTRY["ts_resample_interpolate"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : m.start() + 400]
+        assert "event_type" in tail, tail
+
+
+def test_kl_divergence_single_count_relation(spark, sf_dir):
+    """The window restructure must hold: token counts are aggregated
+    once and totals ride on windows — no self-joins of the count
+    relation (≤1 join total: the 1-row grand-total broadcast)."""
+    plan = plan_of(spark, sf_dir, "text_kl_divergence")
+    assert plan.count("SortMergeJoin") == 0
+    joins = (
+        plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+        + plan.count("BroadcastNestedLoopJoin")
+    )
+    assert joins <= 1, joins
