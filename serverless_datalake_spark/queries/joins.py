@@ -259,6 +259,55 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "join_asof_forward",
+    oracle="""
+    WITH signups AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    ), purchases AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT s.user_id,
+           CAST(FLOOR(EPOCH(CAST(s.ts AS TIMESTAMP))) AS BIGINT) AS signup_epoch,
+           CAST(FLOOR(EPOCH(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS purchase_epoch,
+           CAST(FLOOR(EPOCH(CAST(p.ts AS TIMESTAMP))) AS BIGINT)
+             - CAST(FLOOR(EPOCH(CAST(s.ts AS TIMESTAMP))) AS BIGINT) AS latency_sec
+    FROM signups s
+    LEFT JOIN LATERAL (
+      SELECT ts FROM purchases p
+      WHERE p.user_id = s.user_id AND p.ts >= s.ts
+      ORDER BY p.ts ASC LIMIT 1
+    ) p ON TRUE
+    """,
+    tags=("join", "asof", "forward"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: each signup matched to the user's FIRST
+    purchase at-or-after it (conversion attribution). Same one-shuffle
+    union+window composition as join_asof with the scan direction
+    flipped (operators/asof.py direction='forward')."""
+    e = load_table(spark, sf_dir, "events")
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts")
+    purchases = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    joined = asof_join(
+        signups,
+        purchases,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts"],
+        direction="forward",
+    )
+    s_epoch = F.col("ts").cast("timestamp").cast("long")
+    p_epoch = F.col("asof_ts").cast("timestamp").cast("long")
+    return joined.select(
+        "user_id",
+        s_epoch.alias("signup_epoch"),
+        p_epoch.alias("purchase_epoch"),
+        (p_epoch - s_epoch).alias("latency_sec"),
+    )
+
+
+@query(
     "join_asof_tolerance",
     oracle="""
     WITH purchases AS (

@@ -142,3 +142,82 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(interp, 4).alias("value_interp"),
     )
+
+
+@query(
+    "ts_anomaly_zscore",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, h, v,
+             ROUND(SUM(v) OVER w, 2) AS rsum,
+             ROUND(SUM(v * v) OVER w, 4) AS rssq,
+             COUNT(*) OVER w AS rn
+      FROM obs
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, h * 3600 AS bucket_start, v,
+           ROUND(z, 4) AS zscore,
+           COALESCE(abs(z) > 3.0, FALSE) AS is_anomaly
+    FROM (
+      SELECT *,
+             CASE WHEN rn >= 12 AND (rssq / rn - (rsum / rn) * (rsum / rn)) > 0.0
+                  THEN (v - rsum / rn)
+                       / SQRT(rssq / rn - (rsum / rn) * (rsum / rn))
+             END AS z
+      FROM stats
+    )
+    """,
+    tags=("timeseries", "anomaly"),
+)
+def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each hourly bucket's total
+    is scored against the trailing 24 observed buckets' mean/std
+    (current bucket excluded — the detector must not see the point it
+    judges); |z| > 3 flags the anomaly. Needs ≥12 trailing buckets,
+    else no score (warm-up).
+
+    Cross-engine float discipline: the rolling SUM and SUM-of-squares
+    are rounded at the series' intrinsic decimal precision (the bucket
+    totals carry 2 decimals, their squares 4), because the two engines
+    accumulate moving-window sums in different orders (Spark re-scans
+    the frame; DuckDB uses segment trees) — after the round both hold
+    bit-identical doubles and the variance/z arithmetic is one shared
+    DAG.
+
+    Scale shape: identical to ts_resample_interpolate — one partial
+    aggregation down to (type, hour), then per-type windows over the
+    tiny grid."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    stats = obs.select(
+        "event_type",
+        "h",
+        "v",
+        F.round(F.sum("v").over(w), 2).alias("rsum"),
+        F.round(F.sum(F.col("v") * F.col("v")).over(w), 4).alias("rssq"),
+        F.count(F.lit(1)).over(w).alias("rn"),
+    )
+    mean = F.col("rsum") / F.col("rn")
+    var = F.col("rssq") / F.col("rn") - mean * mean
+    z = F.when((F.col("rn") >= 12) & (var > 0.0), (F.col("v") - mean) / F.sqrt(var))
+    return stats.select(
+        "event_type",
+        (F.col("h") * 3600).alias("bucket_start"),
+        "v",
+        F.round(z, 4).alias("zscore"),
+        F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
+    )
