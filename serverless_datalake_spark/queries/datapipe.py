@@ -674,3 +674,51 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("rn") == 1) & (F.col("n_chars") >= 300))
         .select("doc_id", "fingerprint", "n_chars")
     )
+
+
+@query(
+    "text_chunk_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS INTEGER) AS chunk_id,
+           CAST(len(toks[start + 1 : start + 64]) AS BIGINT) AS n_chunk_tokens,
+           md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_fp
+    FROM c
+    """,
+    tags=("llm", "datapipe", "chunking"),
+)
+def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-length prep step
+    that turns variable-length documents into overlapping training
+    windows (64 tokens per chunk, stride 48 → 16-token overlap so no
+    boundary n-gram is lost). Emits per-chunk token counts and a
+    content fingerprint (the join key for chunk-level dedup and
+    contamination checks downstream).
+
+    Scale shape: chunking is a pure per-document HOF expansion — the
+    token array lives and dies inside one task, chunks explode to
+    ~n/stride rows with no shuffle anywhere; at 100 TB this pipelines
+    straight into the pack/split stages as a map-only stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _toks_col()
+    t = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") > 0)
+    c = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(48))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(64))
+    return c.select(
+        "doc_id",
+        (F.col("start") / 48).cast("int").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
+    )
