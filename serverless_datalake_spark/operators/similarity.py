@@ -230,6 +230,51 @@ def ivf_centroids(
     )
 
 
+def _fold_dot(a: list[float], b: list[float]) -> float:
+    """Left-to-right double fold — the Python twin of the sequential
+    `aggregate(zip_with(...))` / `list_aggregate(list_transform(...))`
+    folds both engines run; identical summation order ⇒ identical
+    doubles."""
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc += x * y
+    return acc
+
+
+def _fold_cos(a: list[float], b: list[float]) -> float:
+    import math
+
+    return _fold_dot(a, b) / (math.sqrt(_fold_dot(a, a)) * math.sqrt(_fold_dot(b, b)))
+
+
+def kcenter_rows(sample: list[tuple[int, list[float]]], k: int) -> list[dict]:
+    """Deterministic farthest-point (greedy k-center) seeding over the
+    training sample — the k-means++-style spread-maximizing init,
+    derandomized: c0 is the smallest-id sample vector; each next
+    center is the sample point with the SMALLEST maximum cosine to the
+    already-chosen set (i.e. the farthest point under cosine
+    similarity), ties to the smaller id.
+
+    Pure driver-side arithmetic over ≤ sample_n rows, but every float
+    op is the same fold/IEEE primitive the SQL twin uses (MAX over
+    identical doubles is order-free), so DuckDB recomputes the exact
+    same centers. Spread-out seeds cover the corpus' directions far
+    better than whatever the first k labels/ids happen to hit, which
+    is what lifts post-Lloyd's recall."""
+    sample = sorted(sample, key=lambda r: r[0])
+    chosen = [sample[0][1]]
+    for _ in range(1, k):
+        best_id, best_vec, best_maxsim = None, None, None
+        for cid, emb in sample:
+            maxsim = max(_fold_cos(emb, c) for c in chosen)
+            if best_maxsim is None or maxsim < best_maxsim:
+                best_id, best_vec, best_maxsim = cid, emb, maxsim
+        chosen.append(best_vec)
+    return [
+        {"centroid_id": i, "centroid": list(map(float, c))} for i, c in enumerate(chosen)
+    ]
+
+
 def ivf_centroids_refined(
     corpus: DataFrame,
     corpus_id: str = "corpus_id",
@@ -238,11 +283,15 @@ def ivf_centroids_refined(
     dim: int = 64,
     refine_iters: int = 2,
     sample_n: int = 256,
+    init: str = "medoid",
+    n_centroids: int = 10,
 ) -> DataFrame:
     """Spherical-k-means refinement of the IVF coarse quantizer:
-    label-medoid initialization (deterministic), then `refine_iters`
-    rounds of cosine-assignment → mean update over a bounded
-    smallest-id training sample.
+    deterministic initialization (init="medoid": smallest-id member
+    per label; init="kcenter": greedy farthest-point seeding over the
+    training sample — see kcenter_rows, the k-means++-quality seeds),
+    then `refine_iters` rounds of cosine-assignment → mean update over
+    a bounded smallest-id training sample.
 
     Engine-portable like pq_codebook's refinement: cosine assignment
     uses sequential folds (ties to the smaller centroid id), the mean
@@ -253,12 +302,20 @@ def ivf_centroids_refined(
     while keeping the SQL twin one step shorter. The cosine objective
     Σ max_c cos(x, c) is non-decreasing per round (spherical k-means
     monotonicity; asserted in tests/test_pq_refine.py)."""
-    cents = ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
     sample = (
         corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
         .orderBy(corpus_id)
         .limit(sample_n)
     )
+    if init == "kcenter":
+        rows = [(r[corpus_id], list(r["__v"])) for r in sample.collect()]
+        cents = corpus.sparkSession.createDataFrame(
+            kcenter_rows(rows, n_centroids), "centroid_id int, centroid array<double>"
+        )
+    elif init == "medoid":
+        cents = ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
+    else:
+        raise ValueError(f"init must be medoid|kcenter, got {init!r}")
     for _ in range(refine_iters):
         scored = sample.crossJoin(F.broadcast(cents)).select(
             corpus_id, "__v", "centroid_id", cosine(F.col("__v"), F.col("centroid")).alias("__cs")

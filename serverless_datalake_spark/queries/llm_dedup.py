@@ -289,15 +289,21 @@ def _semdedup_oracle(threshold: float = 0.3) -> str:
         FROM cl CROSS JOIN cents
       ) WHERE rn = 1
     ),
+    un AS (
+      SELECT corpus_id, centroid_id, list_transform(emb, x -> x / nv) AS u
+      FROM (SELECT corpus_id, centroid_id, emb,
+                   SQRT(list_aggregate(list_transform(emb, x -> x * x), 'sum')) AS nv
+            FROM asg)
+    ),
     dups AS (
       SELECT DISTINCT b.corpus_id AS dup_id
-      FROM asg a JOIN asg b ON a.centroid_id = b.centroid_id AND a.corpus_id < b.corpus_id
-      WHERE {_cos_sql("a.emb", "b.emb")} >= {threshold}
+      FROM un a JOIN un b ON a.centroid_id = b.centroid_id AND a.corpus_id < b.corpus_id
+      WHERE list_aggregate(list_transform(list_zip(a.u, b.u), p -> p[1] * p[2]), 'sum') >= {threshold}
     )
-    SELECT asg.corpus_id AS vec_id,
-           CAST(asg.centroid_id AS INTEGER) AS cluster_id,
+    SELECT un.corpus_id AS vec_id,
+           CAST(un.centroid_id AS INTEGER) AS cluster_id,
            dups.dup_id IS NULL AS is_survivor
-    FROM asg LEFT JOIN dups ON asg.corpus_id = dups.dup_id
+    FROM un LEFT JOIN dups ON un.corpus_id = dups.dup_id
     """
 
 
@@ -330,9 +336,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from serverless_datalake_spark.operators.similarity import (
         _as_double,
-        cosine,
+        dot,
         ivf_assign_expr,
         ivf_centroids_refined,
+        norm,
     )
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -342,11 +349,21 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows = ivf_centroids_refined(corpus_lab).collect()
         _SEMDEDUP_CENTS[sf_dir] = rows
 
-    asg = em.select("vec_id", _as_double(F.col("embedding")).alias("__v")).withColumn(
-        "cluster_id", ivf_assign_expr(rows, "__v")
+    # normalize ONCE per vector in the map stage so the quadratic pair
+    # scoring is a single dot fold instead of dot + two norm folds per
+    # pair (3× less per-pair arithmetic; cosine(a,b) == dot(â,b̂))
+    asg = (
+        em.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
+        .withColumn("cluster_id", ivf_assign_expr(rows, "__v"))
+        .withColumn("__nv", norm(F.col("__v")))
+        .select(
+            "vec_id",
+            "cluster_id",
+            F.transform(F.col("__v"), lambda x: x / F.col("__nv")).alias("__u"),
+        )
     )
-    a = asg.select(F.col("vec_id").alias("id_a"), F.col("__v").alias("__va"), "cluster_id")
-    b = asg.select(F.col("vec_id").alias("id_b"), F.col("__v").alias("__vb"), "cluster_id")
+    a = asg.select(F.col("vec_id").alias("id_a"), F.col("__u").alias("__ua"), "cluster_id")
+    b = asg.select(F.col("vec_id").alias("id_b"), F.col("__u").alias("__ub"), "cluster_id")
     # big-big self-join co-partitioned on the cluster key; the
     # shuffle-hash hint skips the per-partition sorts an SMJ would pay
     # on (id, 64-dim vector) rows — cluster populations are bounded by
@@ -354,7 +371,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dups = (
         a.join(b.hint("shuffle_hash"), "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(cosine(F.col("__va"), F.col("__vb")) >= 0.3)
+        .where(dot(F.col("__ua"), F.col("__ub")) >= 0.3)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
