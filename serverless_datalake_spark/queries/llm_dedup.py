@@ -346,7 +346,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_lab = em.select(F.col("vec_id").alias("corpus_id"), "embedding", "label")
     rows = _SEMDEDUP_CENTS.get(sf_dir)
     if rows is None:
-        rows = ivf_centroids_refined(corpus_lab).collect()
+        rows = ivf_centroids_refined(corpus_lab, init="kcenter").collect()
         _SEMDEDUP_CENTS[sf_dir] = rows
 
     # normalize ONCE per vector in the map stage so the quadratic pair

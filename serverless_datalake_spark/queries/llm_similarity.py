@@ -106,7 +106,8 @@ def _codebook_rows(sf_dir: str, corpus) -> list:
 
 
 def _centroid_rows(sf_dir: str, corpus_lab) -> list:
-    """Spherical-k-means-refined coarse quantizer rows, trained once
+    """Farthest-point-seeded, spherical-k-means-refined coarse
+    quantizer rows, trained once
     per fixture dir (10 tiny rows collected) — the IVF counterpart of
     _codebook_rows' train/search split; probes inline them via
     ivf_assign_expr (map-only corpus assignment)."""
@@ -114,7 +115,7 @@ def _centroid_rows(sf_dir: str, corpus_lab) -> list:
 
     rows = _CENT_CACHE.get(sf_dir)
     if rows is None:
-        rows = ivf_centroids_refined(corpus_lab).collect()
+        rows = ivf_centroids_refined(corpus_lab, init="kcenter").collect()
         _CENT_CACHE[sf_dir] = rows
     return rows
 
@@ -219,16 +220,58 @@ def _cos_sql(a: str, b: str) -> str:
     """
 
 
-def _ivf_cents_sql(refine_iters: int = 2, sample_n: int = 256, dim: int = 64) -> str:
+def _ivf_cents_sql(
+    refine_iters: int = 2,
+    sample_n: int = 256,
+    dim: int = 64,
+    init: str = "kcenter",
+    n_centroids: int = 10,
+) -> str:
     """CTE chain recomputing operators.similarity.ivf_centroids_refined
-    bit-for-bit, ending in a CTE named `cents`: label-medoid init, then
-    spherical-k-means rounds (cosine assignment with ties to the
-    smaller centroid id; per-dimension ordered-fold mean update over
-    the smallest-`sample_n`-id training sample; empty cells keep their
+    bit-for-bit, ending in a CTE named `cents`: deterministic init
+    (init="medoid": label-medoid; init="kcenter": greedy farthest-point
+    over the training sample — MAX over identical fold cosines is
+    order-free, selection ties to the smaller corpus_id, exactly
+    operators.similarity.kcenter_rows), then spherical-k-means rounds
+    (cosine assignment with ties to the smaller centroid id;
+    per-dimension ordered-fold mean update over the
+    smallest-`sample_n`-id training sample; empty cells keep their
     centroid). Same determinism contract as _pq_codebook_sql."""
     init_name = "cents" if refine_iters == 0 else "cents0"
-    parts = [
-        f"""
+    if init == "kcenter":
+        sel = [
+            f"""
+    csmp AS MATERIALIZED (
+      SELECT corpus_id, emb FROM cl ORDER BY corpus_id LIMIT {sample_n}
+    ),
+    ch0 AS MATERIALIZED (
+      SELECT 0 AS centroid_id, emb AS centroid
+      FROM csmp ORDER BY corpus_id LIMIT 1
+    )"""
+        ]
+        for t in range(1, n_centroids):
+            sel.append(f"""
+    far{t} AS MATERIALIZED (
+      SELECT s.corpus_id, s.emb,
+             MAX({_cos_sql("s.emb", f"ch{t - 1}.centroid")}) AS maxsim
+      FROM csmp s CROSS JOIN ch{t - 1}
+      GROUP BY s.corpus_id, s.emb
+    ),
+    ch{t} AS MATERIALIZED (
+      SELECT * FROM ch{t - 1}
+      UNION ALL
+      SELECT {t} AS centroid_id, emb AS centroid FROM (
+        SELECT emb FROM far{t} ORDER BY maxsim ASC, corpus_id LIMIT 1
+      )
+    )""")
+        sel.append(f"""
+    {init_name} AS (
+      SELECT centroid_id, centroid FROM ch{n_centroids - 1}
+    )""")
+        parts = [",".join(sel)]
+    else:
+        parts = [
+            f"""
     {init_name} AS (
       SELECT label AS centroid_id, emb AS centroid
       FROM (SELECT label, emb, ROW_NUMBER() OVER (PARTITION BY label ORDER BY corpus_id) AS rn FROM cl)
@@ -237,7 +280,7 @@ def _ivf_cents_sql(refine_iters: int = 2, sample_n: int = 256, dim: int = 64) ->
     csmp AS (
       SELECT corpus_id, emb FROM cl ORDER BY corpus_id LIMIT {sample_n}
     )"""
-    ]
+        ]
     for t in range(refine_iters):
         nxt = "cents" if t == refine_iters - 1 else f"cents{t + 1}"
         parts.append(f"""
