@@ -722,3 +722,49 @@ def text_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_fp"),
     )
+
+
+@query(
+    "dedup_chunk_exact",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start
+      FROM t WHERE len(toks) > 0
+    ), ch AS (
+      SELECT doc_id,
+             CAST(start / 48 AS INTEGER) AS chunk_id,
+             md5(array_to_string(toks[start + 1 : start + 64], ' ')) AS chunk_fp
+      FROM c
+    )
+    SELECT chunk_fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS survivor_doc,
+           MIN(CASE WHEN doc_id = sd THEN chunk_id END) AS survivor_chunk
+    FROM (SELECT ch.*, MIN(doc_id) OVER (PARTITION BY chunk_fp) AS sd FROM ch)
+    GROUP BY chunk_fp
+    """,
+    tags=("llm", "datapipe", "dedup", "chunking"),
+)
+def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (chunk-level) exact dedup: the FineWeb-style pass
+    that catches boilerplate shared BETWEEN documents that
+    document-level dedup_exact can never see. Chunks come from the
+    same sliding windows as text_chunk_sliding; the survivor of each
+    fingerprint group is the (smallest doc_id, smallest chunk_id)
+    occurrence.
+
+    Scale shape: chunk expansion is map-only (see text_chunk_sliding),
+    then ONE hash shuffle on chunk_fp — the identical plan family as
+    dedup_exact, just keyed one level finer."""
+    chunks = text_chunk_sliding(spark, sf_dir)
+    w = Window.partitionBy("chunk_fp")
+    enriched = chunks.withColumn("sd", F.min("doc_id").over(w))
+    return enriched.groupBy("chunk_fp").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("doc_id").alias("survivor_doc"),
+        F.min(F.when(F.col("doc_id") == F.col("sd"), F.col("chunk_id"))).alias(
+            "survivor_chunk"
+        ),
+    )
