@@ -190,3 +190,48 @@ def test_kl_divergence_nonnegative_and_self_zero(spark, sf_dir):
     q = F.col("cg") / F.lit(ng)
     kl = j.agg(F.sum(p * F.log(p / q))).collect()[0][0]
     assert abs(kl) < 1e-12
+
+
+def test_chunking_covers_and_overlaps(spark, sf_dir):
+    """Every document's tokens are fully covered: chunk 0 starts at
+    token 1; successive chunk starts advance by the 48-token stride;
+    every chunk except possibly the last has 64 tokens (or the doc is
+    shorter); consecutive chunks overlap by 16 tokens."""
+    from serverless_datalake_spark.tables import load_table
+
+    chunks = REG["text_chunk_sliding"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    docs = {
+        r["doc_id"]: r["n"]
+        for r in load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "size(filter(split(text, ' '), x -> x != '')) AS n")
+        .collect()
+    }
+    assert by_doc, "no chunks"
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_id"])
+        n = docs[doc_id]
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        assert len(rows) == (n + 47) // 48
+        covered = 0
+        for i, r in enumerate(rows):
+            expected = min(64, n - i * 48)
+            assert r["n_chunk_tokens"] == expected, (doc_id, i, r, n)
+            covered = i * 48 + r["n_chunk_tokens"]
+        assert covered == n
+
+
+def test_chunk_dedup_consistent_with_chunking(spark, sf_dir):
+    """Fingerprint groups partition the chunk set: Σ n_copies equals
+    the total chunk count, and each survivor pointer names a real
+    chunk bearing that fingerprint."""
+    chunks = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_fp"]
+        for r in REG["text_chunk_sliding"].fn(spark, sf_dir).collect()
+    }
+    groups = REG["dedup_chunk_exact"].fn(spark, sf_dir).collect()
+    assert sum(r["n_copies"] for r in groups) == len(chunks)
+    for g in groups:
+        assert chunks[(g["survivor_doc"], g["survivor_chunk"])] == g["chunk_fp"]
