@@ -256,3 +256,12 @@ def test_kl_divergence_single_count_relation(spark, sf_dir):
         + plan.count("BroadcastNestedLoopJoin")
     )
     assert joins <= 1, joins
+
+
+def test_chunk_dedup_single_shuffle(spark, sf_dir):
+    """Chunk expansion is map-only and the survivor window + count
+    aggregate share the ONE chunk_fp exchange — the dedup_exact plan
+    family, keyed one level finer."""
+    plan = plan_of(spark, sf_dir, "dedup_chunk_exact")
+    assert plan.count("Exchange") == 1, plan.count("Exchange")
+    assert "Join" not in plan
