@@ -195,7 +195,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     (dedup_semdedup, sample_weighted, agg_quantile_sketch,
 #     ts_resample_interpolate, ts_anomaly_zscore, join_asof_forward,
 #     join_asof_tolerance, text_kl_divergence, text_chunk_sliding,
-#     dedup_chunk_exact) — 26 so far — plus any round-3 window row
+#     dedup_chunk_exact, ts_ewma) — 27 so far — plus any round-3
+#     window row
 #     that did not come back green, then free slots for
 #     re-confirmations.
 DRIVER_WINDOW: tuple[str, ...] = (

@@ -221,3 +221,70 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("zscore"),
         F.coalesce(F.abs(z) > 3.0, F.lit(False)).alias("is_anomaly"),
     )
+
+
+@query(
+    "ts_ewma",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type,
+             list(h ORDER BY h) AS hs,
+             list(v ORDER BY h) AS vs
+      FROM obs GROUP BY event_type
+    )
+    SELECT event_type,
+           unnest(hs) * 3600 AS bucket_start,
+           unnest(vs) AS v,
+           unnest(list_transform(range(1, len(vs) + 1),
+                  i -> ROUND(list_reduce(vs[1:i], (s, x) -> 0.3 * x + 0.7 * s), 6))) AS ewma
+    FROM ser
+    """,
+    tags=("timeseries", "smoothing"),
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 0.3, s₀ = first
+    bucket) over each type's hourly totals — the smoothing pass
+    monitoring pipelines run before thresholding, and the simplest
+    member of the Holt-Winters family.
+
+    EWMA is a sequential recurrence, which is exactly why it's
+    expressed as a LEFT FOLD over the per-type series (prefix folds:
+    s_i = reduce(v₁..v_i)); both engines run the identical fold order
+    on identical round-2 bucket totals, so every smoothed value is
+    bit-identical before the final round. The O(n²) prefix-fold cost
+    is bounded by series length (hours per type — ~9k/year), never by
+    event volume; the raw events collapse to the grid in one
+    partial-agg shuffle first."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ser = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
+    )
+    vs = F.transform(F.col("arr"), lambda x: x["v"])
+    hs = F.transform(F.col("arr"), lambda x: x["h"])
+    ewmas = F.transform(
+        F.sequence(F.lit(1), F.size(vs)),
+        lambda i: F.round(
+            F.aggregate(
+                F.slice(vs, F.lit(2), i - 1),
+                F.element_at(vs, F.lit(1)),
+                lambda s, x: 0.3 * x + 0.7 * s,
+            ),
+            6,
+        ),
+    )
+    z = ser.select("event_type", F.explode(F.arrays_zip(hs.alias("h"), vs.alias("v"), ewmas.alias("e"))).alias("t"))
+    return z.select(
+        "event_type",
+        (F.col("t.h") * 3600).alias("bucket_start"),
+        F.col("t.v").alias("v"),
+        F.col("t.e").alias("ewma"),
+    )
