@@ -235,3 +235,27 @@ def test_chunk_dedup_consistent_with_chunking(spark, sf_dir):
     assert sum(r["n_copies"] for r in groups) == len(chunks)
     for g in groups:
         assert chunks[(g["survivor_doc"], g["survivor_chunk"])] == g["chunk_fp"]
+
+
+def test_ewma_is_bounded_convex_smoothing(spark, sf_dir):
+    """Each EWMA value is a convex combination of the series so far:
+    it lies within [min, max] of the prefix, starts at the first
+    bucket's value, and moves toward the latest value by exactly
+    α = 0.3 of the gap."""
+    rows = sorted(
+        REG["ts_ewma"].fn(spark, sf_dir).collect(),
+        key=lambda r: (r["event_type"], r["bucket_start"]),
+    )
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for t, series in by_type.items():
+        assert abs(series[0]["ewma"] - series[0]["v"]) < 1e-6, t
+        lo = hi = series[0]["v"]
+        prev = series[0]["ewma"]
+        for r in series[1:]:
+            lo, hi = min(lo, r["v"]), max(hi, r["v"])
+            assert lo - 1e-6 <= r["ewma"] <= hi + 1e-6, (t, r)
+            expect = 0.3 * r["v"] + 0.7 * prev
+            assert abs(r["ewma"] - expect) < 1e-5, (t, r, expect)
+            prev = r["ewma"]
