@@ -195,10 +195,14 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     (dedup_semdedup, sample_weighted, agg_quantile_sketch,
 #     ts_resample_interpolate, ts_anomaly_zscore, join_asof_forward,
 #     join_asof_tolerance, text_kl_divergence, text_chunk_sliding,
-#     dedup_chunk_exact, ts_ewma) — 27 so far — plus any round-3
-#     window row
-#     that did not come back green, then free slots for
-#     re-confirmations.
+#     dedup_chunk_exact, ts_ewma), plus the continued-session
+#     additions (text_unigram_logprob, dedup_bloom_incremental,
+#     sim_topk_ivfpq_rerank, validate_expectations,
+#     text_minhash_containment, graph_pagerank, ts_holt_linear,
+#     stream_topk_windowed — see each module) — plus any round-3
+#     window row that did not come back green, then free slots for
+#     re-confirmations. (More than 50 candidates now exist; round 4
+#     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
     # 6 former round-1 `no_oracle` rows, oracled since round 2
     "agg_approx",

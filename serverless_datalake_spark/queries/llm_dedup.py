@@ -435,3 +435,92 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.where(cs >= 0.3).select(
         "id_a", "id_b", F.round(cs, 6).alias("cos_sim")
     )
+
+
+_BLOOM_M = 1024  # bits — deliberately small so false positives are exercised
+_BLOOM_K = 5
+
+
+def _bloom_oracle() -> str:
+    """DuckDB twin of the bloom membership check: identical md5-derived
+    (h1 + i*h2) mod m positions, identical splits."""
+    h1 = _hex8_int("substr(md5(text), 1, 8)")
+    h2 = _hex8_int("substr(md5(text), 9, 8)")
+    return f"""
+    WITH ref AS (
+      SELECT text, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ), ref_pos AS (
+      SELECT DISTINCT ({h1} + i * {h2}) % {_BLOOM_M} AS pos
+      FROM ref, (SELECT unnest(range({_BLOOM_K})) AS i)
+    ), bloom AS (
+      SELECT list(pos ORDER BY pos) AS rp FROM ref_pos
+    ), new_batch AS (
+      SELECT doc_id, text, md5(text) AS fp FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT n.doc_id,
+           list_has_all(bloom.rp,
+             list_transform(range({_BLOOM_K}),
+               i -> ({h1} + i * {h2}) % {_BLOOM_M})) AS bloom_dup,
+           (n.fp IN (SELECT fp FROM ref)) AS exact_dup
+    FROM new_batch n CROSS JOIN bloom
+    """
+
+
+@query("dedup_bloom_incremental", oracle=_bloom_oracle(), tags=("llm", "dedup", "bloom"))
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup via a Bloom filter: screen a new crawl
+    batch against the already-ingested reference corpus WITHOUT
+    shuffling (or even carrying) the reference fingerprint set. The
+    scenario is a re-crawl: the reference is two-thirds of the corpus
+    (doc_id % 3 != 0), the incoming batch is the even half — their
+    overlap is rediscovered content that must not be ingested twice.
+
+    The filter is the classic k-probe Bloom: positions
+    (h1 + i·h2) mod m for i < k (Kirsch–Mitzenmacher double hashing)
+    with h1/h2 the two md5 32-bit halves — deterministic, so the
+    DuckDB oracle recomputes the *same* filter, false positives
+    included. m is deliberately tiny (1024 bits) so the oracle run
+    exercises FPs; the query returns bloom_dup alongside exact_dup to
+    surface them (bloom_dup ⊇ exact_dup always; never the reverse).
+
+    Scale shape: the bloom is ONE collect_set broadcast of at most m
+    integers (at production sizing, ~10 bits per reference key, the
+    bitset for a billion-doc reference is ~1.2 GB — built once at
+    ingest time and persisted, not rebuilt per batch as this
+    self-contained query does). The membership test is then MAP-ONLY
+    over the new batch — zero shuffles, no join against the reference:
+    exactly what keeps incremental dedup cheap when the reference is
+    1000× the batch. Definite-new docs (any probe bit unset) skip the
+    expensive exact/near-dup path entirely; only bloom hits proceed.
+    The exact_dup column here is the verification twin (broadcast
+    fingerprint set), kept because the fixture reference is small."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
+    probes = F.transform(
+        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % F.lit(_BLOOM_M),
+    )
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    bloom = (
+        ref.select(F.explode(probes).alias("pos"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("pos")).alias("rp"))
+    )
+    ref_fp = ref.select(F.md5("text").alias("fp")).distinct().withColumn(
+        "__hit", F.lit(True)
+    )
+    new_batch = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", probes.alias("pp"), F.md5("text").alias("fp")
+    )
+    return (
+        new_batch.crossJoin(F.broadcast(bloom))
+        .join(F.broadcast(ref_fp), "fp", "left")
+        .select(
+            "doc_id",
+            F.forall(
+                "pp", lambda p: F.array_contains(F.col("rp"), p)
+            ).alias("bloom_dup"),
+            F.coalesce(F.col("__hit"), F.lit(False)).alias("exact_dup"),
+        )
+    )

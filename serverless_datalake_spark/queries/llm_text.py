@@ -383,3 +383,100 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded, 6).alias("kl_divergence"),
         F.min("ns").alias("n_tokens"),
     )
+
+
+@query(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt
+    ), lm AS (
+      SELECT t,
+             ROUND(ln((CAST(c AS DOUBLE) + 1.0)
+                      / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))), 8) AS lp
+      FROM cnt CROSS JOIN tot
+    ), dt AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2
+    ), contrib AS (
+      SELECT dt.doc_id, dt.t, dt.k, CAST(dt.k AS DOUBLE) * lm.lp AS klp
+      FROM dt JOIN lm USING (t)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_tokens,
+             ROUND(-list_aggregate(list(klp ORDER BY t), 'sum')
+                   / CAST(SUM(k) AS DOUBLE), 6) AS mean_nll
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, mean_nll, ROUND(exp(mean_nll), 4) AS ppl_proxy
+    FROM agg
+    """,
+    tags=("llm", "text", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring — the CCNet-style perplexity
+    proxy: train a unigram LM on the corpus itself (Laplace add-one
+    smoothing), score each document by its mean negative log
+    probability, and expose exp(mean_nll) as a perplexity-like
+    number. Documents whose token distribution is far from the corpus
+    (template spam, boilerplate, wrong-language shards) score high and
+    get filtered before training.
+
+    Cross-engine float discipline (the text_kl_divergence precedent):
+    per-token log-probabilities are rounded at 8 decimals, per-doc
+    contributions are summed as an ORDERED fold over the token-sorted
+    list, the mean is rounded at 6 before exp, and the perplexity at 4
+    after — both engines exp() an identical double.
+
+    Scale shape: one corpus token-count shuffle (vocabulary-sized
+    output), one (doc, token) count shuffle, a token-keyed join of the
+    per-doc counts against the vocabulary-sized LM (AQE broadcasts the
+    LM side in practice), and a per-doc fold bounded by the document's
+    distinct-token count. The raw text is scanned exactly once; no
+    self-joins; nothing corpus-sized crosses the driver."""
+    from pyspark.sql import Window  # noqa: F401 (parity with siblings)
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("t"),
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy().agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (F.col("n").cast("double") + F.col("v").cast("double"))
+            ),
+            8,
+        ).alias("lp"),
+    )
+    dt = tok.groupBy("doc_id", "t").agg(F.count(F.lit(1)).alias("k"))
+    contrib = dt.join(lm, "t").select(
+        "doc_id",
+        "t",
+        F.col("k").cast("long").alias("k"),
+        (F.col("k").cast("double") * F.col("lp")).alias("klp"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("klp"))))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["klp"]), F.lit(0.0), lambda a, x: a + x
+    )
+    agg = contrib.groupBy("doc_id").agg(
+        F.sum("k").alias("n_tokens"),
+        F.round(-folded / F.sum("k").cast("double"), 6).alias("mean_nll"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "mean_nll",
+        F.round(F.exp("mean_nll"), 4).alias("ppl_proxy"),
+    )

@@ -259,3 +259,57 @@ def test_ewma_is_bounded_convex_smoothing(spark, sf_dir):
             expect = 0.3 * r["v"] + 0.7 * prev
             assert abs(r["ewma"] - expect) < 1e-5, (t, r, expect)
             prev = r["ewma"]
+
+
+def test_unigram_logprob_common_tokens_score_lower(spark, sf_dir):
+    """LM sanity: a document whose tokens are all corpus-frequent must
+    score lower mean-NLL than one dominated by corpus-rare tokens.
+    Proxy: the doc with the highest average per-token corpus frequency
+    must not be the worst-scoring doc, and scores are positive and
+    finite; ppl_proxy = exp(mean_nll) within rounding."""
+    import math
+
+    out = REG["text_unigram_logprob"].fn(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["mean_nll"] > 0
+        assert math.isfinite(r["ppl_proxy"]) and r["ppl_proxy"] > 1
+        assert abs(r["ppl_proxy"] - round(math.exp(r["mean_nll"]), 4)) < 1e-6
+    scores = sorted(out, key=lambda r: r["mean_nll"])
+    assert scores[0]["mean_nll"] < scores[-1]["mean_nll"], "no spread"
+
+
+def test_unigram_logprob_rare_token_doc_scores_worse(spark, sf_dir):
+    """Directional check: recompute each doc's mean corpus token
+    frequency; Spearman-style agreement — the top-frequency decile's
+    mean NLL must be below the bottom decile's."""
+    from serverless_datalake_spark.tables import load_table
+
+    out = {r["doc_id"]: r["mean_nll"] for r in
+           REG["text_unigram_logprob"].fn(spark, sf_dir).collect()}
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(
+        F.filter(F.split("text", " "), lambda x: x != "")).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    freq = (tok.join(cnt, "t").groupBy("doc_id")
+            .agg(F.avg("c").alias("avg_freq")).collect())
+    ranked = sorted(freq, key=lambda r: r["avg_freq"])
+    k = max(1, len(ranked) // 10)
+    low_freq = sum(out[r["doc_id"]] for r in ranked[:k]) / k
+    high_freq = sum(out[r["doc_id"]] for r in ranked[-k:]) / k
+    assert high_freq < low_freq, "frequent-token docs must score lower NLL"
+
+
+def test_bloom_incremental_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: bloom_dup is a superset of exact_dup (no false
+    negatives, ever); with the deliberately tiny m=1024 filter the
+    fixture must actually exercise ≥1 false positive; and every doc in
+    the batch appears exactly once."""
+    rows = REG["dedup_bloom_incremental"].fn(spark, sf_dir).collect()
+    assert len(rows) == len({r["doc_id"] for r in rows})
+    assert all(r["doc_id"] % 2 == 0 for r in rows)
+    fns = [r for r in rows if r["exact_dup"] and not r["bloom_dup"]]
+    assert not fns, "bloom false negative — impossible by construction"
+    fps = [r for r in rows if r["bloom_dup"] and not r["exact_dup"]]
+    assert fps, "tiny filter should produce false positives on fixtures"
+    assert any(not r["bloom_dup"] for r in rows), "some docs must be definite-new"
