@@ -714,3 +714,86 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_ivfpq_residual(
         queries, corpus, k=5, nprobe=2, centroid_rows=cents, codebook_rows=rcb
     )
+
+
+def _ivfpq_rerank_oracle(k: int = 5, shortlist: int = 20) -> str:
+    """The full IVF-PQ pipeline (nested as a CTE — DuckDB allows WITH
+    inside a CTE body) widened to a ``shortlist``-deep candidate list,
+    then re-scored with EXACT cosine against the raw vectors."""
+    return f"""
+    WITH shortlist AS (
+      {_ivfpq_oracle(k=shortlist)}
+    ), {_SPLIT_SQL},
+    rescored AS (
+      SELECT s.query_id, s.corpus_id, {_cos_sql("q.emb", "c.emb")} AS score
+      FROM shortlist s
+      JOIN q ON q.query_id = s.query_id
+      JOIN c ON c.corpus_id = s.corpus_id
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, corpus_id) AS rank
+      FROM rescored
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "sim_topk_ivfpq_rerank",
+    oracle=_ivfpq_rerank_oracle(),
+    tags=("llm", "similarity", "ann", "ivf", "pq", "rerank"),
+)
+def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ + exact re-ranking — the production recall fix (FAISS's
+    refine/RFlat stage): the compressed index nominates a shortlist
+    (here 4k deep), then ONLY those shortlist rows are re-scored
+    against their raw vectors with exact cosine. ADC quantization
+    error affects candidate *nomination* but no longer the final
+    ordering, so recall@k approaches brute force while the corpus-wide
+    scan still touches only PQ codes in nprobe cells.
+
+    Scale shape: the expensive stage (ADC over probed cells) is
+    unchanged from sim_topk_ivfpq; the re-rank joins |Q|·shortlist
+    rows (tiny) back to the corpus by id — at rest that's a point-read
+    of raw vectors for ~20 ids per query, the classic "codes in RAM,
+    raw vectors on flash" split (DiskANN/FAISS refine). No new
+    corpus-wide shuffle is introduced; the shortlist side is broadcast."""
+    queries, corpus = _split(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus_lab = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    rows = _codebook_rows(sf_dir, corpus)
+    cents = _centroid_rows(sf_dir, corpus_lab)
+    sl = similarity.topk_ivfpq(
+        queries, corpus_lab, k=20, nprobe=2,
+        codebook_rows=rows, centroid_rows=cents,
+    ).select("query_id", "corpus_id")
+    from pyspark.sql import Window
+
+    from serverless_datalake_spark.operators.similarity import _as_double, cosine
+
+    q = queries.select("query_id", _as_double(F.col("embedding")).alias("__qv"))
+    c = corpus.select("corpus_id", _as_double(F.col("embedding")).alias("__cv"))
+    rescored = (
+        c.join(F.broadcast(sl), "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -261,3 +261,28 @@ def test_kcenter_rows_deterministic_and_spread(spark, sf_dir):
     )
     mean_to_first = sum(_fold_cos(v, cents[0]) for _, v in sample) / len(sample)
     assert mutual < max(mean_to_first + 0.5, 0.9)
+
+
+def test_rerank_improves_or_matches_ivfpq_recall(spark, sf_dir):
+    """Exact re-ranking of the IVF-PQ shortlist can only help: with a
+    4k-deep shortlist from the same router, recall@5 vs brute force
+    must be >= the plain ADC ordering's recall@5, and every returned
+    pair must come from the shortlist's probed cells (sanity: rank
+    column is a 1..5 permutation per query)."""
+    from serverless_datalake_spark.queries import load_registry
+
+    reg = load_registry()
+    bf = {(r["query_id"], r["corpus_id"])
+          for r in reg["sim_topk_bruteforce"].fn(spark, sf_dir).collect()}
+    pq = {(r["query_id"], r["corpus_id"])
+          for r in reg["sim_topk_ivfpq"].fn(spark, sf_dir).collect()}
+    rr_rows = reg["sim_topk_ivfpq_rerank"].fn(spark, sf_dir).collect()
+    rr = {(r["query_id"], r["corpus_id"]) for r in rr_rows}
+    assert len(rr & bf) >= len(pq & bf)
+    by_q: dict[int, list] = {}
+    for r in rr_rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q_rows in by_q.values():
+        assert sorted(r["rank"] for r in q_rows) == list(range(1, len(q_rows) + 1))
+        scores = [r["score"] for r in sorted(q_rows, key=lambda r: r["rank"])]
+        assert scores == sorted(scores, reverse=True)
