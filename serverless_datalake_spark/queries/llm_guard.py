@@ -496,3 +496,62 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("source", "token", "cnt", F.col("rank").cast("long").alias("rank"))
     )
+
+
+@query(
+    "validate_expectations",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_custkey) AS BIGINT) AS nc,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd,
+             CAST(COUNT(CASE WHEN o_totalprice >= 0 AND o_totalprice <= 300000 THEN 1 END) AS BIGINT) AS nr,
+             CAST(COUNT(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END) AS BIGINT) AS ns,
+             CAST(COUNT(CASE WHEN regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 END) AS BIGINT) AS np
+      FROM orders
+    )
+    SELECT 'row_count_nonzero' AS check_name, CAST(n AS DOUBLE) AS metric, n > 0 AS passed FROM a
+    UNION ALL SELECT 'completeness_o_custkey', ROUND(CAST(nc AS DOUBLE)/CAST(n AS DOUBLE), 6), nc = n FROM a
+    UNION ALL SELECT 'uniqueness_o_orderkey', ROUND(CAST(nd AS DOUBLE)/CAST(n AS DOUBLE), 6), nd = n FROM a
+    UNION ALL SELECT 'range_o_totalprice_0_300k', ROUND(CAST(nr AS DOUBLE)/CAST(n AS DOUBLE), 6), nr = n FROM a
+    UNION ALL SELECT 'domain_o_orderstatus', ROUND(CAST(ns AS DOUBLE)/CAST(n AS DOUBLE), 6), ns = n FROM a
+    UNION ALL SELECT 'pattern_o_orderpriority', ROUND(CAST(np AS DOUBLE)/CAST(n AS DOUBLE), 6), np = n FROM a
+    """,
+    tags=("guard", "quality", "validation"),
+)
+def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality verification (the Deequ/Great-
+    Expectations shape): a suite of expectations — completeness,
+    key uniqueness, numeric range, value domain, string pattern —
+    evaluated in ONE aggregation pass over the table, emitted as a
+    long-format report (check_name, metric, passed). The range check
+    is deliberately tight so fixtures exercise the FAILING branch —
+    a validation report that can only say "pass" is untested.
+
+    Scale shape: every expectation folds into the same partial
+    aggregate, so the whole suite costs one scan + one 1-row shuffle
+    regardless of how many checks are registered (the Deequ insight:
+    checks are algebraic states, so they share the pass). The
+    COUNT(DISTINCT) rides the same aggregate via expand; the stack()
+    that reshapes 1 wide row into N report rows is free."""
+    o = load_table(spark, sf_dir, "orders")
+    a = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_custkey").alias("nc"),
+        F.countDistinct("o_orderkey").alias("nd"),
+        F.count(
+            F.when((F.col("o_totalprice") >= 0) & (F.col("o_totalprice") <= 300000), 1)
+        ).alias("nr"),
+        F.count(F.when(F.col("o_orderstatus").isin("O", "F", "P"), 1)).alias("ns"),
+        F.count(F.when(F.col("o_orderpriority").rlike("^[1-5]-"), 1)).alias("np"),
+    )
+    return a.selectExpr(
+        """stack(6,
+          'row_count_nonzero', CAST(n AS DOUBLE), n > 0,
+          'completeness_o_custkey', ROUND(CAST(nc AS DOUBLE)/CAST(n AS DOUBLE), 6), nc = n,
+          'uniqueness_o_orderkey', ROUND(CAST(nd AS DOUBLE)/CAST(n AS DOUBLE), 6), nd = n,
+          'range_o_totalprice_0_300k', ROUND(CAST(nr AS DOUBLE)/CAST(n AS DOUBLE), 6), nr = n,
+          'domain_o_orderstatus', ROUND(CAST(ns AS DOUBLE)/CAST(n AS DOUBLE), 6), ns = n,
+          'pattern_o_orderpriority', ROUND(CAST(np AS DOUBLE)/CAST(n AS DOUBLE), 6), np = n
+        ) AS (check_name, metric, passed)"""
+    )

@@ -288,3 +288,103 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.v").alias("v"),
         F.col("t.e").alias("ewma"),
     )
+
+
+@query(
+    "ts_holt_linear",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type,
+             list(h ORDER BY h) AS hs,
+             list([v, v, CAST(0.0 AS DOUBLE)] ORDER BY h) AS es
+      FROM obs GROUP BY event_type
+    ), folded AS (
+      SELECT event_type, hs,
+             list_transform(range(1, len(es) + 1),
+               i -> list_reduce(es[1:i], (s, x) -> [
+                      x[1],
+                      0.3 * x[1] + 0.7 * (s[2] + s[3]),
+                      0.1 * ((0.3 * x[1] + 0.7 * (s[2] + s[3])) - s[2])
+                           + 0.9 * s[3]])) AS st
+      FROM ser
+    )
+    SELECT event_type,
+           unnest(hs) * 3600 AS bucket_start,
+           unnest(list_transform(st, s -> s[1])) AS v,
+           unnest(list_transform(st, s -> ROUND(s[2], 6))) AS level,
+           unnest(list_transform(st, s -> ROUND(s[3], 6))) AS trend,
+           unnest(list_transform(st, s -> ROUND(s[2] + s[3], 6))) AS forecast_next
+    FROM folded
+    """,
+    tags=("timeseries", "smoothing", "forecast"),
+)
+def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing — the next
+    member of the Holt-Winters family after ts_ewma: a level AND a
+    trend state per series (α=0.3, β=0.1, l₁=v₁, b₁=0), plus the
+    one-step-ahead forecast l+b that alerting pipelines threshold
+    against.
+
+    The recurrence carries a 2-component state, so the fold
+    accumulator is a STRUCT — both engines reduce the identical
+    struct stream in identical order (Spark F.aggregate / DuckDB
+    list_reduce share "first element is the initial state"), and the
+    trend update re-spells the level expression verbatim instead of
+    referencing it, so every intermediate double is bit-identical
+    before the final 6-decimal round.
+
+    Scale shape is ts_ewma's: raw events collapse to the hourly grid
+    in one partial-agg shuffle; the O(n²) prefix folds are bounded by
+    series length (hours per type), never event volume; series fold
+    independently — per-key parallelism."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ser = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
+    )
+    hs = F.transform(F.col("arr"), lambda x: x["h"])
+    # state vector [v, l, b] as a plain double array: DuckDB's
+    # list_reduce updates a STRUCT accumulator field-by-field in
+    # place (later field expressions see earlier NEW values), so the
+    # cross-engine-safe encoding is an immutable list value.
+    es = F.transform(
+        F.col("arr"), lambda x: F.array(x["v"], x["v"], F.lit(0.0))
+    )
+
+    def step(s, x):
+        v = F.element_at(x, 1)
+        lvl = 0.3 * v + 0.7 * (F.element_at(s, 2) + F.element_at(s, 3))
+        trd = (
+            0.1 * ((0.3 * v + 0.7 * (F.element_at(s, 2) + F.element_at(s, 3)))
+                   - F.element_at(s, 2))
+            + 0.9 * F.element_at(s, 3)
+        )
+        return F.array(v, lvl, trd)
+
+    sts = F.transform(
+        F.sequence(F.lit(1), F.size(es)),
+        lambda i: F.aggregate(
+            F.slice(es, F.lit(2), i - 1), F.element_at(es, F.lit(1)), step
+        ),
+    )
+    z = ser.select(
+        "event_type",
+        F.explode(F.arrays_zip(hs.alias("h"), sts.alias("s"))).alias("t"),
+    )
+    st = F.col("t.s")
+    return z.select(
+        "event_type",
+        (F.col("t.h") * 3600).alias("bucket_start"),
+        F.element_at(st, 1).alias("v"),
+        F.round(F.element_at(st, 2), 6).alias("level"),
+        F.round(F.element_at(st, 3), 6).alias("trend"),
+        F.round(F.element_at(st, 2) + F.element_at(st, 3), 6).alias("forecast_next"),
+    )

@@ -313,3 +313,28 @@ def test_bloom_incremental_no_false_negatives(spark, sf_dir):
     fps = [r for r in rows if r["bloom_dup"] and not r["exact_dup"]]
     assert fps, "tiny filter should produce false positives on fixtures"
     assert any(not r["bloom_dup"] for r in rows), "some docs must be definite-new"
+
+
+def test_holt_linear_matches_python_recurrence(spark, sf_dir):
+    """Replay Holt's recurrence in plain Python from the hourly bucket
+    totals and require every level/trend/forecast to agree with the
+    query output within the 6-decimal rounding; init must be
+    (l1=v1, b1=0), and forecast_next == level + trend."""
+    rows = REG["ts_holt_linear"].fn(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert len(by_type) >= 2
+    for series in by_type.values():
+        series.sort(key=lambda r: r["bucket_start"])
+        l = series[0]["v"]
+        b = 0.0
+        assert abs(series[0]["level"] - round(l, 6)) < 1e-9
+        assert series[0]["trend"] == 0.0
+        for r in series[1:]:
+            l_new = 0.3 * r["v"] + 0.7 * (l + b)
+            b = 0.1 * (l_new - l) + 0.9 * b
+            l = l_new
+            assert abs(r["level"] - round(l, 6)) < 1e-6, r
+            assert abs(r["trend"] - round(b, 6)) < 1e-6, r
+            assert abs(r["forecast_next"] - round(l + b, 6)) < 2e-6, r
