@@ -524,3 +524,81 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("__hit"), F.lit(False)).alias("exact_dup"),
         )
     )
+
+
+def _containment_oracle(threshold: float = 0.8) -> str:
+    """LSH candidate pairs (same 8×8 banding as dedup_minhash_lsh)
+    scored with exact asymmetric containment |A∩B|/|A|."""
+    return f"""
+    WITH {_minhash_ctes()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM membership a
+      JOIN membership b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id
+    ), ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM documents
+    ), sc AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE) AS inter,
+             CAST(len(ta.toks) AS DOUBLE) AS na,
+             CAST(len(tb.toks) AS DOUBLE) AS nb
+      FROM pairs p
+      JOIN ts ta ON ta.doc_id = p.doc_a
+      JOIN ts tb ON tb.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / na, 4) AS containment_a_in_b,
+           ROUND(inter / nb, 4) AS containment_b_in_a
+    FROM sc WHERE GREATEST(inter / na, inter / nb) >= {threshold}
+    """
+
+
+@query(
+    "text_minhash_containment",
+    oracle=_containment_oracle(),
+    tags=("llm", "dedup", "minhash", "containment"),
+)
+def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment detection — the boilerplate/quote case
+    Jaccard misses: a short document wholly embedded in a longer one
+    has C(A,B) = |A∩B|/|A| ≈ 1 while J(A,B) stays low. Candidates are
+    nominated by the SAME MinHash 8×8 banding as the dedup family (one
+    signature pass, one band shuffle); exact containment is computed
+    only on colliding pairs, both directions reported.
+
+    Scale shape: candidate-limited like dedup_minhash_lsh — the only
+    quadratic surface is within-bucket, which tracks true near-dup
+    mass; the exact-scoring join touches |pairs| rows, not |corpus|².
+    (For containment-heavy workloads, banding the SHORTER side with
+    more permissive parameters raises recall; the fixture's word-soup
+    text keeps the standard banding adequate.)"""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", k=1)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=8)
+    toks = dedup.token_sets(d, "doc_id", "text")
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
+    na = F.size("toks_a").cast("double")
+    nb = F.size("toks_b").cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.alias("inter"),
+            na.alias("na"),
+            nb.alias("nb"),
+        )
+        .where(F.greatest(F.col("inter") / F.col("na"), F.col("inter") / F.col("nb")) >= 0.8)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("inter") / F.col("na"), 4).alias("containment_a_in_b"),
+            F.round(F.col("inter") / F.col("nb"), 4).alias("containment_b_in_a"),
+        )
+    )

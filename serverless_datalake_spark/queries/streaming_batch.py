@@ -181,3 +181,53 @@ def stream_join_timerange(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_pairs"),
         F.min(lag_ms).alias("min_lag_ms"),
     )
+
+
+@query(
+    "stream_topk_windowed",
+    oracle="""
+    WITH agg AS (
+      SELECT CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))) AS BIGINT) AS window_start,
+             event_type,
+             COUNT(*) AS n
+      FROM events
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT window_start, event_type, n,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n DESC, event_type) AS rank
+      FROM agg
+    )
+    SELECT window_start, event_type, n, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("streaming", "window", "topk"),
+)
+def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k (trending items): the leaderboard every
+    monitoring dashboard keeps — top-3 event types per tumbling hour,
+    deterministic tie-break on the key. In batch this verifies the
+    exact semantics; the streaming run computes the same windowed
+    counts under a watermark and re-ranks per window in foreachBatch
+    (rank is not an incremental operator — the canonical pattern is
+    windowed agg upstream, small per-window top-k at the sink).
+
+    Scale shape: partial counts map-side, ONE (window, type) shuffle,
+    then a per-window row_number whose WindowGroupLimit pushdown caps
+    state at k rows per window before the final exchange."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy(
+        F.window("ts", "1 hour").alias("w"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = Window.partitionBy("w").orderBy(F.col("n").desc(), "event_type")
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
