@@ -271,6 +271,7 @@ def load_registry() -> dict[str, Query]:
         funnel,
         functions,
         functions2,
+        graph,
         joins,
         llm_dedup,
         llm_guard,

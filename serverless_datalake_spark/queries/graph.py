@@ -1,0 +1,142 @@
+"""Graph analytics over relational-derived edge lists.
+
+The co-purchase graph (parts sharing an order) is the classic
+retail-analytics graph; PageRank over it surfaces "hub" parts the way
+link-rank surfaces hub pages. The dedup family already ships
+label-propagation connected components (operators/dedup.py); this
+module adds the eigenvector-style ranking member of the family.
+
+Determinism discipline: every per-iteration contribution
+rank(src)/deg(src) is rounded at 10 decimals and summed as an ORDERED
+fold over the src-sorted neighbor list, and each new rank is rounded
+at 10 — both engines add identical doubles in identical order, so 5
+iterations stay bit-identical (the text_kl_divergence precedent
+applied iteratively).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+_DAMP = 0.85
+_ITERS = 5
+
+
+def _pagerank_oracle(iters: int = _ITERS) -> str:
+    parts = [
+        """
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+    ), nn AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg
+    ), r0 AS (
+      SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM deg CROSS JOIN nn
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+      SELECT e.dst AS node,
+             ROUND(0.15 / CAST(nn.n AS DOUBLE)
+                   + 0.85 * list_aggregate(
+                       list(ROUND(r.rank / CAST(deg.d AS DOUBLE), 10) ORDER BY e.src),
+                       'sum'), 10) AS rank
+      FROM edges e
+      JOIN r{i - 1} r ON r.node = e.src
+      JOIN deg ON deg.node = e.src
+      CROSS JOIN nn
+      GROUP BY e.dst, nn.n
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT r.node AS part, deg.d AS degree, r.rank AS pagerank
+    FROM r{iters} r JOIN deg ON deg.node = r.node
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_pagerank", oracle=_pagerank_oracle(), tags=("graph", "pagerank"))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 fixed iterations) over the part
+    co-purchase graph: nodes = parts, undirected edges = "appeared in
+    the same order" (symmetrized, deduplicated). The graph has no
+    dangling nodes by construction (every node in the symmetric edge
+    list has out-degree ≥ 1), so the plain push formulation applies.
+
+    Scale shape: edge construction is one self-join on the natural
+    key (orderkey) — co-partitioned after a single shuffle; each
+    iteration is join(ranks ⋈ edges) + one groupBy(dst) shuffle.
+    Rank and degree relations are node-sized, edges dominate — the
+    same per-iteration cost profile as the label-propagation
+    components operator (operators/dedup.py:260), and like it the
+    loop is a fixed unrolled plan with no driver-side data movement.
+    At 100 TB the edges relation would be bucketed by src so the
+    per-iteration join is shuffle-free on the edge side; iteration
+    count is fixed (5), not convergence-polled, keeping the plan
+    static. localCheckpoint every few iterations would truncate
+    lineage for deeper runs (components operator does this)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pl.select(F.col("o"), F.col("p").alias("src"))
+    b = pl.select(F.col("o"), F.col("p").alias("dst"))
+    e0 = (
+        a.join(b, "o")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    nn = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    r = deg.crossJoin(F.broadcast(nn)).select(
+        "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
+    )
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(r, edges["src"] == r["node"])
+            .join(deg.withColumnRenamed("node", "__dn"), F.col("src") == F.col("__dn"))
+            .select(
+                "dst",
+                "src",
+                F.round(F.col("rank") / F.col("d").cast("double"), 10).alias("c"),
+            )
+        )
+        arr = F.array_sort(F.collect_list(F.struct("src", "c")))
+        folded = F.aggregate(
+            F.transform(arr, lambda x: x["c"]), F.lit(0.0), lambda s, x: s + x
+        )
+        r = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(folded.alias("__f"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    0.15 / F.col("n").cast("double") + 0.85 * F.col("__f"), 10
+                ).alias("rank"),
+            )
+        )
+    return r.join(deg, "node").select(
+        F.col("node").alias("part"),
+        F.col("d").alias("degree"),
+        F.col("rank").alias("pagerank"),
+    )

@@ -338,3 +338,21 @@ def test_holt_linear_matches_python_recurrence(spark, sf_dir):
             assert abs(r["level"] - round(l, 6)) < 1e-6, r
             assert abs(r["trend"] - round(b, 6)) < 1e-6, r
             assert abs(r["forecast_next"] - round(l + b, 6)) < 2e-6, r
+
+
+def test_pagerank_mass_and_structure(spark, sf_dir):
+    """PageRank invariants: total rank mass ≈ 1 (no dangling leakage);
+    every rank ≥ the teleport floor 0.15/N; rank correlates with
+    degree (top-decile-by-degree mean rank > bottom-decile mean)."""
+    rows = REG["graph_pagerank"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 10
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-4
+    floor = 0.15 / n
+    assert all(r["pagerank"] >= floor - 1e-9 for r in rows)
+    ranked = sorted(rows, key=lambda r: r["degree"])
+    k = max(1, n // 10)
+    lo = sum(r["pagerank"] for r in ranked[:k]) / k
+    hi = sum(r["pagerank"] for r in ranked[-k:]) / k
+    assert hi > lo
