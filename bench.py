@@ -67,6 +67,13 @@ HEADLINE = [
     "agg_quantile_sketch",
     "ts_resample_interpolate",
     "text_kl_divergence",
+    # continued-session additions: LM quality scoring, map-only bloom
+    # screening, shortlist re-ranking, single-pass validation, graph
+    "text_unigram_logprob",
+    "dedup_bloom_incremental",
+    "sim_topk_ivfpq_rerank",
+    "validate_expectations",
+    "graph_pagerank",
 ]
 
 
