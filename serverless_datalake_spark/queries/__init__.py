@@ -199,7 +199,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     additions (text_unigram_logprob, dedup_bloom_incremental,
 #     sim_topk_ivfpq_rerank, validate_expectations,
 #     text_minhash_containment, graph_pagerank, ts_holt_linear,
-#     stream_topk_windowed — see each module) — plus any round-3
+#     stream_topk_windowed, agg_cms_heavy_hitters,
+#     feature_hashing_trick — see each module) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)

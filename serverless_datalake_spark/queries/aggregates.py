@@ -430,3 +430,98 @@ def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(est, 4).alias("q_est"),
         F.col("n").cast("long").alias("n"),
     )
+
+
+_CMS_D = 4     # hash rows
+_CMS_W = 16    # counters per row — far below vocab so fixtures
+               # exercise real collisions (fixture vocab ~31 > w=16)
+
+
+def _cms_oracle() -> str:
+    """DuckDB twin of the deterministic Count-Min Sketch: identical
+    md5 double-hashed positions, identical min-over-rows estimate."""
+    from serverless_datalake_spark.queries.llm_dedup import _hex8_int
+
+    h1 = _hex8_int("substr(md5(t), 1, 8)")
+    h2 = _hex8_int("substr(md5(t), 9, 8)")
+    return f"""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), cells AS (
+      SELECT ({h1} + j * {h2}) % {_CMS_W} AS pos, j
+      FROM tok, (SELECT unnest(range({_CMS_D})) AS j)
+    ), cms AS (
+      SELECT j, pos, CAST(COUNT(*) AS BIGINT) AS c FROM cells GROUP BY 1, 2
+    ), tc AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS true_cnt FROM tok GROUP BY 1
+    ), probes AS (
+      SELECT t, true_cnt, j, ({h1} + j * {h2}) % {_CMS_W} AS pos
+      FROM tc, (SELECT unnest(range({_CMS_D})) AS j)
+    ), est AS (
+      SELECT p.t, p.true_cnt, MIN(cms.c) AS cms_est
+      FROM probes p JOIN cms USING (j, pos)
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT t AS token, true_cnt, cms_est,
+             ROW_NUMBER() OVER (ORDER BY true_cnt DESC, t) AS rank
+      FROM est
+    )
+    SELECT token, true_cnt, cms_est, rank FROM ranked WHERE rank <= 20
+    """
+
+
+@query("agg_cms_heavy_hitters", oracle=_cms_oracle(), tags=("agg", "sketch", "cms"))
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch heavy hitters — the third mergeable sketch
+    (with HLL distinct counts and the histogram quantile sketch): a
+    d×w counter grid (4×16, Kirsch–Mitzenmacher double hashing off
+    the md5 halves) whose point estimate min_j cms[j][h_j(t)] never
+    underestimates. w is deliberately small so the fixture run
+    exercises real collisions; the top-20 report carries true_cnt next
+    to cms_est so the overestimate is visible and test-assertable.
+
+    Unlike the engine-internal sketches, this one is hash-
+    deterministic, so the oracle rebuilds the EXACT grid. Scale shape:
+    the sketch build is one (j, pos)-keyed aggregate of d·w cells —
+    constant-size output regardless of corpus size, mergeable across
+    shards by cell-wise addition; the probe side joins the BROADCAST
+    grid (d·w rows). True counts here are fixture-sized verification;
+    at 100 TB you'd keep only the sketch and a candidate stream."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
+    )
+    h1 = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+    rows = F.transform(
+        F.sequence(F.lit(0), F.lit(_CMS_D - 1)),
+        lambda j: F.struct(
+            j.cast("long").alias("j"),
+            ((h1 + j.cast("long") * h2) % F.lit(_CMS_W)).alias("pos"),
+        ),
+    )
+    cells = tok.select(F.explode(rows).alias("c")).select("c.j", "c.pos")
+    cms = cells.groupBy("j", "pos").agg(F.count(F.lit(1)).alias("c"))
+    tc = tok.groupBy("t").agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = tc.select(
+        "t", "true_cnt", F.explode(rows).alias("p")
+    ).select("t", "true_cnt", "p.j", "p.pos")
+    est = (
+        probes.join(F.broadcast(cms), ["j", "pos"])
+        .groupBy("t", "true_cnt")
+        .agg(F.min("c").alias("cms_est"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("true_cnt").desc(), "t")
+    return (
+        est.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            F.col("t").alias("token"),
+            "true_cnt",
+            "cms_est",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -203,3 +203,67 @@ def winsorize_bounds_approx(
     corpus-wide sort just to find two numbers."""
     lo, hi = df.stat.approxQuantile(col, [p_lo, p_hi], rel_err)
     return lo, hi
+
+
+_FH_DIM = 64
+
+
+def _hashing_trick_oracle() -> str:
+    from serverless_datalake_spark.queries.llm_dedup import _hex8_int
+
+    h1 = _hex8_int("substr(md5(t), 1, 8)")
+    h2 = _hex8_int("substr(md5(t), 9, 8)")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), hashed AS (
+      SELECT doc_id,
+             {h1} % {_FH_DIM} AS bucket,
+             CASE WHEN {h2} % 2 = 0 THEN 1 ELSE -1 END AS sign
+      FROM tok
+    )
+    SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2
+    HAVING SUM(sign) <> 0
+    """
+
+
+@query(
+    "feature_hashing_trick",
+    oracle=_hashing_trick_oracle(),
+    tags=("feature", "hashing", "llm"),
+)
+def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. feature hashing): project
+    an unbounded token vocabulary into a fixed 64-dim space with a
+    signed hash — bucket = h1(t) mod d, sign = ±1 from h2(t) — so
+    downstream linear models train on a fixed-width feature space
+    with no vocabulary dictionary to build, ship, or keep consistent.
+    The signed variant keeps collision bias zero-mean; sign
+    cancellation is real (HAVING weight != 0 drops annihilated
+    cells), which the fixture's small d exercises.
+
+    Output is the SPARSE (doc_id, bucket, weight) triplet form — the
+    honest representation at 100 TB (a dense array column would carry
+    d cells per doc regardless of sparsity; the triplet stream is
+    exactly what a distributed SGD or feature-store sink consumes).
+    Scale shape: one explode + one (doc, bucket) partial-agg shuffle;
+    no vocabulary-sized state anywhere — the point of the trick."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    )
+    h1 = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("t"), 9, 8), 16, 10).cast("long")
+    hashed = tok.select(
+        "doc_id",
+        (h1 % _FH_DIM).alias("bucket"),
+        F.when(h2 % 2 == 0, F.lit(1)).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return (
+        hashed.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").alias("weight"))
+        .where(F.col("weight") != 0)
+    )

@@ -356,3 +356,15 @@ def test_pagerank_mass_and_structure(spark, sf_dir):
     lo = sum(r["pagerank"] for r in ranked[:k]) / k
     hi = sum(r["pagerank"] for r in ranked[-k:]) / k
     assert hi > lo
+
+
+def test_cms_never_underestimates(spark, sf_dir):
+    """Count-Min guarantee: the estimate is always >= the true count,
+    and with w=16 << vocab the fixture must exercise >= 1 collision
+    (strict overestimate) among the reported heavy hitters."""
+    rows = REG["agg_cms_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r["cms_est"] >= r["true_cnt"] for r in rows)
+    assert any(r["cms_est"] > r["true_cnt"] for r in rows)
+    ranks = sorted(r["rank"] for r in rows)
+    assert ranks == list(range(1, len(rows) + 1))
