@@ -480,3 +480,116 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_nll",
         F.round(F.exp("mean_nll"), 4).alias("ppl_proxy"),
     )
+
+
+@query(
+    "text_bigram_logprob",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ts
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(ts)),
+               i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS b
+      FROM toks WHERE len(ts) >= 2
+    ), pairs AS (
+      SELECT doc_id, struct_extract(b, 'w1') AS w1, struct_extract(b, 'w2') AS w2 FROM bg
+    ), bc AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM pairs GROUP BY 1, 2
+    ), uc AS (
+      SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM bc GROUP BY 1
+    ), vocab AS (
+      SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bc
+    ), lm AS (
+      SELECT bc.w1, bc.w2,
+             ROUND(ln((CAST(bc.cb AS DOUBLE) + 1.0)
+                      / (CAST(uc.cu AS DOUBLE) + CAST(vocab.v AS DOUBLE))), 8) AS lp
+      FROM bc JOIN uc USING (w1) CROSS JOIN vocab
+    ), dt AS (
+      SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS k FROM pairs GROUP BY 1, 2, 3
+    ), contrib AS (
+      SELECT dt.doc_id, dt.w1, dt.w2, dt.k, CAST(dt.k AS DOUBLE) * lm.lp AS klp
+      FROM dt JOIN lm USING (w1, w2)
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_bigrams,
+             ROUND(-list_aggregate(list(klp ORDER BY w1, w2), 'sum')
+                   / CAST(SUM(k) AS DOUBLE), 6) AS mean_nll
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, mean_nll FROM agg
+    """,
+    tags=("llm", "text", "quality", "lm"),
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring — the sharper sibling of
+    text_unigram_logprob: P(w_i | w_{i-1}) with add-one smoothing
+    over the corpus's own bigram table. Token-ORDER now matters, so
+    shuffled/templated text that fools a unigram filter scores badly
+    here (the KenLM-filter idea at its smallest).
+
+    Bigrams are formed in ONE pass with an index-zip over the token
+    array (no posexplode self-join); the smoothing denominator is the
+    context count + continuation-vocabulary size. Float discipline as
+    the unigram twin: 8-decimal per-bigram log-probs, ordered fold
+    per doc, 6-decimal mean.
+
+    Scale shape: one (w1,w2) count shuffle (bigram-vocabulary-sized
+    output), one context rollup, one (doc,bigram) count shuffle, and
+    a bigram-keyed join of per-doc counts against the LM relation —
+    the corpus text is scanned once; everything downstream is
+    vocabulary-bounded."""
+    d = load_table(spark, sf_dir, "documents")
+    ts = F.filter(F.split("text", " "), lambda x: x != "")
+    bg = (
+        d.select("doc_id", ts.alias("ts"))
+        .where(F.size("ts") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("ts") - 1),
+                    lambda i: F.struct(
+                        F.element_at("ts", i).alias("w1"),
+                        F.element_at("ts", i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    )
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cb"))
+    uc = bc.groupBy("w1").agg(F.sum("cb").alias("cu"))
+    vocab = bc.groupBy().agg(F.countDistinct("w2").alias("v"))
+    lm = (
+        bc.join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "w1",
+            "w2",
+            F.round(
+                F.log(
+                    (F.col("cb").cast("double") + F.lit(1.0))
+                    / (F.col("cu").cast("double") + F.col("v").cast("double"))
+                ),
+                8,
+            ).alias("lp"),
+        )
+    )
+    dt = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("k"))
+    contrib = dt.join(lm, ["w1", "w2"]).select(
+        "doc_id",
+        "w1",
+        "w2",
+        F.col("k").cast("long").alias("k"),
+        (F.col("k").cast("double") * F.col("lp")).alias("klp"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("w1", "w2", "klp")))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["klp"]), F.lit(0.0), lambda a, x: a + x
+    )
+    return contrib.groupBy("doc_id").agg(
+        F.sum("k").alias("n_bigrams"),
+        F.round(-folded / F.sum("k").cast("double"), 6).alias("mean_nll"),
+    )
