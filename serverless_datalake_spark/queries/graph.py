@@ -104,12 +104,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unrolled iterations reuse one materialization instead of
     # re-deriving the self-join lineage each round (at cluster scale:
     # the bucketed-by-src at-rest layout plays this role).
-    edges = e0.unionAll(
+    edges0 = e0.unionAll(
         e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
+    )
+    deg = edges0.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     ).persist()
+    # fold the (static) out-degree into the persisted edge relation so
+    # each iteration needs ONE broadcast join (ranks), not two
+    edges = edges0.join(
+        F.broadcast(deg.withColumnRenamed("node", "__dn")),
+        F.col("src") == F.col("__dn"),
+    ).select("src", "dst", "d").persist()
     nn = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
     r = deg.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
@@ -120,17 +126,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # billion-node scale where ranks outgrow broadcast, the edges
     # relation is bucketed by src and the join co-locates instead.)
     for _ in range(_ITERS):
-        contrib = (
-            edges.join(F.broadcast(r), edges["src"] == r["node"])
-            .join(
-                F.broadcast(deg.withColumnRenamed("node", "__dn")),
-                F.col("src") == F.col("__dn"),
-            )
-            .select(
-                "dst",
-                "src",
-                F.round(F.col("rank") / F.col("d").cast("double"), 10).alias("c"),
-            )
+        contrib = edges.join(F.broadcast(r), edges["src"] == r["node"]).select(
+            "dst",
+            "src",
+            F.round(F.col("rank") / F.col("d").cast("double"), 10).alias("c"),
         )
         arr = F.array_sort(F.collect_list(F.struct("src", "c")))
         folded = F.aggregate(
