@@ -151,3 +151,104 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("degree"),
         F.col("rank").alias("pagerank"),
     )
+
+
+@query(
+    "market_basket_rules",
+    oracle="""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM pl
+    ), ic AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM pl GROUP BY 1
+    ), pc AS (
+      SELECT a.p AS pa, b.p AS pb, CAST(COUNT(*) AS BIGINT) AS cab
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ), scored AS (
+      SELECT pc.pa, pc.pb, pc.cab,
+             ROUND(CAST(pc.cab AS DOUBLE) / CAST(n.n AS DOUBLE), 6) AS support,
+             ROUND(CAST(pc.cab AS DOUBLE) / CAST(ia.c AS DOUBLE), 6) AS conf_a_to_b,
+             ROUND(CAST(pc.cab AS DOUBLE) / CAST(ib.c AS DOUBLE), 6) AS conf_b_to_a,
+             ROUND((CAST(pc.cab AS DOUBLE) * CAST(n.n AS DOUBLE))
+                   / (CAST(ia.c AS DOUBLE) * CAST(ib.c AS DOUBLE)), 6) AS lift
+      FROM pc
+      JOIN ic ia ON ia.p = pc.pa
+      JOIN ic ib ON ib.p = pc.pb
+      CROSS JOIN n
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY cab DESC, pa, pb) AS rank FROM scored
+    )
+    SELECT pa, pb, cab, support, conf_a_to_b, conf_b_to_a, lift, rank
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("graph", "association", "basket"),
+)
+def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association rules over the order/part basket relation — the
+    support / confidence / lift triple for the top co-purchased part
+    pairs (the 2-itemset core of Apriori/FP-growth; at fixture basket
+    widths full frequent-itemset mining degenerates to exactly this
+    pair pass). min-support count 2 prunes singleton noise before any
+    scoring.
+
+    Scale shape: itemset counting is two hash aggregates; the pair
+    candidates come from the SAME co-partitioned self-join on
+    orderkey as graph_pagerank's edge build (baskets are short, so
+    per-order pair fan-out is bounded by max-basket²); item supports
+    join back vocabulary-sized. The HAVING min-support filter runs
+    inside the aggregate — classic support-based pruning, the reason
+    Apriori scales at all."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n = pl.agg(F.countDistinct("o").alias("n"))
+    ic = pl.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    a = pl.select("o", F.col("p").alias("pa"))
+    b = pl.select("o", F.col("p").alias("pb"))
+    pc = (
+        a.join(b, "o")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 2)
+    )
+    ca = ic.select(F.col("p").alias("pa"), F.col("c").alias("ca"))
+    cb = ic.select(F.col("p").alias("pb"), F.col("c").alias("cb"))
+    scored = (
+        pc.join(ca, "pa")
+        .join(cb, "pb")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pa",
+            "pb",
+            F.col("cab").cast("long").alias("cab"),
+            F.round(F.col("cab").cast("double") / F.col("n").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("cab").cast("double") / F.col("ca").cast("double"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(F.col("cab").cast("double") / F.col("cb").cast("double"), 6).alias(
+                "conf_b_to_a"
+            ),
+            F.round(
+                (F.col("cab").cast("double") * F.col("n").cast("double"))
+                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    w = Window.orderBy(F.col("cab").desc(), "pa", "pb")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            "pa", "pb", "cab", "support", "conf_a_to_b", "conf_b_to_a", "lift",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
