@@ -768,3 +768,68 @@ def dedup_chunk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor_chunk"
         ),
     )
+
+
+@query(
+    "sample_temperature_mixture",
+    oracle="""
+    WITH per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), t AS (
+      SELECT lang, n_docs,
+             ROUND(exp(0.7 * ln(CAST(n_docs AS DOUBLE))), 8) AS ts
+      FROM per
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS nd,
+             list_aggregate(list(ts ORDER BY lang), 'sum') AS tt
+      FROM t
+    )
+    SELECT t.lang, t.n_docs,
+           ROUND(CAST(t.n_docs AS DOUBLE) / CAST(tot.nd AS DOUBLE), 6) AS raw_share,
+           ROUND(t.ts / tot.tt, 6) AS temp_share,
+           ROUND((t.ts / tot.tt) / (CAST(t.n_docs AS DOUBLE) / CAST(tot.nd AS DOUBLE)), 6) AS boost
+    FROM t CROSS JOIN tot
+    """,
+    tags=("llm", "datapipe", "mixture", "sampling"),
+)
+def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source sampling (the mT5/XLM-R multilingual
+    recipe, T = 1/α with α = 0.7): sampling probability p_l ∝ n_l^0.7,
+    flattening the language distribution so low-resource languages are
+    upsampled (boost > 1) and dominant ones suppressed (the fixture's
+    en/fr/es/zh/de skew exercises both directions; the source
+    dimension is uniform by construction and would be degenerate) — the standard
+    mixture knob between raw proportions (α=1) and uniform (α=0).
+
+    Float discipline: n^0.7 is spelled exp(0.7·ln n) in BOTH engines
+    (pow() is libm-dependent; exp/ln agree to well under the 8-decimal
+    round — the established tf-idf/unigram precedent), and the
+    normalizer is an ordered fold over the source-sorted factors.
+
+    Scale shape: one count aggregate (source-cardinality output), one
+    broadcast of the 1-row totals — the corpus is scanned once; at
+    100 TB per-partition counts come from lake metadata without
+    touching data at all."""
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    t = per.select(
+        "lang",
+        "n_docs",
+        F.round(F.exp(0.7 * F.log(F.col("n_docs").cast("double"))), 8).alias("ts"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("lang", "ts")))
+    tot = t.groupBy().agg(
+        F.sum("n_docs").alias("nd"),
+        F.aggregate(
+            F.transform(arr, lambda x: x["ts"]), F.lit(0.0), lambda s, x: s + x
+        ).alias("tt"),
+    )
+    raw = F.col("n_docs").cast("double") / F.col("nd").cast("double")
+    temp = F.col("ts") / F.col("tt")
+    return t.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        F.round(raw, 6).alias("raw_share"),
+        F.round(temp, 6).alias("temp_share"),
+        F.round(temp / raw, 6).alias("boost"),
+    )

@@ -368,3 +368,21 @@ def test_cms_never_underestimates(spark, sf_dir):
     assert any(r["cms_est"] > r["true_cnt"] for r in rows)
     ranks = sorted(r["rank"] for r in rows)
     assert ranks == list(range(1, len(rows) + 1))
+
+
+def test_temperature_mixture_flattens(spark, sf_dir):
+    """α=0.7 sampling must flatten the language distribution: the
+    dominant language's boost < 1, every minority language's boost
+    > 1, temp shares sum to 1, and the temp distribution's max/min
+    ratio is strictly below the raw distribution's."""
+    rows = REG["sample_temperature_mixture"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 3
+    assert abs(sum(r["temp_share"] for r in rows) - 1.0) < 1e-4
+    top = max(rows, key=lambda r: r["n_docs"])
+    assert top["boost"] < 1.0
+    for r in rows:
+        if r is not top:
+            assert r["boost"] > 1.0, r
+    raw_ratio = max(r["raw_share"] for r in rows) / min(r["raw_share"] for r in rows)
+    temp_ratio = max(r["temp_share"] for r in rows) / min(r["temp_share"] for r in rows)
+    assert temp_ratio < raw_ratio
