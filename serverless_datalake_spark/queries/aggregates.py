@@ -525,3 +525,45 @@ def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "agg_mode_deterministic",
+    oracle="""
+    SELECT o_orderpriority, mode_status, n
+    FROM (
+      SELECT o_orderpriority, o_orderstatus AS mode_status,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC, o_orderstatus) AS rn
+      FROM orders GROUP BY 1, 2
+    ) WHERE rn = 1
+    """,
+    tags=("agg", "mode"),
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group: Spark's built-in mode() breaks
+    frequency ties arbitrarily (hash order), so this spells the mode
+    as count + rank with a total tie-break — the only way a mode is
+    reproducible across engines, retries, and partitionings.
+
+    Scale shape: two-level aggregate (partial counts map-side) + a
+    group-local rank over the tiny (group, value) relation."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    counted = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("n").desc(), "o_orderstatus"
+    )
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            "n",
+        )
+    )

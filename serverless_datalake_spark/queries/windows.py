@@ -210,3 +210,93 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("click_value", ignorenulls=True).over(w_run).alias("last_click_value"),
         F.first("click_value", ignorenulls=True).over(w_full).alias("first_click_value"),
     )
+
+
+@query(
+    "window_gaps_islands",
+    oracle="""
+    WITH hrs AS (
+      SELECT DISTINCT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h
+      FROM events
+    ), grp AS (
+      SELECT event_type, h,
+             h - ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS g
+      FROM hrs
+    ), islands AS (
+      SELECT event_type,
+             MIN(h) * 3600 AS island_start,
+             MAX(h) * 3600 AS island_end,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM grp GROUP BY event_type, g
+    )
+    SELECT event_type, island_start, island_end, n_hours,
+           CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY island_start) AS BIGINT) AS island_no
+    FROM islands
+    """,
+    tags=("window", "gaps-islands"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands — the canonical consecutive-runs idiom: hours
+    with activity per event type are grouped into maximal consecutive
+    runs via the row_number-difference trick (h − rn is constant
+    within a run), yielding uptime/outage islands with start, end and
+    length. The pattern every monitoring/SLA pipeline reimplements.
+
+    Scale shape: the raw events collapse to the DISTINCT (type, hour)
+    grid first (partial-agg shuffle), then one window + one aggregate
+    on the grid — all grid-sized, never event-sized."""
+    e = load_table(spark, sf_dir, "events")
+    hrs = e.select(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    grp = hrs.withColumn("g", F.col("h") - F.row_number().over(w))
+    islands = grp.groupBy("event_type", "g").agg(
+        (F.min("h") * 3600).alias("island_start"),
+        (F.max("h") * 3600).alias("island_end"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    w2 = Window.partitionBy("event_type").orderBy("island_start")
+    return islands.select(
+        "event_type",
+        "island_start",
+        "island_end",
+        "n_hours",
+        F.row_number().over(w2).cast("long").alias("island_no"),
+    )
+
+
+@query(
+    "cdc_latest_by_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT user_id, event_id, ts, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("cdc", "dedup", "compaction"),
+)
+def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-wins compaction — the CDC/upsert read view: one
+    surviving row per key, the one with the greatest (ts, event_id)
+    (total tie-break so replays are deterministic). This is the
+    OPTIMIZE/compaction semantics every mutable-table reader applies
+    over an append-only change stream, and the batch twin of the
+    txlog MERGE's latest-version visibility.
+
+    Scale shape: one shuffle on the key; WindowGroupLimit pushdown
+    keeps per-key state at a single row before the exchange (same
+    mechanism as topk_per_group with k=1)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
