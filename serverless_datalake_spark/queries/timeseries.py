@@ -388,3 +388,99 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(st, 3), 6).alias("trend"),
         F.round(F.element_at(st, 2) + F.element_at(st, 3), 6).alias("forecast_next"),
     )
+
+
+@query(
+    "ts_autocorrelation",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type, list(v ORDER BY h) AS vs FROM obs GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, vs, len(vs) AS n,
+             list_aggregate(vs, 'sum') / CAST(len(vs) AS DOUBLE) AS m
+      FROM ser
+    ), parts AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+             list_aggregate(list_transform(vs, x -> (x - m) * (x - m)), 'sum') AS den,
+             list_aggregate(list_transform(range(1, n),
+               i -> (vs[i] - m) * (vs[i + 1] - m)), 'sum') AS num1,
+             list_aggregate(list_transform(range(1, n - 23),
+               i -> (vs[i] - m) * (vs[i + 24] - m)), 'sum') AS num24
+      FROM stats
+    )
+    SELECT event_type, n_buckets,
+           CASE WHEN n_buckets > 1 THEN ROUND(num1 / den, 6) END AS acf_1,
+           CASE WHEN n_buckets > 24 THEN ROUND(num24 / den, 6) END AS acf_24
+    FROM parts
+    """,
+    tags=("timeseries", "statistics"),
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each type's hourly totals at lag 1
+    (persistence) and lag 24 (daily seasonality) — the two numbers a
+    forecasting pipeline inspects before picking a model, and the
+    statistical counterpart of ts_ewma/ts_holt_linear's smoothing
+    assumptions.
+
+    ACF_k = Σ(x_t−x̄)(x_{t+k}−x̄) / Σ(x_t−x̄)² computed entirely as
+    ordered HOF folds over the per-type series array (mean, variance
+    and lagged products all fold in identical order in both engines;
+    inputs are the 2-decimal bucket totals, so every term is
+    bit-identical before the final 6-decimal round).
+
+    Scale shape: the ts_ewma profile — one partial-agg shuffle to the
+    (type, hour) grid, per-type arrays bounded by grid length (hours,
+    not events), series processed independently."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ser = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
+    )
+    vs = F.transform(F.col("arr"), lambda x: x["v"])
+    stats = ser.select(
+        "event_type",
+        vs.alias("vs"),
+        F.size(vs).alias("n"),
+        (
+            F.aggregate(vs, F.lit(0.0), lambda s, x: s + x)
+            / F.size(vs).cast("double")
+        ).alias("m"),
+    )
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda s, x: s + x)
+
+    den = fold(
+        F.transform(F.col("vs"), lambda x: (x - F.col("m")) * (x - F.col("m")))
+    )
+    num1 = fold(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 1),
+            lambda i: (F.element_at("vs", i) - F.col("m"))
+            * (F.element_at("vs", i + 1) - F.col("m")),
+        )
+    )
+    num24 = fold(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - 24),
+            lambda i: (F.element_at("vs", i) - F.col("m"))
+            * (F.element_at("vs", i + 24) - F.col("m")),
+        )
+    )
+    # guard short series: Spark's sequence(1, n-k) turns DESCENDING
+    # when n <= k (it would fold bogus terms) while DuckDB's range
+    # goes empty — align both on an explicit NULL
+    return stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_buckets"),
+        F.when(F.col("n") > 1, F.round(num1 / den, 6)).alias("acf_1"),
+        F.when(F.col("n") > 24, F.round(num24 / den, 6)).alias("acf_24"),
+    )
