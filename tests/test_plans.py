@@ -265,3 +265,50 @@ def test_chunk_dedup_single_shuffle(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_chunk_exact")
     assert plan.count("Exchange") == 1, plan.count("Exchange")
     assert "Join" not in plan
+
+
+def final_plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes this DataFrame's physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # toString appends the pre-adaptive "== Initial Plan ==" section;
+    # negative assertions must only see the adaptive FINAL plan
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_bloom_membership_broadcast_only(spark, sf_dir):
+    """The bloom screen must never shuffle-join the reference: the
+    bitset and the fingerprint set ride in as broadcasts; no
+    sort-merge join, no cartesian anywhere."""
+    plan = final_plan_of(spark, sf_dir, "dedup_bloom_incremental")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_pagerank_iterations_broadcast_ranks(spark, sf_dir):
+    """Every per-iteration rank join must be broadcast (node-sized
+    side), never sort-merge; no cartesian; the persisted edge
+    relation is reused (InMemoryTableScan present)."""
+    plan = final_plan_of(spark, sf_dir, "graph_pagerank")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+
+
+def test_cms_probe_joins_broadcast_grid(spark, sf_dir):
+    """The CMS probe joins the constant-size grid as a broadcast; the
+    build side is a plain two-level aggregate."""
+    plan = final_plan_of(spark, sf_dir, "agg_cms_heavy_hitters")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_rerank_stage_adds_no_sort_merge(spark, sf_dir):
+    """sim_topk_ivfpq_rerank's refine stage joins shortlist ids back
+    broadcast-only — the corpus-wide stage stays the IVF-PQ shape."""
+    plan = final_plan_of(spark, sf_dir, "sim_topk_ivfpq_rerank")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
