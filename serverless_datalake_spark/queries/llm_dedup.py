@@ -602,3 +602,173 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("inter") / F.col("nb"), 4).alias("containment_b_in_a"),
         )
     )
+
+
+def _curation2_oracle() -> str:
+    """Composition oracle: bloom screen (same CTEs as
+    dedup_bloom_incremental) → unigram-LM gate at the survivor mean →
+    temperature mixture over kept docs, per language."""
+    h1 = _hex8_int("substr(md5(text), 1, 8)")
+    h2 = _hex8_int("substr(md5(text), 9, 8)")
+    return f"""
+    WITH ref AS (
+      SELECT text FROM documents WHERE doc_id % 3 <> 0
+    ), ref_pos AS (
+      SELECT DISTINCT ({h1} + i * {h2}) % {_BLOOM_M} AS pos
+      FROM ref, (SELECT unnest(range({_BLOOM_K})) AS i)
+    ), bloom AS (
+      SELECT list(pos ORDER BY pos) AS rp FROM ref_pos
+    ), new_batch AS (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
+    ), screened AS (
+      SELECT n.doc_id, n.lang, n.text
+      FROM new_batch n CROSS JOIN bloom
+      WHERE NOT list_has_all(bloom.rp,
+              list_transform(range({_BLOOM_K}),
+                i -> ({h1} + i * {h2}) % {_BLOOM_M}))
+    ), tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt
+    ), lm AS (
+      SELECT t, ROUND(ln((CAST(c AS DOUBLE) + 1.0)
+                         / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))), 8) AS lp
+      FROM cnt CROSS JOIN tot
+    ), stok AS (
+      SELECT s.doc_id, s.lang,
+             unnest(list_filter(string_split(s.text, ' '), x -> x <> '')) AS t
+      FROM screened s
+    ), dt AS (
+      SELECT doc_id, lang, t, CAST(COUNT(*) AS BIGINT) AS k FROM stok GROUP BY 1, 2, 3
+    ), contrib AS (
+      SELECT dt.doc_id, dt.lang, dt.t, dt.k, CAST(dt.k AS DOUBLE) * lm.lp AS klp
+      FROM dt JOIN lm USING (t)
+    ), nll AS (
+      SELECT doc_id, lang,
+             ROUND(-list_aggregate(list(klp ORDER BY t), 'sum')
+                   / CAST(SUM(k) AS DOUBLE), 6) AS mean_nll
+      FROM contrib GROUP BY doc_id, lang
+    ), thr AS (
+      SELECT ROUND(list_aggregate(list(mean_nll ORDER BY doc_id), 'sum')
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS m
+      FROM nll
+    ), kept AS (
+      SELECT nll.doc_id, nll.lang FROM nll CROSS JOIN thr WHERE nll.mean_nll <= thr.m
+    ), per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept FROM kept GROUP BY 1
+    ), temp AS (
+      SELECT lang, n_kept,
+             ROUND(exp(0.7 * ln(CAST(n_kept AS DOUBLE))), 8) AS ts
+      FROM per
+    ), tt AS (
+      SELECT list_aggregate(list(ts ORDER BY lang), 'sum') AS tt FROM temp
+    )
+    SELECT temp.lang, temp.n_kept,
+           ROUND(temp.ts / tt.tt, 6) AS temp_share
+    FROM temp CROSS JOIN tt
+    """
+
+
+@query(
+    "pipeline_llm_curation2",
+    oracle=_curation2_oracle(),
+    tags=("llm", "pipeline", "capstone"),
+)
+def pipeline_llm_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone composition of the continued-round operators as ONE
+    plan: (1) Bloom-screen the incoming re-crawl batch against the
+    ingested reference — only definite-new documents continue; (2)
+    gate them on the corpus unigram-LM score (keep mean_nll ≤ the
+    survivor mean — the CCNet-style 'head+middle' cut); (3) compute
+    temperature-scaled (α=0.7) language sampling shares over what
+    survives. Output: per-language kept counts + mixture shares — the
+    numbers a training-data scheduler actually consumes.
+
+    Composition cost: the reference appears ONLY as the broadcast
+    bloom bitset; the corpus is scanned twice (once for the LM counts,
+    once as the batch side); every gate is a filter or broadcast join
+    stacked into the same DAG — no materialization barriers between
+    stages, so Catalyst pipelines the whole curation pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
+    h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
+    probes = F.transform(
+        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+        lambda i: (h1 + i.cast("long") * h2) % F.lit(_BLOOM_M),
+    )
+    ref = docs.filter(F.col("doc_id") % 3 != 0)
+    bloom = (
+        ref.select(F.explode(probes).alias("pos"))
+        .groupBy()
+        .agg(F.sort_array(F.collect_set("pos")).alias("rp"))
+    )
+    screened = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", "lang", "text", probes.alias("pp"))
+        .crossJoin(F.broadcast(bloom))
+        .where(~F.forall("pp", lambda p: F.array_contains(F.col("rp"), p)))
+        .select("doc_id", "lang", "text")
+    )
+    toks = lambda c: F.filter(F.split(c, " "), lambda x: x != "")  # noqa: E731
+    tok = docs.select(F.explode(toks(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy().agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v"))
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        F.round(
+            F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (F.col("n").cast("double") + F.col("v").cast("double"))
+            ),
+            8,
+        ).alias("lp"),
+    )
+    stok = screened.select(
+        "doc_id", "lang", F.explode(toks(F.col("text"))).alias("t")
+    )
+    dt = stok.groupBy("doc_id", "lang", "t").agg(F.count(F.lit(1)).alias("k"))
+    contrib = dt.join(lm, "t").select(
+        "doc_id", "lang", "t",
+        F.col("k").cast("long").alias("k"),
+        (F.col("k").cast("double") * F.col("lp")).alias("klp"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("klp"))))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["klp"]), F.lit(0.0), lambda a, x: a + x
+    )
+    nll = contrib.groupBy("doc_id", "lang").agg(
+        F.round(-folded / F.sum("k").cast("double"), 6).alias("mean_nll")
+    )
+    narr = F.array_sort(F.collect_list(F.struct(F.col("doc_id"), F.col("mean_nll"))))
+    thr = nll.groupBy().agg(
+        F.round(
+            F.aggregate(
+                F.transform(narr, lambda x: x["mean_nll"]),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("m")
+    )
+    kept = nll.crossJoin(F.broadcast(thr)).where(F.col("mean_nll") <= F.col("m"))
+    per = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+    temp = per.select(
+        "lang",
+        "n_kept",
+        F.round(F.exp(0.7 * F.log(F.col("n_kept").cast("double"))), 8).alias("ts"),
+    )
+    tarr = F.array_sort(F.collect_list(F.struct(F.col("lang"), F.col("ts"))))
+    tt = temp.groupBy().agg(
+        F.aggregate(
+            F.transform(tarr, lambda x: x["ts"]), F.lit(0.0), lambda a, x: a + x
+        ).alias("tt")
+    )
+    return temp.crossJoin(F.broadcast(tt)).select(
+        "lang",
+        "n_kept",
+        F.round(F.col("ts") / F.col("tt"), 6).alias("temp_share"),
+    )
