@@ -797,3 +797,84 @@ def sim_topk_ivfpq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def _sq8_oracle() -> str:
+    """Scalar int8 quantization twin: identical per-dim min/max grid,
+    identical quantize/dequantize arithmetic, ordered error folds."""
+    return """
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), dims AS (
+      SELECT u.i AS dim, MIN(c.emb[u.i]) AS lo, MAX(c.emb[u.i]) AS hi
+      FROM c, (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY 1
+    ), grid AS (
+      SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM dims
+    ), err AS (
+      SELECT c.vec_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN grid.his[i] = grid.los[i] THEN 0.0
+                    ELSE c.emb[i] - (grid.los[i]
+                         + (ROUND((c.emb[i] - grid.los[i])
+                                  / (grid.his[i] - grid.los[i]) * 254.0, 0) / 254.0)
+                           * (grid.his[i] - grid.los[i]))
+               END) AS es
+      FROM c CROSS JOIN grid
+    )
+    SELECT vec_id,
+           ROUND(list_aggregate(list_transform(es, e -> e * e), 'sum') / 64.0, 8) AS mse,
+           ROUND(list_aggregate(list_transform(es, e -> ABS(e)), 'max'), 8) AS max_abs_err
+    FROM err
+    """
+
+
+@query("embedding_quantize_int8", oracle=_sq8_oracle(), tags=("llm", "similarity", "quantization"))
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization (the FAISS SQ8 layout): per-dimension
+    [min, max] ranges over the corpus, each coordinate snapped to one
+    of 255 levels — 4× storage cut with sub-percent cosine distortion,
+    the cheap tier below PQ's 32× (sim_topk_pq). Reported per vector:
+    reconstruction MSE and max absolute coordinate error — the
+    numbers that decide whether SQ8 or PQ backs the serving index.
+
+    Scale shape: the range grid is one explode + 64-row aggregate,
+    broadcast back as two 64-element arrays; quantize/dequantize/error
+    is then MAP-ONLY per vector (ordered index folds, so the oracle is
+    bit-exact; degenerate constant dimensions quantize to zero error
+    by definition)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    c = em.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    dims = c.select(
+        F.posexplode(F.col("emb")).alias("p", "x")
+    ).groupBy("p").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    grid = dims.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("p", "lo", "hi"))).alias("g")
+    ).select(
+        F.transform("g", lambda s: s["lo"]).alias("los"),
+        F.transform("g", lambda s: s["hi"]).alias("his"),
+    )
+    lo = lambda i: F.element_at("los", i)  # noqa: E731
+    hi = lambda i: F.element_at("his", i)  # noqa: E731
+    x = lambda i: F.element_at("emb", i)  # noqa: E731
+    recon = lambda i: lo(i) + (
+        F.round((x(i) - lo(i)) / (hi(i) - lo(i)) * 254.0, 0) / 254.0
+    ) * (hi(i) - lo(i))  # noqa: E731
+    es = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.when(hi(i) == lo(i), F.lit(0.0)).otherwise(x(i) - recon(i)),
+    )
+    err = c.crossJoin(F.broadcast(grid)).select("vec_id", es.alias("es"))
+    mse = F.aggregate(
+        F.transform("es", lambda e: e * e), F.lit(0.0), lambda s, e: s + e
+    ) / F.lit(64.0)
+    mx = F.array_max(F.transform("es", lambda e: F.abs(e)))
+    return err.select(
+        "vec_id",
+        F.round(mse, 8).alias("mse"),
+        F.round(mx, 8).alias("max_abs_err"),
+    )
