@@ -200,7 +200,11 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     sim_topk_ivfpq_rerank, validate_expectations,
 #     text_minhash_containment, graph_pagerank, ts_holt_linear,
 #     stream_topk_windowed, agg_cms_heavy_hitters,
-#     feature_hashing_trick — see each module) — plus any round-3
+#     feature_hashing_trick, text_bigram_logprob, market_basket_rules,
+#     sample_temperature_mixture, window_gaps_islands,
+#     cdc_latest_by_key, agg_mode_deterministic, ts_autocorrelation,
+#     pipeline_llm_curation2, embedding_quantize_int8 — see each
+#     module) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
