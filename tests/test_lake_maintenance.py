@@ -183,3 +183,41 @@ def test_compaction_of_nested_batch_layout_preserves_layout(spark, tmp_path):
     }
     assert nested_dirs == {"batch_id=b0", "batch_id=b1", "batch_id=b2"}
     assert sorted(r["event_id"] for r in spark.read.parquet(lake_path).collect()) == before_ids
+
+
+def test_write_checked_blocks_violating_batch(spark, sf_dir, tmp_path):
+    """Constraint gate: a violating batch raises BEFORE any file
+    lands; a clean batch writes normally; NULL check results count as
+    violations (SQL CHECK must evaluate TO TRUE)."""
+    import pytest as _pytest
+
+    from serverless_datalake_spark.sources import constraints
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "source", F.concat(F.lit("s"), (F.col("user_id") % 3).cast("string"))
+    )
+    path = str(tmp_path / "lake_checked")
+    checks = {
+        "value_nonneg": "value >= 0",
+        "type_not_null": "event_type IS NOT NULL",
+        "value_below_cap": "value < 40",  # violated by fixture data
+    }
+    with _pytest.raises(constraints.ConstraintViolation) as ei:
+        constraints.write_checked(e, path, checks)
+    assert "value_below_cap" in ei.value.violations
+    assert ei.value.violations["value_below_cap"] > 0
+    assert not os.path.exists(path), "violating batch must leave no files"
+
+    ok_checks = {
+        "value_nonneg": "value >= 0",
+        "type_not_null": "event_type IS NOT NULL",
+    }
+    constraints.write_checked(e, path, ok_checks)
+    assert spark.read.parquet(path).count() == e.count()
+
+    # NULL-result semantics: a check over a NULL column is a violation
+    withnull = e.withColumn(
+        "maybe", F.when(F.col("value") > 20, F.col("value"))
+    )
+    bad = constraints.check_constraints(withnull, {"maybe_pos": "maybe > 0"})
+    assert bad.get("maybe_pos", 0) > 0
