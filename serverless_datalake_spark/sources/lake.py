@@ -122,3 +122,37 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — predicate pushdown and vectorized read are on by
     default (spark.sql.orc.filterPushdown / impl=native)."""
     return spark.read.orc(path)
+
+
+def write_day_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    mode: str = "append",
+) -> None:
+    """Time-series lake layout: a GENERATED partition column
+    ``day = date(ts)`` (the Delta generated-column pattern) so that
+    time-range scans prune whole days at plan time, while row-group
+    min/max stats on the sorted ts handle the intra-day remainder —
+    the (source-EQ, ts-BETWEEN) idea rotated onto the time axis.
+    At 100 TB daily partitions keep file counts sane where hourly
+    would explode the metadata; the sort makes hours skippable
+    anyway."""
+    (
+        df.withColumn("day", F.to_date(F.col(ts_col)))
+        .repartition("day")
+        .sortWithinPartitions("day", ts_col)
+        .write.mode(mode)
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+def read_day_range(
+    spark: SparkSession, path: str, start_day: str, end_day: str
+) -> DataFrame:
+    """Day-range read over the write_day_partitioned layout; the
+    between lands on the partition column → plan-time pruning."""
+    return spark.read.parquet(path).where(
+        (F.col("day") >= start_day) & (F.col("day") <= end_day)
+    )

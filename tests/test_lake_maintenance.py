@@ -221,3 +221,26 @@ def test_write_checked_blocks_violating_batch(spark, sf_dir, tmp_path):
     )
     bad = constraints.check_constraints(withnull, {"maybe_pos": "maybe > 0"})
     assert bad.get("maybe_pos", 0) > 0
+
+
+def test_day_partitioned_layout_prunes_date_range(spark, sf_dir, tmp_path):
+    """The generated day=date(ts) partition column must turn a date
+    BETWEEN into plan-time PartitionFilters (no day outside the range
+    is scanned), and the data must round-trip completely."""
+    from serverless_datalake_spark.sources import lake
+
+    e = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "by_day")
+    lake.write_day_partitioned(e, path)
+    assert spark.read.parquet(path).count() == e.count()
+
+    r = lake.read_day_range(spark, path, "2024-01-02", "2024-01-03")
+    plan = r._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "day" in plan.split("PartitionFilters")[1][:200]
+    got_days = {str(x["day"]) for x in r.select("day").distinct().collect()}
+    assert got_days and got_days <= {"2024-01-02", "2024-01-03"}
+    expected = e.where(
+        (F.to_date("ts") >= "2024-01-02") & (F.to_date("ts") <= "2024-01-03")
+    ).count()
+    assert r.count() == expected
