@@ -878,3 +878,67 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mse, 8).alias("mse"),
         F.round(mx, 8).alias("max_abs_err"),
     )
+
+
+def _range_search_oracle(tau: float = 0.15) -> str:
+    return f"""
+    WITH {_SPLIT_SQL},
+    qb AS (SELECT query_id, emb, {_bucket_sql('emb', n_planes=4)} AS bucket FROM q),
+    cb AS (SELECT corpus_id, emb, {_bucket_sql('emb', n_planes=4)} AS bucket FROM c),
+    scored AS (
+      SELECT qb.query_id, cb.corpus_id, {_COSINE_SQL} AS score
+      FROM cb JOIN qb USING (bucket)
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score
+    FROM scored WHERE score >= {tau}
+    """
+
+
+@query(
+    "sim_range_search",
+    oracle=_range_search_oracle(),
+    tags=("llm", "similarity", "range"),
+)
+def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius (range) similarity search — "everything within cosine
+    ≥ τ", the other half of the ANN API surface next to top-k:
+    near-duplicate harvesting, recommendation pools, and dedup
+    candidate generation all want ALL matches above a floor, not a
+    fixed k. (τ = 0.15 sits at the fixture's ~p90 of cross-set
+    cosines, so the radius set is non-trivial at both gate scales.) Candidates come from the same deterministic hyperplane
+    buckets as sim_topk_lsh; the τ filter replaces the per-query
+    rank window, so there is NO window state at all — output size is
+    data-driven.
+
+    Scale shape: identical to the bucketed top-k up to the last
+    operator (bucket join on the at-rest layout), minus the window:
+    one broadcast of the query probes, one filtered projection.
+    The unbounded output is the point — it streams straight into the
+    dedup pair consumers without a top-k truncation bias."""
+    queries, corpus = _split(spark, sf_dir)
+    from serverless_datalake_spark.operators.similarity import (
+        _as_double,
+        cosine,
+        lsh_bucket,
+    )
+
+    q = queries.select(
+        "query_id",
+        _as_double(F.col("embedding")).alias("__qv"),
+        lsh_bucket("embedding", 4, 64).alias("bucket"),
+    )
+    c = corpus.select(
+        "corpus_id",
+        _as_double(F.col("embedding")).alias("__cv"),
+        lsh_bucket("embedding", 4, 64).alias("bucket"),
+    )
+    return (
+        c.join(F.broadcast(q), "bucket")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+        )
+        .where(F.col("score") >= 0.15)
+        .select("query_id", "corpus_id", F.round("score", 6).alias("score"))
+    )
