@@ -232,3 +232,42 @@ def fn_string3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.endswith("p_type", F.lit("ECONOMY")).alias("is_economy"),
         F.overlay("p_name", F.lit("__"), F.lit(2)).alias("name_overlay"),
     )
+
+
+@query(
+    "fn_variant_json",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+    GROUP BY event_type
+    """,
+    tags=("fn", "variant", "json"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT ingestion of semi-structured payloads:
+    parse_json turns the props JSON string into the binary VARIANT
+    encoding once at scan time, try_variant_get extracts typed paths
+    without a declared schema — the open-schema half of the lake
+    (R6/R7's JSON payloads queried without a schema migration).
+
+    Scale note: VARIANT's binary encoding makes repeated path
+    extraction O(field) instead of re-parsing the JSON text per
+    expression — the reason it replaces get_json_object for wide
+    semi-structured scans; the filter+aggregate after extraction is
+    the ordinary partial-agg shape."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .where(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
