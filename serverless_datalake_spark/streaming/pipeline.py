@@ -207,3 +207,46 @@ def start_txlog_ingest_query(
         .trigger(**trigger)
         .start()
     )
+
+
+def start_windowed_topk_query(
+    stream: DataFrame,
+    out_path: str,
+    checkpoint: str,
+    k: int = 3,
+    window: str = "1 hour",
+):
+    """Streaming leaderboard (the runtime half of the batch-verified
+    stream_topk_windowed query): windowed counts run incrementally
+    under the watermark; rank is NOT an incremental operator, so the
+    per-window top-k happens in foreachBatch over the batch's CLOSED
+    windows only (append mode emits each window exactly once, so the
+    leaderboard rows are exactly-once too — checkpoint-replayed
+    batches rewrite the same window keys deterministically).
+
+    State cost: the windowed aggregation's state is bounded by the
+    watermark; the foreachBatch rank touches only the windows that
+    closed in this batch — k rows per window leave the sink."""
+    agg = windowed_counts_stream(stream, window)
+
+    def emit_topk(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("ws").orderBy(F.col("n").desc(), "source")
+        (
+            batch_df.select(
+                "source", F.col("window.start").alias("ws"), "n"
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .write.mode("append")
+            .parquet(out_path)
+        )
+
+    return (
+        agg.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .foreachBatch(emit_topk)
+        .start()
+    )

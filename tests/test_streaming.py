@@ -265,3 +265,51 @@ def test_stream_static_enrich_matches_batch_join(spark, tmp_path):
     want = {(r["event_id"], r["segment"]) for r in batch.collect()}
     assert got == want          # every event delivered exactly once
     assert any(seg is None for _, seg in got)  # user 4 unmatched → null
+
+
+def test_streaming_topk_matches_batch_topk(spark, tmp_path):
+    """The foreachBatch leaderboard must agree with the batch top-k on
+    every window it emits (append mode → closed windows only), with at
+    most k rows per window and a deterministic tie-break."""
+    staging = str(tmp_path / "staging")
+    out = str(tmp_path / "topk_out")
+    ckpt = str(tmp_path / "topk_ckpt")
+    _write(staging, _evts(80, lambda i: i % 5), "a.json.gz")
+    _write(staging, _evts(80, lambda i: (i % 3) + 2, start_id=2000), "b.json.gz")
+
+    stream = sp.read_event_stream(spark, staging, dedup=False)
+    q = sp.start_windowed_topk_query(stream, out, ckpt, k=3)
+    q.awaitTermination()
+
+    got = {
+        (r["ws"], r["rank"]): (r["source"], r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    per_window: dict = {}
+    for (ws, rank), v in got.items():
+        per_window.setdefault(ws, []).append(rank)
+    for ws, ranks in per_window.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 3
+
+    from pyspark.sql import Window as W
+
+    batch = (
+        spark.read.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(staging)
+        .withColumn("source", F.col("event_type"))
+        .groupBy("source", F.window("ts", "1 hour"))
+        .agg(F.count("*").alias("n"))
+        .select("source", F.col("window.start").alias("ws"), "n")
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                W.partitionBy("ws").orderBy(F.col("n").desc(), "source")
+            ),
+        )
+        .where(F.col("rank") <= 3)
+    )
+    want = {(r["ws"], r["rank"]): (r["source"], r["n"]) for r in batch.collect()}
+    assert got, "stream must emit at least the early closed windows"
+    for key, v in got.items():
+        assert want.get(key) == v, (key, v, want.get(key))
