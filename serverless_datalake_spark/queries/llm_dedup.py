@@ -772,3 +772,55 @@ def pipeline_llm_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_kept",
         F.round(F.col("ts") / F.col("tt"), 6).alias("temp_share"),
     )
+
+
+def _minhash_pairs_oracle(threshold: float = 0.8) -> str:
+    """Band-candidate pairs + exact Jaccard verify — the oracle runs
+    the identical candidate+verify pipeline."""
+    return f"""
+    WITH {_minhash_ctes()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM membership a
+      JOIN membership b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id
+    ), ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                 / (CAST(len(ta.toks) + len(tb.toks) AS DOUBLE)
+                    - CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)), 4) AS jaccard
+    FROM pairs p
+    JOIN ts ta ON ta.doc_id = p.doc_a
+    JOIN ts tb ON tb.doc_id = p.doc_b
+    WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                / (CAST(len(ta.toks) + len(tb.toks) AS DOUBLE)
+                   - CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)), 4) >= {threshold}
+    """
+
+
+@query(
+    "dedup_minhash_pairs",
+    oracle=_minhash_pairs_oracle(),
+    tags=("llm", "dedup", "minhash", "pairs"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The candidate+verify near-dup PAIR join — the production shape
+    when downstream wants the duplicate EDGES (for audit trails,
+    cluster re-linking, or containment scoring), not just survivors:
+    MinHash signatures → banded candidates (one band shuffle) → exact
+    Jaccard confirm at J ≥ 0.8 on colliding pairs only. Complements
+    dedup_minhash_lsh (cluster/survivor view, no pair join) and
+    text_minhash_containment (asymmetric scores) over the same
+    signature machinery — one index, three read shapes.
+
+    Scale shape: quadratic ONLY within buckets (output tracks true
+    near-dup mass); the verify join touches candidate pairs, never
+    |corpus|²."""
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(
+        d, "doc_id", "text", threshold=0.8, bands=8, k=1
+    )
