@@ -463,3 +463,81 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("key_a") < F.col("key_b"))
         .select("key_a", "key_b")
     )
+
+
+@query(
+    "join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ), signups AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'signup'
+    ), bwd AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value, MAX(s.ts) AS b_ts
+      FROM purchases p LEFT JOIN signups s
+        ON s.user_id = p.user_id AND s.ts <= p.ts
+      GROUP BY 1, 2, 3, 4
+    ), fwd AS (
+      SELECT p.event_id, MIN(s.ts) AS f_ts
+      FROM purchases p LEFT JOIN signups s
+        ON s.user_id = p.user_id AND s.ts >= p.ts
+      GROUP BY 1
+    )
+    SELECT bwd.user_id,
+           CAST(FLOOR(EPOCH(CAST(bwd.ts AS TIMESTAMP))) AS BIGINT) AS purchase_epoch,
+           ROUND(bwd.value, 2) AS value,
+           CAST(FLOOR(EPOCH(CAST(
+             CASE
+               WHEN bwd.b_ts IS NULL THEN fwd.f_ts
+               WHEN fwd.f_ts IS NULL THEN bwd.b_ts
+               WHEN FLOOR(EPOCH(CAST(bwd.ts AS TIMESTAMP))) - FLOOR(EPOCH(CAST(bwd.b_ts AS TIMESTAMP)))
+                    <= FLOOR(EPOCH(CAST(fwd.f_ts AS TIMESTAMP))) - FLOOR(EPOCH(CAST(bwd.ts AS TIMESTAMP)))
+                 THEN bwd.b_ts
+               ELSE fwd.f_ts
+             END AS TIMESTAMP))) AS BIGINT) AS nearest_signup_epoch
+    FROM bwd JOIN fwd ON fwd.event_id = bwd.event_id
+    """,
+    tags=("join", "asof", "nearest"),
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof direction='nearest': each purchase takes whichever
+    signup is closer in time — backward on ties (pandas semantics).
+    Composed from the SAME one-shuffle as-of primitive run in both
+    directions; the pick is a null-safe closest-of-two projection, so
+    nearest costs two window passes over the co-partitioned union,
+    never a range join.
+
+    Completes the as-of surface: backward (join_asof), forward
+    (join_asof_forward), tolerance (join_asof_tolerance), nearest."""
+    e = load_table(spark, sf_dir, "events")
+    # event_id rides through both passes as the unique left key so
+    # the backward/forward recombine can't multiply duplicate
+    # (user, ts) purchases
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    signups = e.where(F.col("event_type") == "signup").select("user_id", "ts")
+    bwd = asof_join(
+        purchases, signups, on="user_id", left_ts="ts", right_ts="ts",
+        right_cols=["ts"], direction="backward",
+    ).withColumnRenamed("asof_ts", "b_ts")
+    fwd = asof_join(
+        purchases.select("event_id", "user_id", "ts"), signups, on="user_id",
+        left_ts="ts", right_ts="ts", right_cols=["ts"], direction="forward",
+    ).withColumnRenamed("asof_ts", "f_ts").select("event_id", "f_ts")
+    j = bwd.join(fwd, "event_id")
+    lts = F.col("ts").cast("long")
+    bts = F.col("b_ts").cast("timestamp").cast("long")
+    fts = F.col("f_ts").cast("timestamp").cast("long")
+    nearest = (
+        F.when(F.col("b_ts").isNull(), fts)
+        .when(F.col("f_ts").isNull(), bts)
+        .when(lts - bts <= fts - lts, bts)
+        .otherwise(fts)
+    )
+    return j.select(
+        "user_id",
+        lts.alias("purchase_epoch"),
+        F.round("value", 2).alias("value"),
+        nearest.alias("nearest_signup_epoch"),
+    )
