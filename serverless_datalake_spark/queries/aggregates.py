@@ -567,3 +567,60 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "agg_histogram_equiwidth",
+    oracle="""
+    WITH ext AS (
+      SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR((l_extendedprice - ext.lo)
+                              / (ext.hi - ext.lo) * 16.0) AS BIGINT), 15) AS bin,
+             ext.lo AS lo, ext.hi AS hi
+      FROM lineitem CROSS JOIN ext
+    )
+    SELECT bin,
+           ROUND(lo + bin * (hi - lo) / 16.0, 4) AS bin_lo,
+           ROUND(lo + (bin + 1) * (hi - lo) / 16.0, 4) AS bin_hi,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM binned GROUP BY bin, lo, hi
+    """,
+    tags=("agg", "histogram", "profile"),
+)
+def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram (16 bins) of a numeric column — the
+    data-profiling staple behind range-partitioning choices, skew
+    detection, and cost estimation (profile_columns gives moments;
+    this gives the SHAPE). The max value clamps into the top bin
+    (LEAST) so the bin index is total.
+
+    Scale shape: the [min, max] envelope is a 1-row broadcast; binning
+    is a map-only projection; the count is one 16-group aggregate with
+    map-side combine. The whole histogram is two scans of column
+    statistics-width data — at 100 TB the first scan can come from
+    parquet footer min/max instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ext = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    binned = li.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.floor(
+                (F.col("l_extendedprice") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 16.0
+            ).cast("long"),
+            F.lit(15).cast("long"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin", "lo", "hi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(
+        "bin",
+        F.round(F.col("lo") + F.col("bin") * (F.col("hi") - F.col("lo")) / 16.0, 4).alias("bin_lo"),
+        F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 16.0, 4).alias("bin_hi"),
+        "n",
+    )
