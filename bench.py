@@ -74,6 +74,8 @@ HEADLINE = [
     "sim_topk_ivfpq_rerank",
     "validate_expectations",
     "graph_pagerank",
+    "market_basket_rules",
+    "pipeline_llm_curation2",
 ]
 
 

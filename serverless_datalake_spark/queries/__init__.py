@@ -203,7 +203,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     feature_hashing_trick, text_bigram_logprob, market_basket_rules,
 #     sample_temperature_mixture, window_gaps_islands,
 #     cdc_latest_by_key, agg_mode_deterministic, ts_autocorrelation,
-#     pipeline_llm_curation2, embedding_quantize_int8 — see each
+#     pipeline_llm_curation2, embedding_quantize_int8,
+#     sim_range_search, fn_variant_json, dedup_minhash_pairs,
+#     join_asof_nearest, agg_histogram_equiwidth — see each
 #     module) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
