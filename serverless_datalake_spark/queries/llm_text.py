@@ -593,3 +593,69 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").alias("n_bigrams"),
         F.round(-folded / F.sum("k").cast("double"), 6).alias("mean_nll"),
     )
+
+
+@query(
+    "text_vocab_coverage",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), ranked AS (
+      SELECT t, c,
+             ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk,
+             CAST(SUM(c) OVER (ORDER BY c DESC, t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS total
+      FROM cnt
+    )
+    SELECT CAST(rnk AS BIGINT) AS vocab_size, cum AS covered_tokens, total AS total_tokens,
+           ROUND(CAST(cum AS DOUBLE) / CAST(total AS DOUBLE), 6) AS coverage
+    FROM ranked WHERE rnk IN (8, 16, 24)
+    """,
+    tags=("llm", "text", "tokenizer"),
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer vocabulary sizing: what fraction of corpus token
+    OCCURRENCES does a top-V frequency vocabulary cover? The
+    coverage-vs-V curve (here V ∈ {8,16,24} against the fixture's
+    ~31-token vocabulary) is the number that picks a vocab budget —
+    everything uncovered becomes OOV/byte-fallback cost at training
+    time.
+
+    Scale shape: one token-count shuffle (vocabulary-sized output),
+    then rank + running sum over the count relation — the global
+    window is vocabulary-bounded, never corpus-bounded (for a 1M-type
+    vocabulary the cumsum still fits one partition; beyond that,
+    two-phase range partitioning applies)."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "t")
+    ranked = cnt.select(
+        F.row_number().over(w).cast("long").alias("vocab_size"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "covered_tokens"
+        ),
+        F.sum("c").over(
+            Window.partitionBy().rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total_tokens"),
+    )
+    return ranked.where(F.col("vocab_size").isin(8, 16, 24)).select(
+        "vocab_size",
+        "covered_tokens",
+        "total_tokens",
+        F.round(
+            F.col("covered_tokens").cast("double")
+            / F.col("total_tokens").cast("double"),
+            6,
+        ).alias("coverage"),
+    )
