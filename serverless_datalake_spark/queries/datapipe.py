@@ -833,3 +833,81 @@ def sample_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(temp, 6).alias("temp_share"),
         F.round(temp / raw, 6).alias("boost"),
     )
+
+
+def _grp_holdout_oracle() -> str:
+    from serverless_datalake_spark.queries.llm_dedup import _hex8_int
+
+    k32 = _hex8_int("substr(md5(CAST(user_id AS VARCHAR)), 1, 8)")
+    return f"""
+    SELECT event_id, user_id,
+           CAST({k32} % 5 AS BIGINT) AS fold,
+           {k32} % 5 = 0 AS is_holdout
+    FROM events
+    """
+
+
+@query("split_group_holdout", oracle=_grp_holdout_oracle(), tags=("datapipe", "split", "leakage"))
+def split_group_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware holdout (GroupKFold semantics): the fold is a
+    deterministic hash of the GROUP key (user), not the row — every
+    event of a user lands in the same fold, so user-level signal can
+    never leak across the train/eval boundary (the leakage mode a
+    row-level split like split_kfold cannot prevent when rows share an
+    entity).
+
+    Scale shape: map-only — the fold is a projection of the key hash;
+    no shuffle, no state, stable under retries and repartitioning
+    (the md5 determinism discipline of the split family)."""
+    from serverless_datalake_spark.operators.dedup import md5_key32
+
+    e = load_table(spark, sf_dir, "events")
+    k = md5_key32(F.col("user_id").cast("string"))
+    return e.select(
+        "event_id",
+        "user_id",
+        (k % 5).cast("long").alias("fold"),
+        (k % 5 == 0).alias("is_holdout"),
+    )
+
+
+@query(
+    "privacy_k_anonymity",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP))) AS BIGINT) AS day_start,
+             CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events
+      GROUP BY 1, 2, 3
+    )
+    SELECT event_type, day_start, user_bucket, k, k < 5 AS at_risk
+    FROM cells
+    """,
+    tags=("privacy", "governance"),
+)
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over a quasi-identifier cell grid
+    (event_type × day × coarse user bucket): cells with k < 5 rows
+    are re-identification risks that a release pipeline must suppress
+    or generalize — the standard governance gate before sharing
+    event-level extracts.
+
+    Scale shape: one partial-agg shuffle on the quasi-identifier
+    tuple; the risk flag is a projection. The grid is
+    cardinality-bounded by the generalization (that's the point of
+    generalizing), so the report never approaches event size."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.window("ts", "1 day").alias("w"),
+        (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+    ).agg(F.count(F.lit(1)).alias("k"))
+    return cells.select(
+        "event_type",
+        F.col("w.start").cast("long").alias("day_start"),
+        "user_bucket",
+        "k",
+        (F.col("k") < 5).alias("at_risk"),
+    )

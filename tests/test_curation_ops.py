@@ -386,3 +386,16 @@ def test_temperature_mixture_flattens(spark, sf_dir):
     raw_ratio = max(r["raw_share"] for r in rows) / min(r["raw_share"] for r in rows)
     temp_ratio = max(r["temp_share"] for r in rows) / min(r["temp_share"] for r in rows)
     assert temp_ratio < raw_ratio
+
+
+def test_group_holdout_no_user_leakage(spark, sf_dir):
+    """Every event of a user must land in the SAME fold (the property
+    that prevents entity-level leakage), and folds must be non-empty
+    across several values."""
+    rows = REG["split_group_holdout"].fn(spark, sf_dir).collect()
+    per_user: dict[int, set] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], set()).add(r["fold"])
+    assert all(len(f) == 1 for f in per_user.values())
+    folds = {r["fold"] for r in rows}
+    assert len(folds) >= 3
