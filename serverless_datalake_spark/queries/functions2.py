@@ -271,3 +271,52 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+@query(
+    "fn_collation_join",
+    oracle="""
+    WITH dim(name, category) AS (
+      VALUES ('CLICK', 'engagement'), ('Purchase', 'revenue'),
+             ('SignUp', 'growth'), ('VIEW', 'engagement')
+    )
+    SELECT lower(e.event_type) AS event_type_ci, d.category,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(e.value), 2) AS sum_value
+    FROM events e JOIN dim d ON lower(e.event_type) = lower(d.name)
+    GROUP BY 1, 2
+    """,
+    tags=("fn", "collation"),
+)
+def fn_collation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: a case-insensitive (UTF8_LCASE) equi-join
+    between the lake's lowercase event types and a mixed-case business
+    dimension — the collation is declared ON THE COMPARISON, not
+    baked into the data. Output keys are canonicalized to lowercase so
+    the result is engine-deterministic (collated GROUP BY keeps an
+    arbitrary-case representative — unsafe cross-engine).
+
+    Scale note, measured here: Spark 4.1 refuses hash joins on
+    non-binary collations ("keys that don't support binary equality")
+    and falls back to BroadcastNestedLoopJoin — acceptable against
+    this broadcast 4-row dim, WRONG for large-large joins. Until
+    collation-aware hashing lands, canonicalize (lower()) the join
+    keys of large-large case-insensitive joins and keep collations
+    for comparisons/filters/ORDER BY semantics."""
+    e = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(
+        [("CLICK", "engagement"), ("Purchase", "revenue"),
+         ("SignUp", "growth"), ("VIEW", "engagement")],
+        "name string, category string",
+    )
+    j = e.join(
+        F.broadcast(dim),
+        F.collate(e["event_type"], "UTF8_LCASE")
+        == F.collate(dim["name"], "UTF8_LCASE"),
+    )
+    return j.groupBy(
+        F.lower("event_type").alias("event_type_ci"), "category"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
