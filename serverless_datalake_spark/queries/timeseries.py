@@ -484,3 +484,87 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n") > 1, F.round(num1 / den, 6)).alias("acf_1"),
         F.when(F.col("n") > 24, F.round(num24 / den, 6)).alias("acf_24"),
     )
+
+
+@query(
+    "ts_cross_correlation",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b, a.h,
+             a.v AS va, b.v AS vb
+      FROM obs a JOIN obs b ON a.h = b.h AND a.event_type < b.event_type
+    ), ser AS (
+      SELECT type_a, type_b,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             list(va ORDER BY h) AS xs,
+             list(vb ORDER BY h) AS ys
+      FROM paired GROUP BY 1, 2
+    ), sums AS (
+      SELECT type_a, type_b, n,
+             list_aggregate(xs, 'sum') AS sx,
+             list_aggregate(ys, 'sum') AS sy,
+             list_aggregate(list_transform(xs, x -> x * x), 'sum') AS sxx,
+             list_aggregate(list_transform(ys, y -> y * y), 'sum') AS syy,
+             list_aggregate(list_transform(list_zip(xs, ys), p -> p[1] * p[2]), 'sum') AS sxy
+      FROM ser
+    )
+    SELECT type_a, type_b, n AS n_hours,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / SQRT((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS corr
+    FROM sums
+    """,
+    tags=("timeseries", "statistics", "correlation"),
+)
+def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between event types' hourly-total
+    series (common hours only) — the co-movement matrix that catches
+    coupled metrics (clicks↔views) and flags decoupling incidents;
+    the multivariate sibling of ts_autocorrelation.
+
+    All five sufficient statistics (Σx, Σy, Σx², Σy², Σxy) are ordered
+    folds over the h-sorted common grid, so the numerator/denominator
+    doubles are bit-identical across engines before the 6-decimal
+    round.
+
+    Scale shape: the type-pair join runs on the (type, hour) GRID
+    (hour-keyed self-join, pair fan-out bounded by #types² per hour),
+    never on raw events; per-pair fold length is common-grid-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    a = obs.select(F.col("event_type").alias("type_a"), "h", F.col("v").alias("va"))
+    b = obs.select(F.col("event_type").alias("type_b"), "h", F.col("v").alias("vb"))
+    paired = a.join(b, "h").where(F.col("type_a") < F.col("type_b"))
+    ser = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(F.collect_list(F.struct("h", "va", "vb"))).alias("arr"),
+    )
+    xs = F.transform(F.col("arr"), lambda r: r["va"])
+    ys = F.transform(F.col("arr"), lambda r: r["vb"])
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda s, x: s + x)
+
+    sx = fold(xs)
+    sy = fold(ys)
+    sxx = fold(F.transform(xs, lambda x: x * x))
+    syy = fold(F.transform(ys, lambda y: y * y))
+    sxy = fold(F.zip_with(xs, ys, lambda x, y: x * y))
+    nd = F.col("n").cast("double")
+    corr = (nd * sxy - sx * sy) / F.sqrt(
+        (nd * sxx - sx * sx) * (nd * syy - sy * sy)
+    )
+    return ser.select(
+        "type_a",
+        "type_b",
+        F.col("n").cast("long").alias("n_hours"),
+        F.round(corr, 6).alias("corr"),
+    )
