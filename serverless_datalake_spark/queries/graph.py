@@ -23,7 +23,26 @@ from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
 
 _DAMP = 0.85
+_TELEPORT = 0.15  # spelled explicitly, NOT computed as 1 - _DAMP: the
+                  # float 1.0-0.85 is 0.15000000000000002, which would
+                  # silently desync the oracle literal from Spark's
 _ITERS = 5
+
+# one generation of per-call cached relations; a new call retires the
+# previous call's pins so long-lived sessions (bench/driver loops)
+# hold at most one generation of cached graph state
+_CACHE_GEN: list = []
+
+
+def _retire_and_cache(dfs):
+    global _CACHE_GEN
+    for old in _CACHE_GEN:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    _CACHE_GEN = [d.persist() for d in dfs]
+    return _CACHE_GEN
 
 
 def _pagerank_oracle(iters: int = _ITERS) -> str:
@@ -44,12 +63,13 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
       SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM deg CROSS JOIN nn
     )"""
     ]
+    tele, damp = _TELEPORT, _DAMP
     for i in range(1, iters + 1):
         parts.append(
             f""", r{i} AS (
       SELECT e.dst AS node,
-             ROUND(0.15 / CAST(nn.n AS DOUBLE)
-                   + 0.85 * list_aggregate(
+             ROUND({tele} / CAST(nn.n AS DOUBLE)
+                   + {damp} * list_aggregate(
                        list(ROUND(r.rank / CAST(deg.d AS DOUBLE), 10) ORDER BY e.src),
                        'sum'), 10) AS rank
       FROM edges e
@@ -109,13 +129,17 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = edges0.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
-    ).persist()
+    )
     # fold the (static) out-degree into the persisted edge relation so
     # each iteration needs ONE broadcast join (ranks), not two
     edges = edges0.join(
         F.broadcast(deg.withColumnRenamed("node", "__dn")),
         F.col("src") == F.col("__dn"),
-    ).select("src", "dst", "d").persist()
+    ).select("src", "dst", "d")
+    # one cached generation per session: this call's pins retire the
+    # previous call's (bench/driver loops would otherwise accumulate
+    # edge-sized cache entries forever)
+    deg, edges = _retire_and_cache([deg, edges])
     nn = deg.groupBy().agg(F.count(F.lit(1)).alias("n"))
     r = deg.crossJoin(F.broadcast(nn)).select(
         "node", (F.lit(1.0) / F.col("n").cast("double")).alias("rank")
@@ -142,7 +166,9 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "node",
                 F.round(
-                    0.15 / F.col("n").cast("double") + 0.85 * F.col("__f"), 10
+                    _TELEPORT / F.col("n").cast("double")
+                    + _DAMP * F.col("__f"),
+                    10,
                 ).alias("rank"),
             )
         )
@@ -206,6 +232,10 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     pl = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
     ).distinct()
+    # pl feeds four plan subtrees (totals, item counts, both self-join
+    # sides) — pin it for the call, same one-generation policy as
+    # graph_pagerank's edge cache
+    (pl,) = _retire_and_cache([pl])
     n = pl.agg(F.countDistinct("o").alias("n"))
     ic = pl.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     a = pl.select("o", F.col("p").alias("pa"))

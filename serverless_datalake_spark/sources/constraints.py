@@ -39,6 +39,8 @@ def check_constraints(df: DataFrame, checks: dict[str, str]) -> dict[str, int]:
     Scale shape: the whole suite is a single partial-aggregated scan —
     adding a constraint adds a count column, never a pass (the
     validate_expectations insight applied to the write path)."""
+    if not checks:
+        return {}
     aggs = [
         F.count(F.when(~F.coalesce(F.expr(expr), F.lit(False)), 1)).alias(name)
         for name, expr in checks.items()
@@ -66,7 +68,17 @@ def write_checked(
     pass buys. (Single-pass alternatives either write quarantine files
     or need a transactional delete; with the txlog sink the check
     could instead gate the commit, same contract.)"""
-    violations = check_constraints(df, checks)
-    if violations:
-        raise ConstraintViolation(violations)
-    lake.write_partitioned(df, path, partition_col=partition_col, order_col=order_col, mode=mode)
+    # pin the batch so the validated rows ARE the written rows — with
+    # live lineage (re-resolving snapshots, non-deterministic exprs, a
+    # concurrently-appended input path) the two passes could otherwise
+    # see different data, silently voiding the contract
+    df = df.persist()
+    try:
+        violations = check_constraints(df, checks)
+        if violations:
+            raise ConstraintViolation(violations)
+        lake.write_partitioned(
+            df, path, partition_col=partition_col, order_col=order_col, mode=mode
+        )
+    finally:
+        df.unpersist()
