@@ -624,3 +624,63 @@ def agg_histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("lo") + (F.col("bin") + 1) * (F.col("hi") - F.col("lo")) / 16.0, 4).alias("bin_hi"),
         "n",
     )
+
+
+@query(
+    "agg_entropy_by_group",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id % 10 AS cohort, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    ), tot AS (
+      SELECT cohort, CAST(SUM(n) AS BIGINT) AS nt FROM c GROUP BY 1
+    ), contrib AS (
+      SELECT c.cohort, c.event_type,
+             ROUND(-(CAST(c.n AS DOUBLE) / CAST(tot.nt AS DOUBLE))
+                   * ln(CAST(c.n AS DOUBLE) / CAST(tot.nt AS DOUBLE)), 8) AS e
+      FROM c JOIN tot USING (cohort)
+    )
+    SELECT CAST(cohort AS BIGINT) AS cohort,
+           ROUND(list_aggregate(list(e ORDER BY event_type), 'sum'), 6) AS entropy_nats,
+           CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM contrib GROUP BY cohort
+    """,
+    tags=("agg", "entropy", "diversity"),
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each cohort's event-type distribution — the
+    behavioral-diversity statistic (uniform usage → ln(5) ≈ 1.609
+    nats; single-type cohorts → 0) that monitoring uses to catch bot
+    cohorts and mix drift; the grouped sibling of text_kl_divergence's
+    corpus-level drift.
+
+    Per-type contributions −p·ln p round at 8 decimals and sum as an
+    ordered fold over the type-sorted list (the KL precedent), so both
+    engines agree bit-for-bit before the 6-decimal round.
+
+    Scale shape: one (cohort, type) count shuffle, a cohort rollup,
+    and a fold bounded by the type cardinality — events are scanned
+    once."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy(
+        "event_type", (F.col("user_id") % 10).alias("cohort")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    nt = F.sum("n").over(Window.partitionBy("cohort"))
+    p = F.col("n").cast("double") / F.col("nt").cast("double")
+    contrib = c.select(
+        "cohort", "event_type", F.col("n"), nt.alias("nt")
+    ).select(
+        "cohort",
+        "event_type",
+        F.round(-p * F.log(p), 8).alias("e"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("event_type", "e")))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["e"]), F.lit(0.0), lambda s, x: s + x
+    )
+    return contrib.groupBy(F.col("cohort").cast("long").alias("cohort")).agg(
+        F.round(folded, 6).alias("entropy_nats"),
+        F.count(F.lit(1)).alias("n_types"),
+    )

@@ -659,3 +659,94 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("coverage"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), ranked AS (
+      SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rnk FROM cnt
+    ), pts AS (
+      SELECT ROUND(ln(CAST(rnk AS DOUBLE)), 8) AS x,
+             ROUND(ln(CAST(c AS DOUBLE)), 8) AS y,
+             rnk
+      FROM ranked
+    ), ser AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             list(x ORDER BY rnk) AS xs,
+             list(y ORDER BY rnk) AS ys
+      FROM pts
+    ), sums AS (
+      SELECT n,
+             list_aggregate(xs, 'sum') AS sx,
+             list_aggregate(ys, 'sum') AS sy,
+             list_aggregate(list_transform(xs, v -> v * v), 'sum') AS sxx,
+             list_aggregate(list_transform(list_zip(xs, ys), p -> p[1] * p[2]), 'sum') AS sxy
+      FROM ser
+    )
+    SELECT n AS vocab_size,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (CAST(n AS DOUBLE) * sxx - sx * sx), 6) AS zipf_slope,
+           ROUND((sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+                 / CAST(n AS DOUBLE), 6) AS intercept
+    FROM sums
+    """,
+    tags=("llm", "text", "statistics"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: least-squares slope of ln(frequency) against
+    ln(rank) over the corpus frequency table. Natural text sits near
+    slope −1; synthetic/template corpora deviate hard — a one-number
+    corpus-health check run before committing a crawl to training
+    (the fixture's word-soup text is deliberately NOT Zipfian, which
+    is exactly what the statistic should reveal).
+
+    The regression's sufficient statistics fold in rank order over
+    8-decimal-rounded log points; the slope/intercept expressions are
+    spelled identically in both engines.
+
+    Scale shape: everything after the one token-count shuffle is
+    vocabulary-sized; the fit itself is four folds and a projection."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
+    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "t")
+    pts = cnt.select(
+        F.row_number().over(w).alias("rnk"),
+        F.col("c"),
+    ).select(
+        "rnk",
+        F.round(F.log(F.col("rnk").cast("double")), 8).alias("x"),
+        F.round(F.log(F.col("c").cast("double")), 8).alias("y"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("rnk", "x", "y")))
+    ser = pts.groupBy().agg(
+        F.count(F.lit(1)).alias("n"), arr.alias("arr")
+    )
+    xs = F.transform(F.col("arr"), lambda r: r["x"])
+    ys = F.transform(F.col("arr"), lambda r: r["y"])
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda s, v: s + v)
+
+    sx, sy = fold(xs), fold(ys)
+    sxx = fold(F.transform(xs, lambda v: v * v))
+    sxy = fold(F.zip_with(xs, ys, lambda a, b: a * b))
+    nd = F.col("n").cast("double")
+    slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    intercept = (sy - slope * sx) / nd
+    return ser.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )
