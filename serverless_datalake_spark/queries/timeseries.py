@@ -568,3 +568,106 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_hours"),
         F.round(corr, 6).alias("corr"),
     )
+
+
+@query(
+    "ts_changepoint_meanshift",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type,
+             list(h ORDER BY h) AS hs,
+             list(v ORDER BY h) AS vs,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM obs GROUP BY event_type
+    ), d AS (
+      SELECT event_type, hs, vs, n,
+             list_transform(range(1, n),
+               t -> ROUND(ABS(list_aggregate(vs[1:t], 'sum') / CAST(t AS DOUBLE)
+                              - (list_aggregate(vs, 'sum') - list_aggregate(vs[1:t], 'sum'))
+                                / CAST(n - t AS DOUBLE)), 8)) AS diffs
+      FROM ser WHERE n >= 2
+    ), arg AS (
+      SELECT event_type, hs, vs, n, diffs,
+             CAST(list_position(diffs, list_aggregate(diffs, 'max')) AS BIGINT) AS t
+      FROM d
+    )
+    SELECT event_type, n AS n_buckets,
+           hs[t + 1] * 3600 AS change_start,
+           ROUND(list_aggregate(vs[1:t], 'sum') / CAST(t AS DOUBLE), 6) AS mean_before,
+           ROUND((list_aggregate(vs, 'sum') - list_aggregate(vs[1:t], 'sum'))
+                 / CAST(n - t AS DOUBLE), 6) AS mean_after
+    FROM arg
+    """,
+    tags=("timeseries", "changepoint"),
+)
+def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by maximal mean shift: for every
+    split point of each type's hourly series, compare the mean before
+    vs after; report the split with the largest absolute shift (first
+    such split on ties) — the at-most-one-changepoint core of binary
+    segmentation / CUSUM-style monitoring.
+
+    Split scores round at 8 decimals before the argmax (array_position
+    on the max finds the same first index in both engines); prefix
+    sums are left folds over the h-sorted series, so every candidate
+    score is bit-identical cross-engine.
+
+    Scale shape: the ts_ewma profile — one partial-agg shuffle to the
+    (type, hour) grid; the O(n²) fold cost is bounded by series
+    length (hours), never events, and series parallelize per key."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ser = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr"),
+        F.count(F.lit(1)).alias("n"),
+    ).where(F.col("n") >= 2)
+    hs = F.transform(F.col("arr"), lambda x: x["h"])
+    vs = F.transform(F.col("arr"), lambda x: x["v"])
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda s, x: s + x)
+
+    tot = fold(vs)
+
+    def pre(t):
+        return fold(F.slice(vs, F.lit(1), t))
+
+    nd = F.col("n").cast("double")
+    diffs = F.transform(
+        F.sequence(F.lit(1), F.col("n") - 1),
+        lambda t: F.round(
+            F.abs(
+                pre(t) / t.cast("double")
+                - (tot - pre(t)) / (nd - t.cast("double"))
+            ),
+            8,
+        ),
+    )
+    d = ser.select("event_type", hs.alias("hs"), vs.alias("vs"), "n", diffs.alias("diffs"))
+    t = F.array_position(F.col("diffs"), F.array_max(F.col("diffs"))).cast("long")
+    vs2 = F.col("vs")
+    tot2 = fold(vs2)
+
+    def pre2(tt):
+        return fold(F.slice(vs2, F.lit(1), tt))
+
+    arg = d.select("event_type", "hs", "vs", "n", t.alias("t"))
+    return arg.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_buckets"),
+        (F.element_at("hs", (F.col("t") + 1).cast("int")) * 3600).alias("change_start"),
+        F.round(pre2(F.col("t")) / F.col("t").cast("double"), 6).alias("mean_before"),
+        F.round(
+            (tot2 - pre2(F.col("t")))
+            / (F.col("n").cast("double") - F.col("t").cast("double")),
+            6,
+        ).alias("mean_after"),
+    )
