@@ -684,3 +684,62 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded, 6).alias("entropy_nats"),
         F.count(F.lit(1)).alias("n_types"),
     )
+
+
+@query(
+    "agg_gini_concentration",
+    oracle="""
+    WITH ser AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             list(o_totalprice ORDER BY o_totalprice, o_orderkey) AS xs
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, n,
+           ROUND(2.0 * list_aggregate(list_transform(range(1, n + 1),
+                     i -> CAST(i AS DOUBLE) * xs[i]), 'sum')
+                 / (CAST(n AS DOUBLE) * list_aggregate(xs, 'sum'))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6) AS gini
+    FROM ser
+    """,
+    tags=("agg", "gini", "concentration"),
+)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value concentration per priority
+    class — the inequality statistic behind revenue-concentration and
+    whale-customer monitoring (0 = perfectly even spend, →1 = one
+    order dominates), computed by the exact rank formula
+    G = 2·Σ i·x_(i) / (n·Σx) − (n+1)/n over the value-sorted series.
+
+    The sort is per-group with a total tie-break (value, orderkey) so
+    the rank-weighted fold is deterministic; both engines fold the
+    identical sorted list.
+
+    Scale shape: one shuffle on the group key; the per-group sorted
+    fold is group-sized. (At extreme group sizes the same statistic
+    falls out of a two-pass rank + windowed sum — the formula is
+    associative in rank order.)"""
+    o = load_table(spark, sf_dir, "orders")
+    ser = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("o_totalprice", "o_orderkey"))
+        ).alias("arr"),
+    )
+    xs = F.transform(F.col("arr"), lambda r: r["o_totalprice"])
+    nd = F.col("n").cast("double")
+    weighted = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(1), F.col("n")),
+            xs,
+            lambda i, x: i.cast("double") * x,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    total = F.aggregate(xs, F.lit(0.0), lambda s, v: s + v)
+    return ser.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.round(2.0 * weighted / (nd * total) - (nd + 1.0) / nd, 6).alias("gini"),
+    )
