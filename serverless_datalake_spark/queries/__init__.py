@@ -205,8 +205,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     cdc_latest_by_key, agg_mode_deterministic, ts_autocorrelation,
 #     pipeline_llm_curation2, embedding_quantize_int8,
 #     sim_range_search, fn_variant_json, dedup_minhash_pairs,
-#     join_asof_nearest, agg_histogram_equiwidth — see each
-#     module) — plus any round-3
+#     join_asof_nearest, agg_histogram_equiwidth, fn_collation_join,
+#     text_vocab_coverage, text_zipf_fit, split_group_holdout,
+#     privacy_k_anonymity, ts_cross_correlation, agg_entropy_by_group,
+#     ts_changepoint_meanshift, agg_gini_concentration — see each
+#     module; the registry now holds 200 oracled queries, so rounds
+#     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
