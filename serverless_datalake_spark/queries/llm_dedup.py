@@ -437,7 +437,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BLOOM_M = 1024  # bits — deliberately small so false positives are exercised
+_BLOOM_BITS_PER_KEY = 4  # deliberately undersized (production ~10)
+                         # so false positives are exercised at EVERY
+                         # scale factor; m scales with the reference,
+                         # so the fill ratio — and the FP rate — is
+                         # scale-invariant instead of saturating
 _BLOOM_K = 5
 
 
@@ -449,9 +453,11 @@ def _bloom_oracle() -> str:
     return f"""
     WITH ref AS (
       SELECT text, md5(text) AS fp FROM documents WHERE doc_id % 3 <> 0
+    ), mm AS (
+      SELECT CAST({_BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT) AS m FROM ref
     ), ref_pos AS (
-      SELECT DISTINCT ({h1} + i * {h2}) % {_BLOOM_M} AS pos
-      FROM ref, (SELECT unnest(range({_BLOOM_K})) AS i)
+      SELECT DISTINCT ({h1} + i * {h2}) % mm.m AS pos
+      FROM ref, (SELECT unnest(range({_BLOOM_K})) AS i), mm
     ), bloom AS (
       SELECT list(pos ORDER BY pos) AS rp FROM ref_pos
     ), new_batch AS (
@@ -460,9 +466,9 @@ def _bloom_oracle() -> str:
     SELECT n.doc_id,
            list_has_all(bloom.rp,
              list_transform(range({_BLOOM_K}),
-               i -> ({h1} + i * {h2}) % {_BLOOM_M})) AS bloom_dup,
+               i -> ({h1} + i * {h2}) % mm.m)) AS bloom_dup,
            (n.fp IN (SELECT fp FROM ref)) AS exact_dup
-    FROM new_batch n CROSS JOIN bloom
+    FROM new_batch n CROSS JOIN bloom CROSS JOIN mm
     """
 
 
@@ -479,9 +485,11 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (h1 + i·h2) mod m for i < k (Kirsch–Mitzenmacher double hashing)
     with h1/h2 the two md5 32-bit halves — deterministic, so the
     DuckDB oracle recomputes the *same* filter, false positives
-    included. m is deliberately tiny (1024 bits) so the oracle run
-    exercises FPs; the query returns bloom_dup alongside exact_dup to
-    surface them (bloom_dup ⊇ exact_dup always; never the reverse).
+    included. m scales WITH the reference (4 bits/key, vs ~10 in
+    production) so the fill ratio — and the FP rate, ≈ fill^k ≈ 18% —
+    is the same at every scale factor instead of saturating when the
+    reference outgrows a fixed bitset; bloom_dup ⊇ exact_dup always,
+    never the reverse.
 
     Scale shape: the bloom is ONE collect_set broadcast of at most m
     integers (at production sizing, ~10 bits per reference key, the
@@ -497,21 +505,30 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
-    probes = F.transform(
-        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
-        lambda i: (h1 + i.cast("long") * h2) % F.lit(_BLOOM_M),
-    )
+
+    def probes(m):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+            lambda i: (h1 + i.cast("long") * h2) % m,
+        )
+
     ref = docs.filter(F.col("doc_id") % 3 != 0)
+    mm = ref.groupBy().agg(
+        (F.lit(_BLOOM_BITS_PER_KEY) * F.count(F.lit(1))).cast("long").alias("m")
+    )
     bloom = (
-        ref.select(F.explode(probes).alias("pos"))
+        ref.crossJoin(F.broadcast(mm))
+        .select(F.explode(probes(F.col("m"))).alias("pos"))
         .groupBy()
         .agg(F.sort_array(F.collect_set("pos")).alias("rp"))
     )
     ref_fp = ref.select(F.md5("text").alias("fp")).distinct().withColumn(
         "__hit", F.lit(True)
     )
-    new_batch = docs.filter(F.col("doc_id") % 2 == 0).select(
-        "doc_id", probes.alias("pp"), F.md5("text").alias("fp")
+    new_batch = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .crossJoin(F.broadcast(mm))
+        .select("doc_id", probes(F.col("m")).alias("pp"), F.md5("text").alias("fp"))
     )
     return (
         new_batch.crossJoin(F.broadcast(bloom))
@@ -613,19 +630,21 @@ def _curation2_oracle() -> str:
     return f"""
     WITH ref AS (
       SELECT text FROM documents WHERE doc_id % 3 <> 0
+    ), mm AS (
+      SELECT CAST({_BLOOM_BITS_PER_KEY} * COUNT(*) AS BIGINT) AS m FROM ref
     ), ref_pos AS (
-      SELECT DISTINCT ({h1} + i * {h2}) % {_BLOOM_M} AS pos
-      FROM ref, (SELECT unnest(range({_BLOOM_K})) AS i)
+      SELECT DISTINCT ({h1} + i * {h2}) % mm.m AS pos
+      FROM ref, (SELECT unnest(range({_BLOOM_K})) AS i), mm
     ), bloom AS (
       SELECT list(pos ORDER BY pos) AS rp FROM ref_pos
     ), new_batch AS (
       SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0
     ), screened AS (
       SELECT n.doc_id, n.lang, n.text
-      FROM new_batch n CROSS JOIN bloom
+      FROM new_batch n CROSS JOIN bloom CROSS JOIN mm
       WHERE NOT list_has_all(bloom.rp,
               list_transform(range({_BLOOM_K}),
-                i -> ({h1} + i * {h2}) % {_BLOOM_M}))
+                i -> ({h1} + i * {h2}) % mm.m))
     ), tok AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
       FROM documents
@@ -695,19 +714,27 @@ def pipeline_llm_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
-    probes = F.transform(
-        F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
-        lambda i: (h1 + i.cast("long") * h2) % F.lit(_BLOOM_M),
-    )
+
+    def probes(m):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
+            lambda i: (h1 + i.cast("long") * h2) % m,
+        )
+
     ref = docs.filter(F.col("doc_id") % 3 != 0)
+    mm = ref.groupBy().agg(
+        (F.lit(_BLOOM_BITS_PER_KEY) * F.count(F.lit(1))).cast("long").alias("m")
+    )
     bloom = (
-        ref.select(F.explode(probes).alias("pos"))
+        ref.crossJoin(F.broadcast(mm))
+        .select(F.explode(probes(F.col("m"))).alias("pos"))
         .groupBy()
         .agg(F.sort_array(F.collect_set("pos")).alias("rp"))
     )
     screened = (
         docs.filter(F.col("doc_id") % 2 == 0)
-        .select("doc_id", "lang", "text", probes.alias("pp"))
+        .crossJoin(F.broadcast(mm))
+        .select("doc_id", "lang", "text", probes(F.col("m")).alias("pp"))
         .crossJoin(F.broadcast(bloom))
         .where(~F.forall("pp", lambda p: F.array_contains(F.col("rp"), p)))
         .select("doc_id", "lang", "text")
