@@ -69,9 +69,9 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
             f""", r{i} AS (
       SELECT e.dst AS node,
              ROUND({tele} / CAST(nn.n AS DOUBLE)
-                   + {damp} * list_aggregate(
-                       list(ROUND(r.rank / CAST(deg.d AS DOUBLE), 10) ORDER BY e.src),
-                       'sum'), 10) AS rank
+                   + {damp} * (CAST(SUM(CAST(ROUND(r.rank / CAST(deg.d AS DOUBLE)
+                                                   * 10000000000.0, 0) AS BIGINT)) AS DOUBLE)
+                               / 10000000000.0), 10) AS rank
       FROM edges e
       JOIN r{i - 1} r ON r.node = e.src
       JOIN deg ON deg.node = e.src
@@ -149,25 +149,28 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle per iteration is the groupBy(dst) aggregation. (At
     # billion-node scale where ranks outgrow broadcast, the edges
     # relation is bucketed by src and the join co-locates instead.)
+    # contributions in exact 1e-10 integer units: the per-dst SUM is
+    # order-independent (no shuffle-order ulp drift), so it partial-
+    # aggregates map-side — no collect_list/sort/fold per iteration.
+    # No overflow at ANY graph size: Σ contributions per dst ≤ Σ ranks
+    # = 1, i.e. ≤ 1e10 units (the agg_pricing_summary discipline).
     for _ in range(_ITERS):
         contrib = edges.join(F.broadcast(r), edges["src"] == r["node"]).select(
             "dst",
-            "src",
-            F.round(F.col("rank") / F.col("d").cast("double"), 10).alias("c"),
-        )
-        arr = F.array_sort(F.collect_list(F.struct("src", "c")))
-        folded = F.aggregate(
-            F.transform(arr, lambda x: x["c"]), F.lit(0.0), lambda s, x: s + x
+            F.round(
+                F.col("rank") / F.col("d").cast("double") * 10000000000.0, 0
+            ).cast("long").alias("c"),
         )
         r = (
             contrib.groupBy(F.col("dst").alias("node"))
-            .agg(folded.alias("__f"))
+            .agg(F.sum("c").alias("__ci"))
             .crossJoin(F.broadcast(nn))
             .select(
                 "node",
                 F.round(
                     _TELEPORT / F.col("n").cast("double")
-                    + _DAMP * F.col("__f"),
+                    + _DAMP
+                    * (F.col("__ci").cast("double") / 10000000000.0),
                     10,
                 ).alias("rank"),
             )
