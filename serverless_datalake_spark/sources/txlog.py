@@ -169,7 +169,8 @@ def txlog_compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
 
 
 def txlog_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, key: str
+    spark: SparkSession, path: str, updates: DataFrame, key: str,
+    extra: dict | None = None,
 ) -> int:
     """MERGE-style upsert: rows in `updates` replace same-key rows of
     the current snapshot; new keys append. Copy-on-write like Delta's
@@ -178,10 +179,12 @@ def txlog_upsert(
     a mix). At scale the rewrite would be restricted to files whose
     min/max key ranges overlap the update keys; with a z-ordered or
     sorted layout that's a small fraction of the table."""
+    if not _entries(path):  # first commit: MERGE into empty == append
+        return txlog_write(updates, path, extra=extra)
     current = txlog_read(spark, path)
     kept = current.join(updates.select(key).distinct(), on=key, how="left_anti")
     merged = kept.unionByName(updates)
-    return txlog_write(merged, path, mode="overwrite")
+    return txlog_write(merged, path, mode="overwrite", extra=extra)
 
 
 def txlog_changes(

@@ -250,3 +250,53 @@ def start_windowed_topk_query(
         .foreachBatch(emit_topk)
         .start()
     )
+
+
+def start_txlog_upsert_query(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    key: str = "event_id",
+    order_col: str = "ts",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming CDC upsert: each micro-batch MERGEs into the txlog
+    table by key — the mutable-table sink for change streams
+    (cdc_latest_by_key's semantics made durable). Within a batch,
+    latest-wins per key on (order_col, key) so a batch carrying
+    several versions of one key commits exactly one row; across
+    batches, the copy-on-write MERGE replaces matched keys atomically.
+    Exactly-once: the batch id rides inside the MERGE's atomic commit
+    entry, and replayed batches are skipped — MERGE is NOT idempotent
+    against interleaved writers, so the marker does real work.
+
+    At scale the rewrite narrows to files whose key ranges overlap the
+    batch (txlog_upsert docstring); the guard and marker mechanics are
+    identical to start_txlog_ingest_query's."""
+    from pyspark.sql import Window as W
+
+    from serverless_datalake_spark.sources import txlog
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in txlog.committed_batch_ids(table_path):
+            return  # replay of an already-committed batch
+        w = W.partitionBy(key).orderBy(
+            F.col(order_col).desc(), F.col(key).desc()
+        )
+        latest = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        txlog.txlog_upsert(
+            batch.sparkSession, table_path, latest, key,
+            extra={"batch_id": batch_id},
+        )
+
+    trigger = trigger or {"availableNow": True}
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**trigger)
+        .start()
+    )

@@ -293,3 +293,59 @@ def test_history_describes_commits(spark, tmp_path):
     txlog.txlog_vacuum(path, keep_versions=1)
     h2 = txlog.txlog_history(spark, path).collect()
     assert len(h2) == 1 and h2[0]["is_checkpoint"]
+
+
+def test_streaming_upsert_latest_wins_and_replay_safe(spark, tmp_path):
+    """Two micro-batches carry overlapping keys with newer values; the
+    table must end with ONE row per key holding the latest value,
+    every commit must be atomic (one log entry per batch), and a
+    checkpointed replay must commit nothing new."""
+    import gzip
+    import json as _json
+
+    from serverless_datalake_spark.streaming import pipeline as sp
+
+    staging = str(tmp_path / "staging")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(staging)
+
+    def write_file(name, rows):
+        with gzip.open(os.path.join(staging, name), "wt") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    def evt(i, hour, value):
+        return {
+            "event_id": i, "ts": f"2024-01-01T{hour:02d}:00:00.000",
+            "user_id": i % 4, "event_type": "clicks", "value": value,
+            "props": "{}",
+        }
+
+    # batch 1: keys 0..9 at v=1.0; includes an intra-batch older dup of
+    # key 3 that latest-wins must drop
+    write_file("a.json.gz", [evt(i, 1, 1.0) for i in range(10)] + [evt(3, 0, -1.0)])
+    stream = sp.read_event_stream(spark, staging, dedup=False)
+    sp.start_txlog_upsert_query(stream, table, ckpt).awaitTermination()
+    t1 = txlog.txlog_read(spark, table)
+    assert t1.count() == 10
+    assert t1.where("event_id = 3").collect()[0]["value"] == 1.0
+
+    # batch 2: keys 5..14 at v=2.0 (5..9 are updates, 10..14 inserts)
+    write_file("b.json.gz", [evt(i, 2, 2.0) for i in range(5, 15)])
+    sp.start_txlog_upsert_query(
+        sp.read_event_stream(spark, staging, dedup=False), table, ckpt
+    ).awaitTermination()
+    t2 = txlog.txlog_read(spark, table)
+    assert t2.count() == 15
+    got = {r["event_id"]: r["value"] for r in t2.collect()}
+    assert all(got[i] == 1.0 for i in range(5))
+    assert all(got[i] == 2.0 for i in range(5, 15))
+
+    # replay the drained source: no new commits
+    head = len(txlog._entries(table))
+    sp.start_txlog_upsert_query(
+        sp.read_event_stream(spark, staging, dedup=False), table, ckpt
+    ).awaitTermination()
+    assert len(txlog._entries(table)) == head
+    assert txlog.txlog_read(spark, table).count() == 15
