@@ -201,3 +201,40 @@ def sql_recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY spine.d
         """
     )
+
+
+@query(
+    "sql_lateral_topn",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice
+      FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) o
+    """,
+    tags=("sql", "lateral"),
+)
+def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery — top-2 orders per customer
+    written as a per-row dependent subquery, the SQL idiom ORMs and
+    analysts reach for before they know window functions. Catalyst
+    decorrelates the LATERAL into a ranked join (DomainJoin →
+    window + filter), so it executes as the same one-shuffle
+    WindowGroupLimit plan as topk_per_group — per-row re-execution
+    never happens."""
+    register_views(spark, sf_dir, only=("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, ROUND(o.o_totalprice, 2) AS o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) o
+        """
+    )
