@@ -399,3 +399,78 @@ def test_group_holdout_no_user_leakage(spark, sf_dir):
     assert all(len(f) == 1 for f in per_user.values())
     folds = {r["fold"] for r in rows}
     assert len(folds) >= 3
+
+
+def test_histogram_covers_all_rows_and_edges_tile(spark, sf_dir):
+    """Bin counts must sum to the table size; bin edges tile [min,max]
+    contiguously; every count positive bin index in [0, 15]."""
+    from serverless_datalake_spark.tables import load_table
+
+    rows = sorted(
+        REG["agg_histogram_equiwidth"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    assert sum(r["n"] for r in rows) == li.count()
+    assert all(0 <= r["bin"] <= 15 for r in rows)
+    for a, b in zip(rows, rows[1:]):
+        if b["bin"] == a["bin"] + 1:
+            assert abs(a["bin_hi"] - b["bin_lo"]) < 1e-6
+
+
+def test_entropy_bounded_by_log_types(spark, sf_dir):
+    """0 <= H <= ln(n_types) for every cohort."""
+    import math
+
+    for r in REG["agg_entropy_by_group"].fn(spark, sf_dir).collect():
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-6
+
+
+def test_gini_in_unit_interval_and_ordering(spark, sf_dir):
+    """Gini lies in [0, 1); a manually-computed python Gini for one
+    group matches within rounding."""
+    rows = REG["agg_gini_concentration"].fn(spark, sf_dir).collect()
+    assert rows and all(0.0 <= r["gini"] < 1.0 for r in rows)
+    from serverless_datalake_spark.tables import load_table
+
+    target = rows[0]["o_orderpriority"]
+    xs = sorted(
+        x["o_totalprice"]
+        for x in load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == target)
+        .select("o_totalprice")
+        .collect()
+    )
+    n = len(xs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(xs)) / (n * sum(xs)) - (n + 1) / n
+    got = next(r["gini"] for r in rows if r["o_orderpriority"] == target)
+    assert abs(got - gini) < 1e-4
+
+
+def test_changepoint_segments_partition_series(spark, sf_dir):
+    """The reported means must equal plain means of the two segments
+    split at change_start, and the shift must be the maximal one
+    (spot-verified in python for one series)."""
+    rows = REG["ts_changepoint_meanshift"].fn(spark, sf_dir).collect()
+    assert rows
+    from serverless_datalake_spark.tables import load_table
+
+    r0 = rows[0]
+    e = load_table(spark, sf_dir, "events")
+    obs = sorted(
+        (x["h"], x["v"])
+        for x in e.where(F.col("event_type") == r0["event_type"])
+        .groupBy(F.expr("CAST(ts AS LONG) DIV 3600").alias("h"))
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    )
+    vs = [v for _, v in obs]
+    split = next(i for i, (h, _) in enumerate(obs) if h * 3600 == r0["change_start"])
+    before, after = vs[:split], vs[split:]
+    assert abs(sum(before) / len(before) - r0["mean_before"]) < 1e-4
+    assert abs(sum(after) / len(after) - r0["mean_after"]) < 1e-4
+    best = max(
+        abs(sum(vs[:t]) / t - sum(vs[t:]) / (len(vs) - t))
+        for t in range(1, len(vs))
+    )
+    assert abs(abs(r0["mean_before"] - r0["mean_after"]) - best) < 1e-4
