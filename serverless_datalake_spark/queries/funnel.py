@@ -108,3 +108,67 @@ def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seconds_to_convert"),
         )
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH wk AS (
+      SELECT user_id,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800 AS w
+      FROM events
+    ), first_wk AS (
+      SELECT user_id, MIN(w) AS cohort_w FROM wk GROUP BY 1
+    ), cohort_size AS (
+      SELECT cohort_w, CAST(COUNT(*) AS BIGINT) AS n_users FROM first_wk GROUP BY 1
+    ), active AS (
+      SELECT DISTINCT f.cohort_w, wk.w - f.cohort_w AS offset_w, wk.user_id
+      FROM wk JOIN first_wk f USING (user_id)
+    ), cells AS (
+      SELECT cohort_w, offset_w, CAST(COUNT(*) AS BIGINT) AS n_active
+      FROM active GROUP BY 1, 2
+    )
+    SELECT c.cohort_w * 604800 AS cohort_start,
+           c.offset_w,
+           c.n_active,
+           s.n_users AS cohort_users,
+           ROUND(CAST(c.n_active AS DOUBLE) / CAST(s.n_users AS DOUBLE), 4) AS retention
+    FROM cells c JOIN cohort_size s USING (cohort_w)
+    """,
+    tags=("funnel", "retention", "cohort"),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retention cohort matrix — product analytics' canonical
+    report: users bucketed by first-activity week (the cohort), each
+    later week's activity expressed as a fraction of the cohort
+    (offset 0 is 1.0 by construction; decay down the row is the
+    retention curve).
+
+    Scale shape: first-activity is one user-keyed aggregate; the
+    cohort×offset matrix is a distinct + count over (cohort, offset,
+    user) — both shuffles are user- or cell-bounded, and the join back
+    to cohort sizes is cohort-cardinality (broadcast). No windows, no
+    self-joins over raw events."""
+    e = load_table(spark, sf_dir, "events")
+    wk = e.select("user_id", F.expr("CAST(ts AS LONG) DIV 604800").alias("w"))
+    first_wk = wk.groupBy("user_id").agg(F.min("w").alias("cohort_w"))
+    cohort_size = first_wk.groupBy("cohort_w").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    active = (
+        wk.join(first_wk, "user_id")
+        .select("cohort_w", (F.col("w") - F.col("cohort_w")).alias("offset_w"), "user_id")
+        .distinct()
+    )
+    cells = active.groupBy("cohort_w", "offset_w").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+    return cells.join(F.broadcast(cohort_size), "cohort_w").select(
+        (F.col("cohort_w") * 604800).alias("cohort_start"),
+        "offset_w",
+        "n_active",
+        "cohort_users",
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_users").cast("double"), 4
+        ).alias("retention"),
+    )
