@@ -671,3 +671,104 @@ def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_after"),
     )
+
+
+@query(
+    "ts_seasonal_strength",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), hod AS (
+      SELECT event_type, h % 24 AS hour_of_day, h, v FROM obs
+    ), prof AS (
+      SELECT event_type, hour_of_day,
+             list_aggregate(list(v ORDER BY h), 'sum')
+               / CAST(COUNT(*) AS DOUBLE) AS season_mean
+      FROM hod GROUP BY 1, 2
+    ), joined AS (
+      SELECT hod.event_type, hod.h, hod.v, prof.season_mean
+      FROM hod JOIN prof USING (event_type, hour_of_day)
+    ), ser AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             list(v ORDER BY h) AS vs,
+             list(ROUND(v - season_mean, 8) ORDER BY h) AS rs
+      FROM joined GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, n,
+             list_aggregate(vs, 'sum') / CAST(n AS DOUBLE) AS mv,
+             list_aggregate(rs, 'sum') / CAST(n AS DOUBLE) AS mr,
+             vs, rs
+      FROM ser
+    )
+    SELECT event_type, n AS n_buckets,
+           ROUND(GREATEST(0.0, 1.0 -
+             (list_aggregate(list_transform(rs, x -> (x - mr) * (x - mr)), 'sum')
+              / list_aggregate(list_transform(vs, x -> (x - mv) * (x - mv)), 'sum'))), 6)
+             AS seasonal_strength
+    FROM stats
+    """,
+    tags=("timeseries", "seasonality"),
+)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-strength diagnostic (the STL-decomposition statistic
+    F_s = max(0, 1 − Var(remainder)/Var(series)) with an hour-of-day
+    seasonal component): ~0 means the daily profile explains nothing
+    (aseasonal — what synthetic fixtures should show), →1 means the
+    series is dominated by its daily cycle. Decides whether ts_ewma
+    (aseasonal) or a seasonal model should smooth each series.
+
+    Hour-of-day means are ordered folds over each (type, hour-of-day)
+    cell; remainders round at 8 before the variance folds, all in
+    h-order — bit-identical cross-engine.
+
+    Scale shape: one partial-agg shuffle to the grid, a 24-cell
+    profile per type joined back (broadcast-sized), and per-type
+    variance folds bounded by grid length."""
+    from pyspark.sql import Window  # noqa: F401
+
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    hod = obs.select("event_type", (F.col("h") % 24).alias("hour_of_day"), "h", "v")
+    parr = F.array_sort(F.collect_list(F.struct("h", "v")))
+    prof = hod.groupBy("event_type", "hour_of_day").agg(
+        (
+            F.aggregate(
+                F.transform(parr, lambda x: x["v"]), F.lit(0.0), lambda s, x: s + x
+            )
+            / F.count(F.lit(1)).cast("double")
+        ).alias("season_mean")
+    )
+    joined = hod.join(prof, ["event_type", "hour_of_day"])
+    sarr = F.array_sort(
+        F.collect_list(
+            F.struct("h", "v", F.round(F.col("v") - F.col("season_mean"), 8).alias("r"))
+        )
+    )
+    ser = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), sarr.alias("arr")
+    )
+    vs = F.transform(F.col("arr"), lambda x: x["v"])
+    rs = F.transform(F.col("arr"), lambda x: x["r"])
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda s, x: s + x)
+
+    nd = F.col("n").cast("double")
+    mv = fold(vs) / nd
+    mr = fold(rs) / nd
+    var_v = fold(F.transform(vs, lambda x: (x - mv) * (x - mv)))
+    var_r = fold(F.transform(rs, lambda x: (x - mr) * (x - mr)))
+    return ser.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_buckets"),
+        F.round(F.greatest(F.lit(0.0), 1.0 - var_r / var_v), 6).alias(
+            "seasonal_strength"
+        ),
+    )
