@@ -208,8 +208,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     join_asof_nearest, agg_histogram_equiwidth, fn_collation_join,
 #     text_vocab_coverage, text_zipf_fit, split_group_holdout,
 #     privacy_k_anonymity, ts_cross_correlation, agg_entropy_by_group,
-#     ts_changepoint_meanshift, agg_gini_concentration — see each
-#     module; the registry now holds 200 oracled queries, so rounds
+#     ts_changepoint_meanshift, agg_gini_concentration,
+#     sql_lateral_topn, retention_cohorts, ts_seasonal_strength,
+#     agg_weighted_median, text_burstiness — see each
+#     module; the registry now holds 205 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4

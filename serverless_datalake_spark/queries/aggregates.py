@@ -743,3 +743,65 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(2.0 * weighted / (nd * total) - (nd + 1.0) / nd, 6).alias("gini"),
     )
+
+
+@query(
+    "agg_weighted_median",
+    oracle="""
+    WITH pts AS (
+      SELECT lang, n_chars AS v,
+             CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS w
+      FROM documents
+    ), ranked AS (
+      SELECT lang, v, w,
+             CAST(SUM(w) OVER (PARTITION BY lang ORDER BY v, w
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY lang) AS BIGINT) AS tw
+      FROM pts
+    )
+    SELECT lang,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT) AS weighted_median,
+           MIN(tw) AS total_weight
+    FROM ranked GROUP BY lang
+    """,
+    tags=("agg", "percentile", "weighted"),
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median — the importance-weighted quantile every
+    mixture-reweighted corpus needs (an unweighted median over
+    upsampled data is simply wrong): document length (chars) weighted
+    by token count per language; the median is the smallest value
+    whose cumulative weight reaches half the total (lower weighted
+    median, deterministic under the (v, w) total order).
+
+    Scale shape: one shuffle on the group key; the cumulative weight
+    is a per-group running window (WindowGroupLimit-free but
+    group-local); the threshold pick folds into the same aggregate.
+    No per-group sort materializes beyond the window operator's."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    pts = d.select(
+        "lang",
+        F.col("n_chars").alias("v"),
+        F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+        .cast("long")
+        .alias("w"),
+    )
+    w_run = (
+        Window.partitionBy("lang")
+        .orderBy("v", "w")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = pts.select(
+        "lang",
+        "v",
+        F.sum("w").over(w_run).alias("cw"),
+        F.sum("w").over(Window.partitionBy("lang")).alias("tw"),
+    )
+    return ranked.groupBy("lang").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("weighted_median"),
+        F.min("tw").alias("total_weight"),
+    )

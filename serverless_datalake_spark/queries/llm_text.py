@@ -750,3 +750,87 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@query(
+    "text_burstiness",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), dt AS (
+      SELECT t, doc_id, CAST(COUNT(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2
+    ), nd AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents
+    ), stats AS (
+      SELECT dt.t,
+             CAST(SUM(dt.k) AS BIGINT) AS total,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             list_aggregate(list(CAST(dt.k AS DOUBLE) * CAST(dt.k AS DOUBLE) ORDER BY dt.doc_id), 'sum') AS sumsq
+      FROM dt GROUP BY dt.t
+    ), scored AS (
+      SELECT s.t AS token, s.total, s.df,
+             ROUND((s.sumsq / CAST(nd.n_docs AS DOUBLE)
+                    - (CAST(s.total AS DOUBLE) / CAST(nd.n_docs AS DOUBLE))
+                      * (CAST(s.total AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)))
+                   / (CAST(s.total AS DOUBLE) / CAST(nd.n_docs AS DOUBLE)), 6) AS burstiness
+      FROM stats s CROSS JOIN nd
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY total DESC, token) AS rank FROM scored
+    )
+    SELECT token, total, df, burstiness, rank FROM ranked WHERE rank <= 20
+    """,
+    tags=("llm", "text", "statistics"),
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token burstiness (variance-to-mean ratio of per-document
+    counts, zeros included): Poisson-dispersed tokens score ≈ its
+    mean≈VMR≈occurrence rate; bursty tokens (concentrated in few
+    docs — topical words, boilerplate, spam markers) score high. The
+    corpus-linguistics dispersion test that separates function words
+    from content/template words — useful for stopword induction and
+    template detection at curation time.
+
+    VMR = (E[k²] − E[k]²)/E[k] over ALL docs (absent docs contribute
+    k = 0 — only the sum-of-squares needs the (token, doc) relation;
+    zeros enter through dividing by the total doc count). Per-token
+    sums of squares fold in doc order.
+
+    Scale shape: one (token, doc) count shuffle, one token rollup;
+    the doc count rides in as a 1-row broadcast. Top-20 by frequency
+    keeps the report vocabulary-bounded."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    )
+    dt = tok.groupBy("t", "doc_id").agg(F.count(F.lit(1)).alias("k"))
+    nd = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    arr = F.array_sort(F.collect_list(F.struct("doc_id", "k")))
+    stats = dt.groupBy("t").agg(
+        F.sum("k").alias("total"),
+        F.count(F.lit(1)).alias("df"),
+        F.aggregate(
+            F.transform(arr, lambda x: x["k"].cast("double") * x["k"].cast("double")),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("sumsq"),
+    )
+    mean = F.col("total").cast("double") / F.col("n_docs").cast("double")
+    scored = stats.crossJoin(F.broadcast(nd)).select(
+        F.col("t").alias("token"),
+        F.col("total").cast("long").alias("total"),
+        F.col("df").cast("long").alias("df"),
+        F.round(
+            (F.col("sumsq") / F.col("n_docs").cast("double") - mean * mean) / mean, 6
+        ).alias("burstiness"),
+    )
+    w = Window.orderBy(F.col("total").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("token", "total", "df", "burstiness",
+                F.col("rank").cast("long").alias("rank"))
+    )
