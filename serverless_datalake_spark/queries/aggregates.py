@@ -805,3 +805,116 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("weighted_median"),
         F.min("tw").alias("total_weight"),
     )
+
+
+_POIS = (
+    "CASE WHEN {u} < 0.36787944117144233 THEN 0 "
+    "WHEN {u} < 0.7357588823428847 THEN 1 "
+    "WHEN {u} < 0.9196986029286058 THEN 2 "
+    "WHEN {u} < 0.9810118431238462 THEN 3 "
+    "WHEN {u} < 0.9963401531726563 THEN 4 ELSE 5 END"
+)
+
+
+def _bootstrap_oracle(reps: int = 32) -> str:
+    from serverless_datalake_spark.queries.llm_dedup import _hex8_int
+
+    key = "CAST(l_orderkey * 16 + l_linenumber AS VARCHAR) || '_' || CAST(b AS VARCHAR)"
+    u = f"(CAST({_hex8_int(f'substr(md5({key}), 1, 8)')} AS DOUBLE) / 4294967296.0)"
+    w = _POIS.format(u=u)
+    return f"""
+    WITH expanded AS (
+      SELECT b, {w} AS w,
+             CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS cents
+      FROM lineitem, (SELECT unnest(range({reps})) AS b)
+    ), reps AS (
+      SELECT b,
+             CAST(SUM(w) AS BIGINT) AS n_eff,
+             ROUND(CAST(SUM(w * cents) AS DOUBLE) / 100.0
+                   / CAST(SUM(w) AS DOUBLE), 6) AS mean_b
+      FROM expanded GROUP BY b
+    ), base AS (
+      SELECT ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT)) AS DOUBLE)
+                   / 100.0 / CAST(COUNT(*) AS DOUBLE), 6) AS point_mean
+      FROM lineitem
+    ), sorted AS (
+      SELECT list(mean_b ORDER BY mean_b) AS ms FROM reps
+    )
+    SELECT base.point_mean,
+           sorted.ms[2] AS boot_p05,
+           sorted.ms[16] AS boot_median,
+           sorted.ms[31] AS boot_p95,
+           CAST({reps} AS BIGINT) AS n_replicas
+    FROM base CROSS JOIN sorted
+    """
+
+
+@query("sample_poisson_bootstrap", oracle=_bootstrap_oracle(), tags=("agg", "bootstrap", "statistics"))
+def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap — THE distributed resampling technique:
+    classical bootstrap resampling needs global coordination (sample n
+    rows WITH replacement), but for large n the multinomial factors
+    into independent per-row Poisson(1) weights, so B=32 bootstrap
+    replicas of the mean are computed in ONE pass with per-row
+    deterministic weights — no shuffling of data, no driver-side
+    resampling. The output is the point estimate with its bootstrap
+    p05/median/p95 — the confidence interval a metrics pipeline
+    should publish next to every mean.
+
+    Determinism: the uniform driving each (row, replica) weight is an
+    md5 hash of the row key and replica id (the split-family
+    discipline — stable under retries and repartitioning); the
+    Poisson inverse-CDF thresholds are exact double literals shared
+    by both engines; replica sums use exact integer cents.
+
+    Scale shape: a 32× flatMap expansion feeding ONE partial-agg
+    shuffle of 32 groups; the replica relation is B rows. (At 100 TB
+    you'd fold the 32 weights into one pass as 32 agg columns to skip
+    the expansion — same algebra, wider combiner.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    reps = 32
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    expanded = li.select(
+        F.explode(F.sequence(F.lit(0), F.lit(reps - 1))).alias("b"),
+        (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("string").alias("rk"),
+        cents.alias("cents"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("_", F.col("rk"), F.col("b").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        / 4294967296.0
+    )
+    w = (
+        F.when(u < 0.36787944117144233, 0)
+        .when(u < 0.7357588823428847, 1)
+        .when(u < 0.9196986029286058, 2)
+        .when(u < 0.9810118431238462, 3)
+        .when(u < 0.9963401531726563, 4)
+        .otherwise(5)
+    )
+    rep = expanded.select("b", w.alias("w"), "cents").groupBy("b").agg(
+        F.sum("w").alias("n_eff"),
+        F.round(
+            (F.sum(F.col("w") * F.col("cents")).cast("double") / 100.0)
+            / F.sum("w").cast("double"),
+            6,
+        ).alias("mean_b"),
+    )
+    base = li.agg(
+        F.round(
+            F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1)).cast("double"), 6
+        ).alias("point_mean")
+    )
+    sorted_ms = rep.groupBy().agg(F.array_sort(F.collect_list("mean_b")).alias("ms"))
+    return base.crossJoin(F.broadcast(sorted_ms)).select(
+        "point_mean",
+        F.element_at("ms", 2).alias("boot_p05"),
+        F.element_at("ms", 16).alias("boot_median"),
+        F.element_at("ms", 31).alias("boot_p95"),
+        F.lit(reps).cast("long").alias("n_replicas"),
+    )
