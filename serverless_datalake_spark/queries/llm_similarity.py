@@ -942,3 +942,62 @@ def sim_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("score") >= 0.15)
         .select("query_id", "corpus_id", F.round("score", 6).alias("score"))
     )
+
+
+def _matryoshka_oracle(dims: int = 16, k: int = 5) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding[1:{dims}], x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 10
+    ), c AS (
+      SELECT vec_id AS corpus_id,
+             list_transform(embedding[1:{dims}], x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+      SELECT q.query_id, c.corpus_id, {_cos_sql("q.emb", "c.emb")} AS score
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "sim_topk_truncated_dims",
+    oracle=_matryoshka_oracle(),
+    tags=("llm", "similarity", "matryoshka"),
+)
+def sim_topk_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval (the Matryoshka/MRL serving
+    pattern): score with only the FIRST 16 of 64 dimensions — 4× less
+    memory bandwidth and compute per comparison, the standard
+    first-stage filter when embeddings are trained with
+    matryoshka-style prefix losses (for fixtures' isotropic vectors
+    truncation costs recall, which is exactly what comparing against
+    sim_topk_bruteforce measures — the property test quantifies it).
+
+    Scale shape: identical to sim_topk_bruteforce (labeled baseline)
+    — broadcast queries × one corpus scan — but the scan reads a
+    prefix slice; at rest a dims-major layout (or a separate prefix
+    column) turns the slice into genuine I/O savings, and the full-
+    vector re-rank of the shortlist is sim_topk_ivfpq_rerank's
+    refine stage."""
+    em = load_table(spark, sf_dir, "embeddings")
+    from serverless_datalake_spark.operators.similarity import _as_double
+
+    def pfx(df, idc):
+        return df.select(
+            F.col("vec_id").alias(idc),
+            F.slice(_as_double(F.col("embedding")), 1, 16).alias("emb"),
+        )
+
+    queries = pfx(em.where(F.col("vec_id") < 10), "query_id")
+    corpus = pfx(em.where(F.col("vec_id") >= 10), "corpus_id")
+    return similarity.topk_bruteforce(
+        queries, corpus, k=5, vec="emb"
+    )
