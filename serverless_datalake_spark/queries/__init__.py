@@ -211,8 +211,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     ts_changepoint_meanshift, agg_gini_concentration,
 #     sql_lateral_topn, retention_cohorts, ts_seasonal_strength,
 #     agg_weighted_median, text_burstiness,
-#     sample_poisson_bootstrap — see each
-#     module; the registry now holds 206 oracled queries, so rounds
+#     sample_poisson_bootstrap, sim_topk_truncated_dims — see each
+#     module; the registry now holds 207 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
