@@ -67,3 +67,39 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == SQL EXCEPT (set semantics); exceptAll would keep
     # multiplicity differences, which is a different operator.
     return _buyers(spark, sf_dir).subtract(_urgent(spark, sf_dir))
+
+
+@query(
+    "set_intersect_all",
+    oracle=f"""
+    SELECT custkey, COUNT(*) AS n
+    FROM ({_BUYERS_SQL} INTERSECT ALL {_URGENT_SQL})
+    GROUP BY custkey
+    """,
+    tags=("setop", "multiset"),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset intersection (each row kept
+    min(count_left, count_right) times), the bag-algebra sibling of
+    set_intersect; Catalyst plans it as a counted left-semi shape, not
+    a distinct + join."""
+    i = _buyers(spark, sf_dir).intersectAll(_urgent(spark, sf_dir))
+    return i.groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@query(
+    "set_except_all",
+    oracle=f"""
+    SELECT custkey, COUNT(*) AS n
+    FROM ({_BUYERS_SQL} EXCEPT ALL {_URGENT_SQL})
+    GROUP BY custkey
+    """,
+    tags=("setop", "multiset"),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference (counts subtract, floor at
+    zero): the dedup-free 'what remains after removing one occurrence
+    per match' semantics CDC reconciliation uses (txlog_changes is
+    built on exceptAll for exactly this reason)."""
+    e = _buyers(spark, sf_dir).exceptAll(_urgent(spark, sf_dir))
+    return e.groupBy("custkey").agg(F.count("*").alias("n"))
