@@ -918,3 +918,53 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("ms", 31).alias("boot_p95"),
         F.lit(reps).cast("long").alias("n_replicas"),
     )
+
+
+@query(
+    "agg_time_hierarchy_rollup",
+    oracle="""
+    SELECT CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP))) AS BIGINT) AS day_start,
+           CASE WHEN GROUPING(CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))) AS BIGINT)) = 0
+                THEN CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))) AS BIGINT) END AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY ROLLUP (
+      CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP))) AS BIGINT),
+      CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 hour', ts) AS TIMESTAMP))) AS BIGINT)
+    )
+    HAVING GROUPING(CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP))) AS BIGINT)) = 0
+    """,
+    tags=("agg", "rollup", "time"),
+)
+def agg_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-hierarchy rollup: hourly AND daily totals from ONE pass
+    (ROLLUP(day, hour) → the Expand node emits both grains into the
+    same aggregate; the grand-total row is dropped) — the OLAP cube
+    pattern that serves a day-level dashboard and its hour-level
+    drill-down without re-scanning. Subtotal rows are identified by a
+    NULL hour_start (GROUPING()-guarded so a genuine NULL can't be
+    confused).
+
+    Scale shape: one scan, one Expand (2× row multiplication — far
+    cheaper than two scans at 100 TB), one partial-agged shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("CAST(ts AS LONG) DIV 86400 * 86400")
+    hour = F.expr("CAST(ts AS LONG) DIV 3600 * 3600")
+    return (
+        e.select(day.alias("day_start"), hour.alias("hour_start"), "value")
+        .rollup("day_start", "hour_start")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping("day_start").alias("__gd"),
+            F.grouping("hour_start").alias("__gh"),
+        )
+        .where(F.col("__gd") == 0)
+        .select(
+            "day_start",
+            F.when(F.col("__gh") == 0, F.col("hour_start")).alias("hour_start"),
+            "n",
+            "sum_value",
+        )
+    )

@@ -238,3 +238,35 @@ def sql_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) o
         """
     )
+
+
+@query(
+    "sql_named_window",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("sql", "window"),
+)
+def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause — one window definition shared by several
+    analytic functions (the SQL spec's answer to copy-pasted OVER
+    clauses, and a guarantee both functions compute over the SAME
+    frame → one Window operator in the plan, not two)."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               ROUND(o_totalprice, 2) AS o_totalprice,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+               ROUND(SUM(o_totalprice) OVER w, 2) AS running_spend
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """
+    )
