@@ -320,3 +320,43 @@ def fn_collation_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "fn_try_arithmetic",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE ROUND(l_extendedprice / l_discount, 2) END AS price_per_disc,
+           CASE WHEN l_quantity = 0 THEN NULL
+                ELSE CAST(CAST(FLOOR(l_extendedprice) AS BIGINT) % CAST(FLOOR(l_quantity) AS BIGINT) AS BIGINT) END AS price_mod_qty,
+           ROUND(l_extendedprice + l_tax * 100000.0, 2) AS safe_sum
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 7 = 0
+    """,
+    tags=("fn", "ansi", "try"),
+)
+def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic (try_divide / try_mod / try_add): under
+    ANSI mode a divide-by-zero or overflow KILLS the job; the try_*
+    family returns NULL instead — the right contract for curation
+    pipelines where one malformed row must not fail a 100 TB pass.
+    The oracle spells the same NULL-on-error semantics with guards
+    (DuckDB has no try_* family), proving the functions equal their
+    guarded expansions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 7 == 0)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.try_divide("l_extendedprice", "l_discount"), 2).alias(
+            "price_per_disc"
+        ),
+        F.try_mod(
+            F.col("l_extendedprice").cast("long"), F.col("l_quantity").cast("long")
+        ).alias("price_mod_qty"),
+        F.round(
+            F.try_add(F.col("l_extendedprice"), F.col("l_tax") * 100000.0), 2
+        ).alias("safe_sum"),
+    )

@@ -772,3 +772,59 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+@query(
+    "ts_rolling_quantile",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, h, v,
+             list_sort(list(v) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)) AS wv
+      FROM obs
+    )
+    SELECT event_type, h * 3600 AS bucket_start, v,
+           wv[CAST(CEIL(0.9 * len(wv)) AS BIGINT)] AS p90_trailing_24h,
+           CAST(len(wv) AS BIGINT) AS window_n
+    FROM win
+    """,
+    tags=("timeseries", "quantile", "rolling"),
+)
+def ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling exact p90 over the trailing 24 hourly buckets — the
+    adaptive thresholding statistic behind 'alert when above the p90
+    of the last day' monitors (ts_anomaly_zscore's z-score assumes
+    symmetric noise; a rolling ORDER STATISTIC is the robust twin).
+
+    Exactness: the lower p90 (sorted element ⌈0.9·n⌉, no
+    interpolation) over the frame-collected list — both engines sort
+    identical 2-decimal bucket totals, so the picked element is
+    identical; ramp-up rows (window_n < 24) report their partial
+    window honestly.
+
+    Scale shape: one grid shuffle then a bounded-frame window whose
+    per-row cost is the 24-element collect+sort — O(w log w) with
+    w = 24, constant; state never exceeds the frame."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-23, 0)
+    wv = F.sort_array(F.collect_list("v").over(w))
+    return obs.select(
+        "event_type",
+        (F.col("h") * 3600).alias("bucket_start"),
+        "v",
+        F.element_at(wv, F.ceil(0.9 * F.size(wv)).cast("int")).alias(
+            "p90_trailing_24h"
+        ),
+        F.size(wv).cast("long").alias("window_n"),
+    )
