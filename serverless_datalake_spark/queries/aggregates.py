@@ -968,3 +968,74 @@ def agg_time_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query(
+    "agg_moments_shape",
+    oracle="""
+    WITH ser AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             list(o_totalprice ORDER BY o_totalprice, o_orderkey) AS xs
+      FROM orders GROUP BY 1
+    ), m1 AS (
+      SELECT o_orderpriority, n, xs,
+             list_aggregate(xs, 'sum') / CAST(n AS DOUBLE) AS mean
+      FROM ser
+    ), moments AS (
+      SELECT o_orderpriority, n, mean,
+             list_aggregate(list_transform(xs, x -> (x - mean) * (x - mean)), 'sum')
+               / CAST(n AS DOUBLE) AS m2,
+             list_aggregate(list_transform(xs, x -> (x - mean) * (x - mean) * (x - mean)), 'sum')
+               / CAST(n AS DOUBLE) AS m3,
+             list_aggregate(list_transform(xs, x -> (x - mean) * (x - mean) * (x - mean) * (x - mean)), 'sum')
+               / CAST(n AS DOUBLE) AS m4
+      FROM m1
+    )
+    SELECT o_orderpriority, n,
+           ROUND(mean, 4) AS mean,
+           ROUND(m3 / (SQRT(m2) * SQRT(m2) * SQRT(m2)), 6) AS skewness,
+           ROUND(m4 / (m2 * m2) - 3.0, 6) AS excess_kurtosis
+    FROM moments
+    """,
+    tags=("agg", "moments", "profile"),
+)
+def agg_moments_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-shape moments — population skewness g₁ = m₃/m₂^1.5
+    and excess kurtosis g₂ = m₄/m₂² − 3 per priority class: the
+    two numbers that tell a pipeline whether a column is z-scoreable
+    (symmetric, light-tailed) or needs the quantile/winsorize path.
+    Spelled as explicit central-moment folds over the value-sorted
+    series rather than the built-ins, because Spark's and DuckDB's
+    skewness()/kurtosis() disagree on bias correction — the moment
+    DEFINITION is pinned here, identically in both engines.
+
+    Scale shape: one group shuffle; at extreme group sizes the same
+    moments fall out of one pass of raw power sums (Σx, Σx², Σx³,
+    Σx⁴ in integer cents) — the fold spelling exists for bit-exact
+    oracle parity."""
+    o = load_table(spark, sf_dir, "orders")
+    ser = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.array_sort(
+            F.collect_list(F.struct("o_totalprice", "o_orderkey"))
+        ).alias("arr"),
+    )
+    xs = F.transform(F.col("arr"), lambda r: r["o_totalprice"])
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda s, x: s + x)
+
+    nd = F.col("n").cast("double")
+    mean = fold(xs) / nd
+    d = lambda x: x - mean  # noqa: E731
+    m2 = fold(F.transform(xs, lambda x: d(x) * d(x))) / nd
+    m3 = fold(F.transform(xs, lambda x: d(x) * d(x) * d(x))) / nd
+    m4 = fold(F.transform(xs, lambda x: d(x) * d(x) * d(x) * d(x))) / nd
+    return ser.select(
+        "o_orderpriority",
+        F.col("n").cast("long").alias("n"),
+        F.round(mean, 4).alias("mean"),
+        F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
+    )

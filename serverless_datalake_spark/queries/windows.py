@@ -300,3 +300,62 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
+
+
+@query(
+    "window_pareto_share",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn,
+             CAST(COUNT(*) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS n,
+             SUM(o_totalprice) OVER (PARTITION BY o_orderpriority) AS tot
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MIN(n) AS n_orders,
+           CAST(CEIL(0.1 * MIN(n)) AS BIGINT) AS top_decile_n,
+           ROUND(SUM(CASE WHEN rn <= CEIL(0.1 * n) THEN o_totalprice ELSE 0.0 END)
+                 / MIN(tot), 4) AS top_decile_share
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    tags=("window", "pareto", "concentration"),
+)
+def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration: what fraction of each priority class's
+    revenue sits in its top decile of orders — the 80/20 check that
+    complements agg_gini_concentration's single coefficient with the
+    operational number ("how much rides on the whales").
+
+    One shuffle on the group key: rank, group count, and group total
+    all ride the same window partition; the decile share folds into
+    the final aggregate. Division happens once per group (identical
+    operand order both engines; the summed numerator is a plain
+    conditional SUM of raw 2-decimal inputs — order-safe at this
+    magnitude because the values are exact cents multiples)."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    o = load_table(spark, sf_dir, "orders")
+    wp = Window.partitionBy("o_orderpriority")
+    w = wp.orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+        F.sum("o_totalprice").over(wp).alias("tot"),
+    )
+    return ranked.groupBy("o_orderpriority").agg(
+        F.min("n").cast("long").alias("n_orders"),
+        F.ceil(0.1 * F.min("n")).cast("long").alias("top_decile_n"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("rn") <= F.ceil(0.1 * F.col("n")), F.col("o_totalprice")
+                ).otherwise(F.lit(0.0))
+            )
+            / F.min("tot"),
+            4,
+        ).alias("top_decile_share"),
+    )
