@@ -555,3 +555,53 @@ def validate_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
           'pattern_o_orderpriority', ROUND(CAST(np AS DOUBLE)/CAST(n AS DOUBLE), 6), np = n
         ) AS (check_name, metric, passed)"""
     )
+
+
+@query(
+    "pipeline_dq_quarantine",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_orderkey,
+             CASE
+               WHEN o_custkey IS NULL THEN 'null_custkey'
+               WHEN o_totalprice < 0 OR o_totalprice > 300000 THEN 'price_out_of_range'
+               WHEN o_orderstatus NOT IN ('O','F','P') THEN 'bad_status'
+               WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 'bad_priority'
+             END AS quarantine_reason
+      FROM orders
+    )
+    SELECT COALESCE(quarantine_reason, 'clean') AS disposition,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM flagged GROUP BY 1
+    """,
+    tags=("guard", "quality", "quarantine"),
+)
+def pipeline_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine routing — the per-ROW companion to the table-level
+    gates (validate_expectations reports, sources/constraints.py
+    blocks): each record gets its FIRST failing rule as a disposition,
+    clean rows pass through — the split a production writer uses to
+    land good rows and shunt bad ones to a quarantine table for
+    repair, instead of failing the batch (constraints.write_checked)
+    or silently dropping.
+
+    First-match-wins makes the disposition deterministic when a row
+    violates several rules (rule order IS the policy). Scale shape:
+    the rule cascade is one CASE projection — map-only; the summary
+    here is one tiny aggregate; the row-level split is the same
+    projection feeding two filtered writers."""
+    o = load_table(spark, sf_dir, "orders")
+    reason = (
+        F.when(F.col("o_custkey").isNull(), "null_custkey")
+        .when(
+            (F.col("o_totalprice") < 0) | (F.col("o_totalprice") > 300000),
+            "price_out_of_range",
+        )
+        .when(~F.col("o_orderstatus").isin("O", "F", "P"), "bad_status")
+        .when(~F.col("o_orderpriority").rlike("^[1-5]-"), "bad_priority")
+    )
+    return (
+        o.select(F.coalesce(reason, F.lit("clean")).alias("disposition"))
+        .groupBy("disposition")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
