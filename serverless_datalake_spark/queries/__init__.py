@@ -211,8 +211,12 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     ts_changepoint_meanshift, agg_gini_concentration,
 #     sql_lateral_topn, retention_cohorts, ts_seasonal_strength,
 #     agg_weighted_median, text_burstiness,
-#     sample_poisson_bootstrap, sim_topk_truncated_dims — see each
-#     module; the registry now holds 207 oracled queries, so rounds
+#     sample_poisson_bootstrap, sim_topk_truncated_dims,
+#     set_intersect_all, set_except_all, agg_time_hierarchy_rollup,
+#     sql_named_window, ts_rolling_quantile, text_js_divergence,
+#     fn_try_arithmetic, agg_moments_shape, window_pareto_share,
+#     pipeline_dq_quarantine — see each
+#     module; the registry now holds 217 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
