@@ -172,3 +172,56 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_active").cast("double") / F.col("cohort_users").cast("double"), 4
         ).alias("retention"),
     )
+
+
+@query(
+    "events_dau_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP))) AS BIGINT) AS day_start,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800 AS wk,
+             user_id
+      FROM events
+    ), dau AS (
+      SELECT day_start, wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM d GROUP BY 1, 2
+    ), wau AS (
+      SELECT wk, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau
+      FROM d GROUP BY 1
+    )
+    SELECT dau.day_start, dau.dau, wau.wau,
+           ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 4) AS stickiness
+    FROM dau JOIN wau USING (wk)
+    """,
+    tags=("funnel", "engagement", "dau"),
+)
+def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness — the engagement triple every product
+    dashboard leads with: daily distinct actives, the enclosing
+    week's distinct actives, and their ratio (how much of the weekly
+    audience shows up on a given day; 1/7 ≈ everyone once a week,
+    1.0 ≈ everyone daily).
+
+    Scale shape: two distinct-count aggregates over the same scan
+    (day- and week-keyed; Catalyst plans each as expand+partial), and
+    a week-keyed join of day rows against the week relation —
+    week-cardinality, broadcast in practice. No per-user state beyond
+    the distinct machinery."""
+    e = load_table(spark, sf_dir, "events")
+    d = e.select(
+        F.expr("CAST(ts AS LONG) DIV 86400 * 86400").alias("day_start"),
+        F.expr("CAST(ts AS LONG) DIV 604800").alias("wk"),
+        "user_id",
+    )
+    dau = d.groupBy("day_start", "wk").agg(
+        F.countDistinct("user_id").alias("dau")
+    )
+    wau = d.groupBy("wk").agg(F.countDistinct("user_id").alias("wau"))
+    return dau.join(F.broadcast(wau), "wk").select(
+        "day_start",
+        "dau",
+        "wau",
+        F.round(
+            F.col("dau").cast("double") / F.col("wau").cast("double"), 4
+        ).alias("stickiness"),
+    )
