@@ -11,8 +11,9 @@ from serverless_datalake_spark.operators import textops
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
 
-# Shared with operators/textops.py (STOPWORDS / LANG_MARKERS).
-_STOP_SQL = "('the', 'a', 'of', 'and')"
+# Derived from operators/textops.py STOPWORDS so the oracle can never
+# drift from the Spark-side list.
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in sorted(textops.STOPWORDS)) + ")"
 
 
 @query(
@@ -51,7 +52,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            ROUND(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
                  / GREATEST(len(toks), 1), 4) AS stop_ratio,
-           ROUND(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum')
+           ROUND(COALESCE(list_aggregate(list_transform(toks, x -> CAST(length(x) AS DOUBLE)), 'sum'), 0.0)
                  / GREATEST(len(toks), 1), 4) AS avg_tok_len,
            ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1))
                  + 0.5 * (1.0 - ABS(CAST(len(list_filter(toks, x -> x IN {_STOP_SQL})) AS DOUBLE)
@@ -164,12 +165,19 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(textops.tokens(F.col("text")))).alias("token")
     )
     df_tab = toks.groupBy("token").agg(F.count("*").alias("doc_freq"))
-    n_docs = d.count()
+    # corpus size stays IN the plan (1-row broadcast) — an eager
+    # d.count() here would run a full scan at DataFrame-construction
+    # time for every caller that only wants the plan
+    nd = d.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     tf = toks.where(F.col("doc_id") % 20 == 0)
-    return tf.join(F.broadcast(df_tab), "token").select(
-        "doc_id",
-        "token",
-        F.round(F.log(F.lit(float(n_docs)) / F.col("doc_freq")), 6).alias("idf"),
+    return (
+        tf.join(F.broadcast(df_tab), "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.log(F.col("n_docs") / F.col("doc_freq")), 6).alias("idf"),
+        )
     )
 
 
@@ -436,10 +444,10 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     output), one (doc, token) count shuffle, a token-keyed join of the
     per-doc counts against the vocabulary-sized LM (AQE broadcasts the
     LM side in practice), and a per-doc fold bounded by the document's
-    distinct-token count. The raw text is scanned exactly once; no
-    self-joins; nothing corpus-sized crosses the driver."""
-    from pyspark.sql import Window  # noqa: F401 (parity with siblings)
-
+    distinct-token count. The token subtree feeds two aggregations, so
+    the raw text is read twice (cache or materialize the exploded
+    tokens to make it one physical scan at 100 TB); no self-joins;
+    nothing corpus-sized crosses the driver."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
@@ -538,7 +546,8 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one (w1,w2) count shuffle (bigram-vocabulary-sized
     output), one context rollup, one (doc,bigram) count shuffle, and
     a bigram-keyed join of per-doc counts against the LM relation —
-    the corpus text is scanned once; everything downstream is
+    the bigram subtree feeds two aggregations (two physical reads;
+    materialize it for one scan at 100 TB); everything downstream is
     vocabulary-bounded."""
     d = load_table(spark, sf_dir, "documents")
     ts = F.filter(F.split("text", " "), lambda x: x != "")
@@ -882,7 +891,6 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same float discipline as KL: 8-decimal contributions, ordered
     fold, 6-decimal result. Scale shape: the pair join runs on the
     vocabulary-sized (source, token) count relation, never raw text."""
-    from pyspark.sql import Window  # noqa: F401
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(

@@ -729,8 +729,6 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-agg shuffle to the grid, a 24-cell
     profile per type joined back (broadcast-sized), and per-type
     variance folds bounded by grid length."""
-    from pyspark.sql import Window  # noqa: F401
-
     e = load_table(spark, sf_dir, "events")
     obs = e.groupBy(
         "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
