@@ -928,3 +928,61 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(folded, 6).alias("js_divergence"),
         F.count(F.lit(1)).alias("shared_vocab"),
     )
+
+
+@query(
+    "text_lang_confusion",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('the', 'a'))) AS en_score,
+             len(list_filter(toks, x -> x IN ('zzz'))) AS xx_score
+      FROM t
+    ), guessed AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN xx_score > en_score AND xx_score > 0 THEN 'xx'
+                  WHEN en_score > 0 THEN 'en'
+                  ELSE 'und' END AS guessed_lang
+      FROM scored
+    ), cells AS (
+      SELECT labeled_lang, guessed_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM guessed GROUP BY 1, 2
+    ), tot AS (
+      SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS n_lang FROM cells GROUP BY 1
+    )
+    SELECT c.labeled_lang, c.guessed_lang, c.n,
+           ROUND(CAST(c.n AS DOUBLE) / CAST(t.n_lang AS BIGINT), 4) AS frac
+    FROM cells c JOIN tot t USING (labeled_lang)
+    """,
+    tags=("llm", "text", "langid", "eval"),
+)
+def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix — the EVALUATION view over the
+    same heuristic detector text_langid exposes per-document: labeled
+    language × guessed language with per-label fractions (row-
+    normalized). The view a curation team checks before trusting a
+    detector's routing decisions; a detector change shifts this
+    matrix before it shifts anything downstream.
+
+    Scale shape: detection is the same map-only marker scan; the
+    matrix is one (label, guess) aggregate — label-cardinality² at
+    most — and a label-keyed broadcast join for row totals."""
+    d = load_table(spark, sf_dir, "documents")
+    guessed = d.select(
+        F.col("lang").alias("labeled_lang"),
+        textops.lang_guess(F.col("text")).alias("guessed_lang"),
+    )
+    cells = guessed.groupBy("labeled_lang", "guessed_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.groupBy("labeled_lang").agg(F.sum("n").alias("n_lang"))
+    return cells.join(F.broadcast(tot), "labeled_lang").select(
+        "labeled_lang",
+        "guessed_lang",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_lang"), 4).alias("frac"),
+    )
