@@ -128,3 +128,40 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = multimodal.attach_binary_payload(d, "doc_id", "text")
     frames = multimodal.sample_frames(media, every_n=10, max_frames=4)
     return frames.select("media_id", "frame_index", "frame_sha256")
+
+
+@query(
+    "mm_modality_mix",
+    oracle="""
+    WITH m AS (
+      SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    )
+    SELECT media_type,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           ROUND(AVG(CAST(n_bytes AS DOUBLE)), 4) AS avg_bytes,
+           CAST(MAX(n_bytes) AS BIGINT) AS max_bytes
+    FROM m GROUP BY media_type
+    """,
+    tags=("llm", "multimodal", "profile"),
+)
+def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modality mix profile — the storage-planning rollup over the
+    multimodal lake: items, bytes, and size distribution per media
+    type, computed ENTIRELY from the typed metadata columns (the
+    payload bytes never enter an aggregate — the whole point of
+    keeping metadata columnar next to opaque payloads). The numbers
+    that size decode fleets and shard layouts before any decoder
+    runs."""
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.round(F.avg(F.col("n_bytes").cast("double")), 4).alias("avg_bytes"),
+        F.max("n_bytes").alias("max_bytes"),
+    )

@@ -136,3 +136,47 @@ def pipeline_source_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("file_key")
     )
     return keys.select(F.split_part(F.col("file_key"), F.lit("/"), F.lit(1)).alias("source")).distinct()
+
+
+@query(
+    "pipeline_source_freshness",
+    oracle="""
+    WITH per AS (
+      SELECT event_type AS source,
+             CAST(FLOOR(EPOCH(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT) AS latest_epoch,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1
+    ), g AS (
+      SELECT CAST(MAX(latest_epoch) AS BIGINT) AS global_latest FROM per
+    )
+    SELECT per.source, per.latest_epoch, per.n_events,
+           g.global_latest - per.latest_epoch AS lag_seconds,
+           g.global_latest - per.latest_epoch > 3600 AS stale
+    FROM per CROSS JOIN g
+    """,
+    tags=("pipeline", "freshness", "ops"),
+)
+def pipeline_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source freshness — the ops monitor every multi-source
+    ingest runs (the reference's per-source prefixes imply exactly
+    this check): each source's latest event time, its lag behind the
+    freshest source, and a staleness flag at 1 hour — the alarm that
+    catches a silently-dead producer before consumers notice missing
+    data.
+
+    Scale shape: a per-source MAX/COUNT aggregate (partition-pruned
+    to metadata at rest — the lake layout stores per-source max ts in
+    parquet footers) and a 1-row broadcast of the global max."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(F.col("event_type").alias("source")).agg(
+        F.max(F.col("ts").cast("long")).alias("latest_epoch"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    g = per.groupBy().agg(F.max("latest_epoch").alias("global_latest"))
+    return per.crossJoin(F.broadcast(g)).select(
+        "source",
+        "latest_epoch",
+        "n_events",
+        (F.col("global_latest") - F.col("latest_epoch")).alias("lag_seconds"),
+        ((F.col("global_latest") - F.col("latest_epoch")) > 3600).alias("stale"),
+    )
