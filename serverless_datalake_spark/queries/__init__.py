@@ -215,8 +215,10 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     set_intersect_all, set_except_all, agg_time_hierarchy_rollup,
 #     sql_named_window, ts_rolling_quantile, text_js_divergence,
 #     fn_try_arithmetic, agg_moments_shape, window_pareto_share,
-#     pipeline_dq_quarantine — see each
-#     module; the registry now holds 217 oracled queries, so rounds
+#     pipeline_dq_quarantine, events_dau_stickiness,
+#     text_lang_confusion, mm_modality_mix,
+#     pipeline_source_freshness — see each
+#     module; the registry now holds 221 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
