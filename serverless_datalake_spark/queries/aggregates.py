@@ -1039,3 +1039,91 @@ def agg_moments_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / (F.sqrt(m2) * F.sqrt(m2) * F.sqrt(m2)), 6).alias("skewness"),
         F.round(m4 / (m2 * m2) - 3.0, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "agg_benford_deviation",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), obs AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS t FROM obs
+    )
+    SELECT obs.d AS first_digit, obs.n,
+           ROUND(CAST(obs.n AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS observed,
+           ROUND(ln(1.0 + 1.0 / CAST(obs.d AS DOUBLE)) / ln(10.0), 6) AS benford_expected,
+           ROUND(CAST(obs.n AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                 - ln(1.0 + 1.0 / CAST(obs.d AS DOUBLE)) / ln(10.0), 6) AS deviation
+    FROM obs CROSS JOIN tot
+    """,
+    tags=("agg", "benford", "quality"),
+)
+def agg_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit: observed leading-digit shares
+    of order totals against log10(1 + 1/d) — the forensic-accounting
+    sanity check (organic multiplicative amounts follow Benford;
+    fabricated or clamped data deviates visibly). The per-digit
+    deviation column is the statistic an anomaly monitor thresholds.
+
+    First digit extracted from the integer part's decimal string —
+    identical in both engines (no float log10 on the value itself);
+    expected shares spelled ln(1+1/d)/ln(10) identically. One scan,
+    one 9-group aggregate, a 1-row total broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.substring(
+        F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+    ).cast("long")
+    obs = (
+        o.where(F.col("o_totalprice") >= 1)
+        .select(d.alias("d"))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = obs.groupBy().agg(F.sum("n").alias("t"))
+    expected = F.log(1.0 + 1.0 / F.col("d").cast("double")) / F.log(F.lit(10.0))
+    share = F.col("n").cast("double") / F.col("t").cast("double")
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n",
+        F.round(share, 6).alias("observed"),
+        F.round(expected, 6).alias("benford_expected"),
+        F.round(share - expected, 6).alias("deviation"),
+    )
+
+
+@query(
+    "agg_bitmap_presence",
+    oracle="""
+    SELECT event_type,
+           CAST(bit_or(CAST(1 << CAST(user_id % 8 AS INTEGER) AS BIGINT)) AS BIGINT) AS cohort_bitmap,
+           CAST(bit_count(bit_or(CAST(1 << CAST(user_id % 8 AS INTEGER) AS BIGINT))) AS BIGINT) AS cohorts_present,
+           CAST(bit_and(CAST(1 << CAST(user_id % 8 AS INTEGER) AS BIGINT)) AS BIGINT) AS common_bits
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "bitmap", "bitwise"),
+)
+def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap presence aggregation — the roaring-bitmap idea in
+    miniature: each user cohort is one bit, bit_or() folds a group's
+    membership into a single integer (mergeable across shards by OR),
+    bit_count reads coverage, bit_and witnesses bits common to every
+    row (0 unless a group is single-cohort). This is how presence /
+    audience-overlap systems avoid count-distinct state entirely: the
+    bitmap IS the aggregate.
+
+    Scale shape: constant-size state per group, map-side combinable,
+    order-independent — the cheapest mergeable summary in the whole
+    sketch family (HLL/CMS/quantile all carry more state)."""
+    e = load_table(spark, sf_dir, "events")
+    # F.shiftleft requires a literal bit count; the SQL form takes a
+    # column expression
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 8 AS INT))")
+    return e.groupBy("event_type").agg(
+        F.bit_or(bit).alias("cohort_bitmap"),
+        F.bit_count(F.bit_or(bit)).cast("long").alias("cohorts_present"),
+        F.bit_and(bit).alias("common_bits"),
+    )

@@ -359,3 +359,62 @@ def window_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("top_decile_share"),
     )
+
+
+@query(
+    "window_longest_streak",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d
+      FROM events
+    ), grp AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d) AS g
+      FROM days
+    ), streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len,
+             MIN(d) * 86400 AS streak_start
+      FROM grp GROUP BY user_id, g
+    ), best AS (
+      SELECT user_id, len, streak_start,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY len DESC, streak_start) AS rn
+      FROM streaks
+    )
+    SELECT user_id, len AS longest_streak_days, streak_start
+    FROM best WHERE rn = 1
+    """,
+    tags=("window", "streak", "engagement"),
+)
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user (earliest on
+    ties) — the engagement statistic behind habit metrics and streak
+    badges; gaps-and-islands (window_gaps_islands) re-applied at the
+    (user, day) grain with a per-user argmax on top.
+
+    Scale shape: distinct (user, day) grid first — everything after is
+    grid-sized; two user-partitioned windows and a per-streak
+    aggregate, all on the same shuffle key (one exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("CAST(ts AS LONG) DIV 86400").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    grp = days.withColumn("g", F.col("d") - F.row_number().over(w))
+    streaks = grp.groupBy("user_id", "g").agg(
+        F.count(F.lit(1)).alias("len"),
+        (F.min("d") * 86400).alias("streak_start"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("len").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wb))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("len").alias("longest_streak_days"),
+            "streak_start",
+        )
+    )
