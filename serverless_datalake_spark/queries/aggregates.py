@@ -1127,3 +1127,50 @@ def agg_bitmap_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_count(F.bit_or(bit)).cast("long").alias("cohorts_present"),
         F.bit_and(bit).alias("common_bits"),
     )
+
+
+@query(
+    "agg_mad_robust",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority, MEDIAN(o_totalprice) AS med
+      FROM orders GROUP BY 1
+    ), dev AS (
+      SELECT o.o_orderpriority, ABS(o.o_totalprice - med.med) AS ad
+      FROM orders o JOIN med USING (o_orderpriority)
+    )
+    SELECT o_orderpriority,
+           ROUND(MIN(med.med), 2) AS median_price,
+           ROUND(MEDIAN(ad), 2) AS mad,
+           ROUND(MEDIAN(ad) * 1.4826, 2) AS robust_sigma
+    FROM dev JOIN med USING (o_orderpriority)
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "robust", "mad"),
+)
+def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation — the robust scale estimate
+    (MAD·1.4826 ≈ σ under normality, but immune to the outliers that
+    poison stddev): the spread number feature_winsorize-style clipping
+    and robust z-scores should use on heavy-tailed columns. Two
+    interpolated medians (Spark percentile ≡ DuckDB MEDIAN — parity
+    proven by agg_percentile_exact), the second over absolute
+    deviations from the first.
+
+    Scale shape: two group-keyed aggregates with a broadcast of the
+    group medians between them — two passes by definition (MAD is not
+    a one-pass statistic); both shuffles are on the same key."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "med",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("ad"),
+    )
+    return dev.groupBy("o_orderpriority").agg(
+        F.round(F.min("med"), 2).alias("median_price"),
+        F.round(F.percentile("ad", F.lit(0.5)), 2).alias("mad"),
+        F.round(F.percentile("ad", F.lit(0.5)) * 1.4826, 2).alias("robust_sigma"),
+    )
