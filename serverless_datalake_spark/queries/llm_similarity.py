@@ -1001,3 +1001,97 @@ def sim_topk_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.topk_bruteforce(
         queries, corpus, k=5, vec="emb"
     )
+
+
+@query(
+    "sim_centroid_drift",
+    oracle="""
+    WITH dims AS (
+      SELECT label, vec_id, u.i AS p,
+             CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+    ), lab AS (
+      SELECT label, p,
+             list_aggregate(list(x ORDER BY vec_id), 'sum') / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM dims GROUP BY label, p
+    ), gctr AS (
+      SELECT p,
+             list_aggregate(list(x ORDER BY vec_id), 'sum') / CAST(COUNT(*) AS DOUBLE) AS g
+      FROM dims GROUP BY p
+    ), vecs AS (
+      SELECT lab.label,
+             list(lab.m ORDER BY lab.p) AS lv,
+             list(gctr.g ORDER BY lab.p) AS gv
+      FROM lab JOIN gctr USING (p)
+      GROUP BY lab.label
+    )
+    SELECT label,
+           ROUND(
+             list_aggregate(list_transform(list_zip(lv, gv), q -> q[1] * q[2]), 'sum')
+             / (SQRT(list_aggregate(list_transform(lv, x -> x * x), 'sum'))
+                * SQRT(list_aggregate(list_transform(gv, x -> x * x), 'sum'))), 6)
+             AS centroid_cosine
+    FROM vecs
+    """,
+    tags=("llm", "similarity", "drift"),
+)
+def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: cosine between each label's
+    centroid and the global centroid — the per-slice statistic that
+    catches an embedding model change or a poisoned shard shifting
+    one class's region while the corpus-level mean stays put (the
+    embedding-space analog of text_kl_divergence's token drift).
+
+    Per-dimension means fold in vec_id order (distributed mean is
+    float-order-sensitive; the ordered fold keeps both engines
+    bit-identical), centroid vectors assemble dim-sorted, the final
+    cosine is the established fold spelling.
+
+    Scale shape: one (label, dim) shuffle of exploded coordinates
+    (64× row expansion — dimension-bounded, the standard columnar
+    layout for embedding stats), a dim-keyed join of label and global
+    centroids (64·|labels| rows), label-sized output."""
+    em = load_table(spark, sf_dir, "embeddings")
+    dims = em.select(
+        "label",
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).alias("p", "x"),
+    )
+
+    def mean_fold(df, keys):
+        arr = F.array_sort(F.collect_list(F.struct("vec_id", "x")))
+        return df.groupBy(*keys).agg(
+            (
+                F.aggregate(
+                    F.transform(arr, lambda r: r["x"]), F.lit(0.0), lambda s, v: s + v
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("m")
+        )
+
+    lab = mean_fold(dims, ["label", "p"])
+    glob = mean_fold(dims, ["p"]).withColumnRenamed("m", "g")
+    vecs = (
+        lab.join(glob, "p")
+        .groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("p", "m", "g"))).alias("a"))
+        .select(
+            "label",
+            F.transform("a", lambda r: r["m"]).alias("lv"),
+            F.transform("a", lambda r: r["g"]).alias("gv"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("lv", "gv", lambda a, b: a * b), F.lit(0.0), lambda s, v: s + v
+    )
+    nl = F.sqrt(
+        F.aggregate(F.transform("lv", lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    ng = F.sqrt(
+        F.aggregate(F.transform("gv", lambda x: x * x), F.lit(0.0), lambda s, v: s + v)
+    )
+    return vecs.select(
+        "label", F.round(dot / (nl * ng), 6).alias("centroid_cosine")
+    )
