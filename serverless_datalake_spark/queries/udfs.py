@@ -205,3 +205,49 @@ def udtf_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged.select(
         "user_id", F.sum("new_s").over(run).alias("session_seq"), "event_id"
     )
+
+
+@query(
+    "udtf_ngram_generator",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS ngram,
+           CAST(i - 1 AS INT) AS pos
+    FROM t, UNNEST(range(1, len(toks) - 1)) AS u(i)
+    WHERE len(toks) >= 3
+    """,
+    tags=("udf", "udtf", "python", "ngram"),
+)
+def udtf_ngram_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF #3: a sliding trigram generator (one text row →
+    n−2 shingle rows with positions) through SQL LATERAL — the
+    row-expanding shape contamination/dedup pipelines use when the
+    generator logic outgrows HOFs (custom tokenizers, byte-aware
+    windows). Like the tokenizer UDTF, this exact shape HAS a codegen
+    twin (textops.shingles + posexplode, used by the minhash family) —
+    the UDTF exists to prove the escape hatch carries the same
+    semantics when the built-ins stop being expressive enough."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="ngram string, pos int")
+    class Trigrams:
+        def eval(self, text: str):
+            toks = [t for t in text.split(" ") if t]
+            for i in range(len(toks) - 2):
+                yield " ".join(toks[i : i + 3]), i
+
+    spark.udtf.register("trigrams_udtf", Trigrams)
+    from serverless_datalake_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.ngram, t.pos
+        FROM documents d, LATERAL trigrams_udtf(d.text) t
+        WHERE d.doc_id % 25 = 0
+        """
+    )
