@@ -865,3 +865,66 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.minhash_near_dups(
         d, "doc_id", "text", threshold=0.8, bands=8, k=1
     )
+
+
+def _threshold_sweep_oracle() -> str:
+    """Candidate pairs (minhash banding) bucketed by exact-Jaccard
+    threshold band — the dedup-aggressiveness curve in one pass."""
+    return f"""
+    WITH {_minhash_ctes()},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM membership a
+      JOIN membership b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id
+    ), ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> '')) AS toks
+      FROM documents
+    ), scored AS (
+      SELECT ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                   / (CAST(len(ta.toks) + len(tb.toks) AS DOUBLE)
+                      - CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)), 4) AS j
+      FROM pairs p
+      JOIN ts ta ON ta.doc_id = p.doc_a
+      JOIN ts tb ON tb.doc_id = p.doc_b
+    )
+    SELECT CASE WHEN j >= 0.9 THEN '>=0.9'
+                WHEN j >= 0.8 THEN '0.8-0.9'
+                WHEN j >= 0.7 THEN '0.7-0.8'
+                ELSE '<0.7' END AS jaccard_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM scored GROUP BY 1
+    """
+
+
+@query(
+    "dedup_threshold_sweep",
+    oracle=_threshold_sweep_oracle(),
+    tags=("llm", "dedup", "tuning"),
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold sensitivity sweep — how many candidate pairs each
+    Jaccard band holds (≥0.9 / 0.8–0.9 / 0.7–0.8 / below) — the
+    tuning table read BEFORE committing a dedup threshold: a corpus
+    whose mass sits at 0.7–0.8 deduplicates very differently at 0.8
+    vs 0.7, and this one query shows the cliff. One pass over the
+    same banded candidates as the whole minhash family — scoring once
+    and bucketing beats re-running dedup per candidate threshold.
+
+    Scale shape: identical to dedup_minhash_pairs up to the last
+    aggregate (candidate-bounded), output is 4 rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(d, "doc_id", "text", k=1)
+    pairs = dedup.lsh_candidate_pairs(sigs, bands=8)
+    toks = dedup.token_sets(d, "doc_id", "text")
+    scored = dedup.jaccard_on_pairs(pairs, toks)
+    band = (
+        F.when(F.col("jaccard") >= 0.9, ">=0.9")
+        .when(F.col("jaccard") >= 0.8, "0.8-0.9")
+        .when(F.col("jaccard") >= 0.7, "0.7-0.8")
+        .otherwise("<0.7")
+    )
+    return scored.groupBy(band.alias("jaccard_band")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )

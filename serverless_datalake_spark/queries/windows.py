@@ -418,3 +418,69 @@ def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
             "streak_start",
         )
     )
+
+
+@query(
+    "session_duration_histogram",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+             ts
+      FROM flagged
+    ), durs AS (
+      SELECT CAST(FLOOR(EPOCH(CAST(MAX(ts) AS TIMESTAMP))) AS BIGINT)
+             - CAST(FLOOR(EPOCH(CAST(MIN(ts) AS TIMESTAMP))) AS BIGINT) AS dur_s
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT LEAST(CAST(dur_s AS BIGINT) // 600, 6) AS bin_10min,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM durs GROUP BY 1
+    """,
+    tags=("window", "session", "histogram"),
+)
+def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-duration distribution: 30-minute-gap sessionization
+    (the udtf_sessionize semantics, spelled with windows) rolled into
+    a 10-minute-bin histogram with a 1-hour+ tail bucket — the
+    engagement-depth curve product teams monitor next to DAU.
+
+    Scale shape: one user-keyed shuffle carries both windows; the
+    per-session MIN/MAX and the 7-bin count are grid-sized."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.col("ts").cast("long") - F.lag("ts").over(w).cast("long") > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    ws = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = flagged.select(
+        "user_id", F.sum("new_s").over(ws).alias("sid"), "ts"
+    )
+    durs = sess.groupBy("user_id", "sid").agg(
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "dur_s"
+        )
+    )
+    return durs.groupBy(
+        F.least(F.floor(F.col("dur_s") / 600), F.lit(6)).cast("long").alias(
+            "bin_10min"
+        )
+    ).agg(F.count(F.lit(1)).alias("n_sessions"))
