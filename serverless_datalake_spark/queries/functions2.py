@@ -360,3 +360,47 @@ def fn_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.try_add(F.col("l_extendedprice"), F.col("l_tax") * 100000.0), 2
         ).alias("safe_sum"),
     )
+
+
+@query(
+    "fn_inline_struct_array",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             [struct_pack(kind := 'base', amt := ROUND(o_totalprice, 2)),
+              struct_pack(kind := 'tax',  amt := ROUND(o_totalprice * 0.07, 2)),
+              struct_pack(kind := 'tip',  amt := ROUND(o_totalprice * 0.02, 2))] AS parts
+      FROM orders WHERE o_orderkey % 13 = 0
+    )
+    SELECT o_orderkey,
+           struct_extract(u.p, 'kind') AS kind,
+           struct_extract(u.p, 'amt') AS amt
+    FROM t, UNNEST(parts) AS u(p)
+    """,
+    tags=("fn", "struct", "explode"),
+)
+def fn_inline_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """inline() — explode an array of structs directly into columns
+    (the one-step form of explode + star-expansion): the ledger-line
+    normalization shape that turns a wide computed record into
+    typed rows without a UDTF. Charges built inline per order, then
+    inlined back out — each row becomes three typed ledger lines."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = F.array(
+        F.struct(
+            F.lit("base").alias("kind"),
+            F.round(F.col("o_totalprice"), 2).alias("amt"),
+        ),
+        F.struct(
+            F.lit("tax").alias("kind"),
+            F.round(F.col("o_totalprice") * 0.07, 2).alias("amt"),
+        ),
+        F.struct(
+            F.lit("tip").alias("kind"),
+            F.round(F.col("o_totalprice") * 0.02, 2).alias("amt"),
+        ),
+    )
+    return (
+        o.where(F.col("o_orderkey") % 13 == 0)
+        .select("o_orderkey", F.inline(parts))
+    )

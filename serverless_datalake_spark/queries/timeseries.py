@@ -826,3 +826,51 @@ def ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(wv).cast("long").alias("window_n"),
     )
+
+
+@query(
+    "ts_period_over_period",
+    oracle="""
+    WITH wk AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 604800 AS w,
+             ROUND(SUM(value), 2) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, w * 604800 AS week_start, total,
+           LAG(total) OVER (PARTITION BY event_type ORDER BY w) AS prev_total,
+           CASE WHEN LAG(total) OVER (PARTITION BY event_type ORDER BY w) IS NULL THEN NULL
+                ELSE ROUND((total - LAG(total) OVER (PARTITION BY event_type ORDER BY w))
+                           / LAG(total) OVER (PARTITION BY event_type ORDER BY w) * 100.0, 2)
+           END AS wow_pct
+    FROM wk
+    """,
+    tags=("timeseries", "bi", "period"),
+)
+def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week change — the BI staple: weekly totals per type
+    with the previous week's total and the percentage delta (NULL for
+    the first week, honestly, instead of a fake 0). The number every
+    weekly report leads with; ts_anomaly_zscore is its alerting
+    sibling at hourly grain.
+
+    Scale shape: raw events collapse to (type, week) in one
+    partial-agg shuffle; LAG runs on the week grid."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wk = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 604800").alias("w")
+    ).agg(F.round(F.sum("value"), 2).alias("total"))
+    w = Window.partitionBy("event_type").orderBy("w")
+    prev = F.lag("total").over(w)
+    return wk.select(
+        "event_type",
+        (F.col("w") * 604800).alias("week_start"),
+        "total",
+        prev.alias("prev_total"),
+        F.when(
+            prev.isNotNull(),
+            F.round((F.col("total") - prev) / prev * 100.0, 2),
+        ).alias("wow_pct"),
+    )
