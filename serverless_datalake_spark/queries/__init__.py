@@ -220,8 +220,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     pipeline_source_freshness, window_longest_streak,
 #     agg_benford_deviation, agg_bitmap_presence, agg_mad_robust,
 #     sim_centroid_drift, udtf_ngram_generator,
-#     session_duration_histogram, dedup_threshold_sweep — see each
-#     module; the registry now holds 229 oracled queries, so rounds
+#     session_duration_histogram, dedup_threshold_sweep,
+#     ts_period_over_period, fn_inline_struct_array — see each
+#     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
 #     re-confirmations. (More than 50 candidates now exist; round 4
