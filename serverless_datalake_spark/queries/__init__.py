@@ -315,6 +315,7 @@ def load_registry() -> dict[str, Query]:
         tpch_shapes2,
         tpch_shapes3,
         udfs,
+        warehouse,
         windows,
     )
 

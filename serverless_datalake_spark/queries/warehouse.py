@@ -1,0 +1,218 @@
+"""Warehouse-dimension operators: slowly-changing-dimension (SCD
+type 2) version building, point-in-time (temporal) fact enrichment,
+and the Markov transition matrix product-analytics view.
+
+These are the canonical "mutable entity over an append-only change
+stream" shapes the reference's DynamoDB catalog + replay pipeline
+implies (reference: src/event_replayer/lambda_function.py reads an
+entity's versions by `Source EQ + Timestamp BETWEEN` — exactly a
+validity-interval lookup): SCD2 materializes the validity intervals
+once so every later read is a plain range join instead of a per-key
+timeline scan.
+
+Determinism discipline (see queries/__init__.py): timestamps are cast
+to epoch seconds (floor semantics identical in both engines), version
+ordering carries a total (ts, event_id) tie-break, and probabilities
+are rounded after a single division with identical operand order.
+
+Scale shape: every query here is ONE shuffle on the entity key
+(window partitionBy user_id); the SCD2 compress step (drop rows whose
+attribute equals the previous version's) happens before the interval
+build, so downstream joins see the minimal version set. At 100 TB the
+dimension table is small relative to facts → the point-in-time join
+broadcasts the versioned dim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+# Shared CTE: compress each user's event stream to attribute-change
+# versions (SCD2 merge semantics: a new version opens only when the
+# tracked attribute actually changes), then derive validity intervals.
+_SCD2_SQL = """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+      WHERE event_type <> 'purchase'
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    ), versions AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) AS effective_from,
+             CAST(FLOOR(EPOCH(CAST(LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS TIMESTAMP))) AS BIGINT)
+               AS effective_to,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS BIGINT) AS version_no
+      FROM changes
+    )
+"""
+
+
+def _scd2_versions(e: DataFrame) -> DataFrame:
+    """events (minus the fact type) → SCD2 version table with
+    [effective_from, effective_to) epoch-second validity intervals.
+    One shuffle on user_id; both windows share the partition."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.where(F.col("event_type") != "purchase")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    return changes.select(
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("effective_from"),
+        F.lead(F.col("ts")).over(w).cast("long").alias("effective_to"),
+        F.row_number().over(w).cast("long").alias("version_no"),
+    )
+
+
+@query(
+    "scd2_dimension_build",
+    oracle=_SCD2_SQL
+    + """
+    SELECT user_id, event_type, effective_from, effective_to, version_no,
+           effective_to IS NULL AS is_current
+    FROM versions
+    """,
+    tags=("warehouse", "scd2", "cdc"),
+)
+def scd2_dimension_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a type-2 slowly-changing dimension from an append-only
+    change stream: consecutive identical attribute values collapse
+    into one version (SCD2 merge), each version carries a
+    [effective_from, effective_to) validity interval, and the open
+    interval marks the current row. This is the batch materialization
+    of the reference catalog's per-entity timeline (event_replayer's
+    `Timestamp BETWEEN` lookup becomes a plain interval scan).
+
+    Scale: one shuffle on the entity key; lag-compress, lead-interval
+    and version numbering all ride the same window partition."""
+    v = _scd2_versions(load_table(spark, sf_dir, "events"))
+    return v.select(
+        "user_id",
+        "event_type",
+        "effective_from",
+        "effective_to",
+        "version_no",
+        F.col("effective_to").isNull().alias("is_current"),
+    )
+
+
+@query(
+    "scd2_point_in_time",
+    oracle=_SCD2_SQL
+    + """
+    SELECT f.user_id,
+           f.event_id AS purchase_id,
+           CAST(FLOOR(EPOCH(CAST(f.ts AS TIMESTAMP))) AS BIGINT) AS purchase_ts,
+           ROUND(f.value, 6) AS purchase_value,
+           v.event_type AS state_at_purchase,
+           v.version_no
+    FROM events f
+    JOIN versions v
+      ON f.user_id = v.user_id
+     AND CAST(FLOOR(EPOCH(CAST(f.ts AS TIMESTAMP))) AS BIGINT) >= v.effective_from
+     AND (v.effective_to IS NULL
+          OR CAST(FLOOR(EPOCH(CAST(f.ts AS TIMESTAMP))) AS BIGINT) < v.effective_to)
+    WHERE f.event_type = 'purchase'
+    """,
+    tags=("warehouse", "scd2", "temporal-join"),
+)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: enrich each purchase fact with
+    the dimension version that was valid WHEN the fact happened —
+    the look-ahead-bias-free join every feature-store / training-set
+    builder needs (joining today's attributes onto yesterday's facts
+    leaks the future). Facts land in exactly one version because the
+    intervals partition each user's timeline.
+
+    Scale: equi-join on user_id with the interval predicate as a
+    cheap residual filter (few versions per key); the versioned dim
+    is entity-sized, not event-sized → broadcast it and the fact scan
+    never shuffles."""
+    e = load_table(spark, sf_dir, "events")
+    v = _scd2_versions(e)
+    f = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").cast("long").alias("purchase_ts"),
+        F.round("value", 6).alias("purchase_value"),
+    )
+    return (
+        f.join(
+            F.broadcast(v.withColumnRenamed("user_id", "v_user_id")),
+            (F.col("user_id") == F.col("v_user_id"))
+            & (F.col("purchase_ts") >= F.col("effective_from"))
+            & (
+                F.col("effective_to").isNull()
+                | (F.col("purchase_ts") < F.col("effective_to"))
+            ),
+        )
+        .select(
+            "user_id",
+            "purchase_id",
+            "purchase_ts",
+            "purchase_value",
+            F.col("event_type").alias("state_at_purchase"),
+            "version_no",
+        )
+    )
+
+
+@query(
+    "events_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events
+    ), counted AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+    FROM counted
+    """,
+    tags=("analytics", "markov", "window"),
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams: for every (from, to) adjacent pair, the transition count
+    and row-normalized probability — the path-analysis view behind
+    "what do users do right after an error?".
+
+    Scale: one shuffle on user_id for the LEAD pairing, then the
+    count aggregate collapses to |types|² rows; the row normalization
+    windows over that tiny relation, not the events."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    counted = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    return counted.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type")),
+            6,
+        ).alias("p"),
+    )
