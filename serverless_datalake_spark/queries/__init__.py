@@ -309,6 +309,7 @@ def load_registry() -> dict[str, Query]:
         setops,
         skew_resilience,
         sql_dialect,
+        statistics,
         streaming_batch,
         timeseries,
         tpch_shapes,

@@ -911,3 +911,48 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         (F.col("k") < 5).alias("at_risk"),
     )
+
+
+@query(
+    "privacy_l_diversity",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP))) AS BIGINT)
+               AS day_start,
+             CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COUNT(DISTINCT event_type) AS BIGINT) AS l
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT day_start, user_bucket, k, l, l < 3 AS low_diversity
+    FROM cells
+    """,
+    tags=("privacy", "governance"),
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit — the complement of privacy_k_anonymity:
+    a quasi-identifier cell can be large (k-anonymous) yet still leak
+    if every row shares one sensitive value (homogeneity attack).
+    Here the sensitive attribute is event_type; cells where fewer than
+    3 distinct values appear are flagged for suppression/generalization
+    (distinct-l-diversity with l = 3).
+
+    Scale shape: one shuffle on the QI tuple; COUNT DISTINCT over the
+    small sensitive domain expands per-cell (Spark's two-phase
+    distinct aggregate), still grid-bounded output."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        F.window("ts", "1 day").alias("w"),
+        (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("k"),
+        F.countDistinct("event_type").alias("l"),
+    )
+    return cells.select(
+        F.col("w.start").cast("long").alias("day_start"),
+        "user_bucket",
+        "k",
+        "l",
+        (F.col("l") < 3).alias("low_diversity"),
+    )
