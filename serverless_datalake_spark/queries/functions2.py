@@ -404,3 +404,38 @@ def fn_inline_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.where(F.col("o_orderkey") % 13 == 0)
         .select("o_orderkey", F.inline(parts))
     )
+
+
+@query(
+    "fn_binary_codecs",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS md5_hex,
+           base64(from_hex(md5(text))) AS b64,
+           hex(from_base64(base64(from_hex(md5(text))))) = upper(md5(text)) AS roundtrip_ok,
+           ascii(substr(text, 1, 1)) AS first_cp,
+           chr(CAST(doc_id % 26 + 65 AS INTEGER)) AS bucket_letter
+    FROM documents
+    """,
+    tags=("functions", "binary", "codecs"),
+)
+def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary codec surface: md5 → hex → bytes (unhex) → base64 →
+    bytes (unbase64) → hex round trip, plus ascii/chr codepoint
+    helpers — the encode/decode plumbing the reference's firehose
+    path exercises (records are base64-wrapped on the wire;
+    reference: src/event_recorder/lambda_function.py base64Encode
+    semantics re-expressed engine-side).
+
+    All JVM builtins, scan-shaped, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    md5h = F.md5(F.col("text"))
+    b64 = F.base64(F.unhex(md5h))
+    return d.select(
+        "doc_id",
+        md5h.alias("md5_hex"),
+        b64.alias("b64"),
+        (F.hex(F.unbase64(b64)) == F.upper(md5h)).alias("roundtrip_ok"),
+        F.ascii(F.substring(F.col("text"), 1, 1)).alias("first_cp"),
+        F.expr("chr(CAST(doc_id % 26 + 65 AS INT))").alias("bucket_letter"),
+    )

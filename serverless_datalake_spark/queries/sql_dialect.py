@@ -270,3 +270,86 @@ def sql_named_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         """
     )
+
+
+@query(
+    "sql_pivot_syntax",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS qty_open,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS qty_filled,
+           CAST(COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS n_open,
+           CAST(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS n_filled
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "pivot"),
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-dialect PIVOT clause (Spark's `FROM ... PIVOT (agg FOR
+    col IN (...))` syntax — reshape_pivot covers the DataFrame
+    `groupBy().pivot()` API; this covers the parser path, with
+    multiple aggregates per pivot value). Quantities ride as integers
+    so the pivoted sums are exact under any partitioning.
+
+    Scale: compiles to the identical partial-agg + final-agg plan as
+    a conditional aggregation — pivot values are enumerated at plan
+    time, so no extra shuffle versus a plain groupBy."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               o_sq AS qty_open, f_sq AS qty_filled,
+               o_n AS n_open, f_n AS n_filled
+        FROM (
+          SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS q
+          FROM lineitem
+        )
+        PIVOT (
+          SUM(q) AS sq, COUNT(q) AS n
+          FOR l_linestatus IN ('O' AS o, 'F' AS f)
+        )
+        """
+    )
+
+
+@query(
+    "sql_grouping_id",
+    oracle="""
+    SELECT * FROM (
+      SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+             COALESCE(l_linestatus, '<all>') AS linestatus,
+             CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) AS grain,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem
+      GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ) WHERE grain <> 1
+    """,
+    tags=("sql", "rollup", "grouping"),
+)
+def sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() grain identification over a ROLLUP — the mechanism
+    that lets one Expand pass serve multiple report grains while
+    consumers filter/route by grain id (here: HAVING drops the
+    mid grain, keeping leaf and grand-total rows). The bitmask is
+    spelled 2·g(a)+g(b) — portable across engines, unlike native
+    GROUPING_ID whose bit order is engine-defined.
+
+    Scale: ROLLUP is one Expand (row replication per grain) into one
+    partial-agg shuffle — the grain filter prunes before the final
+    aggregate, not after."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+                 COALESCE(l_linestatus, '<all>') AS linestatus,
+                 CAST(2 * grouping(l_returnflag) + grouping(l_linestatus) AS BIGINT) AS grain,
+                 COUNT(*) AS n
+          FROM lineitem
+          GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ) WHERE grain <> 1
+        """
+    )
