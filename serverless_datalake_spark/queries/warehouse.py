@@ -216,3 +216,193 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("p"),
     )
+
+
+@query(
+    "orders_rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             CAST(MAX(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+                  AS BIGINT) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey
+    ), horizon AS (
+      SELECT MAX(last_day) AS h FROM base
+    ), scored AS (
+      SELECT o_custkey,
+             h - last_day AS recency_days, frequency, monetary_cents,
+             NTILE(5) OVER (ORDER BY h - last_day ASC, o_custkey) AS r_quintile,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_quintile,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_quintile
+      FROM base CROSS JOIN horizon
+    )
+    SELECT o_custkey, recency_days, frequency, monetary_cents,
+           CAST(r_quintile AS BIGINT) AS r_quintile,
+           CAST(f_quintile AS BIGINT) AS f_quintile,
+           CAST(m_quintile AS BIGINT) AS m_quintile,
+           CASE WHEN r_quintile = 1 AND f_quintile <= 2 THEN 'champion'
+                WHEN r_quintile >= 4 AND f_quintile <= 2 THEN 'at_risk_loyal'
+                WHEN r_quintile >= 4 THEN 'hibernating'
+                ELSE 'regular' END AS segment
+    FROM scored
+    """,
+    tags=("warehouse", "rfm", "segmentation"),
+)
+def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation —
+    the canonical CRM scoring pass: quintile each customer on days
+    since last order, order count, and lifetime spend (exact cents),
+    then label marketing segments from the score triple.
+
+    Scale shape: one partial-agg shuffle over orders collapses to the
+    customer-dim-sized relation; the three NTILE windows sort THAT
+    relation, not orders (quintile ties broken by custkey → fully
+    deterministic). At billions of customers you'd swap NTILE for
+    approxQuantile bucket edges broadcast back — the
+    feature_winsorize pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max(
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        ).cast("long").alias("last_day"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("monetary_cents"),
+    )
+    h = base.groupBy().agg(F.max("last_day").alias("h"))
+    scored = base.crossJoin(F.broadcast(h)).select(
+        "o_custkey",
+        (F.col("h") - F.col("last_day")).alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
+    q = scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(wr).cast("long").alias("r_quintile"),
+        F.ntile(5).over(wf).cast("long").alias("f_quintile"),
+        F.ntile(5).over(wm).cast("long").alias("m_quintile"),
+    )
+    return q.withColumn(
+        "segment",
+        F.when((F.col("r_quintile") == 1) & (F.col("f_quintile") <= 2), "champion")
+        .when((F.col("r_quintile") >= 4) & (F.col("f_quintile") <= 2), "at_risk_loyal")
+        .when(F.col("r_quintile") >= 4, "hibernating")
+        .otherwise("regular"),
+    )
+
+
+@query(
+    "orders_abc_classification",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+      FROM lineitem GROUP BY l_partkey
+    ), tot AS (
+      SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t FROM rev
+    ), cum AS (
+      SELECT l_partkey, revenue_cents,
+             CAST(SUM(revenue_cents) OVER (ORDER BY revenue_cents DESC, l_partkey)
+                  AS BIGINT) AS cum_cents,
+             t
+      FROM rev CROSS JOIN tot
+    )
+    SELECT l_partkey, revenue_cents,
+           ROUND(CAST(cum_cents AS DOUBLE) / CAST(t AS DOUBLE), 6) AS cum_share,
+           CASE WHEN CAST(cum_cents AS DOUBLE) / CAST(t AS DOUBLE) <= 0.8 THEN 'A'
+                WHEN CAST(cum_cents AS DOUBLE) / CAST(t AS DOUBLE) <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM cum
+    """,
+    tags=("warehouse", "abc", "pareto"),
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: rank parts by revenue, take the
+    running revenue share, and label A (first 80%), B (to 95%), C
+    (tail) — the per-item assignment that operationalizes
+    window_pareto_share's aggregate view.
+
+    Exactness: revenue and its running sum are integer cents (no
+    float accumulation order issues); the share division and the
+    threshold comparison evaluate the identical IEEE expression in
+    both engines. Scale: the window sorts the PART-sized aggregate,
+    not lineitem; one fact shuffle total. (The global window is
+    dim-bounded; at extreme part cardinality the same thresholds come
+    from approxQuantile over the cumulative distribution.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("revenue_cents")
+    )
+    tot = rev.groupBy().agg(F.sum("revenue_cents").alias("t"))
+    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = rev.crossJoin(F.broadcast(tot)).select(
+        "l_partkey",
+        "revenue_cents",
+        F.sum("revenue_cents").over(w).alias("cum_cents"),
+        "t",
+    )
+    share = F.col("cum_cents").cast("double") / F.col("t").cast("double")
+    return cum.select(
+        "l_partkey",
+        "revenue_cents",
+        F.round(share, 6).alias("cum_share"),
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias("abc_class"),
+    )
+
+
+@query(
+    "events_new_users_cumulative",
+    oracle="""
+    WITH first_touch AS (
+      SELECT event_type, user_id,
+             MIN(CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400) AS d0
+      FROM events GROUP BY event_type, user_id
+    ), daily AS (
+      SELECT event_type, d0 AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM first_touch GROUP BY event_type, d0
+    )
+    SELECT event_type, day, new_users,
+           CAST(SUM(new_users) OVER (PARTITION BY event_type ORDER BY day) AS BIGINT)
+             AS cumulative_users
+    FROM daily
+    """,
+    tags=("analytics", "acquisition", "window"),
+)
+def events_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-adoption curves: each user's first-touch day PER EVENT
+    TYPE, new adopters per day, and the cumulative adopter count — the
+    growth chart every product dashboard opens with, per feature (and
+    the distributed first-touch attribution primitive).
+
+    Scale shape: one shuffle keyed by user collapses events to one
+    row per user; the daily rollup and running total operate on the
+    day-grid relation (≤ a few thousand rows at any corpus size)."""
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("event_type", "user_id").agg(
+        F.floor(F.min(F.col("ts").cast("long")) / 86400).alias("d0")
+    )
+    daily = first.groupBy("event_type", F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("cumulative_users"),
+    )

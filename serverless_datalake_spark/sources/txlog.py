@@ -139,13 +139,27 @@ def committed_batch_ids(path: str) -> set:
     return ids
 
 
-def txlog_read(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+def txlog_read(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
     """Snapshot read at `version` (default head). Uncommitted data
-    files (present on disk, absent from the log) are invisible."""
+    files (present on disk, absent from the log) are invisible.
+
+    ``merge_schema=True`` unions the per-file schemas (additive
+    schema evolution: columns appended by later commits read as NULL
+    in earlier files — Delta/Iceberg ADD COLUMN semantics). Off by
+    default because the footer-union pass costs one extra metadata
+    read per file set."""
     files = live_files(path, version)
     if not files:
         raise FileNotFoundError(f"no committed files in {path} at version {version}")
-    return spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    return reader.parquet(*files)
 
 
 def txlog_compact(spark: SparkSession, path: str, target_files: int = 1) -> int:

@@ -349,3 +349,23 @@ def test_streaming_upsert_latest_wins_and_replay_safe(spark, tmp_path):
     ).awaitTermination()
     assert len(txlog._entries(table)) == head
     assert txlog.txlog_read(spark, table).count() == 15
+
+
+def test_additive_schema_evolution_reads_old_files_as_null(spark, tmp_path):
+    """ADD COLUMN evolution: a later commit carries an extra column;
+    merge_schema unions footers and back-fills NULL for old files,
+    while the default read keeps the fast single-schema path."""
+    from serverless_datalake_spark.sources.txlog import txlog_read, txlog_write
+
+    path = str(tmp_path / "tbl")
+    txlog_write(spark.createDataFrame([(1, "a")], "id long, grp string"), path)
+    txlog_write(
+        spark.createDataFrame(
+            [(2, "b", 99)], "id long, grp string, score long"
+        ),
+        path,
+    )
+    evolved = txlog_read(spark, path, merge_schema=True)
+    assert set(evolved.columns) == {"id", "grp", "score"}
+    rows = {r["id"]: r["score"] for r in evolved.collect()}
+    assert rows == {1: None, 2: 99}
