@@ -956,3 +956,66 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l",
         (F.col("l") < 3).alias("low_diversity"),
     )
+
+
+@query(
+    "validate_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+             AS n_orphans,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                   WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT)
+    """,
+    tags=("governance", "quality", "join"),
+)
+def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key orphan audit across the star schema — the
+    cross-TABLE data-quality gate that complements
+    validate_expectations' single-table checks: for each declared FK,
+    count child rows whose parent is missing (anti-join semantics).
+
+    Scale shape: each check is one LEFT ANTI join; parent key sets
+    are dim-sized → broadcast, so the fact scan never shuffles. The
+    three audits run as independent branches unioned into one tiny
+    report."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+
+    def audit(label, child, key, parent, pkey):
+        orphans = child.join(
+            F.broadcast(parent.select(pkey).distinct()),
+            child[key] == parent[pkey],
+            "left_anti",
+        )
+        return (
+            orphans.groupBy()
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .crossJoin(
+                F.broadcast(child.groupBy().agg(F.count(F.lit(1)).alias("n_rows")))
+            )
+            .select(F.lit(label).alias("fk"), "n_orphans", "n_rows")
+        )
+
+    return (
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey"))
+        .unionByName(
+            audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )

@@ -874,3 +874,101 @@ def ts_period_over_period(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round((F.col("total") - prev) / prev * 100.0, 2),
         ).alias("wow_pct"),
     )
+
+
+@query(
+    "ts_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d,
+             ROUND(SUM(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.event_type,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END AS sgn
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.d < b.d
+    ), stat AS (
+      SELECT p.event_type,
+             CAST(SUM(p.sgn) AS BIGINT) AS s,
+             CAST(MIN(g.n) AS BIGINT) AS n
+      FROM pairs p
+      JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+            FROM daily GROUP BY event_type) g
+        ON g.event_type = p.event_type
+      GROUP BY p.event_type
+    )
+    SELECT event_type, n AS n_days, s,
+           ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                           / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                                  * (2.0 * CAST(n AS DOUBLE) + 5.0) / 18.0)
+                      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                           / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                                  * (2.0 * CAST(n AS DOUBLE) + 5.0) / 18.0)
+                      ELSE 0.0 END, 6) AS z,
+           CASE WHEN s > 0 AND (CAST(s AS DOUBLE) - 1.0)
+                     / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                            * (2.0 * CAST(n AS DOUBLE) + 5.0) / 18.0) > 1.96
+                THEN 'increasing'
+                WHEN s < 0 AND (CAST(s AS DOUBLE) + 1.0)
+                     / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)
+                            * (2.0 * CAST(n AS DOUBLE) + 5.0) / 18.0) < -1.96
+                THEN 'decreasing'
+                ELSE 'no_trend' END AS verdict
+    FROM stat
+    """,
+    tags=("timeseries", "statistics", "robust"),
+)
+def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall monotonic-trend test over each type's daily-total
+    series: the S statistic (sum of pairwise signs), its normal
+    approximation z (continuity-corrected, no-ties variance
+    n(n-1)(2n+5)/18 — ties are counted as sign 0 and the formula is
+    spelled identically in both engines), and the 5%-level verdict.
+    The hypothesis-test companion of ts_theil_sen's slope estimate.
+
+    Scale shape: identical to ts_theil_sen — the O(g²) sign pairing
+    runs on the aggregated daily grid, never raw events; S is an
+    integer sum so distributed aggregation is exact."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 86400").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    a = daily.select("event_type", F.col("d").alias("da"), F.col("v").alias("va"))
+    b = daily.select(
+        F.col("event_type").alias("et_b"), F.col("d").alias("db"), F.col("v").alias("vb")
+    )
+    pairs = a.join(b, (a.event_type == b.et_b) & (a.da < b.db)).select(
+        "event_type",
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    g = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    stat = (
+        pairs.groupBy("event_type")
+        .agg(F.sum("sgn").cast("long").alias("s"))
+        .join(F.broadcast(g.withColumnRenamed("event_type", "et_g")),
+              F.col("event_type") == F.col("et_g"))
+        .select("event_type", "s", F.col("n").cast("long").alias("n"))
+    )
+    nd = F.col("n").cast("double")
+    sd = F.col("s").cast("double")
+    denom = F.sqrt(nd * (nd - 1.0) * (2.0 * nd + 5.0) / 18.0)
+    z = (
+        F.when(F.col("s") > 0, (sd - 1.0) / denom)
+        .when(F.col("s") < 0, (sd + 1.0) / denom)
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        "s",
+        F.round(z, 6).alias("z"),
+        F.when((F.col("s") > 0) & (((sd - 1.0) / denom) > 1.96), "increasing")
+        .when((F.col("s") < 0) & (((sd + 1.0) / denom) < -1.96), "decreasing")
+        .otherwise("no_trend")
+        .alias("verdict"),
+    )
