@@ -1095,3 +1095,127 @@ def sim_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vecs.select(
         "label", F.round(dot / (nl * ng), 6).alias("centroid_cosine")
     )
+
+
+def _pca_oracle(iters: int = 3) -> str:
+    """Power-iteration oracle: each round recomputes s = Σ_rows x·(x·v)
+    in exact 1e-8 integer units (order-independent sum), then
+    renormalizes through an ordered p-fold — the bit-exact DuckDB twin
+    of the Spark iteration."""
+    parts = [
+        """
+    WITH dims AS (
+      SELECT vec_id, u.i AS p, CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u
+    ), v0 AS (
+      SELECT list_transform(range(1, 65), q -> 0.125) AS v
+    )"""
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            f""", dot{k} AS (
+      SELECT vec_id,
+             list_aggregate(list(x * v[p] ORDER BY p), 'sum') AS dot
+      FROM dims CROSS JOIN v{k - 1}
+      GROUP BY vec_id
+    ), s{k} AS (
+      SELECT d.p,
+             CAST(SUM(CAST(ROUND(d.x * t.dot * 100000000.0, 0) AS BIGINT)) AS BIGINT) AS s
+      FROM dims d JOIN dot{k} t ON t.vec_id = d.vec_id
+      GROUP BY d.p
+    ), n{k} AS (
+      SELECT SQRT(list_aggregate(
+               list_transform(list(s / 100000000.0 ORDER BY p), q -> q * q), 'sum'))
+             AS nrm
+      FROM s{k}
+    ), v{k} AS (
+      SELECT list(s / 100000000.0 / nrm ORDER BY p) AS v
+      FROM s{k} CROSS JOIN n{k}
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT u.i AS dim,
+           ROUND(v[u.i], 6) AS loading,
+           ROUND((SELECT nrm FROM n{iters}), 3) AS eigenvalue
+    FROM v{iters}, (SELECT unnest(range(1, 65)) AS i) u
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "embedding_pca_power",
+    oracle=_pca_oracle(),
+    tags=("llm", "embedding", "pca"),
+)
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the (uncentered) embedding
+    second-moment matrix by DISTRIBUTED POWER ITERATION — the
+    spectral primitive behind whitening, anisotropy diagnostics
+    ("is the embedding space collapsing to a cone?"), and
+    Matryoshka-style dimension ranking. Three fixed iterations of
+    s ← Σ_rows x·(xᵀv); v ← s/‖s‖ from the deterministic start
+    v₀ = (1/8,…,1/8); returns the 64 loadings and the eigenvalue
+    estimate ‖s₃‖ (Rayleigh quotient at unit norm).
+
+    Exactness: the data-sized sum Σ x·(xᵀv) accumulates in 1e-8
+    integer units (order-independent, partial-agg map-side — the
+    pagerank discipline), while the per-row inner product and the
+    64-term normalization fold in fixed index order in both engines.
+
+    Scale shape: per iteration ONE shuffle of 64-key partial sums
+    (the exploded coordinate relation never materializes — it
+    streams from the scan into map-side combine); v is a 64-double
+    broadcast. Iteration count is fixed → one static 3-round plan,
+    no driver-side data movement."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    v = spark.range(1).select(
+        F.array_repeat(F.lit(0.125), 64).alias("v")
+    )
+    for _ in range(3):
+        dot = F.aggregate(
+            F.zip_with("emb", "v", lambda x, w: x * w), F.lit(0.0), lambda s, x: s + x
+        )
+        contrib = (
+            em.crossJoin(F.broadcast(v))
+            .select("vec_id", dot.alias("dot"), F.posexplode("emb").alias("p", "x"))
+            .select(
+                "p",
+                F.round(F.col("x") * F.col("dot") * 100000000.0, 0)
+                .cast("long")
+                .alias("c"),
+            )
+        )
+        s = contrib.groupBy("p").agg(F.sum("c").alias("s"))
+        assembled = s.groupBy().agg(
+            F.array_sort(F.collect_list(F.struct("p", "s"))).alias("a")
+        )
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform("a", lambda r: (r["s"] / 100000000.0) * (r["s"] / 100000000.0)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        v = assembled.select(
+            nrm.alias("nrm"),
+            F.transform("a", lambda r: r["s"] / 100000000.0).alias("sv"),
+        ).select(
+            F.zip_with(
+                "sv", F.array_repeat("nrm", 64), lambda x, n: x / n
+            ).alias("v"),
+            "nrm",
+        )
+        nrm_col = True
+    # final: explode loadings with 1-based dim to mirror the oracle
+    return v.select(
+        F.posexplode("v").alias("p0", "loading_raw"), F.col("nrm")
+    ).select(
+        (F.col("p0") + 1).cast("long").alias("dim"),
+        F.round("loading_raw", 6).alias("loading"),
+        F.round("nrm", 3).alias("eigenvalue"),
+    )
