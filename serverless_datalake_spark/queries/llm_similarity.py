@@ -4,7 +4,7 @@ IVF approximate variants (rows-only; recall asserted in tests)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import similarity
@@ -1218,4 +1218,65 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p0") + 1).cast("long").alias("dim"),
         F.round("loading_raw", 6).alias("loading"),
         F.round("nrm", 3).alias("eigenvalue"),
+    )
+
+
+@query(
+    "sim_knn_graph_blocked",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), scored AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             list_aggregate(list_transform(list_zip(a.emb, b.emb),
+                            p -> p[1] * p[2]), 'sum')
+             / (SQRT(list_aggregate(list_transform(a.emb, x -> x * x), 'sum'))
+                * SQRT(list_aggregate(list_transform(b.emb, x -> x * x), 'sum'))) AS score
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT src, dst, score,
+             ROW_NUMBER() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rank
+      FROM scored
+    )
+    SELECT src, dst, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("llm", "similarity", "knn-graph"),
+)
+def sim_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN GRAPH construction: every vector's top-3 cosine
+    neighbors within its coarse cluster (label = the IVF cell) — the
+    corpus×corpus primitive underneath SemDeDup, graph-based
+    clustering, and kNN-classifier export, as opposed to the
+    query→corpus sim_topk_* family.
+
+    Scale shape: blocking turns the O(n²) all-pairs join into
+    Σ|cell|² — one equi-join keyed on the cell id (same bound as
+    dedup_semdedup's pair join), then WindowGroupLimit keeps per-src
+    state at k rows before the exchange. At 100 TB the cell id is the
+    at-rest partition key (sources/indexes.py layout), making the
+    self-join co-located and shuffle-free on the corpus side;
+    neighbors in adjacent cells come from multiprobe (union more
+    cell pairs) exactly as in sim_topk_lsh_multiprobe."""
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
+    )
+    a = em.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("emb").alias("ea"))
+    b = em.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"), F.col("emb").alias("eb"))
+    pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst")))
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+    )
+    na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+    scored = pairs.select("src", "dst", (dot / (na * nb)).alias("score"))
+    w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("long"))
     )

@@ -406,3 +406,72 @@ def events_new_users_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("cumulative_users"),
     )
+
+
+@query(
+    "events_session_path_topk",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    ), paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid
+    ), counted AS (
+      SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions FROM paths GROUP BY path
+    )
+    SELECT path, n_sessions FROM counted
+    ORDER BY n_sessions DESC, path LIMIT 5
+    """,
+    tags=("analytics", "sessionization", "paths"),
+)
+def events_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user journeys: gap-sessionize (30 min) each user's event
+    stream, serialize each session's ordered event-type sequence into a
+    path string, and rank the 5 most common paths — the "what do
+    people actually do" report behind funnel design, built from the
+    transition-matrix's raw material at full sequence granularity.
+
+    Scale shape: one shuffle on user_id covers the gap-break window
+    and the per-session fold (the ordered path assembles via
+    array_sort of (ts, event_id, type) structs — deterministic under
+    any partitioning); the path count is a second, path-keyed
+    partial aggregation, and the final top-5 is a TakeOrdered, not a
+    global sort."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("a")
+        )
+        .select(
+            F.array_join(
+                F.transform("a", lambda r: r["event_type"]), ">"
+            ).alias("path")
+        )
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
+    return counted.orderBy(F.col("n_sessions").desc(), "path").limit(5)
