@@ -312,3 +312,48 @@ def test_rerank_stage_adds_no_sort_merge(spark, sf_dir):
     plan = final_plan_of(spark, sf_dir, "sim_topk_ivfpq_rerank")
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_point_in_time_broadcasts_dim(spark, sf_dir):
+    """The versioned dimension is entity-sized → must broadcast; the
+    interval predicate rides as a residual on the hash join, never a
+    nested loop."""
+    plan = plan_of(spark, sf_dir, "scd2_point_in_time")
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_count_uses_cached_orientation(spark, sf_dir):
+    """The oriented-edge relation feeds three join sides — the plan
+    must read the one cached materialization, not replay the
+    orientation lineage, and never fall into a nested loop."""
+    plan = plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pinned_statistics_partial_aggregate(spark, sf_dir):
+    """Sufficient statistics must combine map-side (that is the whole
+    point of exact decimal sums) — one exchange on the group key."""
+    plan = plan_of(spark, sf_dir, "agg_correlation_pinned")
+    assert "partial" in plan.lower()
+    assert plan.count("Exchange hashpartitioning(grp") <= 1
+
+
+def test_knn_graph_blocked_hash_join_and_group_limit(spark, sf_dir):
+    """Blocking must make the self-join an equi hash join on the cell
+    id, and the per-src top-k must push a group limit below the rank
+    window's exchange."""
+    plan = plan_of(spark, sf_dir, "sim_knn_graph_blocked")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_session_path_topk_is_take_ordered(spark, sf_dir):
+    """The final top-5 must be a TakeOrdered, not a global sort of all
+    distinct paths."""
+    plan = plan_of(spark, sf_dir, "events_session_path_topk")
+    assert "TakeOrderedAndProject" in plan
