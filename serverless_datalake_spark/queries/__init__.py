@@ -221,7 +221,16 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     agg_benford_deviation, agg_bitmap_presence, agg_mad_robust,
 #     sim_centroid_drift, udtf_ngram_generator,
 #     session_duration_histogram, dedup_threshold_sweep,
-#     ts_period_over_period, fn_inline_struct_array — see each
+#     ts_period_over_period, fn_inline_struct_array,
+#     scd2_dimension_build, scd2_point_in_time,
+#     events_transition_matrix, agg_correlation_pinned,
+#     agg_linear_regression, ts_theil_sen, ts_mann_kendall,
+#     privacy_l_diversity, graph_triangle_count, sql_pivot_syntax,
+#     sql_grouping_id, fn_binary_codecs, orders_rfm_segmentation,
+#     orders_abc_classification, events_new_users_cumulative,
+#     validate_referential_integrity, embedding_pca_power,
+#     sim_knn_graph_blocked, events_session_path_topk,
+#     text_bm25_topk, sim_hybrid_rrf, sim_mmr_rerank — see each
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
@@ -306,6 +315,7 @@ def load_registry() -> dict[str, Query]:
         relational,
         relational2,
         reshape,
+        retrieval,
         setops,
         skew_resilience,
         sql_dialect,

@@ -1,0 +1,420 @@
+"""Retrieval-ranking queries: BM25 lexical scoring, hybrid lexical+
+vector fusion (reciprocal-rank fusion), and MMR diversified re-ranking.
+
+These are the three ranking primitives a RAG / search stack runs on
+top of the ANN family (llm_similarity): BM25 is the lexical leg,
+RRF fuses the lexical and vector shortlists without score calibration,
+and MMR re-ranks the fused shortlist for diversity. The reference's
+engine exposes only key-range retrieval (event_replayer
+lambda_function.py:19–39); this module is part of the beyond-reference
+training/serving surface SURVEY §2c claims.
+
+Determinism discipline (house rules, README "Correctness"):
+* BM25's only transcendental (LN in the idf) is rounded at 6 the
+  moment it is produced — the text_tfidf precedent — and every
+  subsequent float op is written with IDENTICAL association order in
+  Spark and DuckDB, so both engines compute the same doubles;
+* per-document scores sum a FIXED literal term list left-to-right
+  (no shuffle-order drift — the sum never crosses an aggregate);
+* RRF works on integer ranks (exact) and two correctly-rounded
+  divisions added in fixed order;
+* MMR's greedy loop is unrolled to a fixed K like graph_pagerank's
+  iterations; every round compares 6-rounded doubles with a total
+  (score DESC, id) tie-break, so the pick sequence is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.operators import textops
+from serverless_datalake_spark.operators.similarity import cosine
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+_K1 = 1.2
+_B = 0.75
+_K1P1 = 2.2     # k1 + 1 spelled as a literal (1.2 + 1.0 would be a
+_ONE_MINUS_B = 0.25  # different double than the literal on one engine)
+_TERMS = ("join", "filter", "window")
+_RRF_K = 60.0
+_MMR_LAMBDA = 0.7
+_MMR_REST = 0.3  # 1 - λ as a literal, the graph_pagerank _TELEPORT rule
+_MMR_K = 5
+_MMR_SHORTLIST = 20
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, dl, score): BM25 over the fixed literal query-term set.
+
+    Scale shape: ONE corpus scan producing per-doc (dl, tf_i) — the
+    stats relation (n_docs, Σdl, df_i) is a single 1-row aggregate
+    broadcast back over the scan (the feature_minmax_scale pattern),
+    so scoring is map-only after one tiny shuffle. df/idf stay exact
+    integers-as-doubles; the idf LN is rounded at 6 on creation."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def tf(word: str) -> Column:
+        # NB: a `lambda t, w=w:` default-arg closure would arrive at
+        # F.filter as a TWO-arg lambda, which PySpark binds as
+        # (element, index) — the index would silently replace the word
+        return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(word)))
+
+    base = d.select(
+        "doc_id", textops.tokens(F.col("text")).alias("toks")
+    ).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[tf(w).cast("double").alias(f"tf{i}") for i, w in enumerate(_TERMS)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).cast("double").alias(f"df{i}")
+            for i in range(len(_TERMS))
+        ],
+    )
+
+    def term_score(i: int) -> Column:
+        idf = F.round(
+            F.log(
+                (F.col("n_docs") - F.col(f"df{i}") + F.lit(0.5))
+                / (F.col(f"df{i}") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+            6,
+        )
+        tf = F.col(f"tf{i}")
+        den = tf + F.lit(_K1) * (
+            F.lit(_ONE_MINUS_B)
+            + (F.lit(_B) * F.col("dl").cast("double")) / (F.col("sum_dl") / F.col("n_docs"))
+        )
+        return idf * ((tf * F.lit(_K1P1)) / den)
+
+    total = term_score(0)
+    for i in range(1, len(_TERMS)):
+        total = total + term_score(i)
+    return base.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "dl", F.round(total, 6).alias("score")
+    )
+
+
+def _bm25_sql_ctes() -> str:
+    """DuckDB CTEs mirroring _bm25_scored expression-for-expression."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
+        for i in range(len(_TERMS))
+    )
+    terms = " + ".join(
+        f"ROUND(LN((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0), 6)"
+        f" * ((d.tf{i} * {_K1P1}) / (d.tf{i} + {_K1} * ({_ONE_MINUS_B}"
+        f" + ({_B} * CAST(d.dl AS DOUBLE)) / (s.sum_dl / s.n_docs))))"
+        for i in range(len(_TERMS))
+    )
+    return f"""
+    base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), t -> t <> '') AS toks
+      FROM documents
+    ), docs AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+      FROM base
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         {df_cols}
+      FROM docs
+    ), scored AS (
+      SELECT d.doc_id, d.dl, ROUND({terms}, 6) AS score
+      FROM docs d CROSS JOIN stats s
+    )"""
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH {_bm25_sql_ctes()}, ranked AS (
+      SELECT doc_id, dl, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored WHERE score > 0
+    )
+    SELECT doc_id, dl, score, rank FROM ranked WHERE rank <= 20
+    """,
+    tags=("llm", "retrieval", "bm25"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) top-20 documents for a fixed literal
+    query-term set — the lexical retrieval leg of a hybrid search
+    stack (Robertson–Spärck Jones idf with the +1 floor, the Lucene
+    formulation).
+
+    Scale shape: one corpus scan computes (dl, tf_i) per doc; the
+    corpus statistics are a 1-row broadcast; scoring is a map-only
+    projection; the top-20 is a rank-window filter Spark rewrites to
+    WindowGroupLimit (partial top-k on every partition before one
+    final merge — no global sort materializes)."""
+    scored = _bm25_scored(spark, sf_dir).where(F.col("score") > 0)
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "dl", "score", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+_COS_AB = """
+      list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), 'sum')
+      / (SQRT(list_aggregate(list_transform({a}, x -> x * x), 'sum'))
+         * SQRT(list_aggregate(list_transform({b}, x -> x * x), 'sum')))
+"""
+
+
+@query(
+    "sim_hybrid_rrf",
+    oracle=f"""
+    WITH {_bm25_sql_ctes()}, lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS lex_rank
+      FROM scored WHERE score > 0
+    ), lex100 AS (
+      SELECT doc_id, lex_rank FROM lex WHERE lex_rank <= 100
+    ), q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 1
+    ), vecscore AS (
+      SELECT c.vec_id,
+             ROUND({_COS_AB.format(a="c.emb", b="q.emb")}, 6) AS cos
+      FROM c CROSS JOIN q
+    ), vec AS (
+      SELECT vec_id, ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS vec_rank
+      FROM vecscore
+    ), vec100 AS (
+      SELECT vec_id, vec_rank FROM vec WHERE vec_rank <= 100
+    ), fused AS (
+      SELECT l.doc_id,
+             l.lex_rank, v.vec_rank,
+             ROUND(1.0 / ({_RRF_K} + CAST(l.lex_rank AS DOUBLE))
+                   + 1.0 / ({_RRF_K} + CAST(v.vec_rank AS DOUBLE)), 6) AS rrf_score
+      FROM lex100 l JOIN vec100 v ON v.vec_id = l.doc_id
+    ), final AS (
+      SELECT doc_id, lex_rank, vec_rank, rrf_score,
+             ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
+      FROM fused
+    )
+    SELECT doc_id, lex_rank, vec_rank, rrf_score, rank
+    FROM final WHERE rank <= 10
+    """,
+    tags=("llm", "retrieval", "hybrid", "rrf"),
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: BM25 top-100 and embedding-cosine top-100
+    shortlists fused by reciprocal-rank fusion (k=60, the canonical
+    Cormack/Clarke constant), final top-10. RRF needs no score
+    calibration between the legs — exactly why production hybrid
+    search uses it — and the fixture's doc_id ↔ vec_id identity plays
+    the shared-document-key role.
+
+    Scale shape: each leg ends in a rank-window ≤ 100 filter
+    (WindowGroupLimit — partial top-k per partition, no global sort of
+    the corpus); fusion joins two ≤100-row shortlists (broadcast) and
+    ranks 100 rows. At fleet scale both legs arrive per-query
+    pre-shortened (the ANN probe and an inverted index), so fusion
+    cost is per-query constant; nothing here scales with the corpus
+    except the two leg scans, which are the ANN/scan families'
+    problem, not the fusion's."""
+    lex_w = Window.orderBy(F.col("score").desc(), "doc_id")
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .where(F.col("score") > 0)
+        .withColumn("lex_rank", F.row_number().over(lex_w))
+        .where(F.col("lex_rank") <= 100)
+        .select("doc_id", "lex_rank")
+    )
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = em.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    vec_w = Window.orderBy(F.col("cos").desc(), "vec_id")
+    vec = (
+        em.where(F.col("vec_id") >= 1)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q")), 6).alias("cos"),
+        )
+        .withColumn("vec_rank", F.row_number().over(vec_w))
+        .where(F.col("vec_rank") <= 100)
+        .select("vec_id", "vec_rank")
+    )
+    fused = lex.join(
+        F.broadcast(vec), lex["doc_id"] == vec["vec_id"]
+    ).select(
+        "doc_id",
+        "lex_rank",
+        "vec_rank",
+        F.round(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank").cast("double"))
+            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank").cast("double")),
+            6,
+        ).alias("rrf_score"),
+    )
+    fin_w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
+    return (
+        fused.withColumn("rank", F.row_number().over(fin_w))
+        .where(F.col("rank") <= 10)
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("long").alias("lex_rank"),
+            F.col("vec_rank").cast("long").alias("vec_rank"),
+            "rrf_score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR as a CTE chain (graph_pagerank's unrolled-
+    iteration oracle pattern applied to selection instead of ranking)."""
+    parts = [
+        f"""
+    WITH q AS (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id = 0
+    ), c AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ), rel0 AS (
+      SELECT c.cid, c.emb,
+             ROUND({_COS_AB.format(a="c.emb", b="q.emb")}, 6) AS rel
+      FROM c CROSS JOIN q
+    ), cand AS (
+      SELECT cid, emb, rel FROM (
+        SELECT cid, emb, rel,
+               ROW_NUMBER() OVER (ORDER BY rel DESC, cid) AS rk
+        FROM rel0
+      ) WHERE rk <= {_MMR_SHORTLIST}
+    ), pairs AS (
+      SELECT a.cid AS ca, b.cid AS cb,
+             ROUND({_COS_AB.format(a="a.emb", b="b.emb")}, 6) AS sim
+      FROM cand a JOIN cand b ON a.cid <> b.cid
+    ), s1 AS (
+      SELECT cid, CAST(1 AS BIGINT) AS pick_round,
+             ROUND({_MMR_LAMBDA} * rel, 6) AS mmr_score
+      FROM cand ORDER BY mmr_score DESC, cid LIMIT 1
+    ), sel1 AS (SELECT * FROM s1)"""
+    ]
+    for r in range(2, _MMR_K + 1):
+        prev = r - 1
+        parts.append(
+            f""", s{r} AS (
+      SELECT d.cid, CAST({r} AS BIGINT) AS pick_round,
+             ROUND({_MMR_LAMBDA} * d.rel - {_MMR_REST} * m.ms, 6) AS mmr_score
+      FROM cand d
+      JOIN (
+        SELECT p.ca AS cid, MAX(p.sim) AS ms
+        FROM pairs p JOIN sel{prev} s ON p.cb = s.cid
+        GROUP BY 1
+      ) m ON m.cid = d.cid
+      WHERE d.cid NOT IN (SELECT cid FROM sel{prev})
+      ORDER BY mmr_score DESC, d.cid LIMIT 1
+    ), sel{r} AS (SELECT * FROM sel{prev} UNION ALL SELECT * FROM s{r})"""
+        )
+    parts.append(
+        f"""
+    SELECT cid AS corpus_id, pick_round, mmr_score FROM sel{_MMR_K}
+    """
+    )
+    return "".join(parts)
+
+
+@query("sim_mmr_rerank", oracle=_mmr_oracle(), tags=("llm", "retrieval", "mmr"))
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (λ=0.7, K=5) of the
+    cosine top-20 shortlist for probe vec_id=0 — the standard
+    diversity re-ranker for RAG context assembly (don't feed the model
+    five near-copies of the same passage).
+
+    Greedy MMR is inherently sequential in K, so the loop is UNROLLED
+    to a fixed K=5 exactly like graph_pagerank unrolls its
+    iterations: every round is an anti-join (drop selected), a
+    broadcast join against the pair-sim relation restricted to the
+    selected set, a per-candidate MAX, and a 1-row rank-window pick.
+    All relations after the shortlist window are ≤ shortlist²
+    (≤ 400 rows here) regardless of corpus size — the corpus-scaled
+    work is ONLY the shortlist construction, which at fleet scale is
+    the ANN probe (sim_topk_lsh_indexed), not this brute scan.
+    Shortlist and pair-sims are persisted once (the graph-module
+    cache-generation pattern) so the 5 unrolled rounds replan tiny
+    cached relations, not the corpus scan."""
+    from serverless_datalake_spark.queries.graph import _retire_and_cache
+
+    em = load_table(spark, sf_dir, "embeddings")
+    probe = em.where(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+    shortlist_w = Window.orderBy(F.col("rel").desc(), "cid")
+    cand = (
+        em.where(F.col("vec_id") >= 10)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("vec_id").alias("cid"),
+            "embedding",
+            F.round(cosine(F.col("embedding"), F.col("q")), 6).alias("rel"),
+        )
+        .withColumn("rk", F.row_number().over(shortlist_w))
+        .where(F.col("rk") <= _MMR_SHORTLIST)
+        .drop("rk")
+    )
+    a = cand.select(F.col("cid").alias("ca"), F.col("embedding").alias("ea"))
+    b = cand.select(F.col("cid").alias("cb"), F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, F.col("ca") != F.col("cb"))
+        .select("ca", "cb", F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("sim"))
+    )
+    cand = cand.drop("embedding")
+    cand, pairs = _retire_and_cache(("mmr", sf_dir), [cand, pairs])
+    # eager: collapse the shortlist/pair lineage before the unrolled
+    # rounds replan it on every join side (triangle-count precedent)
+    pairs.count()
+
+    pick_w = Window.orderBy(F.col("mmr_score").desc(), "cid")
+    first = (
+        cand.select(
+            "cid",
+            F.lit(1).cast("long").alias("pick_round"),
+            F.round(F.lit(_MMR_LAMBDA) * F.col("rel"), 6).alias("mmr_score"),
+        )
+        .withColumn("rn", F.row_number().over(pick_w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    selected = first
+    for r in range(2, _MMR_K + 1):
+        sel_ids = selected.select(F.col("cid").alias("scid"))
+        ms = (
+            pairs.join(F.broadcast(sel_ids), F.col("cb") == F.col("scid"))
+            .groupBy(F.col("ca").alias("cid"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        pick = (
+            cand.join(sel_ids, cand["cid"] == sel_ids["scid"], "left_anti")
+            .join(F.broadcast(ms), "cid")
+            .select(
+                "cid",
+                F.lit(r).cast("long").alias("pick_round"),
+                F.round(
+                    F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(_MMR_REST) * F.col("ms"),
+                    6,
+                ).alias("mmr_score"),
+            )
+            .withColumn("rn", F.row_number().over(pick_w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        selected = selected.unionAll(pick)
+    return selected.select(F.col("cid").alias("corpus_id"), "pick_round", "mmr_score")
