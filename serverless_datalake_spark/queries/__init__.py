@@ -230,7 +230,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     orders_abc_classification, events_new_users_cumulative,
 #     validate_referential_integrity, embedding_pca_power,
 #     sim_knn_graph_blocked, events_session_path_topk,
-#     text_bm25_topk, sim_hybrid_rrf, sim_mmr_rerank — see each
+#     text_bm25_topk, sim_hybrid_rrf, sim_mmr_rerank,
+#     join_bloom_prefilter, scan_orc_roundtrip, scan_csv_roundtrip,
+#     graph_jaccard_links — see each
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for
@@ -316,6 +318,7 @@ def load_registry() -> dict[str, Query]:
         relational2,
         reshape,
         retrieval,
+        scaletech,
         setops,
         skew_resilience,
         sql_dialect,

@@ -1,0 +1,208 @@
+"""Scale-technique demonstrations with semantics-preserving oracles:
+runtime Bloom prefiltering of a fact/dim join, and lossless ORC / CSV
+round-trips through the lake's sink+source pair.
+
+The Bloom query's oracle is deliberately the PLAIN three-way join:
+Bloom filters have no false negatives, the downstream exact join
+removes the false positives, so result equality IS the proof that the
+prefilter is semantics-preserving — the same argument Spark's own
+`spark.sql.optimizer.runtime.bloomFilter.enabled` rewrite relies on.
+This operator makes the technique explicit (and deterministic) where
+the optimizer's cost model may decline to inject it.
+
+The round-trip queries' oracles read the original parquet: equality
+proves the non-parquet sink+source pair is lossless for the column
+types exercised (ints, doubles, strings with embedded quotes).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.tables import load_table
+
+_BPK = 8   # bloom bits per key (undersized vs production ~10; FP rate
+_K = 5     # only costs prefilter selectivity, never correctness)
+
+
+@query(
+    "join_bloom_prefilter",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000, 0)
+                    AS BIGINT)) AS BIGINT) AS revenue_e4
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY 1
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-side runtime Bloom filter: qualifying order keys (BUILDING
+    customers' orders) build a Kirsch–Mitzenmacher double-hash Bloom
+    bitset that prefilters lineitem BEFORE the join; the exact join
+    then removes Bloom false positives, so the result equals the plain
+    join (the oracle) by construction.
+
+    Scale shape: the bitset is ONE 1-row broadcast relation (sorted
+    set-bit array) built from the key side with a hash aggregate —
+    at production sizing ~10 bits/key, a 100M-key dim is a ~125 MB
+    bitset, broadcast once. The fact scan then drops non-matching rows
+    MAP-SIDE — before the join shuffle — which is the whole point: at
+    100 TB the shuffle of non-qualifying fact rows, not the join CPU,
+    is the bottleneck a runtime filter exists to kill. Join sides that
+    survive are broadcast (dim) / hash (fact) as usual.
+
+    Cites: reference event_replayer selects by key predicate before
+    re-reading payloads (lambda_function.py:19–39) — the same
+    filter-early discipline, here pushed below a join."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    qorders = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderpriority")
+    )
+    keys = qorders.select("o_orderkey").distinct()
+    mm = keys.agg((F.lit(_BPK) * F.count(F.lit(1))).cast("long").alias("m"))
+
+    def h1(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+    def h2(c: Column) -> Column:
+        return F.conv(F.substring(F.md5(c.cast("string")), 9, 8), 16, 10).cast("long")
+
+    def probe_positions(c: Column) -> Column:
+        a, b = h1(c), h2(c)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(_K - 1)), lambda i: (a + i * b) % F.col("m")
+        )
+
+    bits = (
+        keys.crossJoin(F.broadcast(mm))
+        .select(F.explode(probe_positions(F.col("o_orderkey"))).alias("pos"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("pos")).alias("bits"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    prefiltered = (
+        li.crossJoin(F.broadcast(mm))
+        .crossJoin(F.broadcast(bits))
+        .where(
+            F.size(F.array_except(probe_positions(F.col("l_orderkey")), F.col("bits")))
+            == 0
+        )
+    )
+    joined = prefiltered.join(
+        F.broadcast(qorders), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000, 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("revenue_e4"),
+    )
+
+
+def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(tempfile.gettempdir(), f"sdlspark_rt_{fmt}_{tag}")
+
+
+@query(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           CAST(SUM(l_linenumber) AS BIGINT) AS sum_lineno
+    FROM lineitem WHERE l_returnflag = 'R'
+    GROUP BY 1
+    """,
+    tags=("source", "sink", "orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source parity: write the filtered fact slice to ORC,
+    read it back, aggregate — the oracle computes the same aggregate
+    from the ORIGINAL parquet, so equality proves the ORC round-trip
+    is lossless for bigint/int/double/varchar columns.
+
+    Scale shape: the write is partition-parallel (one ORC file per
+    task, snappy), the read-back scan pushes the aggregate's column
+    pruning into the ORC reader exactly as parquet does (ORC carries
+    the same min/max stripe stats); quantity sums are integral doubles
+    (exact, order-independent)."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    sel = li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_linestatus"
+    )
+    path = _roundtrip_dir("orc", sf_dir)
+    sel.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return back.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.sum("l_linenumber").cast("long").alias("sum_lineno"),
+    )
+
+
+@query(
+    "scan_csv_roundtrip",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(length(props)) AS BIGINT) AS props_chars,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("source", "sink", "csv"),
+)
+def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source parity with hostile content: the props column
+    is JSON (embedded double quotes, braces, spaces), so the write
+    must quote and escape and the read must undo both bit-exactly; the
+    oracle aggregates the ORIGINAL parquet. Explicit schema on
+    read-back — schema inference on CSV is both a correctness and a
+    performance anti-pattern at scale (it runs an extra full scan).
+
+    Scale shape: header-per-file partition-parallel write, schema'd
+    read, aggregate with map-side partials; length sums are exact
+    integers. (The reference's Firehose→S3 lake stores line-delimited
+    text the same way; sources/lake.py is the gzip-JSON twin.)"""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    path = _roundtrip_dir("csv", sf_dir)
+    (
+        ev.write.mode("overwrite")
+        .options(header=True, quote='"', escape="\\")
+        .csv(path)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = spark.read.options(header=True, quote='"', escape="\\").schema(schema).csv(path)
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.length("props")).cast("long").alias("props_chars"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )

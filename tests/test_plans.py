@@ -357,3 +357,36 @@ def test_session_path_topk_is_take_ordered(spark, sf_dir):
     distinct paths."""
     plan = plan_of(spark, sf_dir, "events_session_path_topk")
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bloom_prefilter_is_map_side_before_join(spark, sf_dir):
+    """The bloom membership test must sit in a Filter ABOVE the
+    lineitem scan and BELOW the order join (fact rows drop before any
+    join shuffle); bitset and dim sides broadcast; no sort-merge."""
+    plan = final_plan_of(spark, sf_dir, "join_bloom_prefilter")
+    assert "SortMergeJoin" not in plan
+    assert "array_except" in plan  # the membership predicate survived
+    # membership is a filter, not a join condition: the probe join is
+    # a plain equi-join on l_orderkey afterwards
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+
+
+def test_retrieval_topk_uses_window_group_limit(spark, sf_dir):
+    """BM25 / RRF shortlists must keep the global rank-filter top-k
+    distributed: either WindowGroupLimit or a TakeOrderedAndProject
+    below the rank window (partial per-partition top-k + merge), never
+    a full sort of the scored corpus feeding the window directly."""
+    for name in ("text_bm25_topk", "sim_hybrid_rrf"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan or "TakeOrderedAndProject" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_jaccard_links_broadcasts_degrees(spark, sf_dir):
+    """Degree lookups and the edge-exclusion anti join must broadcast;
+    the wedge join is the only data-sized exchange."""
+    plan = final_plan_of(spark, sf_dir, "graph_jaccard_links")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
