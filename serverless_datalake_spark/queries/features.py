@@ -267,3 +267,180 @@ def feature_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").alias("weight"))
         .where(F.col("weight") != 0)
     )
+
+
+@query(
+    "feature_target_encode",
+    oracle="""
+    WITH tgt AS (
+      SELECT o.o_custkey,
+             CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      FROM orders o
+    ), seg AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t.cents) AS BIGINT) AS cents_sum
+      FROM customer c JOIN tgt t ON t.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), gstats AS (
+      SELECT CAST(SUM(cents_sum) AS BIGINT) AS g_cents,
+             CAST(SUM(n) AS BIGINT) AS g_n
+      FROM seg
+    )
+    SELECT seg.segment, seg.n,
+           ROUND(CAST(seg.cents_sum AS DOUBLE) / CAST(seg.n AS DOUBLE) / 100.0, 4)
+             AS seg_mean,
+           ROUND((CAST(seg.cents_sum AS DOUBLE) / 100.0
+                  + 20.0 * (CAST(gstats.g_cents AS DOUBLE)
+                            / CAST(gstats.g_n AS DOUBLE) / 100.0))
+                 / (CAST(seg.n AS DOUBLE) + 20.0), 4) AS encoded
+    FROM seg CROSS JOIN gstats
+    """,
+    tags=("feature", "encoding"),
+)
+def feature_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of a categorical (customer market
+    segment) against a continuous target (order totalprice): the
+    m-estimate blend (m=20) of the per-category mean with the global
+    mean — the standard high-cardinality categorical encoder (CatBoost
+    et al. add fold-ordering on top; the smoothing core is this).
+
+    Exactness: the target is summed as integer CENTS (exact,
+    order-independent under distributed partial aggregation — the
+    agg_pricing_summary discipline); means and the smoothing blend are
+    then a fixed sequence of double ops written identically in both
+    engines.
+
+    Scale shape: one fact-dim broadcast join, one hash aggregate to
+    category grain (map-side partials), a 1-row global reduce, and a
+    broadcast-back — encoder tables stay dimension-sized no matter the
+    fact row count."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    tgt = orders.select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents")
+    )
+    seg = (
+        cust.join(tgt, tgt["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").cast("long").alias("cents_sum"),
+        )
+    )
+    glob = seg.agg(
+        F.sum("cents_sum").cast("long").alias("g_cents"),
+        F.sum("n").cast("long").alias("g_n"),
+    )
+    return seg.crossJoin(F.broadcast(glob)).select(
+        "segment",
+        "n",
+        F.round(
+            F.col("cents_sum").cast("double") / F.col("n").cast("double") / F.lit(100.0),
+            4,
+        ).alias("seg_mean"),
+        F.round(
+            (
+                F.col("cents_sum").cast("double") / F.lit(100.0)
+                + F.lit(20.0)
+                * (F.col("g_cents").cast("double") / F.col("g_n").cast("double") / F.lit(100.0))
+            )
+            / (F.col("n").cast("double") + F.lit(20.0)),
+            4,
+        ).alias("encoded"),
+    )
+
+
+@query(
+    "feature_quantile_bucketize",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS decile
+    FROM customer
+    """,
+    tags=("feature", "bucketize"),
+)
+def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (decile) bucketing of a numeric feature — the
+    QuantileDiscretizer shape. The (c_acctbal, c_custkey) total order
+    makes NTILE's remainder distribution deterministic (both engines
+    give the first buckets the extra rows).
+
+    Scale shape: at fixture scale this is one rank window; the exact
+    global NTILE is inherently a total order, so the 100 TB twin
+    computes bucket BOUNDARIES with approxQuantile (one pass, no sort)
+    and assigns map-side — the same exact-vs-approx split as
+    winsorize's documented production twin. Pinned here because the
+    oracle needs the exact semantics."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey", "c_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
+    )
+
+
+@query(
+    "feature_onehot_topn",
+    oracle="""
+    WITH counts AS (
+      SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM part GROUP BY 1
+    ), top3 AS (
+      SELECT p_brand, ROW_NUMBER() OVER (ORDER BY n DESC, p_brand) AS r
+      FROM counts
+    ), b AS (
+      SELECT MAX(CASE WHEN r = 1 THEN p_brand END) AS b1,
+             MAX(CASE WHEN r = 2 THEN p_brand END) AS b2,
+             MAX(CASE WHEN r = 3 THEN p_brand END) AS b3
+      FROM top3 WHERE r <= 3
+    )
+    SELECT p.p_partkey, p.p_brand,
+           CAST(CASE WHEN p.p_brand = b.b1 THEN 1 ELSE 0 END AS BIGINT) AS oh_1,
+           CAST(CASE WHEN p.p_brand = b.b2 THEN 1 ELSE 0 END AS BIGINT) AS oh_2,
+           CAST(CASE WHEN p.p_brand = b.b3 THEN 1 ELSE 0 END AS BIGINT) AS oh_3,
+           CAST(CASE WHEN p.p_brand = b.b1 OR p.p_brand = b.b2
+                          OR p.p_brand = b.b3 THEN 0 ELSE 1 END
+                AS BIGINT) AS oh_other
+    FROM part p CROSS JOIN b
+    """,
+    tags=("feature", "encoding", "onehot"),
+)
+def feature_onehot_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-N one-hot encoding with an "other" bucket — the vocabulary
+    cap every production encoder applies so feature width stays fixed
+    while category cardinality grows (StringIndexer + OneHotEncoder
+    with handleInvalid='keep', collapsed to one pass). The top-3
+    brands are chosen by (count DESC, brand) — a total order, so the
+    vocabulary is deterministic.
+
+    Scale shape: vocabulary selection is a category-grain aggregate
+    reduced to ONE broadcast row (three scalars); encoding is then a
+    map-only projection over the fact scan — no shuffle touches fact
+    rows, which is what makes capped one-hot viable at 100 TB."""
+    p = load_table(spark, sf_dir, "part")
+    counts = p.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), "p_brand")
+    b = (
+        counts.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 3)
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("p_brand"))).alias("b1"),
+            F.max(F.when(F.col("r") == 2, F.col("p_brand"))).alias("b2"),
+            F.max(F.when(F.col("r") == 3, F.col("p_brand"))).alias("b3"),
+        )
+    )
+    return p.crossJoin(F.broadcast(b)).select(
+        "p_partkey",
+        "p_brand",
+        F.when(F.col("p_brand") == F.col("b1"), 1).otherwise(0).cast("long").alias("oh_1"),
+        F.when(F.col("p_brand") == F.col("b2"), 1).otherwise(0).cast("long").alias("oh_2"),
+        F.when(F.col("p_brand") == F.col("b3"), 1).otherwise(0).cast("long").alias("oh_3"),
+        F.when(
+            (F.col("p_brand") == F.col("b1"))
+            | (F.col("p_brand") == F.col("b2"))
+            | (F.col("p_brand") == F.col("b3")),
+            0,
+        )
+        .otherwise(1)
+        .cast("long")
+        .alias("oh_other"),
+    )
