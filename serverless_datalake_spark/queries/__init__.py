@@ -233,7 +233,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     text_bm25_topk, sim_hybrid_rrf, sim_mmr_rerank,
 #     join_bloom_prefilter, scan_orc_roundtrip, scan_csv_roundtrip,
 #     graph_jaccard_links, feature_target_encode,
-#     feature_quantile_bucketize, feature_onehot_topn — see each
+#     feature_quantile_bucketize, feature_onehot_topn,
+#     agg_kmv_distinct_union, ts_concurrency_sweep, udf_map_in_arrow,
+#     scan_python_datasource — see each
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for

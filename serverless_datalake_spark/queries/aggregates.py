@@ -1174,3 +1174,123 @@ def agg_mad_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("ad", F.lit(0.5)), 2).alias("mad"),
         F.round(F.percentile("ad", F.lit(0.5)) * 1.4826, 2).alias("robust_sigma"),
     )
+
+
+def _kmv_hex8(expr: str) -> str:
+    """BIGINT from the first 8 hex chars of md5(expr) — the llm_dedup
+    hash family (engine-portable, no strpos drift)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_KMV_K = 8
+
+
+@query(
+    "agg_kmv_distinct_union",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT DISTINCT event_type, user_id,
+             {_kmv_hex8("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ), per_type AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h, user_id) AS r,
+             COUNT(*) OVER (PARTITION BY event_type) AS nd
+      FROM hashed
+    ), type_est AS (
+      SELECT event_type,
+             CAST(MAX(nd) AS BIGINT) AS n_exact,
+             ROUND(CASE WHEN MAX(nd) < {_KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+                        ELSE ({_KMV_K} - 1.0) * 4294967296.0
+                             / CAST(MAX(CASE WHEN r = {_KMV_K} THEN h END) AS DOUBLE)
+                   END, 4) AS kmv_estimate
+      FROM per_type GROUP BY event_type
+    ), guh AS (
+      SELECT DISTINCT user_id, {_kmv_hex8("CAST(user_id AS VARCHAR)")} AS h
+      FROM events
+    ), gr AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h, user_id) AS r,
+             COUNT(*) OVER () AS nd
+      FROM guh
+    ), union_est AS (
+      SELECT 'ALL' AS event_type,
+             CAST(MAX(nd) AS BIGINT) AS n_exact,
+             ROUND(CASE WHEN MAX(nd) < {_KMV_K} THEN CAST(MAX(nd) AS DOUBLE)
+                        ELSE ({_KMV_K} - 1.0) * 4294967296.0
+                             / CAST(MAX(CASE WHEN r = {_KMV_K} THEN h END) AS DOUBLE)
+                   END, 4) AS kmv_estimate
+      FROM gr
+    )
+    SELECT * FROM type_est UNION ALL SELECT * FROM union_est
+    """,
+    tags=("agg", "sketch", "kmv"),
+)
+def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (k=8) per event type,
+    plus the sketch UNION across all types — the mergeability property
+    that makes KMV/theta sketches the warehouse standard for
+    distinct-count rollups (union = keep the k smallest of the merged
+    hash sets; no rescan of the inputs).
+
+    Unlike HLL the whole sketch is deterministic given the hash family
+    (md5-derived 32-bit values, the llm_dedup family), so the DuckDB
+    oracle recomputes estimates bit-for-bit. n_exact rides along to
+    show the estimate error honestly; groups under k fall back to the
+    exact count exactly as production sketches do.
+
+    Scale shape: the hash relation partial-aggregates to DISTINCT
+    (type, user) pairs map-side; the k-th order statistic is a per-type
+    rank window over the deduplicated hash relation (group-sized, not
+    event-sized). At 100 TB each partition keeps its local k minima
+    (a bounded heap — the partial state is k values), and the merge is
+    associative; this query expresses the same algebra with the
+    rank-window formulation the oracle can check."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    hashed = ev.select("event_type", "user_id").distinct().select(
+        "event_type", "user_id", h.alias("h")
+    )
+
+    def est(df: DataFrame, part_cols: list[str]) -> DataFrame:
+        w = (
+            Window.partitionBy(*part_cols).orderBy("h", "user_id")
+            if part_cols
+            else Window.orderBy("h", "user_id")
+        )
+        wc = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
+        ranked = df.select(
+            *part_cols,
+            "h",
+            "user_id",
+            F.row_number().over(w).alias("r"),
+            F.count(F.lit(1)).over(wc).alias("nd"),
+        )
+        grp = ranked.groupBy(*part_cols) if part_cols else ranked.groupBy()
+        return grp.agg(
+            F.max("nd").cast("long").alias("n_exact"),
+            F.round(
+                F.when(
+                    F.max("nd") < _KMV_K, F.max("nd").cast("double")
+                ).otherwise(
+                    F.lit(float(_KMV_K - 1))
+                    * F.lit(4294967296.0)
+                    / F.max(F.when(F.col("r") == _KMV_K, F.col("h"))).cast("double")
+                ),
+                4,
+            ).alias("kmv_estimate"),
+        )
+
+    per_type = est(hashed, ["event_type"])
+    union_row = est(
+        hashed.select("user_id", "h").distinct(), []
+    ).select(F.lit("ALL").alias("event_type"), "n_exact", "kmv_estimate")
+    return per_type.unionAll(union_row)

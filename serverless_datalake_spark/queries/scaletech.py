@@ -206,3 +206,73 @@ def scan_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("props")).cast("long").alias("props_chars"),
         F.max("event_id").cast("long").alias("max_event_id"),
     )
+
+
+@query(
+    "scan_python_datasource",
+    oracle="""
+    WITH src AS (
+      SELECT range AS id, range * range AS sq, CAST(range % 4 AS INTEGER) AS part
+      FROM range(1000)
+    )
+    SELECT part,
+           COUNT(*) AS n_rows,
+           CAST(SUM(sq) AS BIGINT) AS sum_sq,
+           CAST(MAX(id) AS BIGINT) AS max_id
+    FROM src GROUP BY 1
+    """,
+    tags=("source", "python-datasource"),
+)
+def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API: a custom batch source registered
+    with spark.dataSource.register and read via spark.read.format —
+    the extension point for feeds Spark has no built-in connector for
+    (internal REST paginators, bespoke binary logs, queue snapshots).
+    The source declares 4 InputPartitions, so the read is
+    partition-parallel exactly like a file scan; each partition
+    generates its id-slice deterministically (id ≡ part mod 4), and
+    the oracle recomputes the same rows from a range relation.
+
+    Scale shape: partitions() is the parallelism contract — a
+    production connector returns one InputPartition per shard/page
+    range so 1000 executors pull 1000 disjoint slices; all arithmetic
+    here is integer-exact. (The reference's ingest endpoint plays this
+    'external feed' role — SURVEY §2a R1; this shows the Spark-native
+    way to mount one as a first-class table.)"""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    class RangeSquaresSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "range_squares"
+
+        def schema(self) -> str:
+            return "id BIGINT, sq BIGINT, part INT"
+
+        def reader(self, schema):
+            n = int(self.options.get("n", "1000"))
+            parts = int(self.options.get("parts", "4"))
+
+            class Reader(DataSourceReader):
+                def partitions(self):
+                    return [InputPartition(p) for p in range(parts)]
+
+                def read(self, partition):
+                    p = partition.value
+                    for i in range(p, n, parts):
+                        yield (i, i * i, p)
+
+            return Reader()
+
+    spark.dataSource.register(RangeSquaresSource)
+    df = (
+        spark.read.format("range_squares")
+        .option("n", "1000")
+        .option("parts", "4")
+        .load()
+    )
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("sq").cast("long").alias("sum_sq"),
+        F.max("id").cast("long").alias("max_id"),
+    )

@@ -972,3 +972,97 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("verdict"),
     )
+
+
+@query(
+    "ts_concurrency_sweep",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id))
+                       > 1800.0 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ), intervals AS (
+      SELECT user_id, session_no, MIN(ts) AS s, MAX(ts) AS e
+      FROM sess GROUP BY 1, 2
+    ), deltas AS (
+      SELECT s AS t, 1 AS delta, user_id, session_no FROM intervals
+      UNION ALL
+      SELECT e AS t, -1 AS delta, user_id, session_no FROM intervals
+    ), swept AS (
+      SELECT t, delta,
+             SUM(delta) OVER (ORDER BY t, delta DESC, user_id, session_no
+                              ROWS UNBOUNDED PRECEDING) AS running
+      FROM deltas
+    )
+    SELECT date_trunc('hour', t) AS hour,
+           CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+    FROM swept GROUP BY 1
+    """,
+    tags=("timeseries", "sweep", "concurrency"),
+)
+def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour by SWEEP LINE: sessionize
+    (30-minute inactivity gap), emit +1/-1 boundary deltas, cumulative-
+    sum them in boundary order (starts before ends at the same
+    instant — point-touching sessions count as overlapping). This is
+    the canonical replacement for the quadratic interval×interval
+    overlap join: concurrency at every instant from ONE sorted pass
+    over 2·|sessions| boundary rows.
+
+    Exactness: gaps compare exact micro-resolution epoch doubles; the
+    running sum is integer; the sweep order is total
+    (t, delta DESC, user, session).
+
+    Scale shape: sessionization is one window partitioned by user
+    (co-partitioned shuffle); the sweep relation is session-sized
+    (2 rows per session), orders of magnitude below events. Its global
+    cumulative sum is the textbook two-pass distributed prefix sum at
+    fleet scale (per-partition partials + broadcast carry-in offsets);
+    fixture-scale runs express it as one ordered window, the exact
+    semantics the oracle checks."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag(F.col("ts")).over(uw)
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        F.when(lag_ts.isNull(), 1)
+        .when(F.col("ts").cast("double") - lag_ts.cast("double") > 1800.0, 1)
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sw = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ordered.select("user_id", "ts", F.sum("new_s").over(sw).alias("session_no"))
+    intervals = sess.groupBy("user_id", "session_no").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    deltas = intervals.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id", "session_no"
+    ).unionAll(
+        intervals.select(
+            F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_no"
+        )
+    )
+    sweep_w = Window.orderBy(
+        "t", F.col("delta").desc(), "user_id", "session_no"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    swept = deltas.select(
+        "t", "delta", F.sum("delta").over(sweep_w).alias("running")
+    )
+    return swept.groupBy(F.date_trunc("hour", F.col("t")).alias("hour")).agg(
+        F.max("running").cast("long").alias("peak_concurrent"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),
+    )

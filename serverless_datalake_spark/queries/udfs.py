@@ -251,3 +251,62 @@ def udtf_ngram_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 25 = 0
         """
     )
+
+
+@query(
+    "udf_map_in_arrow",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                    AS BIGINT)) AS BIGINT) AS disc_e4
+    FROM lineitem WHERE l_quantity >= 40
+    GROUP BY 1
+    """,
+    tags=("udf", "arrow"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy RecordBatch escape hatch (the fourth
+    Python-execution surface after scalar pandas / grouped map /
+    grouped agg): per-batch pyarrow.compute kernels with no pandas
+    conversion on either side, the shape to reach for when the Python
+    stage is itself vectorized (tokenizers emitting Arrow, model
+    feature extractors, Arrow-native libs).
+
+    The kernel computes price*(1-discount) with element-wise IEEE ops
+    — bit-identical to the engines' expression evaluation — and every
+    rounding/summing step stays ENGINE-side (integer 1e-4 units, the
+    agg_pricing_summary discipline), so the oracle needs no knowledge
+    that Python ever touched the rows.
+
+    Scale shape: map-only over the scan (the l_quantity filter is
+    pushed below the Python stage by the projection order here: filter
+    first, then mapInArrow), then one partial-agg shuffle at
+    returnflag grain. Arrow batch size rides
+    spark.sql.execution.arrow.maxRecordsPerBatch; no per-row Python."""
+    import pyarrow as pa
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 40)
+        .select("l_returnflag", "l_extendedprice", "l_discount")
+    )
+
+    def kernel(batches):
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            disc = pc.multiply(
+                batch.column(1), pc.subtract(pa.scalar(1.0), batch.column(2))
+            )
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), disc], ["l_returnflag", "disc_price"]
+            )
+
+    mapped = li.mapInArrow(kernel, "l_returnflag string, disc_price double")
+    return mapped.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("disc_price") * 10000, 0).cast("long"))
+        .cast("long")
+        .alias("disc_e4"),
+    )
