@@ -235,7 +235,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     graph_jaccard_links, feature_target_encode,
 #     feature_quantile_bucketize, feature_onehot_topn,
 #     agg_kmv_distinct_union, ts_concurrency_sweep, udf_map_in_arrow,
-#     scan_python_datasource — see each
+#     scan_python_datasource, stats_ks_two_sample, stats_chi_square,
+#     sim_maxsim_late_interaction — see each
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for

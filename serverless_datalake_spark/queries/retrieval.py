@@ -418,3 +418,112 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionAll(pick)
     return selected.select(F.col("cid").alias("corpus_id"), "pick_round", "mmr_score")
+
+
+_MS_SUBS = 8   # 64-dim vectors → 8 sub-vectors of 8 dims
+_MS_DIM = 8
+
+
+def _maxsim_oracle() -> str:
+    """Sub-vector cosine: list_slice picks the 8-dim chunk; the inner
+    max is over doc chunks, the outer sum folds query chunks in index
+    order (sequential list_aggregate, the house fold pairing)."""
+    def cos(a_slice: str, b_slice: str) -> str:
+        return f"""(
+      list_aggregate(list_transform(list_zip({a_slice}, {b_slice}),
+                     p -> p[1] * p[2]), 'sum')
+      / (SQRT(list_aggregate(list_transform({a_slice}, x -> x * x), 'sum'))
+         * SQRT(list_aggregate(list_transform({b_slice}, x -> x * x), 'sum'))))"""
+
+    qs = f"list_slice(q.emb, i * {_MS_DIM} + 1, i * {_MS_DIM} + {_MS_DIM})"
+    ds = f"list_slice(c.emb, j * {_MS_DIM} + 1, j * {_MS_DIM} + {_MS_DIM})"
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 5
+    ), c AS (
+      SELECT vec_id AS corpus_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ), scored AS (
+      SELECT q.query_id, c.corpus_id,
+             ROUND(list_aggregate(list_transform(range({_MS_SUBS}), i ->
+               ROUND(list_aggregate(list_transform(range({_MS_SUBS}), j ->
+                 {cos(qs, ds)}), 'max'), 6)), 'sum'), 6) AS maxsim
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, corpus_id, maxsim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY maxsim DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, maxsim, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query("sim_maxsim_late_interaction", oracle=_maxsim_oracle(),
+       tags=("llm", "retrieval", "maxsim", "colbert"))
+def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style late-interaction scoring: treat each 64-dim
+    vector as 8 token-level sub-vectors of 8 dims; the score is
+    Σ_i max_j cos(q_i, d_j) — each query token matches its best
+    document token instead of collapsing both sides to one pooled
+    vector (the retrieval-quality jump MaxSim buys over single-vector
+    cosine). Top-5 per query over the corpus split.
+
+    Exactness: each sub-cosine is the house zip-fold; the inner MAX is
+    order-free on identical doubles, rounded at 6; the outer sum folds
+    query-chunk index order sequentially (both engines), rounded at 6.
+
+    Scale shape: scoring is a map-only expression over the probe ×
+    corpus pair relation — here a broadcast cross join (5 probes);
+    production MaxSim prunes candidates with a single-vector ANN probe
+    first (sim_topk_lsh_indexed) and late-interacts only the
+    shortlist, exactly the sim_topk_ivfpq_rerank two-stage pattern;
+    per-group top-5 plans as WindowGroupLimit."""
+    from serverless_datalake_spark.operators.similarity import _as_double
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
+    )
+    c = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("ce")
+    )
+
+    def sub(col, i):
+        return F.slice(col, i * _MS_DIM + 1, _MS_DIM)
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    def nrm(a):
+        return F.sqrt(
+            F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+        )
+
+    def cos_ij(i, j):
+        a, b = sub(F.col("qe"), i), sub(F.col("ce"), j)
+        return dot(a, b) / (nrm(a) * nrm(b))
+
+    def best_for_chunk(i):
+        return F.round(
+            F.array_max(F.array(*[cos_ij(i, j) for j in range(_MS_SUBS)])), 6
+        )
+
+    score = best_for_chunk(0)
+    for i in range(1, _MS_SUBS):
+        score = score + best_for_chunk(i)
+
+    scored = q.crossJoin(c).select(
+        "query_id", "corpus_id", F.round(score, 6).alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "corpus_id", "maxsim", F.col("rank").cast("long").alias("rank"))
+    )

@@ -192,3 +192,188 @@ def ts_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("m").cast("long").alias("n_pairs"),
         F.round(F.avg("s"), 6).alias("trend_per_day"),
     )
+
+
+@query(
+    "stats_ks_two_sample",
+    oracle="""
+    WITH pts AS (
+      SELECT l_extendedprice AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END AS g2
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), per_v AS (
+      SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+      FROM pts GROUP BY v
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2
+      FROM per_v
+    ), ecdf AS (
+      SELECT v,
+             SUM(c1) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS a1,
+             SUM(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS a2
+      FROM per_v
+    ), diffs AS (
+      SELECT ABS(CAST(a1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(a2 AS DOUBLE) / CAST(n2 AS DOUBLE)) AS d
+      FROM ecdf CROSS JOIN tot
+    )
+    SELECT tot.n1, tot.n2,
+           ROUND(MAX(d), 6) AS d_stat,
+           ROUND(1.358 * SQRT((CAST(tot.n1 AS DOUBLE) + CAST(tot.n2 AS DOUBLE))
+                 / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE))), 6) AS d_crit_05,
+           CAST(CASE WHEN MAX(d) > 1.358 * SQRT((CAST(tot.n1 AS DOUBLE)
+                          + CAST(tot.n2 AS DOUBLE))
+                          / (CAST(tot.n1 AS DOUBLE) * CAST(tot.n2 AS DOUBLE)))
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM diffs CROSS JOIN tot
+    GROUP BY tot.n1, tot.n2
+    """,
+    tags=("stats", "ks-test"),
+)
+def stats_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between the returned ('R')
+    and acknowledged ('A') price distributions: D = max |ECDF₁ − ECDF₂|
+    evaluated at every distinct value, with the large-sample 5%
+    critical value 1.358·√((n₁+n₂)/(n₁n₂)) — the standard
+    distribution-drift gate a data-quality monitor runs between a
+    reference window and today's batch.
+
+    Exactness: ECDF numerators are integer cumulative counts over the
+    per-VALUE aggregated relation (ties collapse before the window, so
+    both ECDFs step at the value's last occurrence — the correct KS
+    evaluation points); each |F₁−F₂| is two exact-integer divisions;
+    MAX over identical double sets is order-free.
+
+    Scale shape: one hash aggregate to distinct-value grain (map-side
+    partials absorb duplicate prices), then a window over the
+    value-grain relation — the same aggregate-before-window discipline
+    as ts_resample. At 100 TB the distinct-value relation is what you
+    bin first (equi-width pre-binning bounds it) — the documented
+    production twin of every exact-order-statistic query here."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    per_v = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("c1"),
+        F.sum((F.col("l_returnflag") == "A").cast("long")).cast("long").alias("c2"),
+    )
+    tot = per_v.agg(
+        F.sum("c1").cast("long").alias("n1"), F.sum("c2").cast("long").alias("n2")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = per_v.select(
+        "v", F.sum("c1").over(w).alias("a1"), F.sum("c2").over(w).alias("a2")
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    diffs = ecdf.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.abs(
+            F.col("a1").cast("double") / n1d - F.col("a2").cast("double") / n2d
+        ).alias("d"),
+    )
+    crit = F.round(F.lit(1.358) * F.sqrt((n1d + n2d) / (n1d * n2d)), 6)
+    return diffs.groupBy("n1", "n2").agg(
+        F.round(F.max("d"), 6).alias("d_stat"),
+        crit.alias("d_crit_05"),
+        F.when(
+            F.max("d") > F.lit(1.358) * F.sqrt((n1d + n2d) / (n1d * n2d)), 1
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_05"),
+    )
+
+
+@query(
+    "stats_chi_square",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ), rt AS (
+      SELECT s, CAST(SUM(o) AS BIGINT) AS rs FROM obs GROUP BY 1
+    ), ct AS (
+      SELECT p, CAST(SUM(o) AS BIGINT) AS cs FROM obs GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n FROM obs
+    ), cells AS (
+      SELECT r.s, c.p,
+             COALESCE(obs.o, 0) AS o,
+             CAST(r.rs AS DOUBLE) * CAST(c.cs AS DOUBLE) / CAST(n.n AS DOUBLE) AS e
+      FROM rt r CROSS JOIN ct c CROSS JOIN n
+      LEFT JOIN obs ON obs.s = r.s AND obs.p = c.p
+    ), contrib AS (
+      SELECT s, p,
+             ROUND((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e, 8) AS x2
+      FROM cells
+    ), dims AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rt) AS n_rows,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM ct) AS n_cols
+    )
+    SELECT ROUND(list_aggregate(list(x2 ORDER BY s, p), 'sum'), 6) AS chi2,
+           (dims.n_rows - 1) * (dims.n_cols - 1) AS dof,
+           dims.n_rows, dims.n_cols
+    FROM contrib CROSS JOIN dims
+    GROUP BY dims.n_rows, dims.n_cols
+    """,
+    tags=("stats", "chi-square"),
+)
+def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test over the order-status ×
+    order-priority contingency table (statistic + degrees of freedom;
+    the categorical-drift / feature-dependence screen). Expected
+    counts include structurally-zero cells (row×col grid LEFT JOIN
+    observed, COALESCE 0) — dropping them understates the statistic.
+
+    Exactness: observed/marginal counts are integers; each cell's
+    (o−e)²/e is a fixed double expression rounded at 8; the cell sum
+    is an ORDERED fold over the (status, priority)-sorted cell list
+    (the text_kl_divergence discipline), so both engines add identical
+    doubles in identical order.
+
+    Scale shape: everything after the first hash aggregate is
+    contingency-grain (|statuses|×|priorities| rows); the grid build
+    is a broadcast cross join of two marginal relations. Fact rows are
+    touched exactly once."""
+    o = load_table(spark, sf_dir, "orders")
+    obs = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("s").agg(F.sum("o").cast("long").alias("rs"))
+    ct = obs.groupBy("p").agg(F.sum("o").cast("long").alias("cs"))
+    n = obs.agg(F.sum("o").cast("long").alias("n"))
+    grid = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(n))
+    cells = grid.join(obs, ["s", "p"], "left").select(
+        "s",
+        "p",
+        F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+        (
+            F.col("rs").cast("double")
+            * F.col("cs").cast("double")
+            / F.col("n").cast("double")
+        ).alias("e"),
+    )
+    od = F.col("o").cast("double")
+    contrib = cells.select(
+        "s", "p", F.round((od - F.col("e")) * (od - F.col("e")) / F.col("e"), 8).alias("x2")
+    )
+    dims = rt.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).crossJoin(
+        ct.agg(F.count(F.lit(1)).cast("long").alias("n_cols"))
+    )
+    arr = F.array_sort(F.collect_list(F.struct("s", "p", "x2")))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["x2"]), F.lit(0.0), lambda a, x: a + x
+    )
+    return (
+        contrib.agg(F.round(folded, 6).alias("chi2"))
+        .crossJoin(F.broadcast(dims))
+        .select(
+            "chi2",
+            ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
+            "n_rows",
+            "n_cols",
+        )
+    )
