@@ -76,6 +76,13 @@ HEADLINE = [
     "graph_pagerank",
     "market_basket_rules",
     "pipeline_llm_curation2",
+    # this-session additions: lexical+hybrid retrieval, runtime bloom
+    # join pruning, sweep-line concurrency, late-interaction scoring
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "join_bloom_prefilter",
+    "ts_concurrency_sweep",
+    "sim_maxsim_late_interaction",
 ]
 
 

@@ -424,19 +424,32 @@ _MS_SUBS = 8   # 64-dim vectors → 8 sub-vectors of 8 dims
 _MS_DIM = 8
 
 
-def _maxsim_oracle() -> str:
-    """Sub-vector cosine: list_slice picks the 8-dim chunk; the inner
-    max is over doc chunks, the outer sum folds query chunks in index
-    order (sequential list_aggregate, the house fold pairing)."""
-    def cos(a_slice: str, b_slice: str) -> str:
-        return f"""(
-      list_aggregate(list_transform(list_zip({a_slice}, {b_slice}),
-                     p -> p[1] * p[2]), 'sum')
-      / (SQRT(list_aggregate(list_transform({a_slice}, x -> x * x), 'sum'))
-         * SQRT(list_aggregate(list_transform({b_slice}, x -> x * x), 'sum'))))"""
 
-    qs = f"list_slice(q.emb, i * {_MS_DIM} + 1, i * {_MS_DIM} + {_MS_DIM})"
-    ds = f"list_slice(c.emb, j * {_MS_DIM} + 1, j * {_MS_DIM} + {_MS_DIM})"
+_MS_DEPTH = 50  # rerank depth: MaxSim runs on the pooled-cosine
+                # shortlist, never the corpus (the two-stage pattern)
+
+
+def _maxsim_oracle() -> str:
+    """Stage 1 mirrors the pooled single-vector cosine shortlist
+    (rank ≤ depth per query); stage 2 computes MaxSim only on the
+    shortlist pairs. Chunk lists and norms are precomputed per side of
+    the surviving pair (the Spark factoring); the pair expression is
+    dot/(na·nb) — the house cosine arithmetic unchanged."""
+    def chunks(col):
+        s = f"list_slice({col}, i * {_MS_DIM} + 1, i * {_MS_DIM} + {_MS_DIM})"
+        return (
+            f"list_transform(range({_MS_SUBS}), i -> {s})",
+            f"list_transform(range({_MS_SUBS}), i -> "
+            f"SQRT(list_aggregate(list_transform({s}, x -> x * x), 'sum')))",
+        )
+
+    qc, qn = chunks("s.qemb")
+    cc, cn = chunks("s.cemb")
+    pooled = _COS_AB.format(a="q.emb", b="c.emb")
+    pair = """(
+      list_aggregate(list_transform(list_zip(qc[i + 1], cc[j + 1]),
+                     p -> p[1] * p[2]), 'sum')
+      / (qn[i + 1] * cn[j + 1]))"""
     return f"""
     WITH q AS (
       SELECT vec_id AS query_id,
@@ -446,54 +459,66 @@ def _maxsim_oracle() -> str:
       SELECT vec_id AS corpus_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
       FROM embeddings WHERE vec_id >= 10
+    ), pooled AS (
+      SELECT q.query_id, c.corpus_id, q.emb AS qemb, c.emb AS cemb,
+             ROUND({pooled}, 6) AS pooled_cos
+      FROM q CROSS JOIN c
+    ), shortlist AS (
+      SELECT * FROM (
+        SELECT query_id, corpus_id, qemb, cemb, pooled_cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY pooled_cos DESC, corpus_id) AS rk
+        FROM pooled
+      ) WHERE rk <= {_MS_DEPTH}
+    ), chunked AS (
+      SELECT s.query_id, s.corpus_id, s.pooled_cos,
+             {qc} AS qc, {qn} AS qn, {cc} AS cc, {cn} AS cn
+      FROM shortlist s
     ), scored AS (
-      SELECT q.query_id, c.corpus_id,
+      SELECT query_id, corpus_id, pooled_cos,
              ROUND(list_aggregate(list_transform(range({_MS_SUBS}), i ->
                ROUND(list_aggregate(list_transform(range({_MS_SUBS}), j ->
-                 {cos(qs, ds)}), 'max'), 6)), 'sum'), 6) AS maxsim
-      FROM q CROSS JOIN c
+                 {pair}), 'max'), 6)), 'sum'), 6) AS maxsim
+      FROM chunked
     ), ranked AS (
-      SELECT query_id, corpus_id, maxsim,
+      SELECT query_id, corpus_id, pooled_cos, maxsim,
              ROW_NUMBER() OVER (PARTITION BY query_id
                                 ORDER BY maxsim DESC, corpus_id) AS rank
       FROM scored
     )
-    SELECT query_id, corpus_id, maxsim, rank FROM ranked WHERE rank <= 5
+    SELECT query_id, corpus_id, pooled_cos, maxsim, rank
+    FROM ranked WHERE rank <= 5
     """
 
 
 @query("sim_maxsim_late_interaction", oracle=_maxsim_oracle(),
        tags=("llm", "retrieval", "maxsim", "colbert"))
 def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ColBERT-style late-interaction scoring: treat each 64-dim
-    vector as 8 token-level sub-vectors of 8 dims; the score is
-    Σ_i max_j cos(q_i, d_j) — each query token matches its best
-    document token instead of collapsing both sides to one pooled
-    vector (the retrieval-quality jump MaxSim buys over single-vector
-    cosine). Top-5 per query over the corpus split.
+    """ColBERT-style late-interaction re-ranking, two-stage exactly as
+    production runs it: stage 1 shortlists the pooled single-vector
+    cosine top-50 per query (the cheap pass — at fleet scale this is
+    the ANN probe, sim_topk_lsh_indexed); stage 2 scores only the
+    shortlist with MaxSim — treat each 64-dim vector as 8 token-level
+    sub-vectors of 8 dims, score = Σ_i max_j cos(q_i, d_j) (every
+    query token matches its best document token; the quality jump
+    late interaction buys over pooled cosine). Final top-5 per query.
 
-    Exactness: each sub-cosine is the house zip-fold; the inner MAX is
-    order-free on identical doubles, rounded at 6; the outer sum folds
-    query-chunk index order sequentially (both engines), rounded at 6.
+    Exactness: pooled cosine and each sub-cosine are the house
+    zip-fold dot/(na·nb); inner MAX is order-free on identical
+    doubles, rounded at 6; the outer sum folds chunk index order
+    sequentially; every rank has a total (score DESC, id) tie-break.
 
-    Scale shape: scoring is a map-only expression over the probe ×
-    corpus pair relation — here a broadcast cross join (5 probes);
-    production MaxSim prunes candidates with a single-vector ANN probe
-    first (sim_topk_lsh_indexed) and late-interacts only the
-    shortlist, exactly the sim_topk_ivfpq_rerank two-stage pattern;
-    per-group top-5 plans as WindowGroupLimit."""
+    Scale shape: stage-1 cost is the ANN family's problem (here a
+    broadcast probe scan with a per-query WindowGroupLimit); stage-2
+    work is |queries|·depth pairs — independent of corpus size, the
+    whole point of reranking a shortlist. Chunk lists and norms are
+    projected ONCE per surviving pair side, so the pair expression is
+    64 small dots, not 64 norm recomputations; HOF expressions are
+    interpreted (not codegen), which is why bounding the pair count
+    matters."""
     from serverless_datalake_spark.operators.similarity import _as_double
 
     em = load_table(spark, sf_dir, "embeddings")
-    q = em.where(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qe")
-    )
-    c = em.where(F.col("vec_id") >= 10).select(
-        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("ce")
-    )
-
-    def sub(col, i):
-        return F.slice(col, i * _MS_DIM + 1, _MS_DIM)
 
     def dot(a, b):
         return F.aggregate(
@@ -505,25 +530,77 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
         )
 
-    def cos_ij(i, j):
-        a, b = sub(F.col("qe"), i), sub(F.col("ce"), j)
-        return dot(a, b) / (nrm(a) * nrm(b))
+    def sub(col, i):
+        return F.slice(col, i * _MS_DIM + 1, _MS_DIM)
 
-    def best_for_chunk(i):
-        return F.round(
-            F.array_max(F.array(*[cos_ij(i, j) for j in range(_MS_SUBS)])), 6
+    q = em.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qemb")
+    )
+    c = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("cemb")
+    )
+    # the rank window must carry only (ids, score) — embeddings ride
+    # along as point re-reads AFTER the depth cut (the
+    # sim_topk_ivfpq_rerank discipline: no corpus-wide shuffle of
+    # vector payloads)
+    pooled = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        F.round(
+            dot(F.col("qemb"), F.col("cemb"))
+            / (nrm(F.col("qemb")) * nrm(F.col("cemb"))),
+            6,
+        ).alias("pooled_cos"),
+    )
+    sw = Window.partitionBy("query_id").orderBy(F.col("pooled_cos").desc(), "corpus_id")
+    ids = (
+        pooled.withColumn("rk", F.row_number().over(sw))
+        .where(F.col("rk") <= _MS_DEPTH)
+        .drop("rk")
+    )
+    shortlist = ids.join(F.broadcast(q), "query_id").join(c, "corpus_id")
+
+    # The MaxSim expression references BOTH join sides, so Catalyst
+    # cannot push any of it below the join — it runs on exactly
+    # |queries|·depth rows. (A per-side chunk/norm PROJECTION here
+    # would be pushed onto the full corpus scan — measured 5× slower.)
+    # The 64-pair fold ships as ONE F.expr string (the _hyperplanes
+    # precedent): building it as nested Column objects costs ~8 s of
+    # py4j round-trips PER PLAN — the string parses JVM-side in ms.
+    def s_slice(col: str, k: int) -> str:
+        return f"slice({col}, {k * _MS_DIM + 1}, {_MS_DIM})"
+
+    def s_dot(a: str, b: str) -> str:
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
 
-    score = best_for_chunk(0)
-    for i in range(1, _MS_SUBS):
-        score = score + best_for_chunk(i)
+    def s_nrm(a: str) -> str:
+        return (
+            f"sqrt(aggregate(transform({a}, x -> x * x), "
+            f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+        )
 
-    scored = q.crossJoin(c).select(
-        "query_id", "corpus_id", F.round(score, 6).alias("maxsim")
+    def s_cos(i: int, j: int) -> str:
+        a, b = s_slice("qemb", i), s_slice("cemb", j)
+        return f"({s_dot(a, b)} / ({s_nrm(a)} * {s_nrm(b)}))"
+
+    chunk_terms = [
+        f"round(array_max(array({', '.join(s_cos(i, j) for j in range(_MS_SUBS))})), 6)"
+        for i in range(_MS_SUBS)
+    ]
+    score = F.expr(f"round({' + '.join(chunk_terms)}, 6)")
+
+    scored = shortlist.select(
+        "query_id", "corpus_id", "pooled_cos", score.alias("maxsim")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("maxsim").desc(), "corpus_id")
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 5)
-        .select("query_id", "corpus_id", "maxsim", F.col("rank").cast("long").alias("rank"))
+        .select(
+            "query_id", "corpus_id", "pooled_cos", "maxsim",
+            F.col("rank").cast("long").alias("rank"),
+        )
     )

@@ -365,9 +365,10 @@ def test_bloom_prefilter_is_map_side_before_join(spark, sf_dir):
     join shuffle); bitset and dim sides broadcast; no sort-merge."""
     plan = final_plan_of(spark, sf_dir, "join_bloom_prefilter")
     assert "SortMergeJoin" not in plan
-    assert "array_except" in plan  # the membership predicate survived
-    # membership is a filter, not a join condition: the probe join is
-    # a plain equi-join on l_orderkey afterwards
+    # the packed-bitset membership predicate (word fetch + bit test)
+    # survived as a Filter, not a join condition
+    assert "shiftleft" in plan and "element_at" in plan
+    # the probe join is a plain equi-join on l_orderkey afterwards
     assert plan.count("BroadcastHashJoin") >= 1
     assert "CartesianProduct" not in plan
 
