@@ -53,10 +53,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     then removes Bloom false positives, so the result equals the plain
     join (the oracle) by construction.
 
-    Scale shape: the bitset is ONE 1-row broadcast relation (sorted
-    set-bit array) built from the key side with a hash aggregate —
-    at production sizing ~10 bits/key, a 100M-key dim is a ~125 MB
-    bitset, broadcast once. The fact scan then drops non-matching rows
+    Scale shape: the bitset is ONE 1-row broadcast relation (64-bit
+    packed words) built from the key side with a hash aggregate — at
+    production sizing ~10 bits/key, a 100M-key dim is a ~125 MB
+    bitset, broadcast once; membership is O(1) per probe (word fetch +
+    bit mask). The fact scan then drops non-matching rows
     MAP-SIDE — before the join shuffle — which is the whole point: at
     100 TB the shuffle of non-qualifying fact rows, not the join CPU,
     is the bottleneck a runtime filter exists to kill. Join sides that
@@ -312,3 +313,94 @@ def scan_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sq").cast("long").alias("sum_sq"),
         F.max("id").cast("long").alias("max_id"),
     )
+
+
+@query(
+    "txlog_time_travel",
+    oracle="""
+    WITH o0 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 0
+    ), o1 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 3 = 1
+    ), up AS (
+      SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM o0
+    )
+    SELECT 'v0' AS snapshot, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM o0
+    UNION ALL
+    SELECT 'v1', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+    FROM (SELECT * FROM o0 UNION ALL SELECT * FROM o1)
+    UNION ALL
+    SELECT 'v2', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+    FROM (SELECT * FROM o1 UNION ALL SELECT * FROM up)
+    UNION ALL
+    SELECT 'cdc_insert', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+    FROM up
+    UNION ALL
+    SELECT 'cdc_delete', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+    FROM o0
+    """,
+    tags=("lakehouse", "txlog", "time-travel"),
+)
+def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transaction-log time travel + change feed, driver-checkable
+    end-to-end: build a fresh txlog table (sources/txlog.py — the
+    repo's Delta-style commit protocol on plain parquet) with three
+    commits (append v0, append v1, copy-on-write MERGE v2 doubling
+    v0's prices), then read every snapshot BY VERSION plus the v1→v2
+    change feed. The oracle recomputes each snapshot's aggregate from
+    the source relation — equality proves snapshot isolation (v0/v1
+    unchanged after the merge), atomic multi-file visibility, and CDC
+    multiset semantics (updates appear as delete+insert pairs).
+
+    Scale shape: every snapshot read lists files from the log (no
+    directory scans), so time travel costs one metadata pass; the
+    merge rewrite is the copy-on-write path whose file-pruned twin is
+    documented at txlog.py:185. Aggregates use integer cents (the
+    agg_pricing_summary discipline); ×2 is exact in IEEE."""
+    import uuid as _uuid
+
+    from serverless_datalake_spark.sources.txlog import (
+        txlog_changes,
+        txlog_read,
+        txlog_upsert,
+        txlog_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    path = os.path.join(
+        tempfile.gettempdir(), f"sdlspark_tt_{_uuid.uuid4().hex[:12]}"
+    )
+    v0 = txlog_write(o.where(F.col("o_orderkey") % 3 == 0), path)
+    v1 = txlog_write(o.where(F.col("o_orderkey") % 3 == 1), path)
+    updates = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    v2 = txlog_upsert(spark, path, updates, key="o_orderkey")
+
+    cents = F.round(F.col("o_totalprice") * 100.0, 0).cast("long")
+
+    def snap(label: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("snapshot"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(cents).cast("long").alias("cents"),
+        ).select("snapshot", "n_rows", "cents")
+
+    cdc = txlog_changes(spark, path, from_version=v1, to_version=v2)
+    parts = [
+        snap("v0", txlog_read(spark, path, v0)),
+        snap("v1", txlog_read(spark, path, v1)),
+        snap("v2", txlog_read(spark, path, v2)),
+        snap("cdc_insert", cdc.where(F.col("op") == "insert")),
+        snap("cdc_delete", cdc.where(F.col("op") == "delete")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
