@@ -1019,3 +1019,49 @@ def validate_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFram
             audit("customer.c_nationkey -> nation", c, "c_nationkey", n, "n_nationkey")
         )
     )
+
+
+@query(
+    "split_time_embargo",
+    oracle="""
+    WITH b AS (
+      SELECT event_id, ts,
+             CASE WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'train'
+                  WHEN ts >= TIMESTAMP '2024-01-22 00:00:00' THEN 'test'
+                  ELSE 'embargoed' END AS split
+      FROM events
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(event_id) AS BIGINT) AS min_id,
+           CAST(MAX(event_id) AS BIGINT) AS max_id
+    FROM b GROUP BY 1
+    """,
+    tags=("datapipe", "split", "temporal"),
+)
+def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split with an EMBARGO gap (2 days between
+    the train cutoff and the test start): rows inside the gap are
+    quarantined so that leakage through temporally-correlated
+    features (sessions, rolling aggregates, label look-ahead) cannot
+    straddle the boundary — the purged/embargoed split from
+    time-series ML, the correct alternative to a random split whenever
+    rows are not exchangeable over time.
+
+    Scale shape: one map-only CASE over the scan (the timestamp
+    predicate pushes to the parquet reader for the train/test
+    branches); counts partial-aggregate. Deterministic by
+    construction — no hashing involved at all."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    test_start = F.lit("2024-01-22 00:00:00").cast("timestamp")
+    split = (
+        F.when(F.col("ts") < cutoff, "train")
+        .when(F.col("ts") >= test_start, "test")
+        .otherwise("embargoed")
+    )
+    return ev.select("event_id", split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").cast("long").alias("min_id"),
+        F.max("event_id").cast("long").alias("max_id"),
+    )

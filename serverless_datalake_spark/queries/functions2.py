@@ -439,3 +439,90 @@ def fn_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ascii(F.substring(F.col("text"), 1, 1)).alias("first_cp"),
         F.expr("chr(CAST(doc_id % 26 + 65 AS INT))").alias("bucket_letter"),
     )
+
+
+@query(
+    "fn_url_parse",
+    oracle="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           'lang=' || lang || '&sz=' || CAST(n_chars AS VARCHAR) AS query,
+           lang AS lang_param
+    FROM documents WHERE doc_id % 7 = 0
+    """,
+    tags=("fn", "url"),
+)
+def fn_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """parse_url — Spark's structured URL accessor (HOST / PATH /
+    QUERY / single query-parameter extraction), run against URLs
+    constructed from fixture columns. The oracle assembles each
+    expected component directly from the same columns, so equality
+    proves parse_url's decomposition on well-formed URLs without
+    DuckDB needing a URL parser.
+
+    Scale: map-only projection; at 100 TB this is the canonical
+    crawl-log normalization step (dedup_url_canonical is the
+    regexp-based sibling for MALFORMED urls — parse_url returns NULL
+    there, which is why both exist)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&sz="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY")).alias("query"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@query(
+    "fn_aes_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_roundtrip_ok,
+           CAST(SUM(length(text)) AS BIGINT) AS plain_chars,
+           CAST(SUM(16 * (FLOOR(length(text) / 16) + 1)) AS BIGINT) AS cipher_bytes
+    FROM documents
+    """,
+    tags=("fn", "crypto"),
+)
+def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aes_encrypt / aes_decrypt round-trip (AES-128-ECB — the
+    deterministic mode; GCM salts a random IV per call and can never
+    be oracle-checked) over the document corpus: every plaintext must
+    survive the round-trip byte-identically, and every ciphertext must
+    have the PKCS#7 length 16·(⌊len/16⌋+1), which the oracle computes
+    arithmetically — DuckDB needs no AES at all.
+
+    The column-level crypto pair is the engine surface for
+    application-managed field encryption (the PII family's
+    complement: pii_redact destroys, this protects reversibly with a
+    key). ECB determinism is also what makes encrypted columns
+    JOINABLE — the reason production systems accept its weaker
+    secrecy for join keys.
+
+    Scale: map-only projection; JVM-side Cipher, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    key = F.lit("0123456789abcdef")
+    enc = F.aes_encrypt(F.col("text"), key, F.lit("ECB"))
+    dec = F.aes_decrypt(enc, key, F.lit("ECB")).cast("string")
+    return d.select(
+        F.length("text").alias("plen"),
+        F.length(enc.cast("binary")).alias("clen"),
+        (dec == F.col("text")).cast("long").alias("ok"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ok").cast("long").alias("n_roundtrip_ok"),
+        F.sum("plen").cast("long").alias("plain_chars"),
+        F.sum("clen").cast("long").alias("cipher_bytes"),
+    )

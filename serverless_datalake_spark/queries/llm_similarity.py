@@ -1280,3 +1280,79 @@ def sim_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("src", "dst", F.round("score", 6).alias("score"), F.col("rank").cast("long"))
     )
+
+
+@query(
+    "sample_hard_negatives",
+    oracle=f"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, label AS anchor_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id < 20
+    ), c AS (
+      SELECT vec_id AS corpus_id, label AS neg_label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 20
+    ), scored AS (
+      SELECT a.anchor_id, a.anchor_label, c.corpus_id, c.neg_label,
+             ROUND(
+      list_aggregate(list_transform(list_zip(a.emb, c.emb), p -> p[1] * p[2]), 'sum')
+      / (SQRT(list_aggregate(list_transform(a.emb, x -> x * x), 'sum'))
+         * SQRT(list_aggregate(list_transform(c.emb, x -> x * x), 'sum'))), 6) AS cos
+      FROM a JOIN c ON a.anchor_label <> c.neg_label
+    ), ranked AS (
+      SELECT anchor_id, anchor_label, corpus_id, neg_label, cos,
+             ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                ORDER BY cos DESC, corpus_id) AS rank
+      FROM scored
+    )
+    SELECT anchor_id, anchor_label, corpus_id, neg_label, cos, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("llm", "similarity", "contrastive", "mining"),
+)
+def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    vector, the top-3 most-similar vectors carrying a DIFFERENT label
+    — the near-miss examples that make embedding models learn
+    boundaries (random negatives are trivially separable; hard ones
+    drive the loss). The label inequality is the join predicate, so
+    positives never enter the candidate relation at all.
+
+    Scale shape: anchors broadcast over the corpus scan (mining runs
+    anchor-batch × corpus, the same probe shape as the ANN family —
+    at fleet scale the corpus side is the LSH/IVF-pruned candidate
+    stream, sim_knn_graph_blocked's blocking applied per batch);
+    per-anchor top-3 plans as WindowGroupLimit. The house cosine fold
+    keeps the oracle bit-exact."""
+    em = load_table(spark, sf_dir, "embeddings")
+    a = em.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("aemb"),
+    )
+    c = em.where(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("corpus_id"),
+        F.col("label").alias("neg_label"),
+        F.col("embedding").alias("cemb"),
+    )
+    from serverless_datalake_spark.operators.similarity import cosine
+
+    scored = c.join(
+        F.broadcast(a), F.col("anchor_label") != F.col("neg_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        "corpus_id",
+        "neg_label",
+        F.round(cosine(F.col("aemb"), F.col("cemb")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos").desc(), "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(
+            "anchor_id", "anchor_label", "corpus_id", "neg_label", "cos",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

@@ -353,3 +353,50 @@ def sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) WHERE grain <> 1
         """
     )
+
+
+@query(
+    "sql_unpivot_syntax",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority,
+             CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+             CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+      FROM orders GROUP BY 1
+    )
+    SELECT o_orderpriority, 'n_open' AS status_col, n_open AS n FROM s
+    UNION ALL
+    SELECT o_orderpriority, 'n_filled', n_filled FROM s
+    UNION ALL
+    SELECT o_orderpriority, 'n_pending', n_pending FROM s
+    """,
+    tags=("sql", "unpivot"),
+)
+def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-dialect UNPIVOT clause (Spark 3.4+ parser syntax —
+    reshape_unpivot covers the DataFrame `unpivot()` API; this covers
+    the `FROM ... UNPIVOT (val FOR col IN (...))` parser path),
+    widening a per-status count matrix back to long form. The oracle
+    spells the same relation as the UNION ALL it desugars to.
+
+    Scale: UNPIVOT compiles to Expand (one pass emitting N rows per
+    input row) over the already-aggregated relation — no join, no
+    extra shuffle; the wide aggregate beneath is one partial-agg
+    pass over orders."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority, status_col, n
+        FROM (
+          SELECT o_orderpriority,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+                 CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+          FROM orders GROUP BY o_orderpriority
+        )
+        UNPIVOT (
+          n FOR status_col IN (n_open, n_filled, n_pending)
+        )
+        """
+    )
