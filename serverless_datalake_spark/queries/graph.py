@@ -512,3 +512,91 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "graph_bfs_levels",
+    oracle="""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), seed AS (
+      SELECT MIN(src) AS s FROM und
+    ), l0 AS (
+      SELECT s AS node FROM seed
+    ), l1 AS (
+      SELECT DISTINCT u.dst AS node FROM und u JOIN l0 ON u.src = l0.node
+      WHERE u.dst NOT IN (SELECT node FROM l0)
+    ), l2 AS (
+      SELECT DISTINCT u.dst AS node FROM und u JOIN l1 ON u.src = l1.node
+      WHERE u.dst NOT IN (SELECT node FROM l0)
+        AND u.dst NOT IN (SELECT node FROM l1)
+    ), l3 AS (
+      SELECT DISTINCT u.dst AS node FROM und u JOIN l2 ON u.src = l2.node
+      WHERE u.dst NOT IN (SELECT node FROM l0)
+        AND u.dst NOT IN (SELECT node FROM l1)
+        AND u.dst NOT IN (SELECT node FROM l2)
+    ), levels AS (
+      SELECT 0 AS lvl, node FROM l0
+      UNION ALL SELECT 1, node FROM l1
+      UNION ALL SELECT 2, node FROM l2
+      UNION ALL SELECT 3, node FROM l3
+    )
+    SELECT CAST(lvl AS BIGINT) AS lvl,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM levels GROUP BY 1
+    """,
+    tags=("graph", "bfs"),
+)
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search over the part co-purchase graph:
+    hop-distance levels 0–3 from a deterministic seed (the minimum
+    node id), reported as per-level frontier summaries — the
+    neighborhood-expansion primitive behind "within N hops"
+    recommendations and blast-radius queries.
+
+    Scale shape: the canonical distributed BFS — each level is ONE
+    hash join of the frontier against the (cached) edge relation plus
+    an anti-join against the visited set; the frontier and visited
+    relations are node-sized and broadcast, edges are the only
+    data-sized relation (bucketed by src at fleet scale, the pagerank
+    layout). Levels are unrolled to a fixed depth like pagerank's
+    iterations, keeping the plan static."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pl.select("o", F.col("p").alias("src"))
+    b = pl.select("o", F.col("p").alias("dst"))
+    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    (und,) = _retire_and_cache(("bfs", sf_dir), [und])
+    und.count()  # one materialization feeds all three expansions
+
+    seed = und.agg(F.min("src").alias("node"))
+    levels = [seed.select(F.col("node"), F.lit(0).alias("lvl"))]
+    visited = levels[0].select("node")
+    for h in (1, 2, 3):
+        frontier = levels[-1].select(F.col("node").alias("f"))
+        nxt = (
+            und.join(F.broadcast(frontier), und["src"] == F.col("f"))
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited), "node", "left_anti")
+        )
+        levels.append(nxt.select("node", F.lit(h).alias("lvl")))
+        visited = visited.unionAll(nxt.select("node"))
+    out = levels[0]
+    for df in levels[1:]:
+        out = out.unionAll(df)
+    return out.groupBy(F.col("lvl").cast("long").alias("lvl")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )

@@ -404,3 +404,55 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+@query(
+    "matview_incremental_refresh",
+    oracle="""
+    WITH s1 AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 0
+    ), s2 AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 4 = 1
+    ), both_s AS (
+      SELECT * FROM s1 UNION ALL SELECT * FROM s2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_units
+    FROM both_s GROUP BY 1
+    """,
+    tags=("lakehouse", "matview", "incremental"),
+)
+def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance, driver-checkable:
+    build an aggregate view over a txlog table's first commit, append
+    a second commit, then INCREMENTALLY refresh (sources/matview.py
+    reads only the file-level delta between the stamped and head
+    source versions, aggregates it with +1 weights, merges group-wise)
+    and return the refreshed view. The oracle aggregates BOTH source
+    slices from scratch — equality proves refreshed == rebuilt, the
+    defining invariant of incremental view maintenance.
+
+    Scale shape: refresh cost is O(delta files), not O(table) — the
+    reference's catalog-append (R9, event_recorder writing the index
+    row per landed object) generalized to arbitrary group-by views;
+    merge shuffles only group-key-sized relations. Integer-cents units
+    make the ±1-weighted merge exact under any partitioning."""
+    import uuid as _uuid
+
+    from serverless_datalake_spark.sources.matview import mv_build, mv_refresh
+    from serverless_datalake_spark.sources.txlog import txlog_read, txlog_write
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+    base = os.path.join(tempfile.gettempdir(), f"sdlspark_mv_{_uuid.uuid4().hex[:12]}")
+    src, mv = os.path.join(base, "src"), os.path.join(base, "mv")
+    unit = F.round(F.col("o_totalprice") * 100.0, 0)
+    txlog_write(o.where(F.col("o_orderkey") % 4 == 0), src)
+    mv_build(spark, src, mv, keys=["o_orderpriority"], unit=unit)
+    txlog_write(o.where(F.col("o_orderkey") % 4 == 1), src)
+    mv_refresh(spark, src, mv, keys=["o_orderpriority"], unit=unit)
+    return txlog_read(spark, mv).select("o_orderpriority", "n_rows", "sum_units")

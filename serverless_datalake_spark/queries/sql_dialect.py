@@ -400,3 +400,39 @@ def sql_unpivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@query(
+    "sql_parameterized_query",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderkey % 5 = 0
+    GROUP BY 1
+    """,
+    tags=("sql", "parameterized"),
+)
+def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (Spark 3.4+/4 named parameter markers —
+    `spark.sql(query, args={...})`): the injection-safe way to
+    template queries, binding `:minp` and `:modulus` as TYPED
+    literals at parse time rather than string-formatting them in. The
+    oracle inlines the same literal values.
+
+    Scale: parameters are plan-time literals, so pushdown works
+    exactly as with inline constants (the o_totalprice predicate
+    reaches the scan) — unlike string concat, with no quoting hazard."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        WHERE o_totalprice > :minp AND o_orderkey % :modulus = 0
+        GROUP BY o_orderpriority
+        """,
+        args={"minp": 150000.0, "modulus": 5},
+    )

@@ -1066,3 +1066,76 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("running").cast("long").alias("peak_concurrent"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),
     )
+
+
+@query(
+    "ts_rolling_ols_slope",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(FLOOR(EPOCH(date_trunc('hour', ts)) / 3600.0) AS BIGINT)
+               - CAST(FLOOR(EPOCH(TIMESTAMP '2024-01-01 00:00:00') / 3600.0) AS BIGINT)
+               AS t,
+             CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), rolled AS (
+      SELECT t, y,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(t) OVER w AS BIGINT) AS st,
+             CAST(SUM(y) OVER w AS BIGINT) AS sy,
+             CAST(SUM(t * t) OVER w AS BIGINT) AS stt,
+             CAST(SUM(t * y) OVER w AS BIGINT) AS sty
+      FROM grid
+      WINDOW w AS (ORDER BY t ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT t AS hour_idx, n,
+           ROUND(CAST(n * sty - st * sy AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE) / 100.0, 6) AS slope_per_hour
+    FROM rolled WHERE n = 24
+    """,
+    tags=("timeseries", "rolling", "regression"),
+)
+def ts_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour rolling OLS trend: per hour, the least-squares
+    slope of hourly revenue (integer cents) against the hour index —
+    the moving-regression smoother analysts use where a moving average
+    lags and ts_holt_linear's exponential weights are unwanted.
+
+    Exactness: the hour index is RE-BASED to the fixture epoch so
+    every windowed co-moment (Σt, Σt², Σty) is an exact small-integer
+    LONG — the slope's numerator/denominator are exact longs cast to
+    double for ONE division (the agg_correlation_pinned discipline;
+    computing Σt² on raw epoch-hours would lose the cancellation to
+    float round-off).
+
+    Scale shape: the window runs on the aggregated hourly grid
+    (ts_resample discipline — never raw events), with one partial-agg
+    shuffle to grid grain; co-moments are plain windowed sums, so the
+    rolling state is O(1) per row."""
+    ev = load_table(spark, sf_dir, "events")
+    base_h = 473352  # floor(epoch('2024-01-01')/3600), fixture epoch
+    grid = ev.groupBy(
+        (
+            F.floor(F.col("ts").cast("double") / 3600.0).cast("long") - base_h
+        ).alias("t")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).cast("long").alias("y")
+    )
+    w = Window.orderBy("t").rowsBetween(-23, Window.currentRow)
+    rolled = grid.select(
+        "t",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("t").over(w).cast("long").alias("st"),
+        F.sum("y").over(w).cast("long").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).over(w).cast("long").alias("stt"),
+        F.sum(F.col("t") * F.col("y")).over(w).cast("long").alias("sty"),
+    )
+    return rolled.where(F.col("n") == 24).select(
+        F.col("t").alias("hour_idx"),
+        "n",
+        F.round(
+            (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast("double")
+            / F.lit(100.0),
+            6,
+        ).alias("slope_per_hour"),
+    )
