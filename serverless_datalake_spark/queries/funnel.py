@@ -4,7 +4,7 @@ the conversion-ordering queries an event lake exists to answer
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -224,4 +224,115 @@ def events_dau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("dau").cast("double") / F.col("wau").cast("double"), 4
         ).alias("stickiness"),
+    )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id))
+                       > 1800.0 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ), purchases AS (
+      SELECT user_id, session_no, event_id AS purchase_id, ts AS pts
+      FROM sess WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT s.user_id, p.purchase_id, s.event_id AS touch_id, s.event_type
+      FROM sess s
+      JOIN purchases p
+        ON p.user_id = s.user_id AND p.session_no = s.session_no
+       AND (s.ts < p.pts OR (s.ts = p.pts AND s.event_id < p.purchase_id))
+      WHERE s.event_type IN ('click', 'view', 'signup')
+    ), weighted AS (
+      SELECT event_type, purchase_id,
+             CAST(ROUND(1000000.0 / (COUNT(*) OVER (PARTITION BY purchase_id)), 0)
+                  AS BIGINT) AS ppm
+      FROM touches
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(ppm) AS DOUBLE) / 1000000.0, 6) AS credit
+    FROM weighted GROUP BY 1
+    """,
+    tags=("funnel", "attribution"),
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-weight) conversion attribution: every purchase
+    distributes one unit of credit equally across the touchpoint
+    events (click/view/signup) that preceded it IN ITS SESSION —
+    the position-agnostic member of the attribution family (first-
+    touch/last-touch are argmin/argmax specializations of the same
+    touch relation).
+
+    Exactness: per-touch weight 1/n is materialized as integer
+    PARTS-PER-MILLION (ROUND(1e6/n)) so the cross-purchase credit sum
+    is an exact integer under any partitioning — summing raw 1/n
+    doubles would be shuffle-order-dependent (a purchase's credits can
+    be off by ≤1 ppm from exactly 1.0, the documented rounding).
+
+    Scale shape: sessionization is one user-partitioned window; the
+    touch relation joins purchases to their OWN session's rows
+    (co-partitioned on user_id — one shuffle); per-purchase touch
+    counts are a window over the touch relation. Event-time tie-break
+    by event_id keeps the precedence total."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag(F.col("ts")).over(uw)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(lag_ts.isNull(), 1)
+            .when(F.col("ts").cast("double") - lag_ts.cast("double") > 1800.0, 1)
+            .otherwise(0)
+        )
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_no"),
+    )
+    purchases = sess.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("session_no").alias("ps"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = (
+        sess.where(F.col("event_type").isin("click", "view", "signup"))
+        .join(
+            purchases,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("ps") == F.col("session_no"))
+            & (
+                (F.col("ts") < F.col("pts"))
+                | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("purchase_id")))
+            ),
+        )
+        .select("event_type", "purchase_id")
+    )
+    pw = Window.partitionBy("purchase_id")
+    weighted = touches.select(
+        "event_type",
+        F.round(F.lit(1000000.0) / F.count(F.lit(1)).over(pw), 0)
+        .cast("long")
+        .alias("ppm"),
+    )
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("ppm").cast("double") / F.lit(1000000.0), 6).alias("credit"),
     )

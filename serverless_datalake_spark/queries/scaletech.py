@@ -456,3 +456,85 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog_write(o.where(F.col("o_orderkey") % 4 == 1), src)
     mv_refresh(spark, src, mv, keys=["o_orderpriority"], unit=unit)
     return txlog_read(spark, mv).select("o_orderpriority", "n_rows", "sum_units")
+
+
+_GEO_CELL = 0.05
+_GEO_R = 0.03  # radius ≤ cell size ⇒ the 3×3 neighborhood is complete
+
+
+@query(
+    "geo_grid_join",
+    oracle=f"""
+    WITH pts AS (
+      SELECT vec_id AS id,
+             CAST(embedding[1] AS DOUBLE) AS px,
+             CAST(embedding[2] AS DOUBLE) AS py
+      FROM embeddings
+    )
+    SELECT a.id AS a, b.id AS b,
+           ROUND(SQRT((a.px - b.px) * (a.px - b.px)
+                      + (a.py - b.py) * (a.py - b.py)), 6) AS dist
+    FROM pts a JOIN pts b ON a.id < b.id
+    WHERE (a.px - b.px) * (a.px - b.px) + (a.py - b.py) * (a.py - b.py)
+          <= {_GEO_R} * {_GEO_R}
+    """,
+    tags=("join", "spatial", "grid"),
+)
+def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-binned spatial radius join: all point pairs within r of
+    each other, found by hashing points to √-cells of size ≥ r and
+    joining each point's 3×3 cell NEIGHBORHOOD against cell occupants
+    — the standard spatial-join rewrite that turns an all-pairs
+    distance predicate into an equi-join (geohash/H3/S2 cells at
+    production; plain floor-grid here). The oracle is the NAIVE
+    all-pairs distance join, so equality proves the neighborhood
+    expansion loses no boundary-straddling pair — the correctness
+    claim that matters for grid joins.
+
+    Scale shape: 9 bucket keys per point on one side, one on the
+    other; the join shuffles on cell id, so co-located points meet on
+    one executor and the candidate set is bounded by local density ×9
+    instead of n². Exact-distance verify runs only on candidates.
+    Fixture coordinates are two embedding dims (floats → exact
+    doubles)."""
+    em = load_table(spark, sf_dir, "embeddings")
+    pts = em.select(
+        F.col("vec_id").alias("id"),
+        F.element_at(F.col("embedding"), 1).cast("double").alias("px"),
+        F.element_at(F.col("embedding"), 2).cast("double").alias("py"),
+    ).select(
+        "*",
+        F.floor(F.col("px") / _GEO_CELL).cast("long").alias("cx"),
+        F.floor(F.col("py") / _GEO_CELL).cast("long").alias("cy"),
+    )
+    offsets = [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)]
+    probe = pts.select(
+        F.col("id").alias("a"),
+        F.col("px").alias("ax"),
+        F.col("py").alias("ay"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + dx).alias("gx"), (F.col("cy") + dy).alias("gy")
+                    )
+                    for dx, dy in offsets
+                ]
+            )
+        ).alias("g"),
+    ).select("a", "ax", "ay", F.col("g.gx").alias("gx"), F.col("g.gy").alias("gy"))
+    build = pts.select(
+        F.col("id").alias("b"),
+        F.col("px").alias("bx"),
+        F.col("py").alias("by"),
+        F.col("cx").alias("gx"),
+        F.col("cy").alias("gy"),
+    )
+    d2 = (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx")) + (
+        F.col("ay") - F.col("by")
+    ) * (F.col("ay") - F.col("by"))
+    return (
+        probe.join(build, ["gx", "gy"])
+        .where((F.col("a") < F.col("b")) & (d2 <= F.lit(_GEO_R * _GEO_R)))
+        .select("a", "b", F.round(F.sqrt(d2), 6).alias("dist"))
+    )

@@ -436,3 +436,42 @@ def sql_parameterized_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"minp": 150000.0, "modulus": 5},
     )
+
+
+@query(
+    "sql_filter_clause",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+           CAST(COUNT(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_undiscounted,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus = 'O')
+                AS BIGINT) AS qty_open,
+           CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+                AS BIGINT) AS n_taxed_suppliers
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("sql", "filter-clause"),
+)
+def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL:2003 aggregate FILTER clause (`agg(...) FILTER (WHERE
+    p)`) — per-aggregate predicates in one pass, including the
+    FILTER + DISTINCT combination; the declarative spelling of the
+    conditional-aggregation CASE pattern. DuckDB shares the syntax,
+    so the oracle is the literal same query.
+
+    Scale: compiles to the same partial-agg + final-agg plan as
+    CASE-based conditional aggregation — one scan, one shuffle at
+    group grain, no per-predicate passes."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_bulk,
+               CAST(COUNT(*) FILTER (WHERE l_discount = 0.0) AS BIGINT) AS n_undiscounted,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_linestatus = 'O')
+                    AS BIGINT) AS qty_open,
+               CAST(COUNT(DISTINCT l_suppkey) FILTER (WHERE l_tax > 0.04)
+                    AS BIGINT) AS n_taxed_suppliers
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
