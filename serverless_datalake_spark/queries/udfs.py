@@ -310,3 +310,61 @@ def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("disc_e4"),
     )
+
+
+@query(
+    "udtf_dynamic_schema",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 1 THEN toks[1] END AS tok1,
+           CASE WHEN len(toks) >= 2 THEN toks[2] END AS tok2,
+           CASE WHEN len(toks) >= 3 THEN toks[3] END AS tok3,
+           CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM (SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t <> '') AS toks
+          FROM documents WHERE doc_id % 11 = 0)
+    """,
+    tags=("udf", "udtf", "python", "analyze"),
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF #4 — the Spark 4 `analyze()` static method: the
+    UDTF computes its OWN output schema at plan time from the literal
+    argument (k=3 → columns tok1..tok3), the polymorphic-table-
+    function contract (SQL:2016 PTF) that lets one UDTF serve any
+    width without a registry of fixed-schema variants. eval() then
+    yields rows matching the analyzed schema.
+
+    Scale: same execution profile as the other UDTFs (Arrow-batched
+    lateral generator); analyze() runs ONCE at planning, so the
+    dynamic schema costs nothing per row."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import LongType, StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class TokenPrefix:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, k: AnalyzeArgument) -> AnalyzeResult:
+            n = int(k.value)
+            st = StructType()
+            for i in range(n):
+                st = st.add(f"tok{i + 1}", StringType())
+            st = st.add("n_tokens", LongType())
+            return AnalyzeResult(schema=st)
+
+        def eval(self, text: str, k: int):
+            toks = [t for t in (text or "").split(" ") if t]
+            yield tuple(
+                [toks[i] if i < len(toks) else None for i in range(k)] + [len(toks)]
+            )
+
+    spark.udtf.register("token_prefix_udtf", udtf(TokenPrefix))
+    from serverless_datalake_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=("documents",))
+    return spark.sql(
+        """
+        SELECT d.doc_id, t.*
+        FROM documents d, LATERAL token_prefix_udtf(d.text, 3) t
+        WHERE d.doc_id % 11 = 0
+        """
+    )
