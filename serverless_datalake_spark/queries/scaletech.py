@@ -538,3 +538,68 @@ def geo_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("a") < F.col("b")) & (d2 <= F.lit(_GEO_R * _GEO_R)))
         .select("a", "b", F.round(F.sqrt(d2), 6).alias("dist"))
     )
+
+
+@query(
+    "sql_ddl_insert_select",
+    oracle="""
+    WITH src AS (
+      SELECT o_orderpriority, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderstatus <> 'P'
+    )
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cents) AS BIGINT) AS cents
+    FROM src GROUP BY 1, 2
+    """,
+    tags=("sql", "ddl", "catalog"),
+)
+def sql_ddl_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The catalog DDL path: CREATE TABLE ... USING PARQUET
+    PARTITIONED BY, INSERT INTO ... SELECT, then query the catalog
+    table — the managed-table surface (spark_catalog + warehouse dir)
+    as opposed to the path-based reads every other query uses. The
+    oracle recomputes from the source relation, proving the
+    DDL+DML round-trip is lossless and partition-complete.
+
+    Scale shape: INSERT INTO a partitioned table is the same
+    partition-parallel parquet write as the path API plus a catalog
+    commit; reading back prunes on the partition column exactly like
+    the path-based layout (R4). Unique table name per call keeps the
+    shared-session catalog clean (DROP at the end)."""
+    import uuid as _uuid
+
+    from serverless_datalake_spark.tables import register_views
+
+    register_views(spark, sf_dir, only=("orders",))
+    tbl = f"ddl_rt_{_uuid.uuid4().hex[:10]}"
+    loc = os.path.join(tempfile.gettempdir(), f"sdlspark_ddl_{tbl}")
+    spark.sql(
+        f"""
+        CREATE TABLE {tbl} (
+          o_orderpriority STRING, cents BIGINT, o_orderstatus STRING
+        ) USING PARQUET PARTITIONED BY (o_orderstatus)
+        LOCATION '{loc}'
+        """
+    )
+    spark.sql(
+        f"""
+        INSERT INTO {tbl} PARTITION (o_orderstatus)
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders WHERE o_orderstatus <> 'P'
+        """
+    )
+    out = spark.sql(
+        f"""
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS cents
+        FROM {tbl} GROUP BY o_orderpriority, o_orderstatus
+        """
+    )
+    rows = out.collect()  # materialize before DROP removes the files
+    spark.sql(f"DROP TABLE {tbl}")
+    return spark.createDataFrame(rows, out.schema)

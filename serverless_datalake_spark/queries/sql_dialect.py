@@ -475,3 +475,53 @@ def sql_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_scalar_udf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                    AS BIGINT)) AS BIGINT) AS net_e4,
+           CAST(SUM(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("sql", "sql-udf"),
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDFs (Spark 3.4+ `CREATE TEMPORARY FUNCTION ...
+    RETURNS ... RETURN expr`): reusable expression-level functions
+    defined IN SQL — they inline into the caller's plan at analysis
+    time, so unlike Python UDFs they stay inside whole-stage codegen
+    and cost nothing at runtime. The oracle spells the inlined
+    expressions directly, proving the inlining is semantics-neutral.
+
+    Scale: zero — the functions vanish into the same partial-agg plan
+    the inline expression produces; this is the mechanism for sharing
+    business logic (net price, bulk thresholds) across a query fleet
+    without a UDF tax."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_e4(price DOUBLE, disc DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(price * (1 - disc) * 10000, 0) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION is_bulk(qty DOUBLE)
+        RETURNS INT
+        RETURN CASE WHEN qty >= 40 THEN 1 ELSE 0 END
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(net_e4(l_extendedprice, l_discount)) AS BIGINT) AS net_e4,
+               CAST(SUM(is_bulk(l_quantity)) AS BIGINT) AS n_bulk
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
