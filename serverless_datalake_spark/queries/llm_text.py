@@ -4,7 +4,7 @@ Implementations in operators/textops.py; each has a DuckDB oracle."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import textops
@@ -986,3 +986,134 @@ def text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("n_lang"), 4).alias("frac"),
     )
+
+
+_BPE_MERGES = 5
+
+
+def _bpe_oracle() -> str:
+    """Chained-CTE twin of the unrolled merge loop: vN holds the
+    symbolization after N merges, bN the N-th winning pair."""
+    parts = [
+        """
+    WITH words AS (
+      SELECT t AS w, CAST(COUNT(*) AS BIGINT) AS f FROM (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents
+      ) GROUP BY 1
+    ), v0 AS (
+      SELECT w, f,
+             ' ' || array_to_string(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)), ' ')
+             || ' ' AS s
+      FROM words
+    )"""
+    ]
+    for i in range(1, _BPE_MERGES + 1):
+        prev = i - 1
+        parts.append(
+            f""", p{i} AS (
+      SELECT pair, CAST(SUM(f) AS BIGINT) AS c FROM (
+        SELECT f, sym[k + 1] || ' ' || sym[k + 2] AS pair
+        FROM (SELECT f, string_split(trim(s), ' ') AS sym FROM v{prev}),
+             UNNEST(range(0, len(sym) - 1)) AS u(k)
+      ) GROUP BY 1
+    ), b{i} AS (
+      SELECT pair, replace(pair, ' ', '') AS m, c
+      FROM p{i} ORDER BY c DESC, pair LIMIT 1
+    ), v{i} AS (
+      SELECT w, f, replace(s, ' ' || b{i}.pair || ' ', ' ' || b{i}.m || ' ') AS s
+      FROM v{prev} CROSS JOIN b{i}
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, pair, m AS merged, c FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    )
+    parts.append("\n    " + finals)
+    return "".join(parts)
+
+
+@query("tokenizer_bpe_train", oracle=_bpe_oracle(),
+       tags=("llm", "tokenizer", "bpe"))
+def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge TRAINING (5 merge rounds over the corpus
+    vocabulary) — the actual byte-pair-encoding loop, not the budget
+    proxy (text_token_bpe): count adjacent symbol-pair frequencies
+    weighted by word frequency, adopt the most frequent pair (count
+    DESC, pair ASC tie-break — the deterministic twin of GPT-2's
+    first-seen tie-break) as a merge rule, rewrite the symbolization,
+    repeat. Returns the learned merge table.
+
+    Merge rewrite rides single-pass non-overlapping `replace` over the
+    space-sentinel symbol string — VERIFIED identical semantics in
+    both engines (adjacent repeats of the winning pair keep their
+    second occurrence unmerged in that round and are picked up by a
+    later round; a within-round fixpoint would need an iterate-to-
+    stable loop both engines would have to share).
+
+    Scale shape: training runs on the VOCABULARY relation (word,
+    freq, symbolization) — corpus-sized text reduces to vocab-sized
+    state in the first aggregate, which is why BPE training is
+    feasible on 100 TB corpora at all (GPT-2's trainer does exactly
+    this). Each round is one pair-explode + hash aggregate over the
+    vocab and a 1-row broadcast of the winner; the loop is unrolled
+    like pagerank's, keeping the plan static."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(textops.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # substring with a column start needs expr (F.substring takes
+    # literal ints); ship the char-split as one parsed expression
+    sym0 = F.expr(
+        "concat(' ', array_join(transform(sequence(1, length(w)), "
+        "i -> substr(w, i, 1)), ' '), ' ')"
+    )
+    sym = words.select("w", "f", sym0.alias("s"))
+    out_rows = []
+    for i in range(1, _BPE_MERGES + 1):
+        arr = F.split(F.trim(F.col("s")), " ")
+        pair_arr = F.when(
+            F.size(arr) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(arr) - 2),
+                lambda k: F.concat(
+                    F.element_at(arr, k.cast("int") + 1),
+                    F.lit(" "),
+                    F.element_at(arr, k.cast("int") + 2),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        pc = (
+            sym.select("f", F.explode(pair_arr).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("c"))
+        )
+        win = Window.orderBy(F.col("c").desc(), "pair")
+        best = (
+            pc.withColumn("rn", F.row_number().over(win))
+            .where(F.col("rn") == 1)
+            .select(
+                "pair", F.replace(F.col("pair"), F.lit(" "), F.lit("")).alias("m"), "c"
+            )
+        )
+        out_rows.append(
+            best.select(
+                F.lit(i).cast("long").alias("merge_rank"), "pair", F.col("m").alias("merged"), "c"
+            )
+        )
+        sym = sym.crossJoin(F.broadcast(best)).select(
+            "w",
+            "f",
+            F.replace(
+                F.col("s"),
+                F.concat(F.lit(" "), F.col("pair"), F.lit(" ")),
+                F.concat(F.lit(" "), F.col("m"), F.lit(" ")),
+            ).alias("s"),
+        )
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionAll(df)
+    return out
