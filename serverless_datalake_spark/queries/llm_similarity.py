@@ -1356,3 +1356,109 @@ def sample_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+_CORESET_K = 6
+
+_COS_PAIR = """
+      list_aggregate(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]), 'sum')
+      / (SQRT(list_aggregate(list_transform({a}, x -> x * x), 'sum'))
+         * SQRT(list_aggregate(list_transform({b}, x -> x * x), 'sum')))
+"""
+
+
+def _coreset_oracle() -> str:
+    parts = [
+        """
+    WITH pts AS (
+      SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ), s1 AS (
+      SELECT cid, CAST(1 AS BIGINT) AS pick_round,
+             CAST(0.0 AS DOUBLE) AS dist_to_set
+      FROM pts ORDER BY cid LIMIT 1
+    ), sel1 AS (SELECT * FROM s1)"""
+    ]
+    for r in range(2, _CORESET_K + 1):
+        prev = r - 1
+        cos = _COS_PAIR.format(a="p.emb", b="sp.emb")
+        parts.append(
+            f""", s{r} AS (
+      SELECT p.cid, CAST({r} AS BIGINT) AS pick_round,
+             MIN(ROUND(1.0 - ({cos}), 6)) AS dist_to_set
+      FROM pts p
+      JOIN pts sp ON sp.cid IN (SELECT cid FROM sel{prev})
+      WHERE p.cid NOT IN (SELECT cid FROM sel{prev})
+      GROUP BY p.cid
+      ORDER BY dist_to_set DESC, p.cid LIMIT 1
+    ), sel{r} AS (SELECT * FROM sel{prev} UNION ALL SELECT * FROM s{r})"""
+        )
+    parts.append(f"""
+    SELECT cid AS vec_id, pick_round, dist_to_set FROM sel{_CORESET_K}
+    """)
+    return "".join(parts)
+
+
+@query("sample_coreset_kcenter", oracle=_coreset_oracle(),
+       tags=("llm", "sampling", "coreset"))
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (K=6) over the corpus
+    embeddings: iteratively pick the point FARTHEST (cosine distance)
+    from the already-selected set — the 2-approximation to the
+    k-center objective and the standard diversity-maximizing
+    data-pruning / active-labeling selector (the derandomized
+    k-means++ seeding the IVF family trains with, exposed as a
+    first-class sampling operator).
+
+    Scale shape: each of the K-1 unrolled rounds is one broadcast
+    join of the (tiny, growing) selected set against the corpus scan
+    plus a per-point MIN and a 1-row rank pick — K corpus passes
+    total, the known cost of exact greedy k-center (production
+    coresets run it per-cluster after a cheap partition, bounding
+    each pass). Distances are the house cosine fold rounded at 6;
+    every pick has a total (dist DESC, id) tie-break."""
+    from serverless_datalake_spark.operators.similarity import cosine
+    from serverless_datalake_spark.queries.graph import _retire_and_cache
+
+    em = load_table(spark, sf_dir, "embeddings")
+    pts = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("emb")
+    )
+    (pts,) = _retire_and_cache(("coreset", sf_dir), [pts])
+    pts.count()
+
+    pick_w = Window.orderBy(F.col("dist_to_set").desc(), "cid")
+    first = (
+        pts.select(
+            "cid",
+            F.lit(1).cast("long").alias("pick_round"),
+            F.lit(0.0).alias("dist_to_set"),
+        )
+        .withColumn("rn", F.row_number().over(Window.orderBy("cid")))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    selected = first
+    for r in range(2, _CORESET_K + 1):
+        sel = selected.select(F.col("cid").alias("scid"))
+        sel_emb = pts.join(sel, pts["cid"] == sel["scid"]).select(
+            F.col("scid"), F.col("emb").alias("semb")
+        )
+        dmin = (
+            pts.join(selected.select(F.col("cid").alias("xcid")), F.col("cid") == F.col("xcid"), "left_anti")
+            .crossJoin(F.broadcast(sel_emb))
+            .select(
+                "cid",
+                F.round(F.lit(1.0) - cosine(F.col("emb"), F.col("semb")), 6).alias("d"),
+            )
+            .groupBy("cid")
+            .agg(F.min("d").alias("dist_to_set"))
+        )
+        pick = (
+            dmin.select("cid", F.lit(r).cast("long").alias("pick_round"), "dist_to_set")
+            .withColumn("rn", F.row_number().over(pick_w))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        selected = selected.unionAll(pick)
+    return selected.select(F.col("cid").alias("vec_id"), "pick_round", "dist_to_set")
