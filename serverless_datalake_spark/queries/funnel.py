@@ -336,3 +336,88 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum("ppm").cast("double") / F.lit(1000000.0), 6).alias("credit"),
     )
+
+
+@query(
+    "events_bot_gap_regularity",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(ROUND((EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                                          ORDER BY ts, event_id)))
+                        * 1000000.0, 0) AS BIGINT) AS gap_us
+      FROM events
+    ), per_user AS (
+      SELECT user_id,
+             CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+             CAST(SUM(gap_us) AS BIGINT) AS s,
+             SUM(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT)) AS ss
+      FROM gaps WHERE gap_us IS NOT NULL
+      GROUP BY 1 HAVING COUNT(gap_us) >= 10
+    )
+    SELECT user_id, n_gaps,
+           ROUND(CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE) / 1000000.0, 4)
+             AS mean_gap_s,
+           ROUND(SQRT(GREATEST((CAST(ss AS DOUBLE)
+                                - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                                  * CAST(s AS DOUBLE)) / CAST(n_gaps AS DOUBLE), 0.0))
+                 / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)), 4) AS gap_cv,
+           CAST(CASE WHEN SQRT(GREATEST((CAST(ss AS DOUBLE)
+                                - (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE))
+                                  * CAST(s AS DOUBLE)) / CAST(n_gaps AS DOUBLE), 0.0))
+                          / (CAST(s AS DOUBLE) / CAST(n_gaps AS DOUBLE)) < 0.3
+                THEN 1 ELSE 0 END AS BIGINT) AS too_regular
+    FROM per_user
+    """,
+    tags=("funnel", "abuse", "bot-detection"),
+)
+def events_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation screening by inter-event-time REGULARITY: human
+    activity has bursty gaps (coefficient of variation ≈ 1 for
+    Poisson-ish arrivals, higher for sessions); schedulers and replay
+    scripts produce near-constant gaps (CV → 0). Flags users whose
+    gap CV < 0.3 with ≥ 10 observed gaps — the timing-regularity rule
+    every abuse stack runs before content-based signals.
+
+    Exactness: gaps are exact integer MICROSECONDS; Σ and Σ² are
+    exact integer sums (Σ² needs >64 bits at micro resolution —
+    HUGEINT on the oracle side, DECIMAL(38,0) in Spark — both exact,
+    both cast to double only for the final mean/CV expression, which
+    is spelled identically); GREATEST(·,0) guards the
+    catastrophic-cancellation-free but still ±0-prone variance.
+
+    Scale shape: one user-partitioned lag window over the event scan,
+    then a per-user aggregate — the sessionization shuffle reused;
+    HAVING prunes low-activity users inside the aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.round(
+        (F.col("ts").cast("double") - F.lag(F.col("ts")).over(uw).cast("double"))
+        * 1000000.0,
+        0,
+    ).cast("long")
+    gaps = ev.select("user_id", gap_us.alias("gap_us")).where(
+        F.col("gap_us").isNotNull()
+    )
+    per_user = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap_us").cast("long").alias("n_gaps"),
+            F.sum("gap_us").cast("long").alias("s"),
+            F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us").cast("decimal(38,0)"))
+            .alias("ss"),
+        )
+        .where(F.col("n_gaps") >= 10)
+    )
+    nd = F.col("n_gaps").cast("double")
+    sd = F.col("s").cast("double")
+    mean = sd / nd
+    var = (F.col("ss").cast("double") - mean * sd) / nd
+    cv = F.sqrt(F.greatest(var, F.lit(0.0))) / mean
+    return per_user.select(
+        "user_id",
+        "n_gaps",
+        F.round(mean / F.lit(1000000.0), 4).alias("mean_gap_s"),
+        F.round(cv, 4).alias("gap_cv"),
+        F.when(cv < 0.3, 1).otherwise(0).cast("long").alias("too_regular"),
+    )

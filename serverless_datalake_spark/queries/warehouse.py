@@ -475,3 +475,55 @@ def events_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions"))
     return counted.orderBy(F.col("n_sessions").desc(), "path").limit(5)
+
+
+@query(
+    "privacy_pseudonymize_consistent",
+    oracle="""
+    WITH c AS (
+      SELECT md5(CAST(c_custkey AS VARCHAR)) AS cust_token, c_mktsegment
+      FROM customer
+    ), o AS (
+      SELECT md5(CAST(o_custkey AS VARCHAR)) AS cust_token,
+             CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT c.c_mktsegment,
+           CAST(COUNT(DISTINCT c.cust_token) AS BIGINT) AS n_customers,
+           CAST(COUNT(o.cust_token) AS BIGINT) AS n_orders,
+           CAST(SUM(COALESCE(o.cents, 0)) AS BIGINT) AS cents
+    FROM c LEFT JOIN o ON o.cust_token = c.cust_token
+    GROUP BY 1
+    """,
+    tags=("privacy", "pseudonymization"),
+)
+def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent pseudonymization: replace the customer key with a
+    deterministic token (keyed hash; md5 here — production would use
+    HMAC with a vaulted secret) in BOTH tables, then JOIN ON THE
+    TOKENS — the privacy transform that removes direct identifiers
+    while preserving referential integrity, so analytics join
+    pseudonymized tables exactly as they joined raw ones. The
+    aggregate equals what raw keys would give, which is the
+    correctness property (join-preservation) this query pins.
+
+    Scale shape: tokenization is a map-only projection on each scan;
+    the token join hashes exactly like the key join it replaces
+    (token cardinality == key cardinality, so no skew change); the
+    segment rollup partial-aggregates."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.md5(F.col("c_custkey").cast("string")).alias("cust_token"), "c_mktsegment"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_custkey").cast("string")).alias("otok"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    return (
+        c.join(o, c["cust_token"] == o["otok"], "left")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("cust_token").cast("long").alias("n_customers"),
+            F.count("otok").cast("long").alias("n_orders"),
+            F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("long").alias("cents"),
+        )
+    )
