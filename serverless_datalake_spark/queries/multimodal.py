@@ -165,3 +165,77 @@ def mm_modality_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.col("n_bytes").cast("double")), 4).alias("avg_bytes"),
         F.max("n_bytes").alias("max_bytes"),
     )
+
+
+@query(
+    "mm_audio_chunk_plan",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             -- deterministic synthetic duration: 250 ms per payload
+             -- byte (the fixture carries no real audio; the chunker
+             -- only consumes the metadata column)
+             CAST(octet_length(encode(text)) * 250 AS BIGINT) AS duration_ms
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT media_id, duration_ms,
+           CAST(k AS BIGINT) AS chunk_no,
+           CAST(k * 25000 AS BIGINT) AS start_ms,
+           CAST(LEAST(k * 25000 + 30000, duration_ms) AS BIGINT) AS end_ms
+    FROM media,
+         UNNEST(range(0, GREATEST(CAST(CEIL((CAST(duration_ms AS DOUBLE) - 30000.0)
+                                             / 25000.0) AS BIGINT) + 1, 1))) AS u(k)
+    WHERE duration_ms > 0
+    """,
+    tags=("llm", "multimodal", "audio", "chunking"),
+)
+def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASR-style audio chunking PLAN: 30-second windows with 5-second
+    overlap (stride 25 s) over each audio asset's duration — the 1→N
+    expansion a speech pipeline feeds to the transcription model. The
+    last chunk clamps to the asset duration; chunk boundaries are
+    derived purely from METADATA (duration), so planning never touches
+    payload bytes — the mm_binary_metadata discipline. Duration is a
+    deterministic synthetic (250 ms/byte; no codecs in the container —
+    a real pipeline reads it from the container header the same way).
+
+    Scale shape: map-only metadata scan + bounded explode (one row per
+    chunk); the decode/transcribe stage downstream consumes
+    (media_id, start_ms, end_ms) point-reads — chunking at 100 TB of
+    audio is exactly this metadata pass, which is why it must not
+    deserialize payloads."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.octet_length(F.encode(F.col("text"), "UTF-8")) * 250)
+        .cast("long")
+        .alias("duration_ms"),
+    ).where(F.col("duration_ms") > 0)
+    win, stride = 30000, 25000
+    # greatest(·, 1): a duration shorter than one stride would drive
+    # the count to 0 and sequence(0, -1) runs DESCENDING (the skill-
+    # documented Spark gotcha) — clamp to one clamped chunk instead.
+    # (The oracle needs no clamp only because range(0, 0) is empty in
+    # DuckDB and fixture durations are ≥ 32 s; the clamp keeps the
+    # Spark side safe for arbitrary inputs.)
+    n_chunks = F.greatest(
+        F.ceil((F.col("duration_ms").cast("double") - float(win)) / float(stride))
+        .cast("long")
+        + 1,
+        F.lit(1).cast("long"),
+    )
+    chunks = media.select(
+        "media_id",
+        "duration_ms",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("k"),
+    )
+    return chunks.select(
+        "media_id",
+        "duration_ms",
+        F.col("k").cast("long").alias("chunk_no"),
+        (F.col("k") * stride).cast("long").alias("start_ms"),
+        F.least(F.col("k") * stride + win, F.col("duration_ms"))
+        .cast("long")
+        .alias("end_ms"),
+    )
