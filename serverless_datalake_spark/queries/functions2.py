@@ -526,3 +526,54 @@ def fn_aes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("plen").cast("long").alias("plain_chars"),
         F.sum("clen").cast("long").alias("cipher_bytes"),
     )
+
+
+@query(
+    "fn_xml_parse",
+    oracle="""
+    SELECT doc_id,
+           lang AS x_lang,
+           source AS x_source,
+           CAST(n_chars AS BIGINT) AS x_chars
+    FROM documents WHERE doc_id % 9 = 0
+    """,
+    tags=("fn", "xml"),
+)
+def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_xml (Spark 4's native XML support) against documents
+    re-serialized as XML records: the oracle reads the expected field
+    values straight from the source columns, so equality proves the
+    schema-driven XML parse (attributes + nested elements) is
+    lossless — the fn_url_parse construction pattern applied to the
+    XML codec.
+
+    Scale: map-only; XML is the config/feed format of enterprise
+    integrations — at 100 TB you'd parse it once at ingest into
+    parquet (sources/lake.py's JSON path sibling), which is exactly
+    the expression exercised here."""
+    from pyspark.sql import types as T
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
+    xml = F.concat(
+        F.lit('<doc lang="'),
+        F.col("lang"),
+        F.lit('"><src>'),
+        F.col("source"),
+        F.lit("</src><chars>"),
+        F.col("n_chars").cast("string"),
+        F.lit("</chars></doc>"),
+    )
+    schema = T.StructType(
+        [
+            T.StructField("_lang", T.StringType()),
+            T.StructField("src", T.StringType()),
+            T.StructField("chars", T.LongType()),
+        ]
+    )
+    parsed = d.select("doc_id", F.from_xml(xml, schema).alias("x"))
+    return parsed.select(
+        "doc_id",
+        F.col("x._lang").alias("x_lang"),
+        F.col("x.src").alias("x_source"),
+        F.col("x.chars").alias("x_chars"),
+    )

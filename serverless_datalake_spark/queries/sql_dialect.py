@@ -525,3 +525,68 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "sql_group_by_all",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    tags=("sql", "group-by-all"),
+)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ adopted DuckDB's shorthand): every
+    non-aggregate select item becomes a grouping key — the
+    keep-the-query-in-sync-with-itself dialect feature analysts lean
+    on. Both engines support the syntax natively, so the oracle is
+    the literal same text.
+
+    Scale: identical plan to the explicit GROUP BY — resolution
+    happens at analysis."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem
+        GROUP BY ALL
+        """
+    )
+
+
+@query(
+    "sql_lateral_alias",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+           CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) / 100000 AS price_band,
+           CASE WHEN CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) / 100000 >= 200
+                THEN 'high' ELSE 'normal' END AS band_label
+    FROM orders WHERE o_orderkey % 50 = 0
+    """,
+    tags=("sql", "lateral-alias"),
+)
+def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lateral column aliases (Spark 3.4+): a SELECT item referencing
+    an alias defined EARLIER IN THE SAME SELECT LIST (`cents`,
+    `price_band`), removing the subquery-per-derivation stutter. The
+    oracle expands the aliases manually — proving the lateral
+    resolution is pure syntax.
+
+    Scale: zero — aliases inline at analysis; one map-only
+    projection."""
+    register_views(spark, sf_dir, only=("orders",))
+    return spark.sql(
+        """
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+               cents / 100000 AS price_band,
+               CASE WHEN price_band >= 200 THEN 'high' ELSE 'normal' END AS band_label
+        FROM orders WHERE o_orderkey % 50 = 0
+        """
+    )
