@@ -527,3 +527,145 @@ def privacy_pseudonymize_consistent(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("long").alias("cents"),
         )
     )
+
+
+@query(
+    "validate_cross_table_totals",
+    oracle="""
+    WITH line_tot AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000, 0)
+                      AS BIGINT)) AS BIGINT) AS line_e4
+      FROM lineitem GROUP BY 1
+    ), joined AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice * 10000.0, 0) AS BIGINT) AS order_e4,
+             COALESCE(lt.line_e4, 0) AS line_e4,
+             CASE WHEN lt.l_orderkey IS NULL THEN 1 ELSE 0 END AS no_lines
+      FROM orders o LEFT JOIN line_tot lt ON lt.l_orderkey = o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(no_lines) AS BIGINT) AS n_without_lines,
+           CAST(SUM(CASE WHEN no_lines = 0
+                         AND ABS(order_e4 - line_e4) <= 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_reconciled,
+           CAST(SUM(CASE WHEN no_lines = 0
+                         AND ABS(order_e4 - line_e4) > 10000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           CAST(MAX(CASE WHEN no_lines = 0
+                         THEN ABS(order_e4 - line_e4) END) AS BIGINT) AS max_abs_diff_e4
+    FROM joined
+    """,
+    tags=("warehouse", "reconciliation", "audit"),
+)
+def validate_cross_table_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table financial reconciliation: does each order's header
+    total agree with the sum of its line-level net amounts (within a
+    $1 tolerance)? The header-vs-detail audit every finance warehouse
+    runs nightly; headerless/detail-less keys are counted separately
+    instead of silently vanishing (LEFT JOIN + explicit no_lines
+    branch). All money moves as integer 1e-4 units, so the
+    discrepancy measure itself cannot drift.
+
+    Scale shape: one fact aggregate to order grain (partial-agg
+    absorbs the line fan-out), one key join at order grain, one global
+    summary — three shuffles total, all on reduced relations.
+    (Fixture totals are synthetically independent of lines, so the
+    mismatch branch is the exercised path — the audit REPORTS it,
+    which is the point.)"""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    line_tot = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 10000, 0
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("line_e4")
+    )
+    joined = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 10000.0, 0).cast("long").alias("order_e4"),
+    ).join(line_tot, F.col("l_orderkey") == F.col("o_orderkey"), "left")
+    no_lines = F.col("l_orderkey").isNull().cast("long")
+    line_e4 = F.coalesce(F.col("line_e4"), F.lit(0))
+    diff = F.abs(F.col("order_e4") - line_e4)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(no_lines).cast("long").alias("n_without_lines"),
+        F.sum(F.when((no_lines == 0) & (diff <= 10000), 1).otherwise(0))
+        .cast("long")
+        .alias("n_reconciled"),
+        F.sum(F.when((no_lines == 0) & (diff > 10000), 1).otherwise(0))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max(F.when(no_lines == 0, diff)).cast("long").alias("max_abs_diff_e4"),
+    )
+
+
+@query(
+    "agg_share_of_parent",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, cents,
+           ROUND(CAST(cents AS DOUBLE)
+                 / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS share_of_region,
+           ROUND(CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE)
+                 / CAST(SUM(cents) OVER () AS DOUBLE), 6) AS region_share_of_total
+    FROM rev
+    """,
+    tags=("agg", "olap", "hierarchy"),
+)
+def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-parent along the geography hierarchy: each nation's
+    share of its region's balance and each region's share of the
+    grand total — the percent-of-parent measure every OLAP frontend
+    computes next to a rollup (and the correct way: windows over the
+    AGGREGATED relation, never a second scan).
+
+    Exactness: the measure is integer cents; parent totals are window
+    sums of exact integers (order-free); each share is one division of
+    exact values rounded at 6.
+
+    Scale shape: one dims-broadcast join + one hash aggregate to
+    (region, nation) grain; both windows run over the ~25-row
+    aggregate. The grand-total window is a 1-partition pass over 25
+    rows, not the fact table."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    rev = (
+        c.join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(F.round(F.col("c_acctbal") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("region")
+    wg = Window.partitionBy()
+    return rev.select(
+        "region",
+        "nation",
+        "cents",
+        F.round(
+            F.col("cents").cast("double") / F.sum("cents").over(wr).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.sum("cents").over(wr).cast("double")
+            / F.sum("cents").over(wg).cast("double"),
+            6,
+        ).alias("region_share_of_total"),
+    )
