@@ -231,3 +231,49 @@ def stream_topk_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@query(
+    "stream_sliding_distinct_users",
+    oracle="""
+    SELECT ws AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM (
+      -- window starts align to the SLIDE grid (30 min), not the hour:
+      -- every event belongs to exactly size/slide = 4 windows
+      SELECT CAST(FLOOR(EPOCH(ts) / 1800.0) AS BIGINT) * 1800 - offs AS ws,
+             user_id
+      FROM events, UNNEST([0, 1800, 3600, 5400]) AS t(offs)
+    )
+    GROUP BY ws
+    """,
+    tags=("streaming", "window", "distinct"),
+)
+def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window DISTINCT-user counts (2-hour windows sliding by
+    30 minutes) — the streaming unique-visitors metric. Distinct
+    aggregation inside overlapping windows is the state-heavy shape:
+    per-window per-user state until the watermark closes the window
+    (production would swap COUNT(DISTINCT) for the mergeable HLL/KMV
+    sketch — agg_hll_mergeable / agg_kmv_distinct_union — once unique
+    state outgrows memory; this exact query pins the semantics the
+    sketch approximates).
+
+    Batch twin of `groupBy(window(ts, '2 hours', '30 minutes'))`;
+    identical code runs under readStream + withWatermark. The oracle
+    replicates Spark's window assignment: each event lands in the 4
+    overlapping windows whose start ≤ ts."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "30 minutes").alias("w"))
+        .agg(
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "n_users",
+            "n_events",
+        )
+    )
