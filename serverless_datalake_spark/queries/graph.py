@@ -139,11 +139,20 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("d")
     )
     # fold the (static) out-degree into the persisted edge relation so
-    # each iteration needs ONE broadcast join (ranks), not two
-    edges = edges0.join(
-        F.broadcast(deg.withColumnRenamed("node", "__dn")),
-        F.col("src") == F.col("__dn"),
-    ).select("src", "dst", "d")
+    # each iteration needs ONE broadcast join (ranks), not two; and
+    # pre-hash-partition the cached edges BY DST so every iteration's
+    # groupBy(dst) reuses the cached partitioning — the per-iteration
+    # edge-sized shuffle disappears (only node-sized ranks move, as a
+    # broadcast). This is the bucketed-by-dst at-rest layout expressed
+    # in cache form.
+    edges = (
+        edges0.join(
+            F.broadcast(deg.withColumnRenamed("node", "__dn")),
+            F.col("src") == F.col("__dn"),
+        )
+        .select("src", "dst", "d")
+        .repartition(F.col("dst"))
+    )
     # one cached generation per session: this call's pins retire the
     # previous call's (bench/driver loops would otherwise accumulate
     # edge-sized cache entries forever)
