@@ -255,7 +255,10 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pl feeds four plan subtrees (totals, item counts, both self-join
     # sides) — pin it for the call, same one-generation policy as
     # graph_pagerank's edge cache
-    (pl,) = _retire_and_cache(("basket", sf_dir), [pl])
+    # cache pre-partitioned by basket key: the pair self-join's two
+    # sides then share the cached partitioning (co-partitioned join,
+    # no exchange) — the pagerank edges-by-dst trick
+    (pl,) = _retire_and_cache(("basket", sf_dir), [pl.repartition(F.col("o"))])
     n = pl.agg(F.countDistinct("o").alias("n"))
     ic = pl.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
     a = pl.select("o", F.col("p").alias("pa"))
