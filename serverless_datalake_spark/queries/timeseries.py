@@ -1139,3 +1139,64 @@ def ts_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("slope_per_hour"),
     )
+
+
+@query(
+    "ts_backtest_snaive",
+    oracle="""
+    WITH grid AS (
+      SELECT CAST(FLOOR(EPOCH(ts) / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ), with_pred AS (
+      SELECT h, y, LAG(y, 24) OVER (ORDER BY h) AS yhat
+      FROM grid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_backtest,
+           ROUND(CAST(SUM(ABS(y - yhat)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 100.0, 4) AS mae,
+           ROUND(CAST(MAX(ABS(y - yhat)) AS DOUBLE) / 100.0, 4) AS max_abs_err,
+           CAST(SUM(CASE WHEN ABS(y - yhat) * 10 <= y THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_within_10pct
+    FROM with_pred WHERE yhat IS NOT NULL
+    """,
+    tags=("timeseries", "forecast", "backtest"),
+)
+def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each hour's revenue
+    with the value 24 hours earlier (the benchmark every fancier
+    forecaster must beat — if Holt/ARIMA can't outperform s-naive,
+    ship s-naive) and score MAE, worst error, and the within-10% hit
+    rate over the whole backtest window.
+
+    Exactness: the series is integer cents on the hourly grid; errors
+    and comparisons are exact integers (the 10% test is spelled
+    multiplicatively — |err|·10 ≤ y — to stay in integer arithmetic);
+    only the final MAE division touches doubles.
+
+    Scale shape: grid aggregate (one partial-agg shuffle), one lag
+    window over the grid, one global reduce. The backtest never
+    re-trains anything — s-naive's forecast IS the lag, which is why
+    it is the canonical cheap baseline at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 3600.0).cast("long").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).cast("long").alias("y")
+    )
+    w = Window.orderBy("h")
+    wp = grid.select("h", "y", F.lag("y", 24).over(w).alias("yhat")).where(
+        F.col("yhat").isNotNull()
+    )
+    err = F.abs(F.col("y") - F.col("yhat"))
+    return wp.agg(
+        F.count(F.lit(1)).alias("n_backtest"),
+        F.round(
+            F.sum(err).cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0),
+            4,
+        ).alias("mae"),
+        F.round(F.max(err).cast("double") / F.lit(100.0), 4).alias("max_abs_err"),
+        F.sum(F.when(err * 10 <= F.col("y"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_within_10pct"),
+    )

@@ -484,3 +484,61 @@ def session_duration_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_10min"
         )
     ).agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@query(
+    "window_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT event_type, ts, event_id, user_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_type, event_id, distinct_users_so_far
+    FROM (
+      -- window BEFORE the output filter (a WHERE in the same block
+      -- would filter the rows feeding the running sum)
+      SELECT event_type, event_id,
+             CAST(SUM(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS distinct_users_so_far
+      FROM flagged
+    )
+    WHERE event_id % 100 = 0
+    """,
+    tags=("window", "running-distinct"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per group — COUNT(DISTINCT) OVER a
+    running frame, which engines refuse (no mergeable running-distinct
+    state), rewritten with the FIRST-OCCURRENCE FLAG trick: mark each
+    (group, user)'s first row with one rank window, then a plain
+    running SUM of flags IS the running distinct count. Two windows,
+    both O(n log n) — versus the quadratic set-rebuild a naive
+    implementation performs per row.
+
+    Scale shape: both windows partition by event_type (co-partitioned
+    — one shuffle feeds both after the per-(type,user) rank); the
+    output filter keeps the comparison set bounded while the windows
+    compute over the full stream, so the pinned values embed the
+    complete history."""
+    ev = load_table(spark, sf_dir, "events")
+    fw = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    rw = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = ev.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(F.row_number().over(fw) == 1, 1).otherwise(0).alias("first_seen"),
+    )
+    return flagged.select(
+        "event_type",
+        "event_id",
+        F.sum("first_seen").over(rw).cast("long").alias("distinct_users_so_far"),
+    ).where(F.col("event_id") % 100 == 0)
