@@ -248,7 +248,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     mm_audio_chunk_plan, fn_xml_parse, sql_group_by_all,
 #     sql_lateral_alias, validate_cross_table_totals,
 #     agg_share_of_parent, stream_sliding_distinct_users,
-#     ts_backtest_snaive, window_running_distinct — see each
+#     ts_backtest_snaive, window_running_distinct, fn_array3,
+#     retention_ltv_cumulative — see each
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for

@@ -577,3 +577,47 @@ def fn_xml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.src").alias("x_source"),
         F.col("x.chars").alias("x_chars"),
     )
+
+
+@query(
+    "fn_array3",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '')[1:6] AS toks
+      FROM documents WHERE doc_id % 13 = 0
+    )
+    SELECT doc_id,
+           array_to_string(list_append(toks, '<eos>'), ' ') AS appended,
+           array_to_string(list_prepend('<bos>', toks), ' ') AS prepended,
+           array_to_string(toks[1:2] || ['<mask>'] || toks[3:], ' ') AS inserted,
+           array_to_string(list_filter(toks, x -> x IS NOT NULL), ' ') AS compacted,
+           array_to_string(list_reverse(toks), ' ') AS reversed,
+           CAST(len(toks) AS INTEGER) AS n
+    FROM t
+    """,
+    tags=("fn", "array"),
+)
+def fn_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-mutation batch 3 (Spark 3.4/3.5 additions): append /
+    prepend / insert-at / compact / reverse over a bounded token
+    slice — the sequence-editing surface a tokenization pipeline uses
+    for special-token framing (BOS/EOS/mask insertion). The oracle
+    spells each as DuckDB list algebra (insert-at = slice ‖ element ‖
+    slice, the definition).
+
+    Scale: map-only HOFs, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 13 == 0)
+    toks = F.slice(F.filter(F.split(F.col("text"), " "), lambda t: t != ""), 1, 6)
+    t = d.select("doc_id", toks.alias("toks"))
+    # the driver compare has no array-column type mapping — registry
+    # convention is to serialize array outputs (array_join)
+    return t.select(
+        "doc_id",
+        F.array_join(F.array_append(F.col("toks"), F.lit("<eos>")), " ").alias("appended"),
+        F.array_join(F.array_prepend(F.col("toks"), F.lit("<bos>")), " ").alias("prepended"),
+        F.array_join(F.array_insert(F.col("toks"), 3, F.lit("<mask>")), " ").alias("inserted"),
+        F.array_join(F.array_compact(F.col("toks")), " ").alias("compacted"),
+        F.array_join(F.reverse(F.col("toks")), " ").alias("reversed"),
+        F.size(F.col("toks")).alias("n"),
+    )

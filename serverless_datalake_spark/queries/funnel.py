@@ -421,3 +421,76 @@ def events_bot_gap_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cv, 4).alias("gap_cv"),
         F.when(cv < 0.3, 1).otherwise(0).cast("long").alias("too_regular"),
     )
+
+
+@query(
+    "retention_ltv_cumulative",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             MIN(CAST(date_trunc('month', o_orderdate) AS DATE)) AS cohort
+      FROM orders GROUP BY 1
+    ), labeled AS (
+      SELECT f.cohort,
+             CAST((EXTRACT(YEAR FROM o.o_orderdate) - EXTRACT(YEAR FROM f.cohort)) * 12
+                  + (EXTRACT(MONTH FROM o.o_orderdate) - EXTRACT(MONTH FROM f.cohort))
+                  AS BIGINT) AS age_months,
+             CAST(ROUND(o.o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    ), grid AS (
+      SELECT cohort, age_months,
+             CAST(SUM(cents) AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM labeled GROUP BY 1, 2
+    )
+    SELECT cohort, age_months, n_orders,
+           CAST(SUM(cents) OVER (PARTITION BY cohort ORDER BY age_months
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents
+    FROM grid
+    """,
+    tags=("funnel", "cohort", "ltv"),
+)
+def retention_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by first-order month, and
+    each cohort's CUMULATIVE revenue by months-since-acquisition — the
+    curve whose asymptote is customer lifetime value and whose slope
+    decay is churn (retention_cohorts counts the users; this follows
+    the money).
+
+    Exactness: cohort month and integer month ages are calendar
+    arithmetic (exact); revenue is integer cents with a running
+    integer window sum over the (cohort, age) grid.
+
+    Scale shape: the firsts relation is customer-grain (one
+    aggregate); the label join is key-partitioned; the cumulative
+    window runs over the tiny (cohort × age) grid, never raw orders."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate")).cast("date")).alias("cohort")
+    )
+    labeled = o.join(firsts, "o_custkey").select(
+        "cohort",
+        (
+            (F.year("o_orderdate") - F.year("cohort")) * 12
+            + (F.month("o_orderdate") - F.month("cohort"))
+        )
+        .cast("long")
+        .alias("age_months"),
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    grid = labeled.groupBy("cohort", "age_months").agg(
+        F.sum("cents").cast("long").alias("cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "cohort",
+        "age_months",
+        "n_orders",
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
