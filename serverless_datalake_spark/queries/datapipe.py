@@ -1065,3 +1065,134 @@ def split_time_embargo(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").cast("long").alias("min_id"),
         F.max("event_id").cast("long").alias("max_id"),
     )
+
+
+def _dataset_card_oracle() -> str:
+    from serverless_datalake_spark.operators import textops
+
+    stop_sql = "(" + ", ".join(f"'{w}'" for w in sorted(textops.STOPWORDS)) + ")"
+    quality = (
+        "ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE) / GREATEST(len(toks), 1))"
+        " + 0.5 * (1.0 - ABS(CAST(len(list_filter(toks, x -> x IN "
+        + stop_sql
+        + ")) AS DOUBLE) / GREATEST(len(toks), 1) - 0.1)), 4)"
+    )
+    return f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, text,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_filter(toks, x -> x IN {stop_sql})) AS DOUBLE)
+               / GREATEST(len(toks), 1) AS stop_ratio,
+             {quality} AS quality
+      FROM t
+    ), kept AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND stop_ratio >= 0.05
+    ), fp AS (
+      SELECT lang, md5(text) AS fp, CAST(COUNT(*) AS BIGINT) AS n
+      FROM kept GROUP BY 1, 2
+    ), dups AS (
+      SELECT lang, CAST(SUM(n - 1) AS BIGINT) AS n_exact_dup FROM fp GROUP BY 1
+    ), per_lang AS (
+      SELECT k.lang,
+             CAST(COUNT(*) AS BIGINT) AS n_kept,
+             CAST(SUM(k.n_tokens) AS BIGINT) AS total_tokens,
+             CAST(SUM(CAST(ROUND(k.quality * 10000.0, 0) AS BIGINT)) AS BIGINT) AS q_e4
+      FROM kept k GROUP BY 1
+    ), alldocs AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+    ), temp AS (
+      SELECT p.lang, ROUND(exp(0.7 * ln(CAST(p.n_kept AS DOUBLE))), 8) AS ts
+      FROM per_lang p
+    ), tt AS (
+      SELECT list_aggregate(list(ts ORDER BY lang), 'sum') AS tot FROM temp
+    )
+    SELECT a.n_docs, p.lang, p.n_kept,
+           COALESCE(d.n_exact_dup, 0) AS n_exact_dup,
+           p.total_tokens,
+           ROUND(CAST(p.q_e4 AS DOUBLE) / CAST(p.n_kept AS DOUBLE) / 10000.0, 4)
+             AS mean_quality,
+           ROUND(temp.ts / tt.tot, 6) AS temp_share
+    FROM per_lang p
+    JOIN alldocs a ON a.lang = p.lang
+    LEFT JOIN dups d ON d.lang = p.lang
+    JOIN temp ON temp.lang = p.lang
+    CROSS JOIN tt
+    """
+
+
+@query("pipeline_dataset_card", oracle=_dataset_card_oracle(),
+       tags=("llm", "pipeline", "dataset-card", "capstone"))
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DATASET CARD: per-language corpus accounting a training run
+    publishes — raw docs, quality-gated survivors (length + stopword
+    floor), residual exact-duplicate count among survivors, total
+    token budget, mean quality, and the mT5-style temperature mixture
+    share (p ∝ n^0.7) — every number the data section of a model card
+    reports, in one pass over the corpus.
+
+    Exactness: token counts exact ints; mean quality averages the
+    4-rounded per-doc scores as integer 1e-4 units; the temperature
+    shares reuse mixture_weights' exp·ln spelling with the
+    vocabulary-ordered fold for the normalizer.
+
+    Scale shape: ONE corpus scan feeds scoring (map-only HOFs); the
+    fingerprint, per-language, and mixture relations are all
+    language- or hash-grain aggregates — the reporting query costs no
+    more than the cheapest gate it summarizes."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        "text",
+        textops.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        textops.stopword_ratio(F.col("text")).alias("stop_ratio"),
+        textops.quality_score(F.col("text")).alias("quality"),
+    )
+    kept = scored.where((F.col("n_tokens") >= 20) & (F.col("stop_ratio") >= 0.05))
+    fp = kept.groupBy("lang", F.md5("text").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    dups = fp.groupBy("lang").agg(
+        F.sum(F.col("n") - 1).cast("long").alias("n_exact_dup")
+    )
+    per_lang = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.round(F.col("quality") * 10000.0, 0).cast("long"))
+        .cast("long")
+        .alias("q_e4"),
+    )
+    alldocs = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    temp = per_lang.select(
+        "lang",
+        F.round(F.exp(F.lit(0.7) * F.log(F.col("n_kept").cast("double"))), 8).alias("ts"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("lang", "ts")))
+    tot = temp.agg(
+        F.aggregate(
+            F.transform(arr, lambda x: x["ts"]), F.lit(0.0), lambda a, x: a + x
+        ).alias("tot")
+    )
+    return (
+        per_lang.join(F.broadcast(alldocs), "lang")
+        .join(F.broadcast(dups), "lang", "left")
+        .join(F.broadcast(temp), "lang")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_docs",
+            "lang",
+            "n_kept",
+            F.coalesce(F.col("n_exact_dup"), F.lit(0)).cast("long").alias("n_exact_dup"),
+            "total_tokens",
+            F.round(
+                F.col("q_e4").cast("double") / F.col("n_kept").cast("double") / F.lit(10000.0),
+                4,
+            ).alias("mean_quality"),
+            F.round(F.col("ts") / F.col("tot"), 6).alias("temp_share"),
+        )
+    )

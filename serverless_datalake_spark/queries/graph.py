@@ -612,3 +612,99 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").cast("long").alias("min_node"),
         F.max("node").cast("long").alias("max_node"),
     )
+
+
+@query(
+    "graph_assortativity",
+    oracle="""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM und u
+      JOIN deg da ON da.node = u.src
+      JOIN deg db ON db.node = u.dst
+    ), moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM ed
+    )
+    SELECT n AS n_directed_edges,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS assortativity
+    FROM moments
+    """,
+    tags=("graph", "assortativity"),
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-purchase graph: the Pearson
+    correlation of endpoint degrees over the (symmetrized) edge list —
+    positive = hubs link hubs (social-style mixing), negative = hubs
+    link leaves (technological/star mixing); THE one-number summary of
+    a graph's mixing pattern (Newman 2002).
+
+    Exactness: degrees are exact integers; all five co-moments are
+    exact 128-bit integer sums (Spark DECIMAL(38,0) / DuckDB HUGEINT —
+    Σd² over hub-heavy edges overflows int64 exactly like the
+    bot-regularity Σgap²), cast to double only inside the final
+    correlation expression, spelled identically both sides (the
+    agg_correlation_pinned discipline).
+
+    Scale shape: edge build as in pagerank; degree lookups broadcast;
+    the moment reduce is one map-side-combinable aggregate over the
+    edge relation. Nothing is node-quadratic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pl.select("o", F.col("p").alias("src"))
+    b = pl.select("o", F.col("p").alias("dst"))
+    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = F.broadcast(deg.select(F.col("node").alias("__na"), F.col("d").alias("x")))
+    db = F.broadcast(deg.select(F.col("node").alias("__nb"), F.col("d").alias("y")))
+    ed = (
+        und.join(da, F.col("src") == F.col("__na"))
+        .join(db, F.col("dst") == F.col("__nb"))
+        .select("x", "y")
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = ed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    return m.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (nd * F.col("sxy").cast("double") - sx * sy)
+            / (
+                F.sqrt(nd * F.col("sxx").cast("double") - sx * sx)
+                * F.sqrt(nd * F.col("syy").cast("double") - sy * sy)
+            ),
+            6,
+        ).alias("assortativity"),
+    )
