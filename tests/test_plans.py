@@ -391,3 +391,31 @@ def test_jaccard_links_broadcasts_degrees(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_rounds_broadcast_winners(spark, sf_dir):
+    """Each BPE round adopts its winner via a 1-row broadcast (no
+    sort-merge join anywhere in the unrolled loop)."""
+    plan = plan_of(spark, sf_dir, "tokenizer_bpe_train")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_dataset_card_single_fact_pass_no_smj(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "pipeline_dataset_card")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pagerank_cached_edges_prepartitioned(spark, sf_dir):
+    """The cached edge relation must carry hash partitioning on dst so
+    iteration aggregates add no exchange: the FINAL plan's exchange
+    count stays far below one-per-iteration."""
+    plan = final_plan_of(spark, sf_dir, "graph_pagerank")
+    # exactly ONE dst exchange — the cache-build repartition; 5
+    # un-prepartitioned iterations would each add their own dst
+    # exchange for the groupBy (cache-build lineage exchanges on
+    # o/src are expected and excluded by keying on dst)
+    assert plan.count("Exchange hashpartitioning(dst") == 1, plan.count(
+        "Exchange hashpartitioning(dst"
+    )
