@@ -1196,3 +1196,67 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ts") / F.col("tot"), 6).alias("temp_share"),
         )
     )
+
+
+@query(
+    "privacy_generalize_enforce",
+    oracle="""
+    WITH g AS (
+      SELECT c_custkey,
+             n_name AS nation,
+             CAST(FLOOR(c_acctbal / 2000.0) AS BIGINT) AS bal_band
+      FROM customer JOIN nation ON n_nationkey = c_nationkey
+    ), sized AS (
+      SELECT nation, bal_band, CAST(COUNT(*) AS BIGINT) AS k
+      FROM g GROUP BY 1, 2
+    ), enforced AS (
+      SELECT g.c_custkey,
+             CASE WHEN s.k >= 5 THEN g.nation ELSE '*' END AS nation_out,
+             CASE WHEN s.k >= 5 THEN CAST(g.bal_band AS VARCHAR) ELSE '*' END
+               AS band_out,
+             CASE WHEN s.k >= 5 THEN 0 ELSE 1 END AS suppressed
+      FROM g JOIN sized s ON s.nation = g.nation AND s.bal_band = g.bal_band
+    )
+    SELECT nation_out, band_out,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(suppressed) AS BIGINT) AS is_suppressed_class
+    FROM enforced GROUP BY 1, 2
+    """,
+    tags=("datapipe", "privacy", "k-anonymity"),
+)
+def privacy_generalize_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity ENFORCEMENT (k=5) by generalize-then-suppress:
+    quasi-identifiers are generalized (nation kept, balance binned to
+    $2000 bands), classes still under k are suppressed to '*' — the
+    transform side of the privacy pair (privacy_k_anonymity only
+    AUDITS; this produces the releasable view, Samarati's
+    generalization/suppression scheme in one pass). Every surviving
+    named class has ≥ k members by construction, which the output
+    sizes prove.
+
+    Scale shape: class sizes are one quasi-identifier-grain aggregate
+    joined back (broadcast — QI grain is small by design; if it were
+    not, the release would fail k-anonymity anyway); the enforcement
+    is then map-only."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    g = c.join(F.broadcast(n), n["n_nationkey"] == c["c_nationkey"]).select(
+        "c_custkey",
+        F.col("n_name").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000.0).cast("long").alias("bal_band"),
+    )
+    sized = g.groupBy("nation", "bal_band").agg(F.count(F.lit(1)).alias("k"))
+    enforced = g.join(
+        F.broadcast(sized.withColumnRenamed("nation", "sn").withColumnRenamed("bal_band", "sb")),
+        (F.col("sn") == F.col("nation")) & (F.col("sb") == F.col("bal_band")),
+    ).select(
+        F.when(F.col("k") >= 5, F.col("nation")).otherwise("*").alias("nation_out"),
+        F.when(F.col("k") >= 5, F.col("bal_band").cast("string"))
+        .otherwise("*")
+        .alias("band_out"),
+        F.when(F.col("k") >= 5, 0).otherwise(1).alias("suppressed"),
+    )
+    return enforced.groupBy("nation_out", "band_out").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("suppressed").cast("long").alias("is_suppressed_class"),
+    )

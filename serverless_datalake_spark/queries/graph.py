@@ -708,3 +708,80 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+@query(
+    "graph_modularity",
+    oracle="""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), labeled AS (
+      SELECT src, dst, src % 4 AS cs, dst % 4 AS cd FROM und
+    ), m2 AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM labeled
+    ), per_comm AS (
+      SELECT cs AS community,
+             CAST(SUM(CASE WHEN cs = cd THEN 1 ELSE 0 END) AS BIGINT) AS within2,
+             CAST(COUNT(*) AS BIGINT) AS deg_sum
+      FROM labeled GROUP BY 1
+    )
+    SELECT community, within2, deg_sum,
+           ROUND(CAST(within2 AS DOUBLE) / CAST(m2.m2 AS DOUBLE)
+                 - (CAST(deg_sum AS DOUBLE) / CAST(m2.m2 AS DOUBLE))
+                   * (CAST(deg_sum AS DOUBLE) / CAST(m2.m2 AS DOUBLE)), 6)
+             AS modularity_term
+    FROM per_comm CROSS JOIN m2
+    """,
+    tags=("graph", "modularity", "community"),
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity terms for a candidate community assignment
+    (here the deterministic `part mod 4` partition): per community,
+    e_ii − a_i² where e_ii is its within-community edge fraction and
+    a_i its degree fraction — the objective Louvain/Leiden climb; a
+    community-detection loop evaluates EXACTLY this relation per move,
+    which is why it must stay one aggregate over the edge list.
+
+    Exactness: within-edge and degree counts are exact integers over
+    the symmetrized edge relation (each undirected edge contributes 2
+    endpoints — the standard 2m normalization); the two divisions and
+    one multiply are spelled identically both sides, rounded at 6.
+
+    Scale shape: one map-only labeling pass over edges + one
+    community-grain aggregate; the 1-row 2m total is a broadcast.
+    Nothing scales with community count except the output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pl.select("o", F.col("p").alias("src"))
+    b = pl.select("o", F.col("p").alias("dst"))
+    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
+    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labeled = und.select(
+        (F.col("src") % 4).alias("cs"), (F.col("dst") % 4).alias("cd")
+    )
+    m2 = labeled.agg(F.count(F.lit(1)).alias("m2"))
+    per_comm = labeled.groupBy(F.col("cs").alias("community")).agg(
+        F.sum(F.when(F.col("cs") == F.col("cd"), 1).otherwise(0))
+        .cast("long")
+        .alias("within2"),
+        F.count(F.lit(1)).alias("deg_sum"),
+    )
+    md = F.col("m2").cast("double")
+    return per_comm.crossJoin(F.broadcast(m2)).select(
+        "community",
+        "within2",
+        "deg_sum",
+        F.round(
+            F.col("within2").cast("double") / md
+            - (F.col("deg_sum").cast("double") / md)
+            * (F.col("deg_sum").cast("double") / md),
+            6,
+        ).alias("modularity_term"),
+    )
