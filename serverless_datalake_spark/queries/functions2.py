@@ -621,3 +621,43 @@ def fn_array3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.reverse(F.col("toks")), " ").alias("reversed"),
         F.size(F.col("toks")).alias("n"),
     )
+
+
+@query(
+    "fn_datetime3",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS q,
+           CAST(DAYOFYEAR(o_orderdate) AS INTEGER) AS doy,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           -- Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dayofweek:
+           -- 0=Sunday..6=Saturday
+           CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH AS DATE) AS plus_month,
+           CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter_start
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+    tags=("fn", "datetime"),
+)
+def fn_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime batch 3 — the calendar-edge semantics that differ
+    between engines unless pinned: quarter/day-of-year extraction,
+    LAST_DAY (month-end), day-of-week under the Sunday=1 convention
+    (Spark's native numbering; DuckDB's 0-based dow is shifted in the
+    oracle), end-of-month-clamping month addition (Jan 31 + 1 month =
+    Feb 28/29 in BOTH add_months and DuckDB's +INTERVAL), and
+    quarter truncation.
+
+    Scale: map-only projections; these are the grain derivations the
+    time-hierarchy rollups build on."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 40 == 0)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("q"),
+        F.dayofyear(d).alias("doy"),
+        F.last_day(d).alias("month_end"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.add_months(d.cast("date"), 1).alias("plus_month"),
+        F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
+    )
