@@ -1117,3 +1117,85 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in out_rows[1:]:
         out = out.unionAll(df)
     return out
+
+
+@query(
+    "text_keywords_tfidf",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE doc_id % 15 = 0 GROUP BY 1, 2
+    ), df AS (
+      SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+      FROM toks GROUP BY 1
+    ), n AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             ROUND(CAST(tf.tf AS DOUBLE)
+                   * ROUND(LN(n.n_docs / CAST(df.doc_freq AS DOUBLE)), 6), 6)
+               AS score
+      FROM tf JOIN df USING (token) CROSS JOIN n
+    ), ranked AS (
+      SELECT doc_id, token, tf, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, token) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, score, rank FROM ranked WHERE rank <= 3
+    """,
+    tags=("llm", "text", "keywords"),
+)
+def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 tokens by tf·idf — the
+    classic unsupervised keyworder (text_tfidf exposes the idf
+    skeleton; this completes it with real term frequencies and the
+    per-doc ranking an indexer/snippeter consumes).
+
+    Exactness: tf and df are exact integer aggregates; the idf LN is
+    rounded at 6 on creation (text_tfidf precedent) before the tf
+    multiply, and the product rounds at 6; ranking ties break on the
+    token text.
+
+    Scale shape: df is a vocabulary-grain aggregate broadcast into
+    the sampled-doc tf relation; per-doc top-3 plans as
+    WindowGroupLimit. The corpus scan happens twice (tf sample + df)
+    — a production indexer fuses them in one pass and keeps df as a
+    maintained relation (the matview pattern)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(textops.tokens(F.col("text"))).alias("token")
+    )
+    tf = (
+        toks.where(F.col("doc_id") % 15 == 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_tab = toks.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("long").alias("doc_freq")
+    )
+    nd = d.groupBy().agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_tab), "token")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf").cast("double")
+                * F.round(F.log(F.col("n_docs") / F.col("doc_freq").cast("double")), 6),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "score", F.col("rank").cast("long").alias("rank"))
+    )

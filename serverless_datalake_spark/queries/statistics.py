@@ -377,3 +377,144 @@ def stats_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_cols",
         )
     )
+
+
+@query(
+    "events_diff_in_diff",
+    oracle="""
+    WITH labeled AS (
+      SELECT user_id % 2 AS cohort,
+             CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END
+               AS post,
+             CAST(ROUND(value * 100.0, 0) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'
+    ), cells AS (
+      SELECT cohort, post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS cents
+      FROM labeled GROUP BY 1, 2
+    ), means AS (
+      SELECT MAX(CASE WHEN cohort = 1 AND post = 1
+                      THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS t1,
+             MAX(CASE WHEN cohort = 1 AND post = 0
+                      THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS t0,
+             MAX(CASE WHEN cohort = 0 AND post = 1
+                      THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS c1,
+             MAX(CASE WHEN cohort = 0 AND post = 0
+                      THEN CAST(cents AS DOUBLE) / CAST(n AS DOUBLE) END) AS c0,
+             CAST(SUM(n) AS BIGINT) AS n_total
+      FROM cells
+    )
+    SELECT n_total,
+           ROUND(t1 / 100.0, 4) AS treat_post,
+           ROUND(t0 / 100.0, 4) AS treat_pre,
+           ROUND(c1 / 100.0, 4) AS ctrl_post,
+           ROUND(c0 / 100.0, 4) AS ctrl_pre,
+           ROUND((t1 - t0 - (c1 - c0)) / 100.0, 4) AS did_estimate
+    FROM means
+    """,
+    tags=("stats", "causal", "diff-in-diff"),
+)
+def events_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences over a cutover: mean purchase value
+    per (cohort, pre/post) cell and the DiD estimate
+    (Δtreatment − Δcontrol) — the workhorse causal estimator for
+    staged rollouts when randomization isn't available (parallel-
+    trends assumption documented, not tested here). Cohort = the
+    deterministic user parity; cutover = mid-month.
+
+    Exactness: cell sums are integer cents; the four means and the
+    DiD arithmetic are fixed double expressions over exact inputs,
+    identical both sides.
+
+    Scale shape: ONE aggregate to the 4-cell grid; everything after
+    is constant-size. The estimator at 100 TB costs exactly one fact
+    pass — which is the argument for running it continuously."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    cells = ev.select(
+        (F.col("user_id") % 2).alias("cohort"),
+        F.when(F.col("ts") >= F.lit("2024-01-16 00:00:00").cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value") * 100.0, 0).cast("long").alias("cents"),
+    ).groupBy("cohort", "post").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").cast("long").alias("cents")
+    )
+    mean = F.col("cents").cast("double") / F.col("n").cast("double")
+    means = cells.agg(
+        F.max(F.when((F.col("cohort") == 1) & (F.col("post") == 1), mean)).alias("t1"),
+        F.max(F.when((F.col("cohort") == 1) & (F.col("post") == 0), mean)).alias("t0"),
+        F.max(F.when((F.col("cohort") == 0) & (F.col("post") == 1), mean)).alias("c1"),
+        F.max(F.when((F.col("cohort") == 0) & (F.col("post") == 0), mean)).alias("c0"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+    return means.select(
+        "n_total",
+        F.round(F.col("t1") / 100.0, 4).alias("treat_post"),
+        F.round(F.col("t0") / 100.0, 4).alias("treat_pre"),
+        F.round(F.col("c1") / 100.0, 4).alias("ctrl_post"),
+        F.round(F.col("c0") / 100.0, 4).alias("ctrl_pre"),
+        F.round(
+            (F.col("t1") - F.col("t0") - (F.col("c1") - F.col("c0"))) / 100.0, 4
+        ).alias("did_estimate"),
+    )
+
+
+@query(
+    "agg_trimmed_mean",
+    oracle="""
+    WITH ranked AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+               AS rn,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ), kept AS (
+      SELECT grp, cents, n FROM ranked
+      WHERE rn > CAST(FLOOR(n * 0.1) AS BIGINT)
+        AND rn <= n - CAST(FLOOR(n * 0.1) AS BIGINT)
+    )
+    SELECT grp,
+           CAST(MAX(n) AS BIGINT) AS n_total,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 4)
+             AS trimmed_mean
+    FROM kept GROUP BY grp
+    """,
+    tags=("stats", "robust", "trimmed-mean"),
+)
+def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10% two-sided trimmed mean per group — the robust location
+    estimate between the mean (efficient, outlier-fragile) and the
+    median (robust, noisy): drop the bottom and top decile BY EXACT
+    RANK (total tie-break order) and average the core in integer
+    cents.
+
+    Scale shape: the rank window is group-partitioned (one shuffle);
+    at 100 TB the production twin derives the two trim BOUNDS from
+    approxQuantile and filters map-side (the winsorize twin
+    relationship) — pinned exact here because the oracle needs rank
+    semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    cw = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("cents"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(cw).alias("n"),
+    )
+    lo = F.floor(F.col("n") * 0.1).cast("long")
+    kept = ranked.where((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    return kept.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0),
+            4,
+        ).alias("trimmed_mean"),
+    )
