@@ -661,3 +661,69 @@ def fn_datetime3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d.cast("date"), 1).alias("plus_month"),
         F.date_trunc("quarter", d).cast("date").alias("quarter_start"),
     )
+
+
+@query(
+    "fn_map_hof",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+        FROM documents WHERE doc_id % 21 = 0
+      ) GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS INTEGER) AS n_keys,
+           CAST(SUM(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS INTEGER)
+             AS n_keys_repeated,
+           string_agg(token || ':' || CAST(cnt * 10 AS VARCHAR), ' ' ORDER BY token)
+             AS scaled_entries
+    FROM counts GROUP BY doc_id
+    """,
+    tags=("fn", "map", "hof"),
+)
+def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions — map_from_entries, transform_values,
+    map_filter, map_entries — over per-document token-count maps: the
+    feature-dictionary shape (sparse categorical features keyed by
+    string). The oracle computes the expected CONTENT from the
+    underlying pair relation (DuckDB's map type never materializes),
+    so equality proves Spark's map algebra end-to-end; output maps
+    serialize as key-sorted entry strings (the registry's
+    no-complex-output convention).
+
+    Scale shape: counts are (doc, token)-grain; map construction and
+    the HOFs are per-row; serialization sorts only each row's own
+    entries."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 21 == 0)
+    counts = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+            ).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    m = F.map_from_entries(
+        F.array_sort(F.collect_list(F.struct("token", "cnt")))
+    )
+    mapped = counts.groupBy("doc_id").agg(m.alias("m"))
+    scaled = F.transform_values(F.col("m"), lambda k, v: v * 10)
+    repeated = F.map_filter(F.col("m"), lambda k, v: v >= 2)
+    serial = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries(scaled)),
+            lambda e: F.concat(e["key"], F.lit(":"), e["value"].cast("string")),
+        ),
+        " ",
+    )
+    return mapped.select(
+        "doc_id",
+        F.size(F.col("m")).alias("n_keys"),
+        F.size(repeated).alias("n_keys_repeated"),
+        serial.alias("scaled_entries"),
+    )

@@ -9,7 +9,7 @@ deterministic micro-batch tests.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -276,4 +276,69 @@ def stream_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_users",
             "n_events",
         )
+    )
+
+
+@query(
+    "stream_lateness_audit",
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, event_id, ts,
+             MAX(ts) OVER (ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS high_watermark
+      FROM events
+    ), scored AS (
+      SELECT event_type,
+             CASE WHEN EPOCH(high_watermark) - EPOCH(ts) > 1800.0 THEN 1 ELSE 0 END
+               AS late_30m,
+             CAST(FLOOR(GREATEST(EPOCH(high_watermark) - EPOCH(ts), 0.0)) AS BIGINT)
+               AS lateness_s
+      FROM arr
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(late_30m) AS BIGINT) AS n_late_30m,
+           CAST(MAX(lateness_s) AS BIGINT) AS max_lateness_s
+    FROM scored GROUP BY 1
+    """,
+    tags=("streaming", "watermark", "lateness"),
+)
+def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-lateness audit: replay the stream in ARRIVAL order
+    (event_id, the fixture's arrival proxy), track the running
+    event-time high watermark, and measure how late each event arrives
+    behind it — the report that tells you what
+    `withWatermark('ts', X)` WOULD drop before you pick X (here: the
+    would-drop count at a 30-minute delay and the worst observed
+    lateness per source).
+
+    Exactness: the running MAX is order-free given the total arrival
+    order; lateness compares exact micro-resolution epoch doubles and
+    floors to whole seconds.
+
+    Scale shape: one global arrival-ordered window — exactly the
+    sequential semantics a streaming engine's watermark tracker has;
+    at scale the audit runs per PARTITION (Spark's own watermark is
+    the min of per-partition maxima) with partition-local windows and
+    a tiny merge, the documented two-pass twin of every global-window
+    query here."""
+    ev = load_table(spark, sf_dir, "events")
+    aw = Window.orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    arr = ev.select(
+        "event_type",
+        "ts",
+        F.max("ts").over(aw).alias("high_watermark"),
+    )
+    lateness = F.col("high_watermark").cast("double") - F.col("ts").cast("double")
+    scored = arr.select(
+        "event_type",
+        F.when(lateness > 1800.0, 1).otherwise(0).alias("late_30m"),
+        F.floor(F.greatest(lateness, F.lit(0.0))).cast("long").alias("lateness_s"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("late_30m").cast("long").alias("n_late_30m"),
+        F.max("lateness_s").cast("long").alias("max_lateness_s"),
     )
