@@ -727,3 +727,52 @@ def fn_map_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(repeated).alias("n_keys_repeated"),
         serial.alias("scaled_entries"),
     )
+
+
+@query(
+    "fn_surrogate_key_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT o_orderkey,
+             md5('order:' || CAST(o_orderkey AS VARCHAR) || ':'
+                 || CAST(o_custkey AS VARCHAR)) AS hx
+      FROM orders WHERE o_orderkey % 60 = 0
+    )
+    SELECT o_orderkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-'
+           || substr(hx, 13, 4) || '-' || substr(hx, 17, 4) || '-'
+           || substr(hx, 21, 12) AS surrogate_uuid
+    FROM h
+    """,
+    tags=("fn", "surrogate-key"),
+)
+def fn_surrogate_key_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic surrogate-key minting (UUIDv5-style namespaced
+    hashing, md5 core): the same (namespace, business key) always
+    yields the same UUID-format id — the property that makes surrogate
+    keys RE-RUNNABLE (a re-ingest mints identical ids; random uuid()
+    would break every downstream join and is banned in idempotent
+    pipelines, exactly the reference's replay requirement R13 applied
+    to key minting).
+
+    Scale: map-only; the hash domain-separates via the explicit
+    namespace prefix so order keys can never collide with, e.g.,
+    customer-derived surrogates."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 60 == 0)
+    hx = F.md5(
+        F.concat(
+            F.lit("order:"),
+            F.col("o_orderkey").cast("string"),
+            F.lit(":"),
+            F.col("o_custkey").cast("string"),
+        )
+    )
+    u = F.concat_ws(
+        "-",
+        F.substring(hx, 1, 8),
+        F.substring(hx, 9, 4),
+        F.substring(hx, 13, 4),
+        F.substring(hx, 17, 4),
+        F.substring(hx, 21, 12),
+    )
+    return o.select("o_orderkey", u.alias("surrogate_uuid"))

@@ -669,3 +669,88 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share_of_total"),
     )
+
+
+@query(
+    "orders_xyz_classification",
+    oracle="""
+    WITH monthly AS (
+      SELECT l.l_partkey AS part,
+             CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
+             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ), stats AS (
+      SELECT part,
+             CAST(COUNT(*) AS BIGINT) AS n_months,
+             CAST(SUM(q) AS BIGINT) AS s,
+             SUM(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS ss
+      FROM monthly GROUP BY 1 HAVING COUNT(*) >= 6
+    ), scored AS (
+      SELECT part, n_months,
+             ROUND(SQRT(GREATEST((CAST(ss AS DOUBLE)
+                         - (CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE))
+                           * CAST(s AS DOUBLE)) / CAST(n_months AS DOUBLE), 0.0))
+                   / (CAST(s AS DOUBLE) / CAST(n_months AS DOUBLE)), 4) AS cv
+      FROM stats
+    )
+    SELECT CASE WHEN cv < 0.5 THEN 'X' WHEN cv < 1.0 THEN 'Y' ELSE 'Z' END
+             AS xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(MIN(cv), 4) AS min_cv,
+           ROUND(MAX(cv), 4) AS max_cv
+    FROM scored GROUP BY 1
+    """,
+    tags=("warehouse", "inventory", "xyz"),
+)
+def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification — the companion axis to
+    ABC revenue ranking (orders_abc_classification): parts bucketed by
+    the coefficient of variation of their MONTHLY demand (X = steady,
+    forecastable; Z = erratic, safety-stock-hungry). ABC×XYZ is the
+    canonical inventory-policy matrix.
+
+    Exactness: monthly quantities are exact integers; Σ and Σ² are
+    exact (128-bit for the squares); CV is the pinned
+    mean/variance expression rounded at 4 before classification, so
+    the class boundaries cannot ulp-flip.
+
+    Scale shape: one fact join + month-grain aggregate, then a
+    part-grain moment aggregate — both partial-agg shuffles on
+    reduced relations; the class rollup is constant-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        li.join(o, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+    )
+    stats = (
+        monthly.groupBy("part")
+        .agg(
+            F.count(F.lit(1)).alias("n_months"),
+            F.sum("q").cast("long").alias("s"),
+            F.sum(F.col("q").cast("decimal(38,0)") * F.col("q").cast("decimal(38,0)")).alias("ss"),
+        )
+        .where(F.col("n_months") >= 6)
+    )
+    nd = F.col("n_months").cast("double")
+    sd = F.col("s").cast("double")
+    mean = sd / nd
+    cv = F.round(
+        F.sqrt(F.greatest((F.col("ss").cast("double") - mean * sd) / nd, F.lit(0.0)))
+        / mean,
+        4,
+    )
+    scored = stats.select("part", "n_months", cv.alias("cv"))
+    xyz = (
+        F.when(F.col("cv") < 0.5, "X").when(F.col("cv") < 1.0, "Y").otherwise("Z")
+    )
+    return scored.groupBy(xyz.alias("xyz_class")).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.min("cv"), 4).alias("min_cv"),
+        F.round(F.max("cv"), 4).alias("max_cv"),
+    )
