@@ -776,3 +776,58 @@ def fn_surrogate_key_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(hx, 21, 12),
     )
     return o.select("o_orderkey", u.alias("surrogate_uuid"))
+
+
+@query(
+    "fn_json_struct_roundtrip",
+    oracle="""
+    SELECT event_id,
+           '{"et":"' || event_type || '","uid":' || CAST(user_id AS VARCHAR)
+             || ',"k":' || CAST(CAST(json_extract(props, '$.k') AS BIGINT) AS VARCHAR)
+             || '}' AS packed,
+           event_type AS et_back,
+           CAST(user_id AS BIGINT) AS uid_back,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_back
+    FROM events WHERE event_id % 120 = 0
+    """,
+    tags=("fn", "json", "struct"),
+)
+def fn_json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Struct ⇄ JSON round-trip: pack typed columns into a struct,
+    serialize with to_json, parse back with a schema'd from_json, and
+    return BOTH the wire string and the recovered fields — the
+    DataFrame-expression twin of the lake's JSON codec (sources/lake
+    handles files; this is the per-cell path used for message payloads
+    and props columns). The oracle constructs the expected wire string
+    and fields directly from source columns, so equality proves
+    serialize∘parse = id and pins the exact field order/format of
+    the wire string.
+
+    Scale: map-only; nested k comes from the props JSON (one
+    json_extract on both sides), exercising nested-then-repacked
+    data."""
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_id") % 120 == 0)
+    packed = F.to_json(
+        F.struct(
+            F.col("event_type").alias("et"),
+            F.col("user_id").alias("uid"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+    )
+    schema = T.StructType(
+        [
+            T.StructField("et", T.StringType()),
+            T.StructField("uid", T.LongType()),
+            T.StructField("k", T.LongType()),
+        ]
+    )
+    parsed = F.from_json(packed, schema)
+    return ev.select(
+        "event_id",
+        packed.alias("packed"),
+        parsed["et"].alias("et_back"),
+        parsed["uid"].alias("uid_back"),
+        parsed["k"].alias("k_back"),
+    )

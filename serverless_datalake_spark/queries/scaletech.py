@@ -603,3 +603,50 @@ def sql_ddl_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = out.collect()  # materialize before DROP removes the files
     spark.sql(f"DROP TABLE {tbl}")
     return spark.createDataFrame(rows, out.schema)
+
+
+@query(
+    "scan_observe_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_open
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    tags=("observability", "metrics"),
+)
+def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame.observe — Spark's OBSERVABLE METRICS channel: named
+    aggregates ride along with a query (at zero extra passes; the
+    accumulators update as rows stream by) and surface to listeners —
+    the mechanism production pipelines use for row-count/quality
+    telemetry without a second scan. Here the observed values are
+    returned AS the result so the oracle can check the channel
+    delivers exactly what a direct aggregate computes.
+
+    Scale: the observation is free (piggybacked accumulators); in
+    streaming the same API feeds per-batch metrics to
+    StreamingQueryListener — the monitoring story for the ingest
+    pipeline (R2/R9)."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 3 == 0)
+    obs = Observation("card")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0))
+        .cast("long")
+        .alias("n_open"),
+    )
+    observed.write.format("noop").mode("overwrite").save()  # one pass fills obs
+    row = obs.get
+    return spark.createDataFrame(
+        [(row["n_rows"], row["cents"], row["n_open"])],
+        "n_rows bigint, cents bigint, n_open bigint",
+    )

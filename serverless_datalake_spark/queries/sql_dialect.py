@@ -590,3 +590,39 @@ def sql_lateral_alias(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 50 = 0
         """
     )
+
+
+@query(
+    "sql_join_hint_broadcast",
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY 1
+    """,
+    tags=("sql", "hints"),
+)
+def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL join-strategy hints (`/*+ BROADCAST(n) */`): the
+    parser-path way to pin a physical strategy when statistics
+    mislead the optimizer — semantically a no-op (the oracle is the
+    plain join), which is exactly what the equality check proves;
+    the physical effect (broadcast side selection) is what
+    tests/test_plans pins elsewhere. Hints are the escape hatch of
+    last resort; AQE's runtime re-selection makes most of them
+    unnecessary, and a hint naming a missing relation is silently
+    ignored rather than an error — both reasons to prefer
+    F.broadcast in code."""
+    register_views(spark, sf_dir, only=("customer", "nation"))
+    return spark.sql(
+        """
+        SELECT /*+ BROADCAST(n) */ n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(ROUND(c.c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        """
+    )
