@@ -494,3 +494,94 @@ def retention_ltv_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orders",
         F.sum("cents").over(w).cast("long").alias("cum_cents"),
     )
+
+
+@query(
+    "funnel_window_bounded",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ), s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON s1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1
+        AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+      GROUP BY 1
+    ), s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e
+      JOIN s1 ON s1.user_id = e.user_id
+      JOIN s2 ON s2.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+        AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+      GROUP BY 1
+    ), levels AS (
+      SELECT s1.user_id,
+             CASE WHEN s3.user_id IS NOT NULL THEN 3
+                  WHEN s2.user_id IS NOT NULL THEN 2
+                  ELSE 1 END AS level
+      FROM s1
+      LEFT JOIN s2 ON s2.user_id = s1.user_id
+      LEFT JOIN s3 ON s3.user_id = s1.user_id
+    )
+    SELECT CAST(level AS BIGINT) AS level,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM levels GROUP BY 1
+    """,
+    tags=("funnel", "window-bounded"),
+)
+def funnel_window_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-BOUNDED ordered funnel (the windowFunnel shape): how far
+    does each user get through signup → click → purchase WITHIN ONE
+    HOUR of the first signup? Unbounded funnels
+    (funnel_signup_click_purchase) overstate conversion by counting
+    journeys that took weeks; the window bound is what makes the
+    metric a campaign/session KPI. Reported as users per max level.
+
+    Exactness: stage times are exact MIN timestamps; the window bound
+    compares timestamps directly (same interval arithmetic both
+    sides); levels are integers.
+
+    Scale shape: each stage is one user-keyed aggregate (events scan
+    reused across stages by Catalyst); the level classification is
+    two broadcast-sized left joins on the shrinking stage relations."""
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where(
+            (F.col("ts") > F.col("t1"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .where(
+            (F.col("ts") > F.col("t2"))
+            & (F.col("ts") <= F.col("t1") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    levels = (
+        s1.join(s2.select(F.col("user_id"), F.lit(1).alias("has2")), "user_id", "left")
+        .join(s3.select(F.col("user_id"), F.lit(1).alias("has3")), "user_id", "left")
+        .select(
+            F.when(F.col("has3").isNotNull(), 3)
+            .when(F.col("has2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("long")
+            .alias("level")
+        )
+    )
+    return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
