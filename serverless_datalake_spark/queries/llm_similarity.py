@@ -1462,3 +1462,103 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.unionAll(pick)
     return selected.select(F.col("cid").alias("vec_id"), "pick_round", "dist_to_set")
+
+
+def _recall_eval_oracle() -> str:
+    """Compose ALREADY-REGISTERED oracles (ground truth = brute force;
+    candidates = single-table LSH and its multiprobe variant) as CTE
+    subqueries and score recall@5 per system — evaluation-as-a-query."""
+    from serverless_datalake_spark.queries import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    lsh = REGISTRY["sim_topk_lsh"].oracle
+    mp = REGISTRY["sim_topk_lsh_multiprobe"].oracle
+    return f"""
+    WITH bf AS ({bf}), lsh AS ({lsh}), mp AS ({mp}),
+    cands AS (
+      SELECT 'lsh_1table' AS system, query_id, corpus_id FROM lsh
+      UNION ALL
+      SELECT 'lsh_multiprobe', query_id, corpus_id FROM mp
+    ), hits AS (
+      SELECT s.system, bf.query_id,
+             CAST(COUNT(c.corpus_id) AS BIGINT) AS n_hits
+      FROM bf CROSS JOIN (SELECT DISTINCT system FROM cands) s
+      LEFT JOIN cands c
+        ON c.system = s.system AND c.query_id = bf.query_id
+       AND c.corpus_id = bf.corpus_id
+      GROUP BY 1, 2
+    )
+    SELECT system,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           ROUND(CAST(SUM(n_hits) AS DOUBLE)
+                 / (5.0 * CAST(COUNT(*) AS DOUBLE)), 4) AS mean_recall_at_5,
+           ROUND(CAST(MIN(n_hits) AS DOUBLE) / 5.0, 4) AS worst_recall_at_5
+    FROM hits GROUP BY 1
+    """
+
+
+@query("sim_recall_eval", oracle=_recall_eval_oracle(),
+       tags=("llm", "similarity", "evaluation"))
+def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION as a query: recall@5 of the LSH ANN
+    probes (single-table and multiprobe) against the exact
+    brute-force ground truth — the IR evaluation every index
+    deployment gates on, put in the data plane where a quality
+    dashboard reads it (the validate_expectations move applied to
+    retrieval). The single-table row EXPOSES why multiprobe exists:
+    one 8-plane bucket per query recalls almost nothing at fixture
+    dimensionality; probing the 8 Hamming-1 neighbors recovers it —
+    the table reports both honestly.
+
+    Exactness: hit counts are integers; each recall ratio is a single
+    division of exact values (no per-query float averaging).
+
+    Scale shape: every leg is the registry query's own plan (≤5 rows
+    per query each); scoring joins tiny shortlists. Production
+    measures recall exactly this way — ground truth brute-forced on a
+    SAMPLE, so the exact leg's cost is bounded by the sample, not the
+    corpus."""
+    from serverless_datalake_spark.queries import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc")
+    )
+    legs = {
+        "lsh_1table": "sim_topk_lsh",
+        "lsh_multiprobe": "sim_topk_lsh_multiprobe",
+    }
+    outs = []
+    for system, qname in sorted(legs.items()):
+        cand = REGISTRY[qname].fn(spark, sf_dir).select(
+            F.col("query_id").alias("lq"), F.col("corpus_id").alias("lc")
+        )
+        hits = (
+            bf.join(
+                cand, (F.col("lq") == F.col("bq")) & (F.col("lc") == F.col("bc")), "left"
+            )
+            .groupBy("bq")
+            .agg(F.count("lc").cast("long").alias("n_hits"))
+        )
+        outs.append(
+            hits.agg(
+                F.lit(system).alias("system"),
+                F.count(F.lit(1)).alias("n_queries"),
+                F.sum("n_hits").cast("long").alias("total_hits"),
+                F.round(
+                    F.sum("n_hits").cast("double")
+                    / (F.lit(5.0) * F.count(F.lit(1)).cast("double")),
+                    4,
+                ).alias("mean_recall_at_5"),
+                F.round(F.min("n_hits").cast("double") / F.lit(5.0), 4).alias(
+                    "worst_recall_at_5"
+                ),
+            ).select(
+                "system", "n_queries", "total_hits", "mean_recall_at_5",
+                "worst_recall_at_5",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
