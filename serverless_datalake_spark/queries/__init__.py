@@ -256,8 +256,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     stream_lateness_audit, orders_xyz_classification,
 #     fn_surrogate_key_uuid, fn_json_struct_roundtrip,
 #     scan_observe_metrics, sql_join_hint_broadcast,
-#     funnel_window_bounded, sim_recall_eval — see each; the registry
-#     now holds 315 oracled queries
+#     funnel_window_bounded, sim_recall_eval, join_fuzzy_blocked,
+#     lake_schema_drift_report — see each; the registry now holds 317
+#     oracled queries
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for

@@ -541,3 +541,56 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("value"),
         nearest.alias("nearest_signup_epoch"),
     )
+
+
+@query(
+    "join_fuzzy_blocked",
+    oracle="""
+    WITH names AS (
+      SELECT DISTINCT p_name FROM part
+    ), blocked AS (
+      SELECT p_name, string_split(p_name, ' ')[2] AS blk FROM names
+    )
+    SELECT a.blk AS block,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy join — the entity-resolution core: candidate
+    pairs come from an equi-join on a BLOCKING KEY (here the noun of
+    the two-word part name), and only candidates pay the quadratic
+    edit-distance check (threshold ≤ 4 catches adjective variants).
+    Without blocking, fuzzy matching is an O(n²) cross join — the
+    same brute-vs-blocked relationship as dedup_ngram_jaccard vs
+    MinHash banding, for STRINGS instead of documents.
+
+    Exactness: levenshtein is the standard integer DP in both
+    engines (established by fn_edit_distance); blocking key and
+    tie-break ordering are total.
+
+    Scale shape: distinct names are vocabulary-sized; the block join
+    hashes on the key; block populations bound the pair fan-out
+    (production blocks on phonetic codes / q-gram signatures when a
+    single token is too coarse)."""
+    p = load_table(spark, sf_dir, "part")
+    names = p.select("p_name").distinct()
+    blocked = names.select(
+        "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("blk")
+    )
+    a = blocked.select(F.col("p_name").alias("name_a"), F.col("blk").alias("block"))
+    b = blocked.select(F.col("p_name").alias("name_b"), F.col("blk").alias("blk_b"))
+    return (
+        a.join(b, (F.col("block") == F.col("blk_b")) & (F.col("name_a") < F.col("name_b")))
+        .where(F.levenshtein(F.col("name_a"), F.col("name_b")) <= 4)
+        .select(
+            "block",
+            "name_a",
+            "name_b",
+            F.levenshtein(F.col("name_a"), F.col("name_b")).alias("dist"),
+        )
+    )

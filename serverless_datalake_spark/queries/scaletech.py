@@ -650,3 +650,64 @@ def scan_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(row["n_rows"], row["cents"], row["n_open"])],
         "n_rows bigint, cents bigint, n_open bigint",
     )
+
+
+@query(
+    "lake_schema_drift_report",
+    oracle="""
+    WITH legacy AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 2 = 0
+    ), widened AS (
+      SELECT o_orderkey, CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT) AS cents,
+             o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM legacy) + (SELECT COUNT(*) FROM widened)
+                AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM widened) AS BIGINT) AS n_with_priority,
+           CAST((SELECT COUNT(*) FROM legacy) AS BIGINT) AS n_legacy_null,
+           CAST((SELECT SUM(cents) FROM legacy) + (SELECT SUM(cents) FROM widened)
+                AS BIGINT) AS cents
+    """,
+    tags=("lakehouse", "schema-evolution"),
+)
+def lake_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the transaction log,
+    driver-checkable: commit a legacy-schema batch, then a WIDENED
+    batch (new o_orderpriority column), read the whole table with
+    schema merging (txlog_read merge_schema — Delta/Iceberg ADD
+    COLUMN semantics: legacy files surface NULL for the new column),
+    and report the drift profile (rows carrying vs missing the new
+    field). The oracle recomputes from the source slices.
+
+    Scale shape: merge_schema costs one footer-union metadata pass;
+    the report is one aggregate. At 100 TB, additive evolution is THE
+    schema-change mechanism — rewriting history for a new column is
+    off the table, which is exactly what this read path avoids."""
+    import uuid as _uuid
+
+    from serverless_datalake_spark.sources.txlog import txlog_read, txlog_write
+
+    o = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.gettempdir(), f"sdlspark_drift_{_uuid.uuid4().hex[:12]}")
+    legacy = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    widened = o.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    txlog_write(legacy, path)
+    txlog_write(widened, path)
+    merged = txlog_read(spark, path, merge_schema=True)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").cast("long").alias("n_with_priority"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long"))
+        .cast("long")
+        .alias("n_legacy_null"),
+        F.sum("cents").cast("long").alias("cents"),
+    )
