@@ -257,7 +257,8 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     fn_surrogate_key_uuid, fn_json_struct_roundtrip,
 #     scan_observe_metrics, sql_join_hint_broadcast,
 #     funnel_window_bounded, sim_recall_eval, join_fuzzy_blocked,
-#     lake_schema_drift_report — see each; the registry now holds 317
+#     lake_schema_drift_report, sample_neyman_allocation,
+#     eval_calibration_ece — see each; the registry now holds 319
 #     oracled queries
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3

@@ -1260,3 +1260,81 @@ def privacy_generalize_enforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.max("suppressed").cast("long").alias("is_suppressed_class"),
     )
+
+
+@query(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT c_mktsegment AS stratum,
+             CAST(COUNT(*) AS BIGINT) AS n_h,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT)) AS BIGINT) AS s,
+             SUM(CAST(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS HUGEINT)
+                 * CAST(CAST(ROUND(c_acctbal * 100.0, 0) AS BIGINT) AS HUGEINT)) AS ss
+      FROM customer GROUP BY 1
+    ), scored AS (
+      SELECT stratum, n_h,
+             ROUND(CAST(n_h AS DOUBLE)
+                   * SQRT(GREATEST((CAST(ss AS DOUBLE)
+                           - (CAST(s AS DOUBLE) / CAST(n_h AS DOUBLE))
+                             * CAST(s AS DOUBLE)) / CAST(n_h AS DOUBLE), 0.0)), 4)
+               AS nh_sh
+      FROM strata
+    ), tot AS (
+      SELECT ROUND(list_aggregate(list(nh_sh ORDER BY stratum), 'sum'), 4) AS t
+      FROM scored
+    )
+    SELECT s.stratum, s.n_h, s.nh_sh,
+           CAST(ROUND(500.0 * s.nh_sh / tot.t, 0) AS BIGINT) AS alloc_n
+    FROM scored s CROSS JOIN tot
+    """,
+    tags=("datapipe", "sampling", "neyman"),
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman (optimal) allocation for stratified sampling: a fixed
+    budget of 500 samples split across strata ∝ N_h·S_h (stratum size
+    × stratum standard deviation) — minimum-variance estimation for a
+    fixed cost, the design step BEFORE sample_stratified draws rows
+    (proportional allocation wastes budget on large-but-homogeneous
+    strata; Neyman spends it where the variance lives).
+
+    Exactness: stratum moments are exact integer cents (128-bit Σx²);
+    each N_h·S_h is the pinned variance expression rounded at 4; the
+    normalizer folds stratum order; allocations round HALF_UP to
+    integers (the oracle's ROUND rides the Spark-exact rewrite).
+
+    Scale shape: one stratum-grain moment aggregate + a 1-row
+    normalizer broadcast — the design table costs one scan regardless
+    of corpus size."""
+    c = load_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100.0, 0).cast("long")
+    strata = c.groupBy(F.col("c_mktsegment").alias("stratum")).agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum(cents).cast("long").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents.cast("decimal(38,0)")).alias("ss"),
+    )
+    nd = F.col("n_h").cast("double")
+    sd = F.col("s").cast("double")
+    var = (F.col("ss").cast("double") - (sd / nd) * sd) / nd
+    scored = strata.select(
+        "stratum",
+        "n_h",
+        F.round(nd * F.sqrt(F.greatest(var, F.lit(0.0))), 4).alias("nh_sh"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct("stratum", "nh_sh")))
+    tot = scored.agg(
+        F.round(
+            F.aggregate(
+                F.transform(arr, lambda x: x["nh_sh"]), F.lit(0.0), lambda a, x: a + x
+            ),
+            4,
+        ).alias("t")
+    )
+    return scored.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "n_h",
+        "nh_sh",
+        F.round(F.lit(500.0) * F.col("nh_sh") / F.col("t"), 0)
+        .cast("long")
+        .alias("alloc_n"),
+    )

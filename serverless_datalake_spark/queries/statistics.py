@@ -518,3 +518,102 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("trimmed_mean"),
     )
+
+
+@query(
+    "eval_calibration_ece",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                          / GREATEST(len(toks), 1))
+                   + 0.5 * 0.9, 4) AS conf,
+             CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
+               AS label
+      FROM t
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR(conf * 10.0) AS BIGINT), 9) AS bin,
+             CAST(ROUND(conf * 10000.0, 0) AS BIGINT) AS conf_e4,
+             label
+      FROM scored
+    ), cells AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conf_e4) AS BIGINT) AS conf_sum_e4,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM binned GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt FROM cells
+    )
+    SELECT c.bin, c.n,
+           ROUND(CAST(c.conf_sum_e4 AS DOUBLE) / CAST(c.n AS DOUBLE) / 10000.0, 4)
+             AS mean_conf,
+           ROUND(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE), 4) AS frac_pos,
+           ROUND(ABS(CAST(c.conf_sum_e4 AS DOUBLE) / CAST(c.n AS DOUBLE) / 10000.0
+                     - CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE))
+                 * CAST(c.n AS DOUBLE) / CAST(tot.nt AS DOUBLE), 6)
+             AS ece_contrib
+    FROM cells c CROSS JOIN tot
+    """,
+    tags=("stats", "evaluation", "calibration"),
+)
+def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-calibration-error table for a scored gate: treat a
+    [0,1] quality score as a predicted probability (here a shifted
+    diversity score standing in for a model confidence), the
+    quality-gate outcome as the label, bin predictions into deciles,
+    and report per-bin mean confidence vs empirical positive rate plus
+    each bin's weighted |gap| — Σ(ece_contrib) IS the ECE. The
+    classifier-evaluation table every scored filter (quality models,
+    toxicity gates, dedup confidences) should publish next to its
+    threshold.
+
+    Exactness: per-doc confidences round at 4 and aggregate as
+    integer 1e-4 units; labels and bin ids are integers; per-bin
+    ratios are single divisions.
+
+    Scale shape: one corpus scan → 10-row bin table; everything after
+    the first aggregate is constant-size."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    scored = d.select(
+        F.round(F.lit(0.5) * diversity + F.lit(0.5) * F.lit(0.9), 4).alias("conf"),
+        F.when(
+            (F.size(toks) >= 30)
+            & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("conf") * 10.0).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        F.round(F.col("conf") * 10000.0, 0).cast("long").alias("conf_e4"),
+        "label",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("conf_e4").cast("long").alias("conf_sum_e4"),
+        F.sum("label").cast("long").alias("n_pos"),
+    )
+    tot = cells.agg(F.sum("n").cast("long").alias("nt"))
+    nd = F.col("n").cast("double")
+    mean_conf = F.col("conf_sum_e4").cast("double") / nd / F.lit(10000.0)
+    frac_pos = F.col("n_pos").cast("double") / nd
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        F.round(mean_conf, 4).alias("mean_conf"),
+        F.round(frac_pos, 4).alias("frac_pos"),
+        F.round(
+            F.abs(mean_conf - frac_pos) * nd / F.col("nt").cast("double"), 6
+        ).alias("ece_contrib"),
+    )
