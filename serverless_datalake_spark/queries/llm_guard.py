@@ -605,3 +605,83 @@ def pipeline_dq_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("disposition")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "eval_ngram_novelty",
+    oracle="""
+    WITH ref_tris AS (
+      SELECT DISTINCT t1 || ' ' || t2 || ' ' || t3 AS tri FROM (
+        SELECT toks[i] AS t1, toks[i + 1] AS t2, toks[i + 2] AS t3
+        FROM (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+              FROM documents WHERE doc_id % 3 <> 0),
+             UNNEST(range(1, len(toks) - 1)) AS u(i)
+        WHERE len(toks) >= 3
+      )
+    ), eval_tris AS (
+      SELECT doc_id, toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] AS tri
+      FROM (SELECT doc_id,
+                   list_filter(string_split(text, ' '), x -> x <> '') AS toks
+            FROM documents WHERE doc_id % 3 = 0),
+           UNNEST(range(1, len(toks) - 1)) AS u(i)
+      WHERE len(toks) >= 3
+    ), scored AS (
+      SELECT e.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tris,
+             CAST(SUM(CASE WHEN r.tri IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_novel
+      FROM eval_tris e LEFT JOIN ref_tris r ON r.tri = e.tri
+      GROUP BY 1
+    )
+    SELECT doc_id, n_tris, n_novel,
+           ROUND(CAST(n_novel AS DOUBLE) / CAST(n_tris AS DOUBLE), 4) AS novelty
+    FROM scored
+    """,
+    tags=("llm", "evaluation", "novelty", "memorization"),
+)
+def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram NOVELTY against a reference corpus: the fraction of each
+    evaluation document's trigrams never seen in the reference — the
+    memorization/copy audit for generated text (novelty ≈ 0 means the
+    "generation" is verbatim reference; RETRO/memorization papers
+    report exactly this). The complement of the contamination checks:
+    decontamination asks "is eval text in train?"; novelty asks "is
+    generated text merely retrieved?".
+
+    Exactness: trigram sets are exact string relations; novelty is
+    one division of integer counts per doc.
+
+    Scale shape: the reference trigram relation is
+    DISTINCT-aggregated once (vocabulary-ish grain) and hash-joined
+    against eval trigrams — at 100 TB the reference side becomes the
+    dedup family's materialized band/bloom index (probe, not rescan);
+    dedup_bloom_incremental is the screening twin."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def tris(df):
+        toks = textops.tokens(F.col("text"))
+        return df.where(F.size(toks) >= 3).select(
+            "doc_id",
+            F.explode(textops.shingles(F.col("text"), k=3)).alias("tri"),
+        )
+
+    ref = tris(d.where(F.col("doc_id") % 3 != 0)).select("tri").distinct()
+    ev = tris(d.where(F.col("doc_id") % 3 == 0))
+    scored = (
+        ev.join(ref.withColumnRenamed("tri", "rtri"), ev["tri"] == F.col("rtri"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tris"),
+            F.sum(F.col("rtri").isNull().cast("long")).cast("long").alias("n_novel"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tris",
+        "n_novel",
+        F.round(F.col("n_novel").cast("double") / F.col("n_tris").cast("double"), 4).alias(
+            "novelty"
+        ),
+    )

@@ -239,3 +239,83 @@ def mm_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("end_ms"),
     )
+
+
+@query(
+    "mm_image_tile_plan",
+    oracle="""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             -- deterministic synthetic dimensions from the payload
+             -- size (no codecs in the container; a real pipeline
+             -- reads them from the image header the same way)
+             CAST(512 + (octet_length(encode(text)) % 7) * 256 AS BIGINT) AS width,
+             CAST(512 + (octet_length(encode(text)) % 5) * 256 AS BIGINT) AS height
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT media_id, width, height,
+           CAST(tx AS BIGINT) AS tile_x, CAST(ty AS BIGINT) AS tile_y,
+           CAST(tx * 448 AS BIGINT) AS x0,
+           CAST(ty * 448 AS BIGINT) AS y0,
+           CAST(LEAST(tx * 448 + 512, width) AS BIGINT) AS x1,
+           CAST(LEAST(ty * 448 + 512, height) AS BIGINT) AS y1
+    FROM media,
+         UNNEST(range(0, GREATEST(CAST(CEIL((CAST(width AS DOUBLE) - 512.0) / 448.0)
+                                       AS BIGINT) + 1, 1))) AS ux(tx),
+         UNNEST(range(0, GREATEST(CAST(CEIL((CAST(height AS DOUBLE) - 512.0) / 448.0)
+                                       AS BIGINT) + 1, 1))) AS uy(ty)
+    """,
+    tags=("llm", "multimodal", "image", "tiling"),
+)
+def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vision-pipeline TILE PLAN: 512×512 tiles with 64-pixel overlap
+    (stride 448) over each image's dimensions — the 2-D sibling of
+    mm_audio_chunk_plan (high-resolution ViT/OCR pipelines tile
+    before encoding; boundary tiles clamp to the image edge).
+    Dimensions are deterministic synthetics from payload size; a real
+    reader takes them from the header without decoding pixels, so the
+    plan stays a metadata pass.
+
+    Scale shape: map-only metadata scan + a bounded 2-D explode
+    (tiles_x × tiles_y rows per image); the decode stage downstream
+    point-reads (media_id, x0, y0, x1, y1) crops. Same
+    short-asset clamp discipline as the audio chunker (descending-
+    sequence hazard)."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    nb = F.octet_length(F.encode(F.col("text"), "UTF-8"))
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(512) + (nb % 7) * 256).cast("long").alias("width"),
+        (F.lit(512) + (nb % 5) * 256).cast("long").alias("height"),
+    )
+    tile, stride = 512, 448
+
+    def n_tiles(dim):
+        return F.greatest(
+            F.ceil((dim.cast("double") - float(tile)) / float(stride)).cast("long") + 1,
+            F.lit(1).cast("long"),
+        )
+
+    tiles = media.select(
+        "media_id",
+        "width",
+        "height",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_tiles(F.col("width")) - 1)).alias("tx"),
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        "tx",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_tiles(F.col("height")) - 1)).alias("ty"),
+    )
+    return tiles.select(
+        "media_id",
+        "width",
+        "height",
+        F.col("tx").cast("long").alias("tile_x"),
+        F.col("ty").cast("long").alias("tile_y"),
+        (F.col("tx") * stride).cast("long").alias("x0"),
+        (F.col("ty") * stride).cast("long").alias("y0"),
+        F.least(F.col("tx") * stride + tile, F.col("width")).cast("long").alias("x1"),
+        F.least(F.col("ty") * stride + tile, F.col("height")).cast("long").alias("y1"),
+    )
