@@ -142,3 +142,63 @@ def test_bot_regularity_flags_subset(spark, sf_dir):
     rows = _rows(spark, sf_dir, "events_bot_gap_regularity")
     assert all(r["n_gaps"] >= 10 for r in rows)
     assert all((r["too_regular"] == 1) == (r["gap_cv"] < 0.3) for r in rows)
+
+
+def test_fuzzy_blocked_pairs_respect_threshold(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "join_fuzzy_blocked")
+    assert rows
+    for r in rows:
+        assert r["dist"] <= 4
+        assert r["name_a"] < r["name_b"]
+        assert r["name_a"].split(" ")[1] == r["block"]
+        assert r["name_b"].split(" ")[1] == r["block"]
+
+
+def test_novelty_bounds_and_reference_disjointness(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "eval_ngram_novelty")
+    assert rows
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in rows)
+    assert all(r["n_novel"] <= r["n_tris"] for r in rows)
+
+
+def test_tile_plan_covers_image_exactly(spark, sf_dir):
+    """Tiles must cover every pixel: per image, max x1 == width and
+    max y1 == height, first tile starts at 0, and consecutive tiles
+    overlap by tile-stride (64 px)."""
+    rows = _rows(spark, sf_dir, "mm_image_tile_plan")
+    by_img: dict = {}
+    for r in rows:
+        by_img.setdefault(r["media_id"], []).append(r)
+    for media_id, tiles in by_img.items():
+        w = tiles[0]["width"]
+        h = tiles[0]["height"]
+        assert max(t["x1"] for t in tiles) == w, media_id
+        assert max(t["y1"] for t in tiles) == h, media_id
+        assert min(t["x0"] for t in tiles) == 0
+        assert min(t["y0"] for t in tiles) == 0
+
+
+def test_recall_eval_multiprobe_dominates_single_table(spark, sf_dir):
+    """Probing 8 extra Hamming-1 buckets can only ADD candidates, so
+    multiprobe recall must be >= single-table recall."""
+    rows = {r["system"]: r for r in _rows(spark, sf_dir, "sim_recall_eval")}
+    assert rows["lsh_multiprobe"]["total_hits"] >= rows["lsh_1table"]["total_hits"]
+
+
+def test_neyman_allocation_spends_the_budget(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "sample_neyman_allocation")
+    total = sum(r["alloc_n"] for r in rows)
+    # per-stratum HALF_UP rounding drifts the total by at most
+    # n_strata/2 from the 500 budget
+    assert abs(total - 500) <= len(rows)
+    assert all(r["alloc_n"] >= 0 for r in rows)
+
+
+def test_ece_contributions_form_a_probability_partition(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "eval_calibration_ece")
+    n_total = sum(r["n"] for r in rows)
+    assert n_total > 0
+    for r in rows:
+        assert 0.0 <= r["mean_conf"] <= 1.0
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert r["ece_contrib"] >= 0.0
