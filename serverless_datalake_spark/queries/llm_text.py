@@ -1199,3 +1199,74 @@ def text_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("doc_id", "token", "tf", "score", F.col("rank").cast("long").alias("rank"))
     )
+
+
+@query(
+    "text_subsampling_word2vec",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt
+    ), scored AS (
+      SELECT cnt.t, cnt.c,
+             CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE) AS f,
+             ROUND(GREATEST(LEAST(1.0 - SQRT(0.001
+                     / (CAST(cnt.c AS DOUBLE) / CAST(tot.n AS DOUBLE))), 1.0), 0.0), 6)
+               AS p_drop
+      FROM cnt CROSS JOIN tot
+    )
+    SELECT t AS token, c AS freq,
+           ROUND(f, 8) AS rel_freq,
+           p_drop,
+           CAST(ROUND(CAST(c AS DOUBLE) * (1.0 - p_drop), 0) AS BIGINT)
+             AS expected_kept
+    FROM scored WHERE p_drop > 0
+    """,
+    tags=("llm", "text", "subsampling"),
+)
+def text_subsampling_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-word subsampling (word2vec's t=1e-3 rule): tokens with
+    relative frequency f above the threshold are dropped with
+    probability 1 − √(t/f) — the corpus rebalancing that stops 'the'
+    from dominating embedding training. Reports the drop probability
+    and the expected kept count per affected token; the actual drop
+    pass applies the probability via the house deterministic
+    multiplicative hash (sample_stratified's mechanism) so re-runs
+    keep identical tokens.
+
+    Exactness: frequencies are exact integer counts over one corpus
+    scan; the probability expression (SQRT of an exact ratio, clamped)
+    is identical both sides, rounded at 6 before the expected-count
+    product.
+
+    Scale shape: vocabulary-grain aggregate + a 1-row total — the
+    drop table is tiny and broadcasts into the actual filter pass."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(textops.tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").cast("long").alias("n"))
+    f = F.col("c").cast("double") / F.col("n").cast("double")
+    p_drop = F.round(
+        F.greatest(
+            F.least(F.lit(1.0) - F.sqrt(F.lit(0.001) / f, ), F.lit(1.0)),
+            F.lit(0.0),
+        ),
+        6,
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("t").alias("token"),
+            F.col("c").alias("freq"),
+            F.round(f, 8).alias("rel_freq"),
+            p_drop.alias("p_drop"),
+            F.round(F.col("c").cast("double") * (F.lit(1.0) - p_drop), 0)
+            .cast("long")
+            .alias("expected_kept"),
+        )
+        .where(F.col("p_drop") > 0)
+    )

@@ -617,3 +617,97 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(mean_conf - frac_pos) * nd / F.col("nt").cast("double"), 6
         ).alias("ece_contrib"),
     )
+
+
+@query(
+    "stats_ratio_delta_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy,
+             SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      FROM per_user
+    ), d AS (
+      SELECT n, sy,
+             CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS r,
+             (CAST(sxx AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS vx,
+             (CAST(sxy AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE))
+               / CAST(n AS DOUBLE) AS cxy,
+             (CAST(syy AS DOUBLE)
+              - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) * CAST(sy AS DOUBLE))
+               / CAST(n AS DOUBLE) AS vy
+      FROM m
+    ), scored AS (
+      SELECT n, r,
+             SQRT(GREATEST(vx - 2.0 * r * cxy + r * r * vy, 0.0) / CAST(n AS DOUBLE))
+               / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS se
+      FROM d
+    )
+    SELECT n AS n_users,
+           ROUND(r / 100.0, 4) AS ratio,
+           ROUND(se / 100.0, 6) AS se,
+           ROUND(r / 100.0 - 1.96 * (se / 100.0), 4) AS ci_lo,
+           ROUND(r / 100.0 + 1.96 * (se / 100.0), 4) AS ci_hi
+    FROM scored
+    """,
+    tags=("stats", "ab-testing", "delta-method"),
+)
+def stats_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method confidence interval for a RATIO metric (revenue
+    per purchase) with USER-level units — the A/B-testing correction
+    every experimentation platform applies: events within a user are
+    correlated, so a per-event CI understates variance; the delta
+    method computes var(X̄/Ȳ) ≈ (var X − 2R·cov + R²·var Y)/(n·Ȳ²)
+    from user-level co-moments.
+
+    Exactness: user-level sums are integer cents / counts; the five
+    co-moments are exact 128-bit integer sums; the variance formula
+    is a fixed double expression spelled identically on both sides,
+    clamped at 0 before the square root.
+
+    Scale shape: one aggregate to user grain, one 1-row moment
+    reduce — the estimator costs one fact pass per experiment arm at
+    any scale."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).cast("long").alias("x"),
+        F.count(F.lit(1)).alias("y"),
+    )
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    m = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(xd * xd).alias("sxx"),
+        F.sum(yd * yd).alias("syy"),
+        F.sum(xd * yd).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    r = sx / sy
+    vx = (F.col("sxx").cast("double") - (sx / nd) * sx) / nd
+    cxy = (F.col("sxy").cast("double") - (sx / nd) * sy) / nd
+    vy = (F.col("syy").cast("double") - (sy / nd) * sy) / nd
+    se = F.sqrt(
+        F.greatest(vx - F.lit(2.0) * r * cxy + r * r * vy, F.lit(0.0)) / nd
+    ) / (sy / nd)
+    return m.select(
+        F.col("n").alias("n_users"),
+        F.round(r / F.lit(100.0), 4).alias("ratio"),
+        F.round(se / F.lit(100.0), 6).alias("se"),
+        F.round(r / F.lit(100.0) - F.lit(1.96) * (se / F.lit(100.0)), 4).alias("ci_lo"),
+        F.round(r / F.lit(100.0) + F.lit(1.96) * (se / F.lit(100.0)), 4).alias("ci_hi"),
+    )
