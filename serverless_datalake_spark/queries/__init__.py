@@ -259,8 +259,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     funnel_window_bounded, sim_recall_eval, join_fuzzy_blocked,
 #     lake_schema_drift_report, sample_neyman_allocation,
 #     eval_calibration_ece, eval_ngram_novelty, mm_image_tile_plan,
-#     text_subsampling_word2vec, stats_ratio_delta_ci — see each; the
-#     registry now holds 323 oracled queries
+#     text_subsampling_word2vec, stats_ratio_delta_ci,
+#     text_gazetteer_tag, sim_index_health — see each; the registry
+#     now holds 325 oracled queries
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for

@@ -685,3 +685,48 @@ def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+_GAZETTEER = ("join", "filter", "window", "merge", "scan")
+
+
+@query(
+    "text_gazetteer_tag",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), hits AS (
+      SELECT doc_id, t AS term, CAST(COUNT(*) AS BIGINT) AS n_mentions
+      FROM toks
+      WHERE t IN {str(_GAZETTEER)}
+      GROUP BY 1, 2
+    )
+    SELECT doc_id, term, n_mentions FROM hits
+    """,
+    tags=("llm", "text", "gazetteer", "ner"),
+)
+def text_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary (gazetteer) entity tagging: match document tokens
+    against a controlled term list and emit per-document mention
+    counts — NER-lite, and the exact shape of production term-list
+    scans (product catalogs, blocked-word lists, PII keyword
+    screens). The gazetteer here is a literal; at fleet size it is a
+    BROADCAST relation (or an Aho-Corasick pandas UDF when it
+    outgrows IN-list codegen — the documented escape hatch).
+
+    Scale: map-side IN-list filter over the token explode, then a
+    (doc, term)-grain aggregate — scan-bound; no shuffle touches
+    non-matching tokens."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(textops.tokens(F.col("text"))).alias("t")
+    )
+    return (
+        toks.where(F.col("t").isin(*_GAZETTEER))
+        .groupBy("doc_id", F.col("t").alias("term"))
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+    )

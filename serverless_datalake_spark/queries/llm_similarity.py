@@ -1562,3 +1562,85 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def _index_health_oracle() -> str:
+    bucket = _bucket_sql("emb")
+    return f"""
+    WITH c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings WHERE vec_id >= 10
+    ), assigned AS (
+      SELECT vec_id, {bucket} AS bucket FROM c
+    ), sizes AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM assigned GROUP BY 1
+    ), ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n, bucket) AS rn,
+             COUNT(*) OVER () AS nb
+      FROM sizes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sizes) AS n_occupied_buckets,
+           CAST(256 - (SELECT COUNT(*) FROM sizes) AS BIGINT) AS n_empty_buckets,
+           (SELECT CAST(MAX(n) AS BIGINT) FROM sizes) AS max_bucket,
+           (SELECT CAST(MIN(n) AS BIGINT) FROM sizes) AS min_occupied,
+           (SELECT CAST(MAX(CASE WHEN rn = CAST(CEIL(nb * 0.5) AS BIGINT) THEN n END)
+                   AS BIGINT) FROM ranked) AS p50_bucket,
+           (SELECT CAST(MAX(CASE WHEN rn = CAST(CEIL(nb * 0.9) AS BIGINT) THEN n END)
+                   AS BIGINT) FROM ranked) AS p90_bucket
+    """
+
+
+@query("sim_index_health", oracle=_index_health_oracle(),
+       tags=("llm", "similarity", "index", "ops"))
+def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index HEALTH report: the bucket-occupancy distribution of
+    the 8-plane LSH index over the corpus (occupied/empty buckets,
+    max/min/p50/p90 bucket sizes) — the operational numbers an index
+    team watches: skewed buckets mean probe latency variance and
+    recall loss; many empties mean wasted planes. This is the
+    monitoring face of sim_topk_lsh_indexed's at-rest layout
+    (exact order-statistic percentiles over the 256-row size
+    relation, the registry's rank-window discipline).
+
+    Scale shape: one map-only bucket assignment + a bucket-grain
+    aggregate; everything after is ≤ 2^planes rows regardless of
+    corpus size — index health is free to monitor continuously."""
+    from serverless_datalake_spark.operators.similarity import lsh_bucket
+
+    em = load_table(spark, sf_dir, "embeddings")
+    c = em.where(F.col("vec_id") >= 10)
+    sizes = c.select(lsh_bucket(F.col("embedding"), 8, 64).alias("bucket")).groupBy(
+        "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("n", "bucket")
+    ranked = sizes.select(
+        "n",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
+    )
+    pct = ranked.agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("nb") * 0.5).cast("long"), F.col("n"))
+        )
+        .cast("long")
+        .alias("p50_bucket"),
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("nb") * 0.9).cast("long"), F.col("n"))
+        )
+        .cast("long")
+        .alias("p90_bucket"),
+    )
+    summary = sizes.agg(
+        F.count(F.lit(1)).alias("n_occupied_buckets"),
+        (F.lit(256) - F.count(F.lit(1))).cast("long").alias("n_empty_buckets"),
+        F.max("n").cast("long").alias("max_bucket"),
+        F.min("n").cast("long").alias("min_occupied"),
+    )
+    return summary.crossJoin(F.broadcast(pct)).select(
+        "n_occupied_buckets",
+        "n_empty_buckets",
+        "max_bucket",
+        "min_occupied",
+        "p50_bucket",
+        "p90_bucket",
+    )
