@@ -711,3 +711,49 @@ def lake_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_legacy_null"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "scan_binary_files",
+    oracle="""
+    SELECT 'region_' || CAST(r_regionkey AS VARCHAR) || '.bin' AS file_name,
+           CAST(length(r_name) + length(CAST(r_regionkey AS VARCHAR)) + 1 AS BIGINT)
+             AS n_bytes,
+           sha256(lower(hex(encode(r_name || ':' || CAST(r_regionkey AS VARCHAR)))))
+             AS content_sha256
+    FROM region
+    """,
+    tags=("source", "binary-files"),
+)
+def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `binaryFile` source: whole files as rows (path, length, raw
+    bytes) — the ingest path for OPAQUE assets (images, audio, model
+    checkpoints) that no record format parses; the multimodal lake's
+    front door (mm_binary_metadata consumes exactly this shape). The
+    query materializes one deterministic binary asset per region row,
+    reads the directory back through binaryFile, and fingerprints the
+    bytes; the oracle computes the expected name/size/hash from the
+    region RELATION — equality proves byte-faithful whole-file reads
+    (hashes go through lowercased hex to neutralize the engines'
+    hex-case difference).
+
+    Scale shape: one row per file, one task per file (binaryFile
+    parallelizes the listing; pathGlobFilter scopes it); at 100 TB of
+    media you bucket files by size so tasks balance, then hand
+    `content` to the mapInPandas decode stage."""
+    import uuid as _uuid
+
+    rows = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
+    d = os.path.join(tempfile.gettempdir(), f"sdlspark_bin_{_uuid.uuid4().hex[:12]}")
+    os.makedirs(d, exist_ok=True)
+    # tiny dimension-sized artifact write (the codebook-collect
+    # precedent): one asset per region row, content = name:key bytes
+    for r in rows:
+        with open(os.path.join(d, f"region_{r['r_regionkey']}.bin"), "wb") as fh:
+            fh.write(f"{r['r_name']}:{r['r_regionkey']}".encode("utf-8"))
+    df = spark.read.format("binaryFile").load(d)
+    return df.select(
+        F.regexp_replace(F.col("path"), "^.*/", "").alias("file_name"),
+        F.col("length").cast("long").alias("n_bytes"),
+        F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("content_sha256"),
+    )
