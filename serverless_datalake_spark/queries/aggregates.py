@@ -1294,3 +1294,113 @@ def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.select("user_id", "h").distinct(), []
     ).select(F.lit("ALL").alias("event_type"), "n_exact", "kmv_estimate")
     return per_type.unionAll(union_row)
+
+
+@query(
+    "agg_median_of_means",
+    oracle="""
+    WITH assigned AS (
+      SELECT CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS cents,
+             (strpos('0123456789abcdef',
+                     substr(md5(CAST(l_orderkey AS VARCHAR) || ':'
+                                || CAST(l_linenumber AS VARCHAR)), 1, 1)) - 1) % 8
+               AS bucket
+      FROM lineitem
+    ), bucket_means AS (
+      SELECT bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(CAST(SUM(cents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 100.0, 6)
+               AS mean_price
+      FROM assigned GROUP BY 1
+    ), ranked AS (
+      SELECT mean_price,
+             ROW_NUMBER() OVER (ORDER BY mean_price, bucket) AS rn,
+             COUNT(*) OVER () AS k
+      FROM bucket_means
+    )
+    SELECT (SELECT CAST(SUM(n) AS BIGINT) FROM bucket_means) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bucket_means) AS k_buckets,
+           (SELECT ROUND((MAX(CASE WHEN rn = k / 2 THEN mean_price END)
+                          + MAX(CASE WHEN rn = k / 2 + 1 THEN mean_price END)) / 2.0, 6)
+            FROM ranked) AS median_of_means,
+           (SELECT ROUND(MAX(mean_price) - MIN(mean_price), 6) FROM bucket_means)
+             AS bucket_spread
+    """,
+    tags=("agg", "robust", "median-of-means"),
+)
+def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-of-means — the heavy-tail-robust mean estimator with
+    exponential concentration: rows hash DETERMINISTICALLY into k=8
+    buckets (md5 of the row key — stable under re-runs and
+    repartitioning, the house sampling discipline), each bucket's
+    exact-cents mean is computed, and the estimate is the median of
+    the 8 means (k even → midpoint of the two central means). The
+    bucket spread rides along as the robustness diagnostic.
+
+    Exactness: bucket sums are exact integers; means are single
+    divisions; the median picks from 8 exact doubles by rank with a
+    bucket tie-break.
+
+    Scale shape: ONE hash aggregate to 8 rows — unlike the exact
+    median (a sort), median-of-means is partial-aggregable and
+    streaming-friendly, which is why robust-statistics pipelines use
+    it at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("l_linenumber").cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 8
+    )
+    bm = (
+        li.select(cents.alias("cents"), bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("cents").cast("double") / F.count(F.lit(1)).cast("double") / F.lit(100.0),
+                6,
+            ).alias("mean_price"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("mean_price", "bucket")
+    ranked = bm.select(
+        "mean_price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("k"),
+    )
+    med = ranked.agg(
+        F.round(
+            (
+                F.max(F.when(F.col("rn") == (F.col("k") / 2).cast("long"), F.col("mean_price")))
+                + F.max(
+                    F.when(F.col("rn") == (F.col("k") / 2).cast("long") + 1, F.col("mean_price"))
+                )
+            )
+            / F.lit(2.0),
+            6,
+        ).alias("median_of_means")
+    )
+    summary = bm.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("k_buckets"),
+        F.round(F.max("mean_price") - F.min("mean_price"), 6).alias("bucket_spread"),
+    )
+    return summary.crossJoin(F.broadcast(med)).select(
+        "n_rows", "k_buckets", "median_of_means", "bucket_spread"
+    )

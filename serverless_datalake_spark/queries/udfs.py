@@ -368,3 +368,86 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE d.doc_id % 11 = 0
         """
     )
+
+
+@query(
+    "udf_grouped_ols_fit",
+    oracle="""
+    WITH grid AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(ts) / 3600.0) AS BIGINT) - 473352 AS t,
+             CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(t * y) AS BIGINT) AS sty
+      FROM grid GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(CAST(n * sty - st * sy AS DOUBLE)
+                 / CAST(n * stt - st * st AS DOUBLE) / 100.0, 6) AS slope_per_hour,
+           ROUND((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(n * sty - st * sy AS DOUBLE)
+                     / CAST(n * stt - st * st AS DOUBLE))
+                    * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) / 100.0, 4)
+             AS intercept
+    FROM m
+    """,
+    tags=("udf", "grouped-map", "ols"),
+)
+def udf_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model FITTING inside applyInPandas: each event type's
+    hourly-revenue series gets a least-squares trend fit in Python —
+    the grouped-map ML shape (one model per key: per-SKU forecasters,
+    per-tenant calibrations). Exactness across the Python boundary is
+    arranged the same way as engine-side OLS: the pandas kernel
+    accumulates co-moments as PYTHON INTS (arbitrary precision, exact)
+    from the integer-unit grid, and evaluates the SAME final double
+    formula the oracle spells — so even a numpy float32 habit can't
+    drift the result.
+
+    Scale shape: the grid aggregate reduces events to (type, hour)
+    grain BEFORE Python (never ship raw rows to pandas); one group
+    per event type, Arrow-batched; the fit is O(grid) per group."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    base_h = 473352
+    grid = ev.groupBy(
+        "event_type",
+        (F.floor(F.col("ts").cast("double") / 3600.0).cast("long") - base_h).alias("t"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).cast("long").alias("y")
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        ts = [int(v) for v in pdf["t"]]
+        ys = [int(v) for v in pdf["y"]]
+        n = len(ts)
+        st, sy = sum(ts), sum(ys)
+        stt = sum(t * t for t in ts)
+        sty = sum(t * y for t, y in zip(ts, ys))
+        # Python round() is HALF-EVEN vs the oracle's HALF_UP mimic —
+        # they agree everywhere except EXACT 1e-6 midpoints, which
+        # these irrational-ish regression ratios cannot hit (a
+        # midpoint would need the quotient double to be an exact
+        # multiple of 5e-7 — measure zero here; integer-unit rounding
+        # is the fix if a future column makes midpoints reachable)
+        slope = float(n * sty - st * sy) / float(n * stt - st * st)
+        intercept = float(sy) / float(n) - slope * (float(st) / float(n))
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [n],
+                "slope_per_hour": [round(slope / 100.0, 6)],
+                "intercept": [round(intercept / 100.0, 4)],
+            }
+        )
+
+    return grid.groupBy("event_type").applyInPandas(
+        fit, "event_type string, n bigint, slope_per_hour double, intercept double"
+    )
