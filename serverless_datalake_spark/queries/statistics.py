@@ -711,3 +711,146 @@ def stats_ratio_delta_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r / F.lit(100.0) - F.lit(1.96) * (se / F.lit(100.0)), 4).alias("ci_lo"),
         F.round(r / F.lit(100.0) + F.lit(1.96) * (se / F.lit(100.0)), 4).alias("ci_hi"),
     )
+
+
+@query(
+    "stats_survival_km",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_custkey, CAST(o_orderdate AS DATE) AS d,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders
+    ), horizon AS (
+      SELECT MAX(CAST(o_orderdate AS DATE)) AS cens FROM orders
+    ), subjects AS (
+      SELECT f.o_custkey,
+             CASE WHEN s.d IS NOT NULL THEN s.d - f.d
+                  ELSE horizon.cens - f.d END AS dur_days,
+             CASE WHEN s.d IS NOT NULL THEN 1 ELSE 0 END AS event
+      FROM (SELECT o_custkey, d FROM ranked WHERE rn = 1) f
+      LEFT JOIN (SELECT o_custkey, d FROM ranked WHERE rn = 2) s
+        ON s.o_custkey = f.o_custkey
+      CROSS JOIN horizon
+    ), per_t AS (
+      SELECT CAST(dur_days AS BIGINT) AS t,
+             CAST(SUM(event) AS BIGINT) AS d_events,
+             CAST(SUM(1 - event) AS BIGINT) AS c_censored
+      FROM subjects GROUP BY 1
+    ), risk AS (
+      SELECT t, d_events, c_censored,
+             CAST((SELECT COUNT(*) FROM subjects)
+               - COALESCE(SUM(d_events + c_censored) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS n_at_risk,
+             ROW_NUMBER() OVER (ORDER BY t) AS k
+      FROM per_t
+    ), factors AS (
+      SELECT list(1.0 - CAST(d_events AS DOUBLE) / CAST(n_at_risk AS DOUBLE)
+                  ORDER BY t) AS fs
+      FROM risk
+    )
+    SELECT r.t AS t_days, r.n_at_risk, r.d_events, r.c_censored,
+           ROUND(list_aggregate(f.fs[1:CAST(r.k AS INTEGER)], 'product'), 6)
+             AS survival
+    FROM risk r CROSS JOIN factors f
+    WHERE r.d_events > 0
+    """,
+    tags=("stats", "survival", "kaplan-meier"),
+)
+def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival curve for time-to-second-purchase with
+    RIGHT-CENSORING: customers who never reorder within the
+    observation window are censored at the horizon, not dropped — the
+    estimator product-limits S(t) = Π (1 − dᵢ/nᵢ) over event times,
+    which is the correct repeat-purchase/churn curve (naive "average
+    days to reorder" over completers is survivorship-biased, the
+    classic mistake this estimator exists to fix).
+
+    Exactness: durations are integer days; risk sets come from
+    integer cumulative sums; each factor is one exact-integer
+    division; per-row survival folds the t-ordered factor PREFIX
+    sequentially (array slice + product fold — identical order both
+    engines), rounded at 6 once at the end.
+
+    Scale shape: one rank window per customer (co-partitioned), a
+    duration-grain aggregate, a cumulative window over the tiny
+    event-time relation, and one 1-row factor-array broadcast for the
+    prefix products — fact rows are touched once."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = o.select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("d"),
+        F.row_number().over(w).alias("rn"),
+    )
+    horizon = o.agg(F.max(F.col("o_orderdate").cast("date")).alias("cens"))
+    f1 = ranked.where(F.col("rn") == 1).select("o_custkey", F.col("d").alias("d1"))
+    s2 = ranked.where(F.col("rn") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("d").alias("d2")
+    )
+    subjects = (
+        f1.join(s2, f1["o_custkey"] == s2["ck2"], "left")
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("d2").isNotNull(), F.datediff(F.col("d2"), F.col("d1"))
+            )
+            .otherwise(F.datediff(F.col("cens"), F.col("d1")))
+            .cast("long")
+            .alias("dur_days"),
+            F.when(F.col("d2").isNotNull(), 1).otherwise(0).alias("event"),
+        )
+    )
+    per_t = subjects.groupBy(F.col("dur_days").alias("t")).agg(
+        F.sum("event").cast("long").alias("d_events"),
+        F.sum(F.lit(1) - F.col("event")).cast("long").alias("c_censored"),
+    )
+    n_total = subjects.agg(F.count(F.lit(1)).alias("n_total"))
+    cw = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    risk = per_t.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d_events",
+        "c_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(
+                F.sum(F.col("d_events") + F.col("c_censored")).over(cw), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_at_risk"),
+        F.row_number().over(Window.orderBy("t")).alias("k"),
+    )
+    factors = risk.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("t"),
+                    (
+                        F.lit(1.0)
+                        - F.col("d_events").cast("double")
+                        / F.col("n_at_risk").cast("double")
+                    ).alias("f"),
+                )
+            )
+        ).alias("fs_t")
+    ).select(F.transform(F.col("fs_t"), lambda x: x["f"]).alias("fs"))
+    return (
+        risk.crossJoin(F.broadcast(factors))
+        .where(F.col("d_events") > 0)
+        .select(
+            F.col("t").alias("t_days"),
+            "n_at_risk",
+            "d_events",
+            "c_censored",
+            F.round(
+                F.aggregate(
+                    F.slice(F.col("fs"), 1, F.col("k").cast("int")),
+                    F.lit(1.0),
+                    lambda acc, x: acc * x,
+                ),
+                6,
+            ).alias("survival"),
+        )
+    )
