@@ -261,8 +261,9 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     eval_calibration_ece, eval_ngram_novelty, mm_image_tile_plan,
 #     text_subsampling_word2vec, stats_ratio_delta_ci,
 #     text_gazetteer_tag, sim_index_health, scan_binary_files,
-#     udf_grouped_ols_fit, agg_median_of_means, stats_survival_km —
-#     see each; the registry now holds 329 oracled queries
+#     udf_grouped_ols_fit, agg_median_of_means, stats_survival_km,
+#     stats_mann_whitney_u — see each; the registry now holds 330
+#     oracled queries
 #     module; the registry now holds 231 oracled queries, so rounds
 #     4–6 can each front a fresh 50-entry window) — plus any round-3
 #     window row that did not come back green, then free slots for

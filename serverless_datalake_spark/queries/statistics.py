@@ -854,3 +854,116 @@ def stats_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("survival"),
         )
     )
+
+
+@query(
+    "stats_mann_whitney_u",
+    oracle="""
+    WITH pts AS (
+      SELECT l_extendedprice AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS g1
+      FROM lineitem WHERE l_returnflag IN ('R', 'A')
+    ), per_v AS (
+      SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+             CAST(SUM(1 - g1) AS BIGINT) AS c2
+      FROM pts GROUP BY v
+    ), cum AS (
+      SELECT c1, c2, c1 + c2 AS c,
+             CAST(COALESCE(SUM(c1 + c2) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prev
+      FROM per_v
+    ), m AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2,
+             -- doubled rank sums stay integral under mid-rank ties:
+             -- avg_rank*2 = 2*prev + c + 1
+             SUM(CAST(c1 AS HUGEINT) * CAST(2 * prev + c + 1 AS HUGEINT)) AS r1x2,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                 - CAST(c AS HUGEINT)) AS tie3
+      FROM cum
+    ), s AS (
+      SELECT n1, n2,
+             (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE))
+               / 2.0 AS u1,
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0 AS mu,
+             CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+               * (CAST(n1 + n2 + 1 AS DOUBLE)
+                  - CAST(tie3 AS DOUBLE)
+                    / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))
+               AS var_u
+      FROM m
+    )
+    SELECT n1, n2,
+           ROUND(u1, 1) AS u1,
+           ROUND((u1 - mu) / SQRT(var_u), 6) AS z,
+           CAST(CASE WHEN ABS((u1 - mu) / SQRT(var_u)) > 1.96 THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_05
+    FROM s
+    """,
+    tags=("stats", "rank-test", "mann-whitney"),
+)
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) between the returned and
+    acknowledged price distributions — the nonparametric location test
+    that needs no normality assumption (the KS sibling tests SHAPE;
+    this tests SHIFT), with the exact tie correction in the normal
+    approximation's variance.
+
+    Exactness: mid-rank tie handling stays INTEGRAL by doubling
+    (avg_rank·2 = 2·prev + c + 1 — no halves until the final
+    formulas); rank sums and the Σ(t³−t) tie term are exact 128-bit
+    integer aggregates; U, μ, σ² are fixed double expressions over
+    exact inputs, z rounded at 6.
+
+    Scale shape: identical to stats_ks_two_sample — one hash
+    aggregate to distinct-value grain, one cumulative window over it,
+    one moment reduce; the documented pre-binning twin applies when
+    the value grain itself is huge."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    per_v = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.sum((F.col("l_returnflag") == "R").cast("long")).cast("long").alias("c1"),
+        F.sum((F.col("l_returnflag") == "A").cast("long")).cast("long").alias("c2"),
+    )
+    cw = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_v.select(
+        "c1",
+        "c2",
+        (F.col("c1") + F.col("c2")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c2")).over(cw), F.lit(0))
+        .cast("long")
+        .alias("prev"),
+    )
+    cd = F.col("c").cast("decimal(38,0)")
+    m = cum.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(
+            F.col("c1").cast("decimal(38,0)")
+            * (F.lit(2) * F.col("prev") + F.col("c") + 1).cast("decimal(38,0)")
+        ).alias("r1x2"),
+        F.sum(cd * cd * cd - cd).alias("tie3"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u1 = (F.col("r1x2").cast("double") - n1d * (F.col("n1") + 1).cast("double")) / F.lit(2.0)
+    mu = n1d * n2d / F.lit(2.0)
+    var_u = (
+        n1d
+        * n2d
+        / F.lit(12.0)
+        * (
+            (F.col("n1") + F.col("n2") + 1).cast("double")
+            - F.col("tie3").cast("double")
+            / ((F.col("n1") + F.col("n2")).cast("double") * (F.col("n1") + F.col("n2") - 1).cast("double"))
+        )
+    )
+    z = (u1 - mu) / F.sqrt(var_u)
+    return m.select(
+        "n1",
+        "n2",
+        F.round(u1, 1).alias("u1"),
+        F.round(z, 6).alias("z"),
+        F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("long").alias("reject_05"),
+    )
