@@ -114,18 +114,35 @@ def main() -> None:
     times = {name: round(lo, 3) for name, (lo, _) in measured.items()}
     spread = {name: round(sp, 2) for name, (_, sp) in measured.items()}
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_time",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "spread": spread,
-                "sf": sf,
-            }
-        )
+    # Per-query spread (host-noise visibility) goes to a detail file;
+    # the driver's capture keeps only the LAST ~2000 chars of stdout,
+    # and round 3's inline spread dict pushed the JSON line past that
+    # budget (BENCH_r03.json parsed:null). The line printed below is
+    # compact-separated, carries spread as one scalar, and is the
+    # final thing written to stdout.
+    detail = {
+        "metric": "headline_queries_total_time",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "spread": spread,
+        "sf": sf,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_time",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "spread_max": max(spread.values()) if spread else 0.0,
+            "sf": sf,
+        },
+        separators=(",", ":"),
     )
+    assert len(line) < 1900, f"bench JSON line {len(line)}B risks driver tail-capture truncation"
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

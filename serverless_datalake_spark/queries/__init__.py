@@ -270,59 +270,63 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # 6 former round-1 `no_oracle` rows, oracled since round 2
-    "agg_approx",
-    "dedup_minhash_lsh",
-    "dedup_minhash_components",
-    "dedup_simhash",
-    "sim_topk_lsh",
-    "sim_topk_lsh_multiprobe",
-    # 40 never-windowed
-    "agg_hll_mergeable",
-    "pack_greedy_bins",
-    "split_kfold",
-    "profile_columns",
-    "split_contamination_ngram",
-    "mixture_weights",
-    "fn_datetime2",
-    "fn_string3",
-    "dedup_embedding_lsh",
-    "sim_topk_lsh_indexed",
-    "sim_topk_ivf",
-    "sim_topk_pq",
-    "sim_topk_ivfpq",
-    "text_token_bpe",
-    "text_top_bigrams",
-    "text_quality_model",
-    "mm_decode_features",
-    "mm_frame_sample",
-    "join_self_pairs",
-    "fn_nullsafe_eq",
-    "fn_bitwise",
-    "stream_join_timerange",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_counts",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counting",
-    "tpch_q17_small_quantity",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_potential_promotion",
-    "tpch_q22_dormant_customers",
-    "udaf_grouped_agg",
-    "udtf_sessionize",
-    # 4 spare slots: re-confirm production paths touched this round
-    "replay_range",
-    "dedup_exact",
-    "sim_topk_bruteforce",
-    "text_tfidf",
+    # ROUND 4 window: the first 50 never-driver-checked round-3
+    # additions, in the ledger order planned at the end of round 3
+    # (data-guard 8, feature-engineering 3, five stragglers, the 11
+    # curation/analytics entries, then the continued-session list up
+    # to join_asof_nearest). Rounds 5-7 windows are precomputed in
+    # WINDOWS.md (50 + 50 + 40) so the union covers all 330 by
+    # round 7; round 5 starts at sim_topk_truncated_dims.
+    "pii_detect",
+    "pii_redact",
+    "text_clean_normalize",
+    "dedup_url_canonical",
+    "decontaminate_semantic",
+    "text_heavy_hitters",
+    "dedup_intra_lines",
+    "pipeline_guarded_curation",
+    "feature_minmax_scale",
+    "feature_zscore",
+    "feature_winsorize",
+    "window_ignore_nulls",
+    "sim_topk_ivfpq_residual",
+    "sql_recursive_cte",
+    "sample_balanced_cap",
+    "dedup_keep_longest",
+    "dedup_semdedup",
+    "sample_weighted",
+    "agg_quantile_sketch",
+    "ts_resample_interpolate",
+    "ts_anomaly_zscore",
+    "join_asof_forward",
+    "join_asof_tolerance",
+    "text_kl_divergence",
+    "text_chunk_sliding",
+    "dedup_chunk_exact",
+    "ts_ewma",
+    "text_unigram_logprob",
+    "dedup_bloom_incremental",
+    "sim_topk_ivfpq_rerank",
+    "validate_expectations",
+    "text_minhash_containment",
+    "graph_pagerank",
+    "ts_holt_linear",
+    "stream_topk_windowed",
+    "agg_cms_heavy_hitters",
+    "feature_hashing_trick",
+    "text_bigram_logprob",
+    "market_basket_rules",
+    "sample_temperature_mixture",
+    "window_gaps_islands",
+    "cdc_latest_by_key",
+    "agg_mode_deterministic",
+    "ts_autocorrelation",
+    "pipeline_llm_curation2",
+    "embedding_quantize_int8",
+    "sim_range_search",
+    "fn_variant_json",
+    "dedup_minhash_pairs",
+    "join_asof_nearest",
 )
 
 

@@ -200,11 +200,11 @@ _COS_AB = """
     ), vec100 AS (
       SELECT vec_id, vec_rank FROM vec WHERE vec_rank <= 100
     ), fused AS (
-      SELECT l.doc_id,
+      SELECT COALESCE(l.doc_id, v.vec_id) AS doc_id,
              l.lex_rank, v.vec_rank,
-             ROUND(1.0 / ({_RRF_K} + CAST(l.lex_rank AS DOUBLE))
-                   + 1.0 / ({_RRF_K} + CAST(v.vec_rank AS DOUBLE)), 6) AS rrf_score
-      FROM lex100 l JOIN vec100 v ON v.vec_id = l.doc_id
+             ROUND(COALESCE(1.0 / ({_RRF_K} + CAST(l.lex_rank AS DOUBLE)), 0.0)
+                   + COALESCE(1.0 / ({_RRF_K} + CAST(v.vec_rank AS DOUBLE)), 0.0), 6) AS rrf_score
+      FROM lex100 l FULL OUTER JOIN vec100 v ON v.vec_id = l.doc_id
     ), final AS (
       SELECT doc_id, lex_rank, vec_rank, rrf_score,
              ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id) AS rank
@@ -253,15 +253,27 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_rank") <= 100)
         .select("vec_id", "vec_rank")
     )
+    # Canonical RRF scores the UNION of the legs — a document present
+    # in only one shortlist keeps that leg's 1/(k+rank) term and the
+    # missing leg contributes 0 (full outer + COALESCE), so strong
+    # vector-only hits survive a short lexical leg. Both sides are
+    # ≤100-row shortlists, so the full-outer join is negligible
+    # whatever physical strategy the planner picks.
     fused = lex.join(
-        F.broadcast(vec), lex["doc_id"] == vec["vec_id"]
+        vec, lex["doc_id"] == vec["vec_id"], "full_outer"
     ).select(
-        "doc_id",
+        F.coalesce(lex["doc_id"], vec["vec_id"]).alias("doc_id"),
         "lex_rank",
         "vec_rank",
         F.round(
-            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank").cast("double"))
-            + F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank").cast("double")),
+            F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank").cast("double")),
+                F.lit(0.0),
+            ),
             6,
         ).alias("rrf_score"),
     )

@@ -17,7 +17,9 @@ types exercised (ints, doubles, strings with embedded quotes).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -157,9 +159,23 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch(name: str) -> str:
+    """Mint a scratch path in the system temp dir and register it for
+    removal at interpreter exit. Every scratch path carries the PID so
+    two concurrent runs on the same host (parallel pytest + bench)
+    never race overwrite-writes against each other's read-backs, and
+    the atexit sweep keeps repeated runs from accumulating temp dirs."""
+    d = os.path.join(tempfile.gettempdir(), f"{name}_{os.getpid()}")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
 def _roundtrip_dir(fmt: str, sf_dir: str) -> str:
+    # Stable within a process (the bench's 3 timed runs reuse one dir
+    # and pay the write each time, as intended) but disjoint across
+    # processes via the PID component.
     tag = os.path.basename(os.path.normpath(sf_dir))
-    return os.path.join(tempfile.gettempdir(), f"sdlspark_rt_{fmt}_{tag}")
+    return _scratch(f"sdlspark_rt_{fmt}_{tag}")
 
 
 @query(
@@ -373,9 +389,7 @@ def txlog_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    path = os.path.join(
-        tempfile.gettempdir(), f"sdlspark_tt_{_uuid.uuid4().hex[:12]}"
-    )
+    path = _scratch(f"sdlspark_tt_{_uuid.uuid4().hex[:12]}")
     v0 = txlog_write(o.where(F.col("o_orderkey") % 3 == 0), path)
     v1 = txlog_write(o.where(F.col("o_orderkey") % 3 == 1), path)
     updates = o.where(F.col("o_orderkey") % 3 == 0).select(
@@ -448,7 +462,7 @@ def matview_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_datalake_spark.sources.txlog import txlog_read, txlog_write
 
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
-    base = os.path.join(tempfile.gettempdir(), f"sdlspark_mv_{_uuid.uuid4().hex[:12]}")
+    base = _scratch(f"sdlspark_mv_{_uuid.uuid4().hex[:12]}")
     src, mv = os.path.join(base, "src"), os.path.join(base, "mv")
     unit = F.round(F.col("o_totalprice") * 100.0, 0)
     txlog_write(o.where(F.col("o_orderkey") % 4 == 0), src)
@@ -574,7 +588,7 @@ def sql_ddl_insert_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, only=("orders",))
     tbl = f"ddl_rt_{_uuid.uuid4().hex[:10]}"
-    loc = os.path.join(tempfile.gettempdir(), f"sdlspark_ddl_{tbl}")
+    loc = _scratch(f"sdlspark_ddl_{tbl}")
     spark.sql(
         f"""
         CREATE TABLE {tbl} (
@@ -690,7 +704,7 @@ def lake_schema_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_datalake_spark.sources.txlog import txlog_read, txlog_write
 
     o = load_table(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.gettempdir(), f"sdlspark_drift_{_uuid.uuid4().hex[:12]}")
+    path = _scratch(f"sdlspark_drift_{_uuid.uuid4().hex[:12]}")
     legacy = o.where(F.col("o_orderkey") % 2 == 0).select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100.0, 0).cast("long").alias("cents"),
@@ -744,7 +758,7 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
     rows = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name").collect()
-    d = os.path.join(tempfile.gettempdir(), f"sdlspark_bin_{_uuid.uuid4().hex[:12]}")
+    d = _scratch(f"sdlspark_bin_{_uuid.uuid4().hex[:12]}")
     os.makedirs(d, exist_ok=True)
     # tiny dimension-sized artifact write (the codebook-collect
     # precedent): one asset per region row, content = name:key bytes

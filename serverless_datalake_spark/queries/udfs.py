@@ -424,6 +424,17 @@ def udf_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).cast("long").alias("y")
     )
 
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def rnd(x: float, nd: int) -> float:
+        # Spark's round(double, n) = HALF_UP on the double's SHORTEST
+        # decimal repr (BigDecimal.valueOf) — which is exactly what
+        # Python's repr(float) produces. Quantizing that repr HALF_UP
+        # matches the oracle's rewritten ROUND by construction, even
+        # on exact 1e-6 midpoints (Python's built-in round() is
+        # HALF_EVEN and would disagree there).
+        return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
     def fit(pdf: pd.DataFrame) -> pd.DataFrame:
         ts = [int(v) for v in pdf["t"]]
         ys = [int(v) for v in pdf["y"]]
@@ -431,20 +442,14 @@ def udf_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         st, sy = sum(ts), sum(ys)
         stt = sum(t * t for t in ts)
         sty = sum(t * y for t, y in zip(ts, ys))
-        # Python round() is HALF-EVEN vs the oracle's HALF_UP mimic —
-        # they agree everywhere except EXACT 1e-6 midpoints, which
-        # these irrational-ish regression ratios cannot hit (a
-        # midpoint would need the quotient double to be an exact
-        # multiple of 5e-7 — measure zero here; integer-unit rounding
-        # is the fix if a future column makes midpoints reachable)
         slope = float(n * sty - st * sy) / float(n * stt - st * st)
         intercept = float(sy) / float(n) - slope * (float(st) / float(n))
         return pd.DataFrame(
             {
                 "event_type": [pdf["event_type"].iloc[0]],
                 "n": [n],
-                "slope_per_hour": [round(slope / 100.0, 6)],
-                "intercept": [round(intercept / 100.0, 4)],
+                "slope_per_hour": [rnd(slope / 100.0, 6)],
+                "intercept": [rnd(intercept / 100.0, 4)],
             }
         )
 
