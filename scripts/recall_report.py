@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""Regenerate RECALL.md: recall@5 of every ANN system vs the exact
+brute-force ground truth, at sf0.001 and sf0.01.
+
+Run per round (`python scripts/recall_report.py`) so retrieval-quality
+regressions are tracked like perf ones — an index change that keeps
+plans green but silently halves recall shows up here.
+
+Each system's candidate set is its registry query's own output
+(query_id, corpus_id shortlists, ≤5 rows per query), so the numbers
+measure exactly what the driver-verified queries ship.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import sys
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from serverless_datalake_spark.queries import load_registry  # noqa: E402
+from serverless_datalake_spark.session import get_spark  # noqa: E402
+
+SYSTEMS = [
+    "sim_topk_lsh",
+    "sim_topk_lsh_multiprobe",
+    "sim_topk_lsh_indexed",
+    "sim_topk_ivf",
+    "sim_topk_pq",
+    "sim_topk_ivfpq",
+    "sim_topk_ivfpq_residual",
+    "sim_topk_ivfpq_rerank",
+]
+
+SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+
+
+def recall_at_5(spark, reg, sf_dir: str, system: str) -> tuple[int, float, float]:
+    bf = (
+        reg["sim_topk_bruteforce"]
+        .fn(spark, sf_dir)
+        .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
+    )
+    cand = (
+        reg[system]
+        .fn(spark, sf_dir)
+        .select(F.col("query_id").alias("lq"), F.col("corpus_id").alias("lc"))
+    )
+    hits = (
+        bf.join(cand, (F.col("lq") == F.col("bq")) & (F.col("lc") == F.col("bc")), "left")
+        .groupBy("bq")
+        .agg(F.count("lc").alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).alias("nq"),
+            F.sum("n_hits").alias("hits"),
+            F.min("n_hits").alias("worst"),
+        )
+        .collect()[0]
+    )
+    nq, total, worst = int(hits["nq"]), int(hits["hits"]), int(hits["worst"])
+    return nq, total / (5.0 * nq), worst / 5.0
+
+
+def main() -> None:
+    spark = get_spark(app_name="recall-report")
+    reg = load_registry()
+    lines = [
+        "# RECALL — ANN retrieval quality, regenerated per round",
+        "",
+        f"Generated {dt.date.today().isoformat()} by `python scripts/recall_report.py`.",
+        "Ground truth: `sim_topk_bruteforce` (exact cosine top-5 per query).",
+        "Each row scores the registry query's own shortlist output, so these",
+        "numbers measure exactly what the driver-verified queries ship.",
+        "`worst` is the minimum per-query recall (a 0.0 means some query's",
+        "shortlist missed all 5 true neighbors — expected for the 1-table",
+        "LSH leg, which exists to motivate multiprobe).",
+        "",
+    ]
+    for sf_dir in SF_DIRS:
+        tag = os.path.basename(sf_dir)
+        lines += [f"## {tag}", "", "| system | n_queries | mean recall@5 | worst |", "|---|---|---|---|"]
+        for system in SYSTEMS:
+            nq, mean, worst = recall_at_5(spark, reg, sf_dir, system)
+            lines.append(f"| {system} | {nq} | {mean:.4f} | {worst:.2f} |")
+            print(f"{tag} {system}: mean={mean:.4f} worst={worst:.2f}", flush=True)
+        lines.append("")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md")
+    with open(out, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out}")
+
+
+if __name__ == "__main__":
+    main()

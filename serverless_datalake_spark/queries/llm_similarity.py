@@ -207,7 +207,16 @@ def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _split(spark, sf_dir)
     sf_name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
     path = os.path.join("spark-warehouse", "ann_index_" + sf_name)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    success = os.path.join(path, "_SUCCESS")
+    fixture = os.path.join(sf_dir, "embeddings.parquet")
+    # Rebuild when the fixture is NEWER than the index (fixtures are
+    # regenerated per round; an index surviving from an earlier
+    # generation would silently serve stale buckets).
+    stale = os.path.exists(fixture) and (
+        not os.path.exists(success)
+        or os.path.getmtime(fixture) > os.path.getmtime(success)
+    )
+    if stale or not os.path.exists(success):
         indexes.build_ann_index(corpus, path)
     return indexes.probe_ann_index(spark, path, queries, k=5)
 
