@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""One-off timed sweep of the ENTIRE registry at sf0.1 (the perf twin
+of the sf0.01 correctness sweep): catches data-proportional surprises
+in the non-headline queries that bench.py's 49-query set never times.
+
+Runs in CHUNKS of 40 queries, each in a fresh subprocess/JVM: a single
+long-lived session accumulates generated projection classes until the
+JIT code cache fills and HOF expressions drop to interpreted eval
+(observed: a 6 s query taking 25+ min as query #76 of one session).
+The per-chunk JVM restart costs ~10 s and keeps every measurement at
+codegen speed — which is also the honest number, since production jobs
+don't run 330 unrelated queries in one driver.
+
+Writes SWEEP_sf0.1.json: per-query single-run wall seconds (one run
+each — a smoke screen for scaling anomalies, not a steady-state
+benchmark; per-chunk warmup amortizes JVM startup, but per-query
+first-run codegen is included, so compare against the >5 s gate, not
+against bench.py numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CHUNK = 40
+
+_CHILD = """
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from serverless_datalake_spark.queries import load_registry
+from serverless_datalake_spark.session import get_spark
+
+names = json.loads(sys.argv[1])
+spark = get_spark(app_name="sweep-chunk")
+reg = load_registry()
+reg["scan_project"].fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+times, errs = {{}}, {{}}
+for name in names:
+    t0 = time.time()
+    try:
+        reg[name].fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+    except Exception as ex:
+        errs[name] = repr(ex)[:300]
+    times[name] = round(time.time() - t0, 3)
+print("CHUNK_RESULT " + json.dumps({{"times": times, "errs": errs}}), flush=True)
+"""
+
+
+def main() -> None:
+    from serverless_datalake_spark.queries import load_registry
+
+    names = list(load_registry())
+    times: dict[str, float] = {}
+    errs: dict[str, str] = {}
+    child_src = _CHILD.format(repo=REPO, sf_dir=SF_DIR)
+    for lo in range(0, len(names), CHUNK):
+        chunk = names[lo : lo + CHUNK]
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, "-c", child_src, json.dumps(chunk)],
+            capture_output=True,
+            text=True,
+            timeout=1800,
+        )
+        out = [l for l in proc.stdout.splitlines() if l.startswith("CHUNK_RESULT ")]
+        if not out:
+            for n in chunk:
+                errs[n] = f"chunk died rc={proc.returncode}: {proc.stderr[-200:]}"
+            continue
+        res = json.loads(out[0][len("CHUNK_RESULT ") :])
+        times.update(res["times"])
+        errs.update(res["errs"])
+        print(
+            f"{min(lo + CHUNK, len(names))}/{len(names)} "
+            f"(chunk {time.time() - t0:.0f}s, cumulative {sum(times.values()):.0f}s)",
+            flush=True,
+        )
+    slow = {n: t for n, t in sorted(times.items(), key=lambda kv: -kv[1]) if t > 5.0}
+    out = {
+        "sf_dir": SF_DIR,
+        "n_queries": len(times),
+        "total_sec": round(sum(times.values()), 1),
+        "over_5s": slow,
+        "errors": errs,
+        "times": dict(sorted(times.items(), key=lambda kv: -kv[1])),
+    }
+    dst = os.path.join(REPO, "SWEEP_sf0.1.json")
+    with open(dst, "w") as f:
+        json.dump(out, f, indent=1)
+    print(f"total {out['total_sec']}s; {len(slow)} queries >5s; {len(errs)} errors; wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()

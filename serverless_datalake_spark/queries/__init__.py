@@ -337,6 +337,7 @@ def load_registry() -> dict[str, Query]:
     from serverless_datalake_spark.queries import (  # noqa: F401
         aggregates,
         datapipe,
+        evaluation,
         features,
         funnel,
         functions,

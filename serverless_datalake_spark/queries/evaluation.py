@@ -1,0 +1,515 @@
+"""Model/data evaluation operators: the measurement queries an LLM
+training pipeline runs NEXT TO its data plane — pass@k success
+estimation over attempt logs, inter-rater agreement for labeling QA,
+n-gram overlap (ROUGE-1) between paired documents, and Bradley–Terry
+preference-strength fitting over pairwise comparisons (the RLHF
+reward-data shape).
+
+Reference tie-in: the reference pipeline carries opaque event payloads
+per source (serverless_datalake_stack.py:129–147) and its only query
+is a keyed range scan (event_replayer/lambda_function.py:19–39); these
+operators generalize that "measure the stream you ingested" role to
+the evaluation tables a training pipeline publishes.
+
+Exactness discipline (module-wide): every estimator reduces to exact
+integer counts first; the few genuinely-real-valued steps (pass@k's
+product fold, Bradley–Terry's fixed-point updates) are left-to-right
+folds over index-ordered sequences, so both engines multiply/add the
+same doubles in the same order — bit-identical without rounding slack.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.queries.llm_dedup import _hex8_int
+from serverless_datalake_spark.tables import load_table
+
+# --------------------------------------------------------------------------
+# pass@k
+
+
+_PASS_KS = (1, 5, 10)
+
+
+def _passk_oracle() -> str:
+    h = _hex8_int("substr(md5(CAST(event_id AS VARCHAR)), 1, 8)")
+    per_k = []
+    for k in _PASS_KS:
+        per_k.append(
+            f"""
+    SELECT CAST({k} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_tasks,
+           ROUND(CAST(SUM(CAST(ROUND((CASE WHEN n - c < {k} THEN 1.0
+                 ELSE 1.0 - list_reduce(list_transform(range(0, {k}),
+                      i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
+                      (a, b) -> a * b) END) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+                 / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_pass_at_k
+    FROM tasks WHERE n >= {k}"""
+        )
+    return (
+        f"""
+    WITH attempts AS (
+      SELECT event_id % 64 AS task_id,
+             CASE WHEN ({h}) % 10 < 3 THEN 1 ELSE 0 END AS correct
+      FROM events
+    ), tasks AS (
+      SELECT task_id, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(correct) AS BIGINT) AS c
+      FROM attempts GROUP BY task_id
+    )
+    """
+        + "\n    UNION ALL".join(per_k)
+    )
+
+
+@query("eval_pass_at_k", oracle=_passk_oracle(), tags=("evaluation", "pass-at-k"))
+def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k (Codex-paper estimator: 1 − C(n−c,k)/C(n,k))
+    over a per-task attempt log — the headline metric of every
+    code/reasoning eval, computed in the data plane. Tasks are
+    event_id%64 buckets; "correct" is a deterministic md5 gate (30%)
+    standing in for a grader verdict, so both engines replay the same
+    outcomes.
+
+    Exactness: the binomial ratio is a left-to-right product fold of
+    k ≤ 10 index-ordered terms (identical doubles both engines);
+    per-task values round to 1e-6 integers and aggregate as BIGINTs,
+    so the final mean is one exact-integer division per k.
+
+    Scale shape: attempts reduce to task grain (n, c) in ONE
+    partial-agg shuffle; the three k-estimates are constant-size
+    aggregates of the task relation — at 100 TB of attempt logs the
+    only data-proportional cost is the first scan."""
+    ev = load_table(spark, sf_dir, "events")
+    correct = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+        < 3
+    )
+    tasks = (
+        ev.select(
+            (F.col("event_id") % 64).alias("task_id"),
+            F.when(correct, 1).otherwise(0).alias("correct"),
+        )
+        .groupBy("task_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("correct").cast("long").alias("c"),
+        )
+    )
+    outs = []
+    for k in _PASS_KS:
+        fold = (
+            f"1.0 - aggregate(sequence(0, {k - 1}), CAST(1.0 AS DOUBLE), "
+            f"(acc, i) -> acc * (CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)))"
+        )
+        p = F.expr(f"CASE WHEN n - c < {k} THEN CAST(1.0 AS DOUBLE) ELSE {fold} END")
+        outs.append(
+            tasks.where(F.col("n") >= k)
+            .select(F.round(p * 1000000.0, 0).cast("long").alias("p_e6"))
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).cast("long").alias("n_tasks"),
+                F.round(
+                    F.sum("p_e6").cast("double")
+                    / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double")),
+                    6,
+                ).alias("mean_pass_at_k"),
+            )
+            .select("k", "n_tasks", "mean_pass_at_k")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa
+
+_KAPPA_TOKC = "len(list_filter(string_split(text, ' '), t -> t <> ''))"
+
+
+@query(
+    "stats_cohens_kappa",
+    oracle=f"""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS ra,
+             CASE WHEN {_KAPPA_TOKC} < 45 THEN 0
+                  WHEN {_KAPPA_TOKC} < 75 THEN 1 ELSE 2 END AS rb
+      FROM documents
+    ), counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+             CAST(SUM(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+             CAST(SUM(CASE WHEN ra = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1,
+             CAST(SUM(CASE WHEN ra = 2 THEN 1 ELSE 0 END) AS BIGINT) AS a2,
+             CAST(SUM(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b0,
+             CAST(SUM(CASE WHEN rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b1,
+             CAST(SUM(CASE WHEN rb = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2
+      FROM rated
+    ), probs AS (
+      SELECT nd,
+             CAST(agree AS DOUBLE) / CAST(nd AS DOUBLE) AS po,
+             CAST(a0 * b0 + a1 * b1 + a2 * b2 AS DOUBLE)
+               / CAST(nd AS DOUBLE) / CAST(nd AS DOUBLE) AS pe
+      FROM counts
+    )
+    SELECT nd AS n_items, ROUND(po, 6) AS po, ROUND(pe, 6) AS pe,
+           ROUND((po - pe) / (1.0 - pe), 6) AS kappa
+    FROM probs
+    """,
+    tags=("evaluation", "statistics", "agreement"),
+)
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two deterministic raters labeling each
+    document into 3 size classes (rater A by character count, rater B
+    by token count) — the labeling-QA statistic every human-annotation
+    or LLM-judge pipeline gates batches on (kappa, not raw agreement,
+    because 3 imbalanced classes make chance agreement high).
+
+    Exactness: the 3×3 confusion table and both marginals are exact
+    integers from one aggregation pass; po/pe/kappa are three
+    divisions spelled identically in both engines.
+
+    Scale shape: ONE scan, one constant-size aggregate — no shuffle of
+    anything but 8 partial counters."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    tokc = F.size(textops.tokens(F.col("text")))
+    ra = (
+        F.when(F.col("n_chars") < 250, 0).when(F.col("n_chars") < 400, 1).otherwise(2)
+    )
+    rb = F.when(tokc < 45, 0).when(tokc < 75, 1).otherwise(2)
+    rated = d.select(ra.alias("ra"), rb.alias("rb"))
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    counts = rated.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        cnt(F.col("ra") == F.col("rb")).alias("agree"),
+        cnt(F.col("ra") == 0).alias("a0"),
+        cnt(F.col("ra") == 1).alias("a1"),
+        cnt(F.col("ra") == 2).alias("a2"),
+        cnt(F.col("rb") == 0).alias("b0"),
+        cnt(F.col("rb") == 1).alias("b1"),
+        cnt(F.col("rb") == 2).alias("b2"),
+    )
+    probs = counts.select(
+        "nd",
+        (F.col("agree").cast("double") / F.col("nd").cast("double")).alias("po"),
+        (
+            (F.col("a0") * F.col("b0") + F.col("a1") * F.col("b1") + F.col("a2") * F.col("b2"))
+            .cast("double")
+            / F.col("nd").cast("double")
+            / F.col("nd").cast("double")
+        ).alias("pe"),
+    )
+    return probs.select(
+        F.col("nd").alias("n_items"),
+        F.round("po", 6).alias("po"),
+        F.round("pe", 6).alias("pe"),
+        F.round((F.col("po") - F.col("pe")) / (F.lit(1.0) - F.col("pe")), 6).alias("kappa"),
+    )
+
+
+# --------------------------------------------------------------------------
+# ROUGE-1 over document pairs
+
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+
+@query(
+    "eval_rouge1_pairs",
+    oracle=f"""
+    WITH cand AS (
+      SELECT doc_id AS cand_id, {_TOKS} AS ctoks FROM documents WHERE doc_id % 7 = 0
+    ), ref AS (
+      SELECT doc_id AS ref_id, {_TOKS} AS rtoks FROM documents
+    ), pairs AS (
+      SELECT cand_id, ref_id, ctoks, rtoks FROM cand JOIN ref ON ref_id = cand_id + 1
+    ), cg AS (
+      SELECT cand_id, tok, CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM (SELECT cand_id, unnest(ctoks) AS tok FROM pairs) GROUP BY 1, 2
+    ), rg AS (
+      SELECT ref_id, tok, CAST(COUNT(*) AS BIGINT) AS rcnt
+      FROM (SELECT ref_id, unnest(rtoks) AS tok FROM pairs) GROUP BY 1, 2
+    ), mt AS (
+      SELECT p.cand_id, p.ref_id, CAST(SUM(LEAST(ccnt, rcnt)) AS BIGINT) AS m
+      FROM pairs p
+      JOIN cg ON cg.cand_id = p.cand_id
+      JOIN rg ON rg.ref_id = p.ref_id AND rg.tok = cg.tok
+      GROUP BY 1, 2
+    ), raw AS (
+      SELECT p.cand_id, p.ref_id,
+             COALESCE(mt.m, 0) AS m,
+             CAST(COALESCE(mt.m, 0) AS DOUBLE) / CAST(len(ctoks) AS DOUBLE) AS praw,
+             CAST(COALESCE(mt.m, 0) AS DOUBLE) / CAST(len(rtoks) AS DOUBLE) AS rraw
+      FROM pairs p LEFT JOIN mt ON mt.cand_id = p.cand_id AND mt.ref_id = p.ref_id
+    )
+    SELECT cand_id, ref_id, CAST(m AS BIGINT) AS n_match,
+           ROUND(praw, 6) AS rouge1_p, ROUND(rraw, 6) AS rouge1_r,
+           CASE WHEN m = 0 THEN 0.0
+                ELSE ROUND(2.0 * praw * rraw / (praw + rraw), 6) END AS rouge1_f1
+    FROM raw
+    """,
+    tags=("evaluation", "text", "rouge"),
+)
+def eval_rouge1_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 (clipped unigram precision/recall/F1) between each
+    sampled document and its successor — the n-gram overlap score
+    summarization/distillation evals report, and the scoring core of
+    the memorization screen (eval_ngram_novelty counts novel grams;
+    this scores overlap per candidate-reference PAIR with multiplicity
+    clipping, the part plain set-Jaccard gets wrong).
+
+    Exactness: clipped match counts are exact integers
+    (Σ min(count_cand, count_ref) per token); P/R are single
+    divisions, F1 one expression over them — identical both engines.
+
+    Scale shape: token counts shuffle on (doc, token) — bounded by
+    corpus token count, the same grain as text_tfidf; pair scoring
+    joins per-document count relations, never materializing cross-doc
+    token products. At 100 TB pairs come from a shortlist (dedup
+    candidates, retrieval output), so the join is shortlist-sized."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    cand = d.where(F.col("doc_id") % 7 == 0).select(
+        F.col("doc_id").alias("cand_id"), toks.alias("ctoks")
+    )
+    ref = d.select(F.col("doc_id").alias("ref_id"), toks.alias("rtoks"))
+    pairs = cand.join(ref, F.col("ref_id") == F.col("cand_id") + 1)
+    cg = (
+        pairs.select("cand_id", F.explode("ctoks").alias("tok"))
+        .groupBy("cand_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("ccnt"))
+    )
+    rg = (
+        pairs.select("ref_id", F.explode("rtoks").alias("tok"))
+        .groupBy("ref_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("rcnt"))
+    )
+    rg2 = rg.select(
+        F.col("ref_id").alias("r_ref_id"), F.col("tok").alias("rtok"), "rcnt"
+    )
+    mt = (
+        pairs.select("cand_id", "ref_id")
+        .join(cg, "cand_id")
+        .join(rg2, (F.col("ref_id") == F.col("r_ref_id")) & (F.col("tok") == F.col("rtok")))
+        .groupBy("cand_id", "ref_id")
+        .agg(F.sum(F.least("ccnt", "rcnt")).cast("long").alias("m"))
+    )
+    raw = (
+        pairs.join(mt, ["cand_id", "ref_id"], "left")
+        .select(
+            "cand_id",
+            "ref_id",
+            F.coalesce("m", F.lit(0)).alias("m"),
+            (
+                F.coalesce("m", F.lit(0)).cast("double")
+                / F.size("ctoks").cast("double")
+            ).alias("praw"),
+            (
+                F.coalesce("m", F.lit(0)).cast("double")
+                / F.size("rtoks").cast("double")
+            ).alias("rraw"),
+        )
+    )
+    return raw.select(
+        "cand_id",
+        "ref_id",
+        F.col("m").cast("long").alias("n_match"),
+        F.round("praw", 6).alias("rouge1_p"),
+        F.round("rraw", 6).alias("rouge1_r"),
+        F.when(F.col("m") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.lit(2.0) * F.col("praw") * F.col("rraw")
+                / (F.col("praw") + F.col("rraw")),
+                6,
+            )
+        )
+        .alias("rouge1_f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bradley–Terry preference strengths
+
+_BT_ITERS = 5
+
+_BT_COMPS_SQL = """
+    seqd AS (
+      SELECT event_type, value,
+             LAG(event_type) OVER w AS ptype, LAG(value) OVER w AS pvalue
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), comps AS (
+      SELECT CASE WHEN value > pvalue THEN event_type
+                  WHEN value < pvalue THEN ptype
+                  WHEN event_type < ptype THEN event_type ELSE ptype END AS winner,
+             CASE WHEN value > pvalue THEN ptype
+                  WHEN value < pvalue THEN event_type
+                  WHEN event_type < ptype THEN ptype ELSE event_type END AS loser
+      FROM seqd WHERE ptype IS NOT NULL AND ptype <> event_type
+    ), wins AS (
+      SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS w FROM comps GROUP BY 1, 2
+    ), items AS (
+      SELECT item, CAST(ROW_NUMBER() OVER (ORDER BY item) - 1 AS BIGINT) AS idx
+      FROM (SELECT winner AS item FROM wins UNION SELECT loser FROM wins)
+    ), iwins AS (
+      SELECT wi.idx AS i, li.idx AS j, w
+      FROM wins JOIN items wi ON wi.item = winner JOIN items li ON li.item = loser
+    ), cellw AS (
+      SELECT i, CAST(SUM(w) AS BIGINT) AS tw FROM iwins GROUP BY i
+    ), nmat AS (
+      SELECT i, j, CAST(SUM(w) AS BIGINT) AS nij
+      FROM (SELECT i, j, w FROM iwins UNION ALL SELECT j AS i, i AS j, w FROM iwins)
+      GROUP BY i, j
+    ), mcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM items)
+"""
+
+
+def _bt_oracle() -> str:
+    step_raw = """
+      list_transform(range(0, m), i ->
+        list_extract(wv, i + 1) / list_reduce(list_transform(range(0, m), j ->
+          CASE WHEN j = i THEN 0.0
+               ELSE list_extract(nm, i * m + j + 1)
+                    / (list_extract(p, i + 1) + list_extract(p, j + 1)) END),
+          (a, b) -> a + b))
+    """
+    norm = """
+      list_transform(praw, x -> x / list_reduce(praw, (a, b) -> a + b))
+    """
+    iters = []
+    # AS MATERIALIZED is load-bearing: DuckDB inlines single-reference
+    # CTEs, and each step's two `p` references would then duplicate
+    # the entire upstream iteration tree (measured: 49 s for 5 items
+    # without the hint, <0.1 s with it).
+    for r in range(1, _BT_ITERS + 1):
+        iters.append(
+            f", it{r}a AS MATERIALIZED (SELECT m, wv, nm, {step_raw} AS praw FROM it{r - 1})"
+            f", it{r} AS MATERIALIZED (SELECT m, wv, nm, {norm} AS p FROM it{r}a)"
+        )
+    return (
+        "WITH "
+        + _BT_COMPS_SQL
+        + f""", cells AS (
+      SELECT a.idx AS i, b.idx AS j FROM items a CROSS JOIN items b
+    ), nm0 AS (
+      SELECT c.i, c.j, COALESCE(n.nij, 0) AS nij
+      FROM cells c LEFT JOIN nmat n ON n.i = c.i AND n.j = c.j
+    ), mat AS (
+      SELECT (SELECT m FROM mcount) AS m,
+             (SELECT list(CAST(COALESCE(cw.tw, 0) AS DOUBLE) ORDER BY it.idx)
+              FROM items it LEFT JOIN cellw cw ON cw.i = it.idx) AS wv,
+             (SELECT list(CAST(nij AS DOUBLE) ORDER BY i * (SELECT m FROM mcount) + j)
+              FROM nm0) AS nm
+    ), it0 AS MATERIALIZED (
+      SELECT m, wv, nm,
+             list_transform(range(0, m), i -> 1.0 / CAST(m AS DOUBLE)) AS p
+      FROM mat
+    )"""
+        + "".join(iters)
+        + f"""
+    SELECT it.item, CAST(COALESCE(cw.tw, 0) AS BIGINT) AS wins,
+           ROUND(list_extract((SELECT p FROM it{_BT_ITERS}), it.idx + 1), 6) AS strength
+    FROM items it LEFT JOIN cellw cw ON cw.i = it.idx
+    """
+    )
+
+
+@query("pref_bradley_terry", oracle=_bt_oracle(), tags=("evaluation", "preference", "rlhf"))
+def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference strengths over pairwise comparisons —
+    the model RLHF/DPO reward pipelines fit on preference pairs, run
+    as a query. Comparisons are synthesized deterministically from the
+    event stream (consecutive events of a user: the higher-valued
+    event's type wins; value ties break to the lexicographically
+    smaller type), then 5 rounds of the Zermelo/Hunter MM update
+    p_i ← W_i / Σ_j n_ij/(p_i+p_j), sum-normalized each round.
+
+    Exactness: the wins/pairings matrix is exact integers; each MM
+    round's per-item denominator and the normalizer are left-to-right
+    folds over index-ordered sequences, so both engines see identical
+    doubles (the graph_pagerank discipline applied to an m-item
+    fixed point).
+
+    Scale shape: comparisons reduce to an m×m matrix in one window
+    pass + one partial-agg shuffle (m = #items, here 5); the fixed
+    point then runs on the DRIVER over the collected matrix — at
+    100 TB only the comparison extraction scans data, exactly how
+    production BT fits work (the reward-model data is big, the item
+    matrix is not; scipy on a collected matrix is the normal final
+    step). The collect is m²-grain driver metadata (the
+    codebook-collect precedent). An all-Spark expression variant was
+    tried and rejected: Catalyst's project collapsing duplicates the
+    nested fold expression per p-reference, going exponential across
+    iterations — the same blowup DuckDB's CTE inlining shows, fixed
+    there with AS MATERIALIZED (see _bt_oracle)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("ptype"),
+        F.lag("value").over(w).alias("pvalue"),
+    ).where(F.col("ptype").isNotNull() & (F.col("ptype") != F.col("event_type")))
+    winner = (
+        F.when(F.col("value") > F.col("pvalue"), F.col("event_type"))
+        .when(F.col("value") < F.col("pvalue"), F.col("ptype"))
+        .when(F.col("event_type") < F.col("ptype"), F.col("event_type"))
+        .otherwise(F.col("ptype"))
+    )
+    loser = (
+        F.when(F.col("value") > F.col("pvalue"), F.col("ptype"))
+        .when(F.col("value") < F.col("pvalue"), F.col("event_type"))
+        .when(F.col("event_type") < F.col("ptype"), F.col("ptype"))
+        .otherwise(F.col("event_type"))
+    )
+    wins_rows = (
+        seqd.select(winner.alias("winner"), loser.alias("loser"))
+        .groupBy("winner", "loser")
+        .count()
+        .collect()
+    )
+    items = sorted({r["winner"] for r in wins_rows} | {r["loser"] for r in wins_rows})
+    m = len(items)
+    idx = {it: i for i, it in enumerate(items)}
+    wv = [0] * m
+    nm = [0] * (m * m)
+    for r in wins_rows:
+        i, j, cnt = idx[r["winner"]], idx[r["loser"]], int(r["count"])
+        wv[i] += cnt
+        nm[i * m + j] += cnt
+        nm[j * m + i] += cnt
+    # MM fixed point in plain Python floats, mirroring the oracle's
+    # fold order exactly: per-item denominators and the normalizer
+    # accumulate left-to-right over index order (0.0 + t0 == t0 in
+    # IEEE, so the init difference vs DuckDB's list_reduce is exact).
+    wvf = [float(x) for x in wv]
+    nmf = [float(x) for x in nm]
+    p = [1.0 / float(m)] * m
+    for _ in range(_BT_ITERS):
+        praw = []
+        for i in range(m):
+            acc = 0.0
+            for j in range(m):
+                if j != i:
+                    acc = acc + nmf[i * m + j] / (p[i] + p[j])
+            praw.append(wvf[i] / acc)
+        s = 0.0
+        for x in praw:
+            s = s + x
+        p = [x / s for x in praw]
+    rows = [(it, int(wv[i]), p[i]) for it, i in sorted(idx.items(), key=lambda kv: kv[1])]
+    out = spark.createDataFrame(rows, "item string, wins long, strength_raw double")
+    return out.select("item", "wins", F.round("strength_raw", 6).alias("strength"))

@@ -730,3 +730,83 @@ def text_gazetteer_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", F.col("t").alias("term"))
         .agg(F.count(F.lit(1)).alias("n_mentions"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private release plumbing (deterministic noise for
+# testability — swap the hash-uniform for a real RNG in production)
+
+def _dp_hex8(expr: str) -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "privacy_dp_noisy_counts",
+    oracle=f"""
+    WITH cells AS (
+      SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_true
+      FROM documents GROUP BY 1, 2
+    ), seeded AS (
+      SELECT source, lang, n_true,
+             (CAST({_dp_hex8("substr(md5(source || '|' || lang), 1, 8)")} % 999999
+               AS DOUBLE) + 0.5) / 999999.0 AS u
+      FROM cells
+    )
+    SELECT source, lang, n_true,
+           ROUND(CAST(n_true AS DOUBLE)
+                 + (CASE WHEN u < 0.5 THEN 1.0 ELSE -1.0 END)
+                   * LN(CASE WHEN u < 0.5 THEN 2.0 * u ELSE 2.0 * (1.0 - u) END),
+                 3) AS n_noisy,
+           CAST(1.0 AS DOUBLE) AS epsilon
+    FROM seeded
+    """,
+    tags=("privacy", "differential-privacy", "aggregate"),
+)
+def privacy_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-differentially-private count release: per-(source, lang)
+    document counts + Laplace(1/ε) noise via inverse-CDF transform —
+    the mechanism a data platform puts in front of small-cell
+    statistics before publishing them. Noise here is DETERMINISTIC
+    (md5-seeded uniform) so the oracle can replay it and tests stay
+    reproducible; production swaps the seed for a secure RNG and
+    DROPS the n_true column (kept here as the audit view that
+    calibrates expected error against true counts).
+
+    Exactness: the uniform draw is integer-derived (md5 → BIGINT →
+    one division); sign/branch and 2u are exact; LN is the one
+    transcendental — both engines evaluate it on the identical
+    double, and the 1e-3 output rounding absorbs any last-ulp libm
+    difference (the sample_temperature_mixture precedent).
+
+    Scale shape: one hash-agg scan to cell grain, then a per-cell
+    projection — zero extra shuffle; at 100 TB the release table is
+    cells, not rows."""
+    d = load_table(spark, sf_dir, "documents")
+    cells = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    u = (
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", "source", "lang")), 1, 8), 16, 10
+            ).cast("long")
+            % 999999
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(999999.0)
+    seeded = cells.withColumn("u", u)
+    noise = F.when(F.col("u") < 0.5, F.lit(1.0)).otherwise(F.lit(-1.0)) * F.log(
+        F.when(F.col("u") < 0.5, F.lit(2.0) * F.col("u")).otherwise(
+            F.lit(2.0) * (F.lit(1.0) - F.col("u"))
+        )
+    )
+    return seeded.select(
+        "source",
+        "lang",
+        "n_true",
+        F.round(F.col("n_true").cast("double") + noise, 3).alias("n_noisy"),
+        F.lit(1.0).alias("epsilon"),
+    )

@@ -1653,3 +1653,102 @@ def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_bucket",
         "p90_bucket",
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary (sign-bit) embeddings with Hamming ranking
+
+def _hamming_pack_sql(emb: str, word: int) -> str:
+    """DuckDB: pack dims [word*32, word*32+32) of `emb` into a BIGINT
+    by sign bit (shifts ≤ 31 — DuckDB's checked `<<` overflows at 63,
+    so 64 dims ship as two 32-bit-occupied words)."""
+    lo = word * 32
+    return (
+        f"list_reduce(list_transform(range(0, 32), d -> "
+        f"CASE WHEN list_extract({emb}, d + {lo + 1}) > 0 "
+        f"THEN (CAST(1 AS BIGINT) << CAST(d AS INT)) ELSE CAST(0 AS BIGINT) END), "
+        f"(a, b) -> a | b)"
+    )
+
+
+def _hamming_oracle() -> str:
+    packs = """
+      SELECT vec_id, {w0} AS w0, {w1} AS w1 FROM embeddings
+    """.format(w0=_hamming_pack_sql("embedding", 0), w1=_hamming_pack_sql("embedding", 1))
+    return f"""
+    WITH packed AS ({packs}),
+    q AS (SELECT vec_id AS query_id, w0, w1 FROM packed WHERE vec_id < 10),
+    c AS (SELECT vec_id AS corpus_id, w0 AS c0, w1 AS c1 FROM packed WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.query_id, c.corpus_id,
+             CAST(bit_count(xor(q.w0, c.c0)) + bit_count(xor(q.w1, c.c1)) AS BIGINT)
+               AS hamming
+      FROM q CROSS JOIN c
+    ), ranked AS (
+      SELECT query_id, corpus_id, hamming,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY hamming, corpus_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT query_id, corpus_id, hamming, rank FROM ranked WHERE rank <= 5
+    """
+
+
+@query(
+    "sim_topk_hamming",
+    oracle=_hamming_oracle(),
+    tags=("llm", "similarity", "ann", "binary", "hamming"),
+)
+def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: each embedding collapses to its 64 SIGN
+    BITS packed into two 64-bit words (dims 0–31 / 32–63; 32 bits per
+    word keeps every shift ≤ 31, which both engines' checked shifts
+    accept), and similarity becomes Hamming distance = popcount of
+    XOR — the 1-bit-per-dim scheme (FAISS binary indexes / "binary
+    passage retrieval") that cuts a float32 corpus 32× and turns
+    distance into two CPU instructions.
+
+    Exactness: packing, XOR, and popcount are integer-exact in both
+    engines; ranking ties break on corpus_id — no float anywhere
+    after the sign test (fixture embeddings have no exact-0.0
+    component, so `> 0` is unambiguous).
+
+    Scale shape: the packed corpus is 16 bytes/vector — a 1B-vector
+    corpus is 16 GB, scannable per query batch at memory bandwidth;
+    the rank window is per-query top-k (WindowGroupLimit partial
+    top-k before the final shuffle). The production refinement is the
+    two-stage pattern shipped as sim_topk_ivfpq_rerank: Hamming
+    shortlist → exact re-rank by id."""
+    em = load_table(spark, sf_dir, "embeddings")
+
+    def pack(word: int) -> Column:
+        lo = word * 32
+        return F.expr(
+            f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), (acc, d) -> "
+            f"acc | (CASE WHEN element_at(embedding, CAST(d + {lo + 1} AS INT)) > 0 "
+            f"THEN shiftleft(CAST(1 AS BIGINT), CAST(d AS INT)) ELSE CAST(0 AS BIGINT) END))"
+        )
+
+    packed = em.select("vec_id", pack(0).alias("w0"), pack(1).alias("w1"))
+    q = packed.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("w0").alias("q0"), F.col("w1").alias("q1")
+    )
+    c = packed.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), F.col("w0").alias("c0"), F.col("w1").alias("c1")
+    )
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "corpus_id",
+        (
+            F.bit_count(F.col("q0").bitwiseXOR(F.col("c0")))
+            + F.bit_count(F.col("q1").bitwiseXOR(F.col("c1")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("query_id").orderBy("hamming", "corpus_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "corpus_id", "hamming", "rank")
+    )

@@ -48,6 +48,16 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        # Long-lived sessions running hundreds of distinct queries fill
+        # the JVM's JIT code cache with generated projection classes;
+        # once full, compilation stops and HOF-heavy expressions fall
+        # back to interpreted eval at 100-1000x cost (observed: a 6 s
+        # query taking 25+ min after ~75 prior queries in one session).
+        # Reserve a larger code cache and let flushing reclaim it.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128MB")
