@@ -5,7 +5,7 @@ grouping (recorder:86–90, group-records-by-source)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -1403,4 +1403,132 @@ def agg_median_of_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return summary.crossJoin(F.broadcast(med)).select(
         "n_rows", "k_buckets", "median_of_means", "bucket_spread"
+    )
+
+
+_KMVJ_K = 64
+
+
+@query(
+    "agg_kmv_jaccard",
+    oracle=f"""
+    WITH membership AS (
+      SELECT user_id || '|' || CAST(CAST(ts AS DATE) AS VARCHAR) AS el,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS in_b
+      FROM events GROUP BY 1
+    ), u AS (
+      SELECT el, in_a, in_b, {_kmv_hex8("el")} AS h
+      FROM membership WHERE in_a = 1 OR in_b = 1
+    ), ranked AS (
+      SELECT el, in_a, in_b, h,
+             ROW_NUMBER() OVER (ORDER BY h, el) AS r,
+             COUNT(*) OVER () AS nd
+      FROM u
+    ), exacts AS (
+      SELECT CAST(SUM(in_a) AS BIGINT) AS n_a,
+             CAST(SUM(in_b) AS BIGINT) AS n_b,
+             CAST(COUNT(*) AS BIGINT) AS n_union,
+             CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter
+      FROM u
+    ), sketch AS (
+      SELECT CAST(SUM(CASE WHEN r <= {_KMVJ_K} THEN in_a * in_b ELSE 0 END) AS BIGINT)
+               AS k_match,
+             CAST(MAX(CASE WHEN r = {_KMVJ_K} THEN h END) AS BIGINT) AS kth_h,
+             CAST(MAX(nd) AS BIGINT) AS nd
+      FROM ranked
+    ), est AS (
+      SELECT e.*, s.k_match,
+             CAST(s.k_match AS DOUBLE) / CAST(LEAST(s.nd, {_KMVJ_K}) AS DOUBLE) AS j_raw,
+             CASE WHEN s.nd < {_KMVJ_K} THEN CAST(s.nd AS DOUBLE)
+                  ELSE ({_KMVJ_K} - 1.0) * 4294967296.0 / CAST(s.kth_h AS DOUBLE)
+             END AS u_raw
+      FROM exacts e CROSS JOIN sketch s
+    )
+    SELECT CAST({_KMVJ_K} AS BIGINT) AS k, n_a, n_b, n_union, n_inter,
+           ROUND(CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE), 6) AS jaccard_exact,
+           ROUND(j_raw, 6) AS jaccard_kmv,
+           ROUND(j_raw * u_raw, 3) AS inter_kmv
+    FROM est
+    """,
+    tags=("agg", "sketch", "kmv", "jaccard"),
+)
+def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-INTERSECTION estimation from KMV/theta sketches: the
+    purchase-active and click-active (user, day) sets sketch to their k minimum
+    hashes; the k smallest hashes of the UNION double as a uniform
+    sample of it, so the fraction that belongs to both sets estimates
+    Jaccard, and Jaccard × the union's KMV estimate recovers the
+    intersection size — the theta-sketch set algebra (Dasgupta et al.)
+    that lets warehouses answer audience-overlap queries from
+    mergeable per-segment sketches without rescanning either side.
+    Exact counts ride along to show the estimate error honestly;
+    sketches narrower than k fall back to exact, as production
+    sketches do.
+
+    Exactness: the hash family is the md5-based engine-portable one;
+    matches and order statistics are integers; the two estimate
+    divisions and one product are spelled identically both engines.
+
+    Scale shape: membership partial-aggregates to user grain map-side;
+    the rank window runs on the deduplicated user relation (the same
+    bound as agg_kmv_distinct_union); partial state at 100 TB is k
+    (hash, flags) pairs per partition, merged associatively."""
+    ev = load_table(spark, sf_dir, "events")
+    el = F.concat_ws(
+        "|", F.col("user_id").cast("string"), F.col("ts").cast("date").cast("string")
+    )
+    membership = ev.groupBy(el.alias("el")).agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("in_a"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("in_b"),
+    )
+    u = membership.where((F.col("in_a") == 1) | (F.col("in_b") == 1)).withColumn(
+        "h", F.conv(F.substring(F.md5(F.col("el")), 1, 8), 16, 10).cast("long")
+    )
+    w = Window.orderBy("h", "el")
+    ranked = u.select(
+        "in_a",
+        "in_b",
+        "h",
+        F.row_number().over(w).alias("r"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
+    )
+    exacts = u.agg(
+        F.sum("in_a").cast("long").alias("n_a"),
+        F.sum("in_b").cast("long").alias("n_b"),
+        F.count(F.lit(1)).cast("long").alias("n_union"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
+    )
+    sketch = ranked.agg(
+        F.sum(
+            F.when(F.col("r") <= _KMVJ_K, F.col("in_a") * F.col("in_b")).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_match"),
+        F.max(F.when(F.col("r") == _KMVJ_K, F.col("h"))).cast("long").alias("kth_h"),
+        F.max("nd").cast("long").alias("nd"),
+    )
+    est = exacts.crossJoin(F.broadcast(sketch)).select(
+        "*",
+        (
+            F.col("k_match").cast("double")
+            / F.least(F.col("nd"), F.lit(_KMVJ_K)).cast("double")
+        ).alias("j_raw"),
+        F.when(F.col("nd") < _KMVJ_K, F.col("nd").cast("double"))
+        .otherwise(
+            F.lit(float(_KMVJ_K) - 1.0) * F.lit(4294967296.0) / F.col("kth_h").cast("double")
+        )
+        .alias("u_raw"),
+    )
+    return est.select(
+        F.lit(_KMVJ_K).cast("long").alias("k"),
+        "n_a",
+        "n_b",
+        "n_union",
+        "n_inter",
+        F.round(F.col("n_inter").cast("double") / F.col("n_union").cast("double"), 6).alias(
+            "jaccard_exact"
+        ),
+        F.round("j_raw", 6).alias("jaccard_kmv"),
+        F.round(F.col("j_raw") * F.col("u_raw"), 3).alias("inter_kmv"),
     )

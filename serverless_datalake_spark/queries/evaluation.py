@@ -513,3 +513,127 @@ def pref_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(it, int(wv[i]), p[i]) for it, i in sorted(idx.items(), key=lambda kv: kv[1])]
     out = spark.createDataFrame(rows, "item string, wins long, strength_raw double")
     return out.select("item", "wins", F.round("strength_raw", 6).alias("strength"))
+
+
+# --------------------------------------------------------------------------
+# nDCG@5 of the ANN systems against exact ground truth
+
+# Discount table 1/log2(r+1), r = 1..5, computed ONCE in Python and
+# embedded as identical e9-integer literals in BOTH engines: DCG then
+# sums exact integers (rel ∈ {0,1} times a constant), so no
+# transcendental evaluation ever happens inside either engine and
+# summation order cannot matter.
+import math as _math
+
+_NDCG_DISC_E9 = [round(1.0 / _math.log2(r + 1) * 1e9) for r in range(1, 6)]
+_NDCG_IDCG_E9 = sum(_NDCG_DISC_E9)
+
+
+def _ndcg_oracle() -> str:
+    from serverless_datalake_spark.queries import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    legs = {
+        "lsh_multiprobe": REGISTRY["sim_topk_lsh_multiprobe"].oracle,
+        "ivfpq_rerank": REGISTRY["sim_topk_ivfpq_rerank"].oracle,
+    }
+    disc = " ".join(
+        f"WHEN {r + 1} THEN CAST({d} AS BIGINT)" for r, d in enumerate(_NDCG_DISC_E9)
+    )
+    per = []
+    for name, leg in legs.items():
+        per.append(
+            f"""
+    SELECT '{name}' AS system,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(ndcg_e6) AS DOUBLE)
+                 / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_ndcg_at_5
+    FROM (
+      SELECT q.query_id,
+             CAST(ROUND(CAST(SUM(CASE WHEN t.corpus_id IS NOT NULL
+                        THEN (CASE c.rank {disc} ELSE 0 END)
+                        ELSE CAST(0 AS BIGINT) END) AS DOUBLE)
+                  / {_NDCG_IDCG_E9}.0 * 1000000.0, 0) AS BIGINT) AS ndcg_e6
+      FROM (SELECT DISTINCT query_id FROM bf) q
+      LEFT JOIN ({leg}) c ON c.query_id = q.query_id
+      LEFT JOIN bf t ON t.query_id = c.query_id AND t.corpus_id = c.corpus_id
+      GROUP BY q.query_id
+    )"""
+        )
+    return f"WITH bf AS ({bf})\n" + "\n    UNION ALL".join(per)
+
+
+@query("eval_ndcg_at_5", oracle=_ndcg_oracle(), tags=("evaluation", "retrieval", "ndcg"))
+def eval_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@5 of the ANN probes against exact-cosine ground truth —
+    the position-aware companion of sim_recall_eval (recall counts
+    hits anywhere in the top-5; nDCG pays more for putting true
+    neighbors FIRST, which is what a retrieval-augmented consumer
+    experiences). Relevance is binary (pair ∈ exact top-5), the ideal
+    DCG is the full-relevance constant, and the discount table
+    1/log2(r+1) is precomputed into identical e9-integer literals for
+    both engines — DCG accumulates exact integers, so no
+    transcendental or float-order concern exists anywhere.
+
+    Scale shape: each leg is the registry query's own plan (≤5 rows
+    per query); scoring joins shortlist-sized relations and reduces to
+    one row per system. Ground truth comes from a sampled exact leg in
+    production, as in sim_recall_eval."""
+    from serverless_datalake_spark.queries import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).select(
+        F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc")
+    )
+    disc_map = F.create_map(
+        *[x for r, d in enumerate(_NDCG_DISC_E9) for x in (F.lit(r + 1), F.lit(d))]
+    )
+    legs = {
+        "lsh_multiprobe": "sim_topk_lsh_multiprobe",
+        "ivfpq_rerank": "sim_topk_ivfpq_rerank",
+    }
+    outs = []
+    for name, qname in sorted(legs.items()):
+        cand = REGISTRY[qname].fn(spark, sf_dir).select(
+            "query_id", "corpus_id", F.col("rank").cast("int").alias("rank")
+        )
+        truth = bf.select(F.col("tq").alias("t2q"), F.col("tc").alias("t2c"))
+        scored = (
+            bf.select("tq").distinct()
+            .join(cand, F.col("query_id") == F.col("tq"), "left")
+            .join(
+                truth,
+                (F.col("t2q") == F.col("query_id")) & (F.col("t2c") == F.col("corpus_id")),
+                "left",
+            )
+            .groupBy(F.col("tq"))
+            .agg(
+                F.round(
+                    F.sum(
+                        F.when(
+                            F.col("t2c").isNotNull(),
+                            F.element_at(disc_map, F.col("rank")),
+                        ).otherwise(F.lit(0).cast("long"))
+                    ).cast("double")
+                    / F.lit(float(_NDCG_IDCG_E9))
+                    * 1000000.0,
+                    0,
+                )
+                .cast("long")
+                .alias("ndcg_e6")
+            )
+        )
+        outs.append(
+            scored.agg(
+                F.lit(name).alias("system"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(
+                    F.sum("ndcg_e6").cast("double")
+                    / (F.lit(1000000.0) * F.count(F.lit(1)).cast("double")),
+                    6,
+                ).alias("mean_ndcg_at_5"),
+            ).select("system", "n_queries", "mean_ndcg_at_5")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res

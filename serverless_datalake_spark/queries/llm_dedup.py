@@ -928,3 +928,113 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy(band.alias("jaccard_band")).agg(
         F.count(F.lit(1)).alias("n_pairs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-duplicated n-gram SPANS (substring-granular dedup audit)
+
+_SPAN_K = 8  # shingle width in tokens (Lee et al. use 50 BPE tokens;
+             # 8 words ≈ the same idea at fixture document lengths)
+
+
+@query(
+    "dedup_ngram_spans",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K - 2})) AS p, toks
+      FROM t WHERE len(toks) >= {_SPAN_K}
+    ), sh AS (
+      SELECT doc_id, p,
+             md5(array_to_string(list_slice(toks, p, p + {_SPAN_K - 1}), ' ')) AS fp
+      FROM pos
+    ), dup AS (
+      SELECT fp FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT sh.doc_id, sh.p, CASE WHEN dup.fp IS NOT NULL THEN 1 ELSE 0 END AS f
+      FROM sh LEFT JOIN dup ON dup.fp = sh.fp
+    ), runs AS (
+      SELECT doc_id, p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS run_id
+      FROM flagged WHERE f = 1
+    ), max_run AS (
+      SELECT doc_id, CAST(MAX(run_len) AS BIGINT) AS max_dup_run
+      FROM (SELECT doc_id, run_id, COUNT(*) AS run_len FROM runs GROUP BY 1, 2)
+      GROUP BY doc_id
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(f) AS BIGINT) AS n_dup
+      FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_shingles, d.n_dup,
+           ROUND(CAST(d.n_dup AS DOUBLE) / CAST(d.n_shingles AS DOUBLE), 6) AS dup_frac,
+           COALESCE(m.max_dup_run, CAST(0 AS BIGINT)) AS max_dup_run
+    FROM per_doc d LEFT JOIN max_run m ON m.doc_id = d.doc_id
+    """,
+    tags=("llm", "dedup", "substring", "spans"),
+)
+def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular duplication audit (the Lee et al.
+    "Deduplicating Training Data Makes Language Models Better" shape
+    at n-gram resolution): every 8-token shingle POSITION whose
+    shingle also occurs in another document is flagged, and each doc
+    reports its duplicated-position count, fraction, and LONGEST
+    consecutive duplicated run — the span a substring-level deduper
+    would cut, found without suffix arrays (the shingle relation is
+    the distributed stand-in; contiguous flagged positions ≡ a shared
+    substring of length run+7 tokens).
+
+    Exactness: counts and run lengths are integers (the gaps-islands
+    row_number trick); the one division rounds at 6.
+
+    Scale shape: the shingle relation is token-grain (one row per
+    position — same cardinality as text_tfidf's explode); duplicated
+    fps come from ONE hash aggregate; the flag join is hash-on-fp.
+    At 100 TB this is exactly the published MinHash-scale pipeline
+    with fp as the shuffle key; no pairwise comparison anywhere."""
+    from pyspark.sql import Window
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= _SPAN_K)
+    sh = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (_SPAN_K - 1))).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K))).alias("fp"),
+    )
+    dup = sh.groupBy("fp").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).where(F.col("nd") >= 2).select("fp")
+    flagged = sh.join(
+        dup.withColumnRenamed("fp", "dfp"), F.col("fp") == F.col("dfp"), "left"
+    ).select(
+        "doc_id", "p", F.when(F.col("dfp").isNotNull(), 1).otherwise(0).alias("f")
+    )
+    w = Window.partitionBy("doc_id").orderBy("p")
+    runs = (
+        flagged.where(F.col("f") == 1)
+        .select("doc_id", (F.col("p") - F.row_number().over(w)).alias("run_id"))
+        .groupBy("doc_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+        .groupBy("doc_id")
+        .agg(F.max("run_len").cast("long").alias("max_dup_run"))
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("f").cast("long").alias("n_dup"),
+    )
+    return per_doc.join(runs, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        "n_dup",
+        F.round(F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"), 6).alias(
+            "dup_frac"
+        ),
+        F.coalesce("max_dup_run", F.lit(0).cast("long")).alias("max_dup_run"),
+    )
