@@ -637,3 +637,200 @@ def eval_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res
+
+
+# --------------------------------------------------------------------------
+# AUC-ROC via the rank-sum identity
+
+_AUC_SCORED = """
+    t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT CAST(ROUND((0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / GREATEST(len(toks), 1)) + 0.5 * 0.9)
+                        * 10000.0, 0) AS BIGINT) AS v,
+             CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
+               AS pos
+      FROM t
+    )
+"""
+
+
+@query(
+    "eval_auc_roc",
+    oracle=f"""
+    WITH {_AUC_SCORED}, vals AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS c1,
+             CAST(SUM(1 - pos) AS BIGINT) AS c0
+      FROM scored GROUP BY v
+    ), ranked AS (
+      SELECT c1, c0, c1 + c0 AS c,
+             CAST(COALESCE(SUM(c1 + c0) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prev
+      FROM vals
+    ), sums AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c0) AS BIGINT) AS n0,
+             CAST(SUM(c1 * (2 * prev + c + 1)) AS BIGINT) AS r1x2
+      FROM ranked
+    )
+    SELECT n1 AS n_pos, n0 AS n_neg,
+           ROUND(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE)
+                 / CAST(2 * n1 * n0 AS DOUBLE), 6) AS auc
+    FROM sums
+    """,
+    tags=("evaluation", "classification", "auc"),
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC-ROC of a scored gate (the ECE query's confidence score vs
+    its quality-gate label) via the rank-sum identity
+    AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) — the threshold-free companion
+    of eval_calibration_ece: ECE asks "are the probabilities honest",
+    AUC asks "does the score order positives above negatives at all",
+    and every scored filter (quality, toxicity, dedup confidence)
+    should publish both.
+
+    Exactness: scores round to e4 integers and aggregate to VALUE
+    grain; mid-rank tie handling stays integral by doubling (the
+    stats_mann_whitney_u device), so AUC is one exact-integer
+    division.
+
+    Scale shape: one scan to value-grain counts (≤10001 distinct
+    score values — bounded by the e4 rounding, NOT by corpus size),
+    one cumulative window over that bounded relation."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    conf = F.lit(0.5) * (nd.cast("double") / F.greatest(n, F.lit(1))) + F.lit(0.5) * F.lit(0.9)
+    scored = d.select(
+        F.round(conf * 10000.0, 0).cast("long").alias("v"),
+        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("pos"),
+    )
+    vals = scored.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("c0"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.select(
+        "c1",
+        "c0",
+        (F.col("c1") + F.col("c0")).alias("c"),
+        F.coalesce(F.sum(F.col("c1") + F.col("c0")).over(w), F.lit(0)).cast("long").alias("prev"),
+    )
+    sums = ranked.agg(
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c0").cast("long").alias("n0"),
+        F.sum(F.col("c1") * (F.lit(2) * F.col("prev") + F.col("c") + 1))
+        .cast("long")
+        .alias("r1x2"),
+    )
+    return sums.select(
+        F.col("n1").alias("n_pos"),
+        F.col("n0").alias("n_neg"),
+        F.round(
+            (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double")
+            / (F.lit(2) * F.col("n1") * F.col("n0")).cast("double"),
+            6,
+        ).alias("auc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-class precision/recall/F1
+
+@query(
+    "eval_confusion_prf",
+    oracle=f"""
+    WITH rated AS (
+      SELECT CASE WHEN n_chars < 250 THEN 0 WHEN n_chars < 400 THEN 1 ELSE 2 END AS truth,
+             CASE WHEN {_KAPPA_TOKC} < 45 THEN 0
+                  WHEN {_KAPPA_TOKC} < 75 THEN 1 ELSE 2 END AS pred
+      FROM documents
+    ), per_class AS (
+      SELECT c.cls,
+             CAST(SUM(CASE WHEN truth = c.cls AND pred = c.cls THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(SUM(CASE WHEN truth <> c.cls AND pred = c.cls THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(SUM(CASE WHEN truth = c.cls AND pred <> c.cls THEN 1 ELSE 0 END) AS BIGINT) AS fn
+      FROM rated CROSS JOIN (SELECT unnest([0, 1, 2]) AS cls) c
+      GROUP BY c.cls
+    ), raw AS (
+      SELECT cls, tp, fp, fn,
+             CASE WHEN tp + fp = 0 THEN 0.0
+                  ELSE CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS praw,
+             CASE WHEN tp + fn = 0 THEN 0.0
+                  ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS rraw
+      FROM per_class
+    )
+    SELECT CAST(cls AS BIGINT) AS cls, tp, fp, fn,
+           ROUND(praw, 6) AS precision_, ROUND(rraw, 6) AS recall_,
+           CASE WHEN praw + rraw = 0.0 THEN 0.0
+                ELSE ROUND(2.0 * praw * rraw / (praw + rraw), 6) END AS f1
+    FROM raw
+    """,
+    tags=("evaluation", "classification", "prf"),
+)
+def eval_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the token-count classifier
+    against the character-count truth (the stats_cohens_kappa pair
+    read as truth vs prediction) — the standard per-class report card
+    that kappa's single scalar hides: kappa can look healthy while
+    one minority class has terrible recall.
+
+    Exactness: tp/fp/fn are exact integers from one pass; P/R are
+    guarded single divisions and F1 one expression over the unrounded
+    values, identical both engines.
+
+    Scale shape: one scan, 3-row output; the class expansion is a
+    3-row broadcast cross join so all counts share one aggregate."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    tokc = F.size(textops.tokens(F.col("text")))
+    truth = F.when(F.col("n_chars") < 250, 0).when(F.col("n_chars") < 400, 1).otherwise(2)
+    pred = F.when(tokc < 45, 0).when(tokc < 75, 1).otherwise(2)
+    rated = d.select(truth.alias("truth"), pred.alias("pred"))
+    cls = spark.range(3).select(F.col("id").cast("int").alias("cls"))
+    per_class = (
+        rated.crossJoin(F.broadcast(cls))
+        .groupBy("cls")
+        .agg(
+            F.sum(
+                F.when((F.col("truth") == F.col("cls")) & (F.col("pred") == F.col("cls")), 1).otherwise(0)
+            ).cast("long").alias("tp"),
+            F.sum(
+                F.when((F.col("truth") != F.col("cls")) & (F.col("pred") == F.col("cls")), 1).otherwise(0)
+            ).cast("long").alias("fp"),
+            F.sum(
+                F.when((F.col("truth") == F.col("cls")) & (F.col("pred") != F.col("cls")), 1).otherwise(0)
+            ).cast("long").alias("fn"),
+        )
+    )
+    raw = per_class.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.when(F.col("tp") + F.col("fp") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"))
+        .alias("praw"),
+        F.when(F.col("tp") + F.col("fn") == 0, F.lit(0.0))
+        .otherwise(F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"))
+        .alias("rraw"),
+    )
+    return raw.select(
+        F.col("cls").cast("long").alias("cls"),
+        "tp",
+        "fp",
+        "fn",
+        F.round("praw", 6).alias("precision_"),
+        F.round("rraw", 6).alias("recall_"),
+        F.when(F.col("praw") + F.col("rraw") == 0.0, F.lit(0.0))
+        .otherwise(F.round(F.lit(2.0) * F.col("praw") * F.col("rraw") / (F.col("praw") + F.col("rraw")), 6))
+        .alias("f1"),
+    )
