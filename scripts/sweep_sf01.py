@@ -64,12 +64,18 @@ def main() -> None:
     for lo in range(0, len(names), CHUNK):
         chunk = names[lo : lo + CHUNK]
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, "-c", child_src, json.dumps(chunk)],
-            capture_output=True,
-            text=True,
-            timeout=1800,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", child_src, json.dumps(chunk)],
+                capture_output=True,
+                text=True,
+                timeout=1800,
+            )
+        except subprocess.TimeoutExpired:
+            for n in chunk:
+                errs[n] = "chunk timed out at 1800s (one query likely hung)"
+            print(f"{min(lo + CHUNK, len(names))}/{len(names)} CHUNK TIMEOUT", flush=True)
+            continue
         out = [l for l in proc.stdout.splitlines() if l.startswith("CHUNK_RESULT ")]
         if not out:
             for n in chunk:

@@ -1027,12 +1027,24 @@ def agg_moments_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.aggregate(expr, F.lit(0.0), lambda s, x: s + x)
 
     nd = F.col("n").cast("double")
-    mean = fold(xs) / nd
+    # `mean` MUST arrive as a join attribute, not as an aliased
+    # expression in the same projection chain: referencing an aliased
+    # fold inside the m2/m3/m4 element lambdas lets Catalyst's project
+    # collapsing INLINE the whole O(N) array aggregate per element —
+    # O(N²) interpreted HOF eval (measured: this query alone ran >9
+    # minutes at sf0.1 and stalled two full-registry sweeps; with the
+    # join barrier it runs in ~1 s). Same family as the Bradley–Terry
+    # oracle's AS MATERIALIZED note.
+    means = ser.select(
+        F.col("o_orderpriority").alias("mkey"), (fold(xs) / nd).alias("mean")
+    )
+    joined = ser.join(means, F.col("o_orderpriority") == F.col("mkey")).drop("mkey")
+    mean = F.col("mean")
     d = lambda x: x - mean  # noqa: E731
     m2 = fold(F.transform(xs, lambda x: d(x) * d(x))) / nd
     m3 = fold(F.transform(xs, lambda x: d(x) * d(x) * d(x))) / nd
     m4 = fold(F.transform(xs, lambda x: d(x) * d(x) * d(x) * d(x))) / nd
-    return ser.select(
+    return joined.select(
         "o_orderpriority",
         F.col("n").cast("long").alias("n"),
         F.round(mean, 4).alias("mean"),

@@ -1338,3 +1338,84 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("alloc_n"),
     )
+
+
+_SYS_N = 200  # systematic draws
+
+
+@query(
+    "sample_systematic_weighted",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS wt FROM documents
+    ), cum AS (
+      SELECT doc_id, wt,
+             CAST(SUM(wt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c,
+             CAST(COALESCE(SUM(wt) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prev
+      FROM w
+    ), tot AS (
+      SELECT CAST(SUM(wt) AS BIGINT) AS tw FROM w
+    ), counted AS (
+      SELECT doc_id, wt,
+             (CASE WHEN 2 * {_SYS_N} * c <= tw THEN 0
+                   ELSE CAST(FLOOR(CAST(2 * {_SYS_N} * c - tw AS DOUBLE)
+                             / CAST(2 * tw AS DOUBLE)) AS BIGINT) + 1 END)
+             - (CASE WHEN 2 * {_SYS_N} * prev <= tw THEN 0
+                     ELSE CAST(FLOOR(CAST(2 * {_SYS_N} * prev - tw AS DOUBLE)
+                               / CAST(2 * tw AS DOUBLE)) AS BIGINT) + 1 END) AS copies
+      FROM cum CROSS JOIN tot
+    )
+    SELECT doc_id, wt AS weight, CAST(copies AS BIGINT) AS copies
+    FROM counted WHERE copies > 0
+    """,
+    tags=("datapipe", "sampling", "systematic"),
+)
+def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic (low-variance) weighted resampling: 200 draw
+    positions placed at the exact rational points (2i+1)·W/(2·200)
+    along the cumulative-weight axis, each document receiving one copy
+    per position inside its weight interval — the resampler particle
+    filters and dataset re-balancers use because it guarantees
+    copies ∈ [⌊200·w/W⌋, ⌈200·w/W⌉] (zero extra variance), unlike
+    independent weighted draws. Deterministic by construction: no RNG
+    at all, the draw grid is fixed by the weights.
+
+    Exactness: draw-count-below-c has the closed form
+    ⌊(2nc − W)/(2W)⌋ + 1 — all integer products ≪ 2^53, so the double
+    FLOOR division is exact; copies are differences of exact integers
+    (Σ copies = 200 invariant).
+
+    Scale shape: one cumulative window over the weight relation in
+    doc_id order; everything else is per-row arithmetic. At 100 TB
+    the cumulative sum runs per-partition with offset correction
+    (range-partitioned prefix sums) — the window is the only
+    non-embarrassingly-parallel step."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.col("n_chars").cast("long").alias("wt"))
+    win_c = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    win_p = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
+    cum = w.select(
+        "doc_id",
+        "wt",
+        F.sum("wt").over(win_c).cast("long").alias("c"),
+        F.coalesce(F.sum("wt").over(win_p), F.lit(0)).cast("long").alias("prev"),
+    )
+    tot = w.agg(F.sum("wt").cast("long").alias("tw"))
+
+    def g(c):
+        num = (F.lit(2 * _SYS_N) * c - F.col("tw")).cast("double")
+        return F.when(F.lit(2 * _SYS_N) * c <= F.col("tw"), F.lit(0).cast("long")).otherwise(
+            F.floor(num / (F.lit(2).cast("double") * F.col("tw").cast("double"))).cast("long")
+            + 1
+        )
+
+    counted = cum.crossJoin(F.broadcast(tot)).select(
+        "doc_id",
+        F.col("wt").alias("weight"),
+        (g(F.col("c")) - g(F.col("prev"))).alias("copies"),
+    )
+    return counted.where(F.col("copies") > 0).select(
+        "doc_id", "weight", F.col("copies").cast("long").alias("copies")
+    )

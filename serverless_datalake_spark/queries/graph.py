@@ -785,3 +785,111 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("modularity_term"),
     )
+
+
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    parts = [
+        """
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), kk AS (
+      SELECT CAST(FLOOR(CAST(COUNT(*) AS DOUBLE)
+                  / CAST(COUNT(DISTINCT src) AS DOUBLE)) AS BIGINT) AS k
+      FROM edges
+    ), s0 AS (
+      SELECT DISTINCT src AS node FROM edges
+    )"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        prev = r - 1
+        parts.append(
+            f""", d{r} AS (
+      SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM edges e
+      JOIN s{prev} a ON a.node = e.src
+      JOIN s{prev} b ON b.node = e.dst
+      GROUP BY 1
+    ), s{r} AS (
+      SELECT node FROM d{r} CROSS JOIN kk WHERE d >= kk.k
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM s{r}"
+        for r in range(_KCORE_ROUNDS + 1)
+    )
+    parts.append(
+        f"""
+    SELECT f.round, f.n_nodes, kk.k
+    FROM ({finals}) f CROSS JOIN kk
+    """
+    )
+    return "".join(parts)
+
+
+@query("graph_k_core", oracle=_kcore_oracle(), tags=("graph", "k-core"))
+def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling of the co-purchase graph: 4 rounds of
+    "drop every node whose degree in the SURVIVING subgraph is below
+    k" with k = ⌊mean degree⌋ (data-adaptive, engine-portable integer)
+    — the degeneracy-ordering primitive behind community cores, spam
+    subgraph mining, and graph sparsification. The cascade is the
+    point: a node above k can die in round 3 because its neighbors
+    died in rounds 1–2. Fixed-round peeling (the pagerank unrolling
+    discipline) converges to the true k-core when a round removes
+    nothing; the per-round survivor counts expose exactly how far the
+    cascade ran.
+
+    Exactness: degrees, k, and survivor counts are integers; the one
+    division inside k is exact (operands ≪ 2^53).
+
+    Scale shape: each round is edges ⋈ survivors (hash join on node) +
+    one degree aggregate — no per-node iteration state beyond the
+    survivor relation; at 100 TB the edge relation is bucketed by src
+    (the pagerank layout note) and each round's joins co-locate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = pl.select(F.col("o"), F.col("p").alias("src"))
+    b = pl.select(F.col("o").alias("o2"), F.col("p").alias("dst"))
+    e0 = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    kk = edges.agg(
+        F.floor(
+            F.count(F.lit(1)).cast("double") / F.countDistinct("src").cast("double")
+        )
+        .cast("long")
+        .alias("k")
+    )
+    surv = edges.select(F.col("src").alias("node")).distinct()
+    outs = [
+        surv.agg(F.lit(0).cast("long").alias("round"), F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        d = (
+            edges.join(surv.withColumnRenamed("node", "sa"), F.col("sa") == F.col("src"))
+            .join(surv.withColumnRenamed("node", "sb"), F.col("sb") == F.col("dst"))
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).cast("long").alias("d"))
+        )
+        surv = d.crossJoin(F.broadcast(kk)).where(F.col("d") >= F.col("k")).select("node")
+        outs.append(
+            surv.agg(
+                F.lit(r).cast("long").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res.crossJoin(F.broadcast(kk)).select("round", "n_nodes", "k")

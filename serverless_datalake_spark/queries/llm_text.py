@@ -1059,6 +1059,16 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     this). Each round is one pair-explode + hash aggregate over the
     vocab and a 1-row broadcast of the winner; the loop is unrolled
     like pagerank's, keeping the plan static."""
+    out_rows, _sym = _bpe_run(spark, sf_dir)
+    out = out_rows[0]
+    for df in out_rows[1:]:
+        out = out.unionAll(df)
+    return out
+
+
+def _bpe_run(spark: SparkSession, sf_dir: str):
+    """Shared BPE merge loop: returns (per-round merge DataFrames,
+    final symbolization DataFrame after all merges)."""
     d = load_table(spark, sf_dir, "documents")
     words = (
         d.select(F.explode(textops.tokens(F.col("text"))).alias("w"))
@@ -1113,10 +1123,7 @@ def tokenizer_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.concat(F.lit(" "), F.col("m"), F.lit(" ")),
             ).alias("s"),
         )
-    out = out_rows[0]
-    for df in out_rows[1:]:
-        out = out.unionAll(df)
-    return out
+    return out_rows, sym
 
 
 @query(
@@ -1269,4 +1276,52 @@ def text_subsampling_word2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("expected_kept"),
         )
         .where(F.col("p_drop") > 0)
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    """The training CTE chain (same merges), finalized by reading the
+    post-merge symbolization instead of the merge table."""
+    chain = _bpe_oracle()
+    # drop the training oracle's final merge-table SELECT (the UNION
+    # chain starting at merge_rank 1) and substitute the encode SELECT
+    cut = chain.index("SELECT CAST(1 AS BIGINT) AS merge_rank")
+    return (
+        chain[:cut]
+        + f"""
+    SELECT w, f, trim(s) AS encoded,
+           CAST(len(string_split(trim(s), ' ')) AS BIGINT) AS n_pieces
+    FROM v{_BPE_MERGES}
+    ORDER BY f DESC, w LIMIT 100
+    """
+    )
+
+
+@query("tokenizer_bpe_encode", oracle=_bpe_encode_oracle(),
+       tags=("llm", "tokenizer", "bpe", "encode"))
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING with the learned merges — the inference twin of
+    tokenizer_bpe_train: after the 5 training rounds, each vocabulary
+    word's symbolization IS its encoding under the learned merge
+    table, reported for the 100 most frequent words (count DESC, word
+    ASC — deterministic cut). n_pieces is the per-word token cost the
+    packing/budget operators consume; Σ f·n_pieces over the vocab is
+    the corpus token count under the tokenizer.
+
+    Exactness: strings and counts only — no floats anywhere.
+
+    Scale shape: identical to training (vocab-grain state); encoding a
+    CORPUS at 100 TB is a broadcast of the merge table + one map-side
+    string pass per document, no shuffle — this query reports the
+    vocab-grain view the broadcast would carry."""
+    _rows, sym = _bpe_run(spark, sf_dir)
+    return (
+        sym.select(
+            "w",
+            F.col("f").cast("long").alias("f"),
+            F.trim(F.col("s")).alias("encoded"),
+            F.size(F.split(F.trim(F.col("s")), " ")).cast("long").alias("n_pieces"),
+        )
+        .orderBy(F.col("f").desc(), "w")
+        .limit(100)
     )
