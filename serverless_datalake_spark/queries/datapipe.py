@@ -1419,3 +1419,213 @@ def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.where(F.col("copies") > 0).select(
         "doc_id", "weight", F.col("copies").cast("long").alias("copies")
     )
+
+
+@query(
+    "mixture_doremi_excess",
+    oracle="""
+    WITH tok AS (
+      SELECT d.source, unnest(list_filter(string_split(d.text, ' '), x -> x <> '')) AS t
+      FROM documents d
+    ), cnt AS (
+      SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt
+    ), lm AS (
+      SELECT t, ROUND(ln((CAST(c AS DOUBLE) + 1.0)
+                         / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))), 8) AS lp
+      FROM cnt CROSS JOIN tot
+    ), st AS (
+      SELECT source, t, CAST(COUNT(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2
+    ), contrib AS (
+      SELECT st.source, st.t, st.k, CAST(st.k AS DOUBLE) * lm.lp AS klp
+      FROM st JOIN lm USING (t)
+    ), per_source AS (
+      SELECT source,
+             CAST(SUM(k) AS BIGINT) AS n_tokens,
+             ROUND(-list_aggregate(list(klp ORDER BY t), 'sum')
+                   / CAST(SUM(k) AS DOUBLE), 6) AS nll
+      FROM contrib GROUP BY source
+    ), global_nll AS (
+      SELECT ROUND(-list_aggregate(list(CAST(c AS DOUBLE) * lp ORDER BY t), 'sum')
+                   / CAST(MAX(tot.n) AS DOUBLE), 6) AS g
+      FROM cnt JOIN lm USING (t) CROSS JOIN tot
+    ), excess AS (
+      SELECT s.source, s.n_tokens, s.nll, g.g AS corpus_nll,
+             ROUND(GREATEST(s.nll - g.g, 0.0), 6) AS excess
+      FROM per_source s CROSS JOIN global_nll g
+    ), totx AS (
+      SELECT list_aggregate(list(excess ORDER BY source), 'sum') AS te,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM excess
+    )
+    SELECT e.source, e.n_tokens, e.nll, e.corpus_nll, e.excess,
+           CASE WHEN t.te = 0.0 THEN ROUND(1.0 / CAST(t.m AS DOUBLE), 6)
+                ELSE ROUND(e.excess / t.te, 6) END AS weight
+    FROM excess e CROSS JOIN totx t
+    """,
+    tags=("datapipe", "mixture", "doremi"),
+)
+def mixture_doremi_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting by EXCESS LOSS: each source's
+    mean unigram NLL under the corpus LM, minus the corpus-wide NLL,
+    clipped at zero and normalized — domains the reference model finds
+    hardest (positive excess) get upweighted, domains at or below
+    corpus difficulty contribute nothing, and an all-zero round falls
+    back to uniform. This is the one-round, fixed-reference-LM core
+    of DoReMi's Group-DRO loop (the full method iterates this weight
+    update against a proxy model; the data-plane part is exactly this
+    per-domain excess-loss table).
+
+    Float discipline: per-token log-probs round at 8; per-source and
+    corpus NLLs are ordered token-sorted folds rounded at 6; the
+    excess normalizer is an ordered source-sorted fold — every double
+    on both engines is identical (text_unigram_logprob's discipline
+    lifted to source grain).
+
+    Scale shape: one vocabulary count shuffle, one (source, token)
+    shuffle, a token-keyed broadcast join of the LM — all reductions
+    before any window; the weight table is source-grain (a handful of
+    rows at any corpus size)."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(textops.tokens(F.col("text"))).alias("t"))
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    tot = cnt.groupBy().agg(
+        F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("v")
+    )
+    lm = cnt.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "c",
+        F.round(
+            F.log(
+                (F.col("c").cast("double") + F.lit(1.0))
+                / (F.col("n").cast("double") + F.col("v").cast("double"))
+            ),
+            8,
+        ).alias("lp"),
+    )
+
+    def ordered_fold(col_struct_val: str):
+        return F.expr(
+            f"aggregate(transform(array_sort(collect_list(struct(t, {col_struct_val}))), "
+            f"s -> s.{col_struct_val}), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        )
+
+    st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    contrib = st.join(lm.select("t", "lp"), "t").select(
+        "source", "t", "k", (F.col("k").cast("double") * F.col("lp")).alias("klp")
+    )
+    per_source = contrib.groupBy("source").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.round(-ordered_fold("klp") / F.sum("k").cast("double"), 6).alias("nll"),
+    )
+    gl = (
+        lm.select("t", (F.col("c").cast("double") * F.col("lp")).alias("klp"))
+        .crossJoin(F.broadcast(tot))
+        .groupBy()
+        .agg(F.round(-ordered_fold("klp") / F.max("n").cast("double"), 6).alias("g"))
+    )
+    excess = per_source.crossJoin(F.broadcast(gl)).select(
+        "source",
+        "n_tokens",
+        "nll",
+        F.col("g").alias("corpus_nll"),
+        F.round(F.greatest(F.col("nll") - F.col("g"), F.lit(0.0)), 6).alias("excess"),
+    )
+    totx = excess.groupBy().agg(
+        F.expr(
+            "aggregate(transform(array_sort(collect_list(struct(source, excess))), "
+            "s -> s.excess), CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("te"),
+        F.count(F.lit(1)).cast("long").alias("m"),
+    )
+    return excess.crossJoin(F.broadcast(totx)).select(
+        "source",
+        "n_tokens",
+        "nll",
+        "corpus_nll",
+        "excess",
+        F.when(F.col("te") == 0.0, F.round(F.lit(1.0) / F.col("m").cast("double"), 6))
+        .otherwise(F.round(F.col("excess") / F.col("te"), 6))
+        .alias("weight"),
+    )
+
+
+@query(
+    "audit_partition_skew",
+    oracle="""
+    WITH keyed AS (
+      SELECT 'event_type' AS key_col, event_type AS k FROM events
+      UNION ALL
+      SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      UNION ALL
+      SELECT 'event_day', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+    ), sizes AS (
+      SELECT key_col, k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM keyed GROUP BY 1, 2
+    ), stats AS (
+      SELECT key_col,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             CAST(MAX(n) AS BIGINT) AS max_n
+      FROM sizes GROUP BY 1
+    )
+    SELECT key_col, n_keys, n_rows, max_n,
+           ROUND(CAST(max_n AS DOUBLE)
+                 / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 4)
+             AS skew_factor,
+           ROUND(CAST(max_n AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS top_share,
+           CASE WHEN CAST(max_n AS DOUBLE)
+                     / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)) > 4.0
+                THEN 'salt-or-aqe' ELSE 'ok' END AS verdict
+    FROM stats
+    """,
+    tags=("datapipe", "audit", "skew"),
+)
+def audit_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew advisor: for each candidate partitioning key
+    of the event stream (type, user, day), the per-key size
+    distribution reduced to the two numbers that predict shuffle
+    health at 100 TB — skew_factor (largest partition over the mean:
+    AQE's skewedPartitionFactor criterion, default 5) and top_share
+    (what fraction of ALL rows the hottest key holds — broadcast/salt
+    decision input). The verdict column applies the AQE-style
+    threshold so layout reviews read one table instead of eyeballing
+    histograms; this is the measurement behind every 'salt this key'
+    note in SCALE.md.
+
+    Exactness: all counts exact integers; two divisions per row.
+
+    Scale shape: one union scan with partial aggregation per key
+    candidate; output is 3 rows regardless of data size."""
+    ev = load_table(spark, sf_dir, "events")
+    keyed = (
+        ev.select(F.lit("event_type").alias("key_col"), F.col("event_type").alias("k"))
+        .unionAll(
+            ev.select(F.lit("user_id"), F.col("user_id").cast("string"))
+        )
+        .unionAll(
+            ev.select(F.lit("event_day"), F.col("ts").cast("date").cast("string"))
+        )
+    )
+    sizes = keyed.groupBy("key_col", "k").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    stats = sizes.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_n"),
+    )
+    mean = F.col("n_rows").cast("double") / F.col("n_keys").cast("double")
+    skew = F.col("max_n").cast("double") / mean
+    return stats.select(
+        "key_col",
+        "n_keys",
+        "n_rows",
+        "max_n",
+        F.round(skew, 4).alias("skew_factor"),
+        F.round(F.col("max_n").cast("double") / F.col("n_rows").cast("double"), 6).alias(
+            "top_share"
+        ),
+        F.when(skew > 4.0, "salt-or-aqe").otherwise("ok").alias("verdict"),
+    )

@@ -255,27 +255,33 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # Canonical RRF scores the UNION of the legs — a document present
     # in only one shortlist keeps that leg's 1/(k+rank) term and the
-    # missing leg contributes 0 (full outer + COALESCE), so strong
-    # vector-only hits survive a short lexical leg. Both sides are
-    # ≤100-row shortlists, so the full-outer join is negligible
-    # whatever physical strategy the planner picks.
-    fused = lex.join(
-        vec, lex["doc_id"] == vec["vec_id"], "full_outer"
-    ).select(
-        F.coalesce(lex["doc_id"], vec["vec_id"]).alias("doc_id"),
-        "lex_rank",
-        "vec_rank",
-        F.round(
-            F.coalesce(
-                F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank").cast("double")),
-                F.lit(0.0),
-            )
-            + F.coalesce(
-                F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank").cast("double")),
-                F.lit(0.0),
-            ),
-            6,
-        ).alias("rrf_score"),
+    # missing leg contributes 0, so strong vector-only hits survive a
+    # short lexical leg. Spelled as union + ONE hash aggregate (no
+    # join at all): each leg emits (doc_id, its rank, its reciprocal
+    # contribution) and the groupBy sums contributions / keeps the
+    # per-leg ranks via max. Addition of the two per-leg doubles is
+    # order-free (IEEE + is commutative), so this matches the oracle's
+    # FULL OUTER + COALESCE spelling bit-for-bit.
+    lex_c = lex.select(
+        "doc_id",
+        F.col("lex_rank").alias("l_r"),
+        F.lit(None).cast("int").alias("v_r"),
+        (F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank").cast("double"))).alias("contrib"),
+    )
+    vec_c = vec.select(
+        F.col("vec_id").alias("doc_id"),
+        F.lit(None).cast("int").alias("l_r"),
+        F.col("vec_rank").alias("v_r"),
+        (F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank").cast("double"))).alias("contrib"),
+    )
+    fused = (
+        lex_c.unionAll(vec_c)
+        .groupBy("doc_id")
+        .agg(
+            F.max("l_r").alias("lex_rank"),
+            F.max("v_r").alias("vec_rank"),
+            F.round(F.sum("contrib"), 6).alias("rrf_score"),
+        )
     )
     fin_w = Window.orderBy(F.col("rrf_score").desc(), "doc_id")
     return (

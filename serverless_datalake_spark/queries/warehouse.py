@@ -754,3 +754,132 @@ def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("cv"), 4).alias("min_cv"),
         F.round(F.max("cv"), 4).alias("max_cv"),
     )
+
+
+_STAT_ITERS = 8
+
+
+def _stationary_oracle() -> str:
+    step = """
+      list_transform(range(0, m), j ->
+        list_reduce(list_transform(range(0, m), i ->
+          list_extract(p, i + 1) * list_extract(pm, i * m + j + 1)),
+          (a, b) -> a + b))
+    """
+    norm = """
+      list_transform(praw, x -> x / list_reduce(praw, (a, b) -> a + b))
+    """
+    iters = []
+    for r in range(1, _STAT_ITERS + 1):
+        iters.append(
+            f", it{r}a AS MATERIALIZED (SELECT m, pm, {step} AS praw FROM it{r - 1})"
+            f", it{r} AS MATERIALIZED (SELECT m, pm, {norm} AS p FROM it{r}a)"
+        )
+    return (
+        """
+    WITH seqd AS (
+      SELECT event_type, LAG(event_type) OVER w AS ptype
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), trans AS (
+      SELECT ptype AS a, event_type AS b, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seqd WHERE ptype IS NOT NULL GROUP BY 1, 2
+    ), items AS (
+      SELECT item, CAST(ROW_NUMBER() OVER (ORDER BY item) - 1 AS BIGINT) AS idx
+      FROM (SELECT a AS item FROM trans UNION SELECT b FROM trans)
+    ), itrans AS (
+      SELECT ia.idx AS i, ib.idx AS j, n
+      FROM trans JOIN items ia ON ia.item = a JOIN items ib ON ib.item = b
+    ), rowsum AS (
+      SELECT i, CAST(SUM(n) AS BIGINT) AS rs FROM itrans GROUP BY 1
+    ), mcount AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM items),
+    cells AS (
+      SELECT a.idx AS i, b.idx AS j FROM items a CROSS JOIN items b
+    ), pmat AS (
+      SELECT c.i, c.j,
+             CASE WHEN r.rs IS NULL THEN 0.0
+                  ELSE CAST(COALESCE(t.n, 0) AS DOUBLE) / CAST(r.rs AS DOUBLE) END AS pv
+      FROM cells c
+      LEFT JOIN rowsum r ON r.i = c.i
+      LEFT JOIN itrans t ON t.i = c.i AND t.j = c.j
+    ), mat AS (
+      SELECT (SELECT m FROM mcount) AS m,
+             (SELECT list(pv ORDER BY i * (SELECT m FROM mcount) + j) FROM pmat) AS pm
+    ), it0 AS MATERIALIZED (
+      SELECT m, pm, list_transform(range(0, m), i -> 1.0 / CAST(m AS DOUBLE)) AS p
+      FROM mat
+    )"""
+        + "".join(iters)
+        + f"""
+    SELECT it.item AS event_type,
+           CAST(COALESCE(r.rs, 0) AS BIGINT) AS n_transitions_out,
+           ROUND(list_extract((SELECT p FROM it{_STAT_ITERS}), it.idx + 1), 6)
+             AS stationary_prob
+    FROM items it LEFT JOIN rowsum r ON r.i = it.idx
+    """
+    )
+
+
+@query("events_markov_stationary", oracle=_stationary_oracle(),
+       tags=("warehouse", "markov", "stationary"))
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    (the events_transition_matrix taken to its fixed point): 8 rounds
+    of π ← πP with sum renormalization — the long-run share of user
+    attention each event type captures, the number funnel designers
+    compare against the RAW event-type mix to see which states
+    accumulate users (stationary > raw share) vs pass them through.
+
+    Exactness: transition probabilities are single exact divisions of
+    integer counts; each power-iteration round is a left-to-right
+    index-ordered fold (the pref_bradley_terry discipline, with the
+    same AS MATERIALIZED CTE barrier against DuckDB's exponential
+    inlining); the fixed point runs driver-side over the collected
+    m×m matrix (m = 5 event types — codebook-grain metadata).
+
+    Scale shape: one window pass + one partial-agg shuffle reduce the
+    event log to the m×m matrix; nothing else is data-proportional."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seqd = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("ptype")
+    ).where(F.col("ptype").isNotNull())
+    trans_rows = (
+        seqd.groupBy(F.col("ptype").alias("a"), F.col("event_type").alias("b"))
+        .count()
+        .collect()
+    )
+    items = sorted({r["a"] for r in trans_rows} | {r["b"] for r in trans_rows})
+    m = len(items)
+    idx = {it: i for i, it in enumerate(items)}
+    nmat = [0] * (m * m)
+    rowsum = [0] * m
+    for r in trans_rows:
+        i, j, c = idx[r["a"]], idx[r["b"]], int(r["count"])
+        nmat[i * m + j] += c
+        rowsum[i] += c
+    pm = [
+        (float(nmat[i * m + j]) / float(rowsum[i])) if rowsum[i] else 0.0
+        for i in range(m)
+        for j in range(m)
+    ]
+    p = [1.0 / float(m)] * m
+    for _ in range(_STAT_ITERS):
+        praw = []
+        for j in range(m):
+            acc = 0.0
+            for i in range(m):
+                acc = acc + p[i] * pm[i * m + j]
+            praw.append(acc)
+        s = 0.0
+        for x in praw:
+            s = s + x
+        p = [x / s for x in praw]
+    rows = [
+        (it, int(rowsum[i]), p[i]) for it, i in sorted(idx.items(), key=lambda kv: kv[1])
+    ]
+    out = spark.createDataFrame(
+        rows, "event_type string, n_transitions_out long, sp_raw double"
+    )
+    return out.select(
+        "event_type", "n_transitions_out", F.round("sp_raw", 6).alias("stationary_prob")
+    )

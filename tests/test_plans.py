@@ -422,3 +422,53 @@ def test_pagerank_cached_edges_prepartitioned(spark, sf_dir):
     n_dst_exchanges = plan.count("Exchange hashpartitioning(dst")
     assert n_dst_exchanges <= 2, n_dst_exchanges
     assert n_dst_exchanges < n_iters, n_dst_exchanges
+
+
+def test_hamming_topk_plan(spark, sf_dir):
+    """Binary ANN: the corpus side must stay a scan + packed-word
+    projection (no shuffle join), with per-query partial top-k."""
+    plan = plan_of(spark, sf_dir, "sim_topk_hamming")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+
+
+def test_pass_at_k_partial_agg(spark, sf_dir):
+    """pass@k reduces attempts to task grain with a partial aggregate
+    before the shuffle — no join, no sort of the attempt log."""
+    plan = plan_of(spark, sf_dir, "eval_pass_at_k")
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_ngram_spans_no_pairs(spark, sf_dir):
+    """Substring-dup audit must never form document pairs: the dup
+    set comes from one fp aggregate and joins back hash-on-fp."""
+    plan = plan_of(spark, sf_dir, "dedup_ngram_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_moments_mean_not_inlined(spark, sf_dir):
+    """Regression pin for the O(N^2) lambda-inlining bug: the mean's
+    array fold must appear ONCE (behind the join barrier), not be
+    re-inlined into every m2/m3/m4 element lambda by project
+    collapsing (4 references per element -> quadratic interpreted
+    eval; this query stalled two full-registry sweeps at sf0.1)."""
+    plan = plan_of(spark, sf_dir, "agg_moments_shape")
+    # good plan: mean fold (1) + three moment folds + normalizer uses;
+    # the inlined-blowup plan carries ~14+ aggregate( occurrences
+    assert plan.count("aggregate(") <= 8, plan.count("aggregate(")
+
+
+def test_kcore_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "graph_k_core")
+    assert "CartesianProduct" not in plan
+
+
+def test_doremi_lm_broadcast(spark, sf_dir):
+    """The vocabulary-sized LM side must broadcast into the
+    (source, token) join — never a corpus-wide sort-merge."""
+    plan = plan_of(spark, sf_dir, "mixture_doremi_excess")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
