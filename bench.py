@@ -83,6 +83,13 @@ HEADLINE = [
     "join_bloom_prefilter",
     "ts_concurrency_sweep",
     "sim_maxsim_late_interaction",
+    # round-4 additions: binary ANN (popcount), substring-dup audit,
+    # DoReMi reweighting, attempt-log eval, preference fitting
+    "sim_topk_hamming",
+    "dedup_ngram_spans",
+    "mixture_doremi_excess",
+    "eval_pass_at_k",
+    "pref_bradley_terry",
 ]
 
 
