@@ -834,3 +834,251 @@ def eval_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(2.0) * F.col("praw") * F.col("rraw") / (F.col("praw") + F.col("rraw")), 6))
         .alias("f1"),
     )
+
+
+# --------------------------------------------------------------------------
+# Brier score with Murphy decomposition
+
+@query(
+    "eval_brier_decomposition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT CAST(ROUND((0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                                / GREATEST(len(toks), 1)) + 0.5 * 0.9)
+                        * 10000.0, 0) AS BIGINT) AS conf_e4,
+             CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
+               AS label
+      FROM t
+    ), binned AS (
+      SELECT LEAST(CAST(FLOOR(CAST(conf_e4 AS DOUBLE) / 1000.0) AS BIGINT), 9) AS bin,
+             conf_e4, label
+      FROM scored
+    ), cells AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conf_e4) AS BIGINT) AS s_conf,
+             CAST(SUM(label) AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(conf_e4 AS HUGEINT) * CAST(conf_e4 AS HUGEINT)) AS HUGEINT)
+               AS s_conf2,
+             CAST(SUM(CAST(conf_e4 AS HUGEINT) * CAST(label AS HUGEINT)) AS HUGEINT)
+               AS s_cl
+      FROM binned GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(n_pos) AS BIGINT) AS pt,
+             CAST(SUM(s_conf2) AS HUGEINT) AS c2t,
+             CAST(SUM(s_conf) AS HUGEINT) AS ct,
+             CAST(SUM(s_cl) AS HUGEINT) AS clt
+      FROM cells
+    ), reso AS (
+      -- resolution = sum_b n_b (o_b - o)^2 / N; reliability =
+      -- sum_b n_b (p_b - o_b)^2 / N, both from exact cell sums
+      SELECT ROUND(CAST(SUM(CAST(c.n AS DOUBLE)
+                 * POW(CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE)
+                       - CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE), 2)) AS DOUBLE)
+                 / CAST(MAX(t.nt) AS DOUBLE), 6) AS resolution,
+             ROUND(CAST(SUM(CAST(c.n AS DOUBLE)
+                 * POW(CAST(c.s_conf AS DOUBLE) / CAST(c.n AS DOUBLE) / 10000.0
+                       - CAST(c.n_pos AS DOUBLE) / CAST(c.n AS DOUBLE), 2)) AS DOUBLE)
+                 / CAST(MAX(t.nt) AS DOUBLE), 6) AS reliability
+      FROM cells c CROSS JOIN tot t
+    )
+    SELECT t.nt AS n_items,
+           ROUND((CAST(t.c2t AS DOUBLE) - 2.0 * 10000.0 * CAST(t.clt AS DOUBLE)
+                  + 100000000.0 * CAST(t.pt AS DOUBLE))
+                 / (100000000.0 * CAST(t.nt AS DOUBLE)), 6) AS brier,
+           ROUND(CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE)
+                 * (1.0 - CAST(t.pt AS DOUBLE) / CAST(t.nt AS DOUBLE)), 6)
+             AS uncertainty,
+           r.resolution, r.reliability
+    FROM tot t CROSS JOIN reso r
+    """,
+    tags=("evaluation", "calibration", "brier"),
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score with the Murphy decomposition (uncertainty −
+    resolution + reliability, binned): the mean-squared companion of
+    eval_calibration_ece — ECE reports the reliability GAP per bin,
+    Brier folds sharpness and calibration into one proper scoring
+    rule, and the decomposition says whether a bad score comes from
+    an uninformative scorer (low resolution) or a miscalibrated one
+    (high reliability term).
+
+    Exactness: confidences are e4 integers; Σp², Σp·y accumulate as
+    HUGEINT/DECIMAL(38,0) exact sums; the decomposition terms are
+    spelled identically from exact cell sums (the POW(x,2) operands
+    are identical doubles in both engines).
+
+    Scale shape: one scan to 10 cell rows + exact integer totals —
+    constant-size everything after the first aggregate."""
+    from serverless_datalake_spark.operators import textops
+
+    d38 = "decimal(38,0)"
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    conf = F.lit(0.5) * (nd.cast("double") / F.greatest(n, F.lit(1))) + F.lit(0.5) * F.lit(0.9)
+    scored = d.select(
+        F.round(conf * 10000.0, 0).cast("long").alias("conf_e4"),
+        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("label"),
+    )
+    binned = scored.select(
+        F.least(F.floor(F.col("conf_e4").cast("double") / 1000.0).cast("long"), F.lit(9).cast("long")).alias("bin"),
+        "conf_e4",
+        "label",
+    )
+    cells = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("conf_e4").cast("long").alias("s_conf"),
+        F.sum("label").cast("long").alias("n_pos"),
+        F.sum((F.col("conf_e4").cast(d38) * F.col("conf_e4").cast(d38))).alias("s_conf2"),
+        F.sum((F.col("conf_e4").cast(d38) * F.col("label").cast(d38))).alias("s_cl"),
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("n_pos").cast("long").alias("pt"),
+        F.sum("s_conf2").alias("c2t"),
+        F.sum("s_conf").alias("ct"),
+        F.sum("s_cl").alias("clt"),
+    )
+    base = F.col("pt").cast("double") / F.col("nt").cast("double")
+    reso = cells.crossJoin(F.broadcast(tot)).agg(
+        F.round(
+            F.sum(
+                F.col("n").cast("double")
+                * F.pow(
+                    F.col("n_pos").cast("double") / F.col("n").cast("double")
+                    - F.col("pt").cast("double") / F.col("nt").cast("double"),
+                    2,
+                )
+            )
+            / F.max("nt").cast("double"),
+            6,
+        ).alias("resolution"),
+        F.round(
+            F.sum(
+                F.col("n").cast("double")
+                * F.pow(
+                    F.col("s_conf").cast("double") / F.col("n").cast("double") / 10000.0
+                    - F.col("n_pos").cast("double") / F.col("n").cast("double"),
+                    2,
+                )
+            )
+            / F.max("nt").cast("double"),
+            6,
+        ).alias("reliability"),
+    )
+    return tot.crossJoin(F.broadcast(reso)).select(
+        F.col("nt").alias("n_items"),
+        F.round(
+            (
+                F.col("c2t").cast("double")
+                - F.lit(2.0) * F.lit(10000.0) * F.col("clt").cast("double")
+                + F.lit(100000000.0) * F.col("pt").cast("double")
+            )
+            / (F.lit(100000000.0) * F.col("nt").cast("double")),
+            6,
+        ).alias("brier"),
+        F.round(base * (F.lit(1.0) - base), 6).alias("uncertainty"),
+        "resolution",
+        "reliability",
+    )
+
+
+# --------------------------------------------------------------------------
+# Cost-optimal decision threshold
+
+_COST_FP = 1  # keeping a bad document
+_COST_FN = 4  # discarding a good one — asymmetric, the curation frame
+
+
+@query(
+    "eval_cost_threshold",
+    oracle=f"""
+    WITH {_AUC_SCORED}, vals AS (
+      SELECT v, CAST(SUM(pos) AS BIGINT) AS c1,
+             CAST(SUM(1 - pos) AS BIGINT) AS c0
+      FROM scored GROUP BY v
+    ), tot AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS p, CAST(SUM(c0) AS BIGINT) AS ng FROM vals
+    ), sweep AS (
+      -- predict positive iff score >= v: FP = negatives at/above v,
+      -- FN = positives below v (cumulative from the value grain)
+      SELECT v,
+             CAST(tot.ng - COALESCE(SUM(c0) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS fp,
+             CAST(COALESCE(SUM(c1) OVER (ORDER BY v
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS fn
+      FROM vals CROSS JOIN tot
+    ), costed AS (
+      SELECT v, fp, fn, {_COST_FP} * fp + {_COST_FN} * fn AS cost
+      FROM sweep
+    ), best AS (
+      SELECT v, fp, fn, CAST(cost AS BIGINT) AS cost
+      FROM costed ORDER BY cost, v LIMIT 1
+    )
+    SELECT b.v AS threshold_e4, b.fp, b.fn, b.cost,
+           CAST({_COST_FP} * t.ng AS BIGINT) AS cost_accept_all,
+           CAST({_COST_FN} * t.p AS BIGINT) AS cost_reject_all
+    FROM best b CROSS JOIN tot t
+    """,
+    tags=("evaluation", "classification", "threshold"),
+)
+def eval_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-optimal operating point for the scored gate: sweep every
+    candidate threshold (the distinct score values) and pick the one
+    minimizing FP·1 + FN·4 — the asymmetric-cost version of the
+    decision every filter must make (here a discarded good document
+    costs 4× a kept bad one). Reported against the two trivial
+    policies (accept-all / reject-all) so the table shows what the
+    scorer actually buys.
+
+    Exactness: the whole sweep is exact integers — cumulative counts
+    over the e4-value grain, an integer cost, a deterministic
+    (cost, threshold) argmin.
+
+    Scale shape: value-grain relation (≤10001 rows) + one cumulative
+    window + a 1-row argmin; corpus size only affects the first
+    scan."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    conf = F.lit(0.5) * (nd.cast("double") / F.greatest(n, F.lit(1))) + F.lit(0.5) * F.lit(0.9)
+    scored = d.select(
+        F.round(conf * 10000.0, 0).cast("long").alias("v"),
+        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("pos"),
+    )
+    vals = scored.groupBy("v").agg(
+        F.sum("pos").cast("long").alias("c1"),
+        F.sum(F.lit(1) - F.col("pos")).cast("long").alias("c0"),
+    )
+    tot = vals.agg(
+        F.sum("c1").cast("long").alias("p"), F.sum("c0").cast("long").alias("ng")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    sweep = vals.crossJoin(F.broadcast(tot)).select(
+        "v",
+        (F.col("ng") - F.coalesce(F.sum("c0").over(w), F.lit(0))).cast("long").alias("fp"),
+        F.coalesce(F.sum("c1").over(w), F.lit(0)).cast("long").alias("fn"),
+    )
+    costed = sweep.select(
+        "v", "fp", "fn",
+        (F.lit(_COST_FP) * F.col("fp") + F.lit(_COST_FN) * F.col("fn")).cast("long").alias("cost"),
+    )
+    best = costed.orderBy("cost", "v").limit(1)
+    return best.crossJoin(F.broadcast(tot)).select(
+        F.col("v").alias("threshold_e4"),
+        "fp",
+        "fn",
+        "cost",
+        (F.lit(_COST_FP) * F.col("ng")).cast("long").alias("cost_accept_all"),
+        (F.lit(_COST_FN) * F.col("p")).cast("long").alias("cost_reject_all"),
+    )
