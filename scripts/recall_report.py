@@ -33,6 +33,7 @@ SYSTEMS = [
     "sim_topk_ivfpq",
     "sim_topk_ivfpq_residual",
     "sim_topk_ivfpq_rerank",
+    "sim_topk_hamming",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
