@@ -771,3 +771,64 @@ def scan_binary_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("length").cast("long").alias("n_bytes"),
         F.sha2(F.lower(F.hex(F.col("content"))), 256).alias("content_sha256"),
     )
+
+
+@query(
+    "txlog_partition_prune",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    WHERE event_type IN ('purchase', 'signup') AND event_id % 2 = 0
+    GROUP BY 1
+    """,
+    tags=("txlog", "partition-pruning", "evolution"),
+)
+def txlog_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-based data skipping ACROSS a partition-layout change: the
+    table's first commit predates partition stats (legacy layout — no
+    per-file metadata), the second commit records file-level
+    event_type values in the log (txlog_write_partitioned). The read
+    prunes the FILE LIST from the log — legacy files are always read
+    (unprunable but correct), statted files only when their value
+    matches — which is Iceberg partition-evolution semantics: old
+    files stay readable under the new spec, new files skip. The
+    residual predicate then enforces exact semantics, so result
+    equality against the plain filtered scan (the oracle) proves the
+    prune is a sound superset while tests/test_txlog.py asserts it
+    actually skips files.
+
+    Scale shape: pruning happens at METADATA grain (the log replay) —
+    no data file is opened to decide; at 100 TB the log's stats
+    section is the manifest an object-store reader scans instead of
+    listing directories."""
+    import uuid as _uuid
+
+    from serverless_datalake_spark.sources.txlog import (
+        txlog_read_pruned,
+        txlog_write,
+        txlog_write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    path = _scratch(f"sdlspark_pp_{_uuid.uuid4().hex[:12]}")
+    # generation 1: pre-evolution commit, odd event_ids, NO stats
+    txlog_write(ev.where(F.col("event_id") % 2 == 1), path)
+    # generation 2: per-type files WITH log stats, even event_ids
+    txlog_write_partitioned(ev.where(F.col("event_id") % 2 == 0), path, "event_type")
+    pruned = txlog_read_pruned(spark, path, "event_type", ["purchase", "signup"])
+    return (
+        pruned.where(
+            F.col("event_type").isin("purchase", "signup") & (F.col("event_id") % 2 == 0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+            .cast("long")
+            .alias("value_cents"),
+        )
+    )

@@ -338,3 +338,83 @@ def txlog_history(spark: SparkSession, path: str) -> DataFrame:
         rows,
         "version long, n_adds int, n_removes int, is_checkpoint boolean, batch_id long",
     )
+
+
+def txlog_write_partitioned(
+    df: DataFrame, path: str, part_col: str, mode: str = "append"
+) -> int:
+    """Commit df with FILE-LEVEL PARTITION STATS in the log entry —
+    the Delta/Iceberg data-skipping model: files stay anonymous and
+    immutable, but the log records each file's single value of
+    `part_col`, so a reader can prune the file LIST instead of
+    relying on directory layout. Because the stats live per-entry,
+    the partition column can change across commits (partition
+    EVOLUTION): files committed under an older layout simply carry no
+    stat for the new column and are never pruned — readable, just not
+    skippable, which is exactly Iceberg's evolution semantics.
+
+    One data dir per distinct value keeps each file single-valued;
+    the per-value loop writes sequentially (fine for low-cardinality
+    partition columns, which is the only kind you should partition
+    by — see audit_partition_skew)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}")
+    prior = _entries(path)
+    version = prior[-1]["version"] + 1 if prior else 0
+    values = [r[0] for r in df.select(part_col).distinct().collect()]
+    adds: list[str] = []
+    stats: dict[str, dict] = {}
+    batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    for v in sorted(values, key=str):
+        vdir = os.path.join(batch_dir, f"pv-{uuid.uuid4().hex[:8]}")
+        df.where(df[part_col] == v).write.mode("error").parquet(vdir)
+        for n in os.listdir(vdir):
+            if n.endswith(".parquet"):
+                fp = os.path.join(vdir, n)
+                adds.append(fp)
+                stats[fp] = {part_col: v}
+    removes = live_files(path) if mode == "overwrite" else []
+    _commit(path, version, sorted(adds), removes, extra={"stats": stats})
+    return version
+
+
+def live_files_pruned(
+    path: str, part_col: str, values: list, version: int | None = None
+) -> tuple[list[str], int]:
+    """Replay the log keeping per-file stats; return (files whose
+    recorded `part_col` is in `values` PLUS every file with no stat
+    for that column, total_live_count). Unstatted files must be read
+    — pruning is an optimization, never a correctness filter."""
+    stats: dict[str, dict] = {}
+    files: set[str] = set()
+    for e in _entries(path):
+        if version is not None and e["version"] > version:
+            break
+        for r in e["removes"]:
+            files.discard(r)
+            stats.pop(r, None)
+        for a in e["adds"]:
+            files.add(a)
+        for fp, st in (e.get("stats") or {}).items():
+            stats[fp] = st
+    keep = [
+        f
+        for f in sorted(files)
+        if part_col not in stats.get(f, {}) or stats[f][part_col] in values
+    ]
+    return keep, len(files)
+
+
+def txlog_read_pruned(
+    spark: SparkSession, path: str, part_col: str, values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read touching only files that can contain
+    `part_col IN values` per the log's file stats (plus unstatted
+    legacy files). Callers still apply the residual predicate — the
+    prune is a superset guarantee, identical to how partition pruning
+    composes with filters in any lakehouse reader."""
+    files, _total = live_files_pruned(path, part_col, values, version)
+    if not files:
+        raise FileNotFoundError(f"no matching committed files in {path}")
+    return spark.read.parquet(*files)

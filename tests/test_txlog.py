@@ -369,3 +369,62 @@ def test_additive_schema_evolution_reads_old_files_as_null(spark, tmp_path):
     assert set(evolved.columns) == {"id", "grp", "score"}
     rows = {r["id"]: r["score"] for r in evolved.collect()}
     assert rows == {1: None, 2: 99}
+
+
+def test_partition_stats_prune_file_list(spark, sf_dir, tmp_path):
+    """The pruned read must open strictly fewer files than the live
+    set, never lose rows, and keep legacy (unstatted) files visible."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.sources.txlog import (
+        live_files_pruned,
+        txlog_read,
+        txlog_read_pruned,
+        txlog_write,
+        txlog_write_partitioned,
+    )
+    from serverless_datalake_spark.tables import load_table
+
+    path = str(tmp_path / "pp")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    txlog_write(ev.where(F.col("event_id") % 2 == 1), path)          # legacy, no stats
+    txlog_write_partitioned(ev.where(F.col("event_id") % 2 == 0), path, "event_type")
+
+    files, total = live_files_pruned(path, "event_type", ["purchase"])
+    assert len(files) < total, (len(files), total)        # skipping happened
+    legacy_rows = txlog_read(spark, path).where(F.col("event_id") % 2 == 1).count()
+    pruned = txlog_read_pruned(spark, path, "event_type", ["purchase"])
+    # every legacy row survives the prune (unstatted files unprunable)
+    assert pruned.where(F.col("event_id") % 2 == 1).count() == legacy_rows
+    # exactness after residual filter
+    expect = ev.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 0)
+    ).count()
+    got = pruned.where(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 2 == 0)
+    ).count()
+    assert got == expect
+
+
+def test_partition_stats_survive_removes(spark, sf_dir, tmp_path):
+    """Overwrite removes prior files AND their stats; the new
+    generation's stats drive pruning alone."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.sources.txlog import (
+        live_files_pruned,
+        txlog_write_partitioned,
+    )
+    from serverless_datalake_spark.tables import load_table
+
+    path = str(tmp_path / "pp2")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    txlog_write_partitioned(ev, path, "event_type")
+    txlog_write_partitioned(
+        ev.where(F.col("event_type").isin("click", "view")), path, "event_type",
+        mode="overwrite",
+    )
+    files, total = live_files_pruned(path, "event_type", ["click"])
+    assert 0 < len(files) < total
+    files_gone, _ = live_files_pruned(path, "event_type", ["purchase"])
+    assert files_gone == []  # purchase generation fully overwritten
