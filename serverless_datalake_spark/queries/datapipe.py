@@ -1629,3 +1629,71 @@ def audit_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.when(skew > 4.0, "salt-or-aqe").otherwise("ok").alias("verdict"),
     )
+
+
+def _curation4_oracle() -> str:
+    from serverless_datalake_spark.queries import REGISTRY
+
+    spans = REGISTRY["dedup_ngram_spans"].oracle
+    dor = REGISTRY["mixture_doremi_excess"].oracle
+    return f"""
+    WITH spans AS ({spans}), dor AS ({dor}), gated AS (
+      SELECT d.doc_id, d.source
+      FROM documents d JOIN spans s ON s.doc_id = d.doc_id
+      WHERE s.dup_frac < 0.5
+        AND len(list_filter(string_split(d.text, ' '), x -> x <> '')) >= 30
+        AND len(list_distinct(list_filter(string_split(d.text, ' '), x -> x <> ''))) * 2
+            >= len(list_filter(string_split(d.text, ' '), x -> x <> ''))
+    ), per_source AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept FROM gated GROUP BY 1
+    )
+    SELECT p.source, p.n_kept, w.weight,
+           CAST(ROUND(w.weight * 1000.0, 0) AS BIGINT) AS budget_docs
+    FROM per_source p JOIN dor w ON w.source = p.source
+    """
+
+
+@query("pipeline_curation4_weighted", oracle=_curation4_oracle(),
+       tags=("datapipe", "pipeline", "capstone"))
+def pipeline_curation4_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 capstone: the curation DAG wired from this round's
+    operators — documents pass the quality gate AND the
+    substring-duplication screen (dedup_ngram_spans dup_frac < 0.5),
+    survivors roll up per source, and each source receives its
+    DoReMi excess-loss mixture weight plus the document budget a
+    1000-doc training mix would allocate it. One DAG, three shuffles
+    (span fingerprints, source rollup, the LM join inside the weight
+    branch) — the shape of a production curation job where gates,
+    dedup, and mixture logic share one lineage instead of three
+    pipeline hops.
+
+    Exactness: inherits each component's discipline (integer span
+    counts, ordered-fold NLLs); the budget is one rounded product.
+
+    Scale shape: see the component queries — nothing here adds a
+    corpus-sized structure on top of them."""
+    from serverless_datalake_spark.operators import textops
+    from serverless_datalake_spark.queries import REGISTRY
+
+    d = load_table(spark, sf_dir, "documents")
+    spans = REGISTRY["dedup_ngram_spans"].fn(spark, sf_dir).select("doc_id", "dup_frac")
+    dor = REGISTRY["mixture_doremi_excess"].fn(spark, sf_dir).select("source", "weight")
+    toks = textops.tokens(F.col("text"))
+    gated = (
+        d.join(spans, "doc_id")
+        .where(
+            (F.col("dup_frac") < 0.5)
+            & (F.size(toks) >= 30)
+            & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks))
+        )
+        .select("doc_id", "source")
+    )
+    per_source = gated.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept")
+    )
+    return per_source.join(F.broadcast(dor), "source").select(
+        "source",
+        "n_kept",
+        "weight",
+        F.round(F.col("weight") * 1000.0, 0).cast("long").alias("budget_docs"),
+    )

@@ -1325,3 +1325,69 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("f").desc(), "w")
         .limit(100)
     )
+
+
+# GPT-2-style pre-tokenizer (ASCII-safe subset: contraction suffixes,
+# letter runs, digit runs, punctuation runs, each optionally
+# space-prefixed). Both engines' regex dialects agree on this subset —
+# verified token-for-token on mixed text.
+_GPT_PAT = "'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+_GPT_PAT_SQL = _GPT_PAT.replace("'", "''")
+
+
+@query(
+    "text_token_regex_gpt",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_ws,
+             len(regexp_extract_all(text, '{_GPT_PAT_SQL}')) AS n_bpe_ish,
+             length(text) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_ws AS BIGINT) AS n_ws,
+           CAST(n_bpe_ish AS BIGINT) AS n_bpe_ish,
+           ROUND(CAST(n_bpe_ish AS DOUBLE) / GREATEST(n_ws, 1), 4) AS fertility,
+           ROUND(CAST(n_chars AS DOUBLE) / GREATEST(n_bpe_ish, 1), 4)
+             AS chars_per_token
+    FROM scored
+    """,
+    tags=("llm", "text", "tokenizer", "regex"),
+)
+def text_token_regex_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-tokenizer token counting with the GPT-2-style regex
+    (contraction suffixes / letter runs / digit runs / punctuation
+    runs, optionally space-prefixed) next to the whitespace count —
+    the budget estimate every context-window packer and cost model
+    needs BEFORE running a real BPE (fertility = regex tokens per
+    whitespace word; chars_per_token = the ~4-chars/token rule of
+    thumb, measured instead of assumed). The regex subset is pinned
+    to constructs whose semantics RE2 (DuckDB) and java.util.regex
+    (Spark) share — verified token-identical.
+
+    Exactness: token counts are integers; the two ratios are guarded
+    single divisions.
+
+    Scale shape: pure per-row projection — zero shuffle, whole-stage
+    codegen; the regex engine cost is the scan cost."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = F.size(textops.tokens(F.col("text")))
+    n_bpe = F.size(F.expr(f'regexp_extract_all(text, "{_GPT_PAT}", 0)'))
+    scored = d.select(
+        "doc_id",
+        n_ws.cast("long").alias("n_ws"),
+        n_bpe.cast("long").alias("n_bpe_ish"),
+        F.length("text").alias("n_chars"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_ws",
+        "n_bpe_ish",
+        F.round(
+            F.col("n_bpe_ish").cast("double") / F.greatest(F.col("n_ws"), F.lit(1)), 4
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.greatest(F.col("n_bpe_ish"), F.lit(1)), 4
+        ).alias("chars_per_token"),
+    )
