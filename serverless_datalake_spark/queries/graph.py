@@ -16,7 +16,7 @@ applied iteratively).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -893,3 +893,117 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionAll(o)
     return res.crossJoin(F.broadcast(kk)).select("round", "n_nodes", "k")
+
+
+_TRUNC_CAP = 32
+
+
+@query(
+    "graph_jaccard_links_truncated",
+    oracle=f"""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), tnd AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM und
+      ) WHERE rn <= {_TRUNC_CAP}
+    ), cn AS (
+      SELECT w1.dst AS a, w2.dst AS b, CAST(COUNT(*) AS BIGINT) AS common_trunc
+      FROM tnd w1 JOIN tnd w2 ON w1.src = w2.src AND w1.dst < w2.dst
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT cn.a, cn.b, cn.common_trunc FROM cn
+      LEFT JOIN e0 ON e0.src = cn.a AND e0.dst = cn.b
+      WHERE e0.src IS NULL
+    ), scored AS (
+      SELECT n.a, n.b, n.common_trunc, da.d AS deg_a, db.d AS deg_b,
+             ROUND(CAST(n.common_trunc AS DOUBLE)
+                   / CAST(da.d + db.d - n.common_trunc AS DOUBLE), 6) AS jaccard_lb
+      FROM nonedge n
+      JOIN deg da ON da.node = n.a
+      JOIN deg db ON db.node = n.b
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY jaccard_lb DESC, a, b) AS rank
+      FROM scored
+    )
+    SELECT a, b, common_trunc, deg_a, deg_b, jaccard_lb, rank
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("graph", "link-prediction", "truncated"),
+)
+def graph_jaccard_links_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction CANDIDATE GENERATION with deterministic
+    neighbor-list truncation: each wedge center contributes only its
+    32 smallest-id neighbors, bounding the wedge join at Σmin(deg,32)²
+    instead of Σdeg² — on this graph 2M vs 26M wedge rows at sf0.1,
+    and at social-graph scale the difference between feasible and not
+    (every production link predictor truncates or samples adjacency;
+    smallest-id is the deterministic stand-in for their random
+    sample). Scores are LOWER BOUNDS (truncated common counts over
+    true degrees); production reranks the shortlist with exact counts
+    — the sim_topk_ivfpq_rerank pattern on graphs, with
+    graph_jaccard_links as the exact twin.
+
+    Exactness: the truncation is a rank window both engines replay
+    identically; counts integers, one division.
+
+    Scale shape: one rank window per node (WindowGroupLimit), the
+    capped wedge join, one pair aggregate — the O(n²) tail is gone by
+    construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a = pl.select(F.col("o"), F.col("p").alias("src"))
+    b = pl.select(F.col("o").alias("o2"), F.col("p").alias("dst"))
+    e0 = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") < F.col("dst")))
+        .select("src", "dst")
+        .distinct()
+    )
+    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    wtr = Window.partitionBy("src").orderBy("dst")
+    tnd = (
+        und.withColumn("rn", F.row_number().over(wtr))
+        .where(F.col("rn") <= _TRUNC_CAP)
+        .select("src", "dst")
+    )
+    w1 = tnd.select(F.col("src").alias("c"), F.col("dst").alias("a2"))
+    w2 = tnd.select(F.col("src").alias("c2"), F.col("dst").alias("b2"))
+    cn = (
+        w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("a2") < F.col("b2")))
+        .groupBy(F.col("a2").alias("a"), F.col("b2").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common_trunc"))
+    )
+    nonedge = cn.join(
+        e0, (e0["src"] == cn["a"]) & (e0["dst"] == cn["b"]), "left_anti"
+    )
+    da = F.broadcast(deg.select(F.col("node").alias("__na"), F.col("d").alias("deg_a")))
+    db = F.broadcast(deg.select(F.col("node").alias("__nb"), F.col("d").alias("deg_b")))
+    scored = (
+        nonedge.join(da, F.col("a") == F.col("__na"))
+        .join(db, F.col("b") == F.col("__nb"))
+        .select(
+            "a", "b", "common_trunc", "deg_a", "deg_b",
+            F.round(
+                F.col("common_trunc").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("common_trunc")).cast("double"),
+                6,
+            ).alias("jaccard_lb"),
+        )
+    )
+    wr = Window.orderBy(F.col("jaccard_lb").desc(), "a", "b")
+    return (
+        scored.withColumn("rank", F.row_number().over(wr).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("a", "b", "common_trunc", "deg_a", "deg_b", "jaccard_lb", "rank")
+    )

@@ -967,3 +967,147 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z"),
         F.when(F.abs(z) > 1.96, 1).otherwise(0).cast("long").alias("reject_05"),
     )
+
+
+_PERM_B = 64
+
+
+def _perm_hex8(expr: str) -> str:
+    terms = [
+        f"(strpos('0123456789abcdef', substr({expr}, {i + 1}, 1)) - 1)"
+        f" * CAST({16 ** (7 - i)} AS BIGINT)"
+        for i in range(8)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@query(
+    "stats_permutation_test",
+    oracle=f"""
+    WITH rows_k AS (
+      SELECT l_orderkey || '-' || CAST(l_linenumber AS VARCHAR) AS rk,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
+             CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS cents
+      FROM lineitem
+    ), obs AS (
+      SELECT CAST(SUM(grp) AS BIGINT) AS n1,
+             CAST(SUM(1 - grp) AS BIGINT) AS n0,
+             CAST(SUM(grp * cents) AS BIGINT) AS s1,
+             CAST(SUM((1 - grp) * cents) AS BIGINT) AS s0
+      FROM rows_k
+    ), resamp AS (
+      SELECT b,
+             CASE WHEN {_perm_hex8("substr(md5(rk || '#' || CAST(b AS VARCHAR)), 1, 8)")}
+                  % 2 = 1 THEN 1 ELSE 0 END AS pgrp,
+             cents
+      FROM rows_k, UNNEST(range(1, {_PERM_B + 1})) AS u(b)
+    ), per_b AS (
+      SELECT b,
+             CAST(SUM(pgrp) AS BIGINT) AS pn1,
+             CAST(SUM(1 - pgrp) AS BIGINT) AS pn0,
+             CAST(SUM(pgrp * cents) AS BIGINT) AS ps1,
+             CAST(SUM((1 - pgrp) * cents) AS BIGINT) AS ps0
+      FROM resamp GROUP BY b
+    ), stat AS (
+      SELECT o.n1, o.n0,
+             CAST(o.s1 AS DOUBLE) / CAST(o.n1 AS DOUBLE)
+               - CAST(o.s0 AS DOUBLE) / CAST(o.n0 AS DOUBLE) AS obs_diff,
+             CAST(SUM(CASE WHEN pn1 > 0 AND pn0 > 0
+                  AND ABS(CAST(ps1 AS DOUBLE) / CAST(pn1 AS DOUBLE)
+                          - CAST(ps0 AS DOUBLE) / CAST(pn0 AS DOUBLE))
+                      >= ABS(CAST(o.s1 AS DOUBLE) / CAST(o.n1 AS DOUBLE)
+                             - CAST(o.s0 AS DOUBLE) / CAST(o.n0 AS DOUBLE))
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_extreme
+      FROM per_b CROSS JOIN obs o
+      GROUP BY o.n1, o.n0, o.s1, o.s0
+    )
+    SELECT n1 AS n_returned, n0 AS n_other,
+           ROUND(obs_diff / 100.0, 4) AS obs_diff_mean,
+           n_extreme,
+           ROUND(CAST(n_extreme + 1 AS DOUBLE) / CAST({_PERM_B} + 1 AS DOUBLE), 6)
+             AS p_value
+    FROM stat
+    """,
+    tags=("stats", "permutation", "resampling"),
+)
+def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample permutation test (difference of mean extended price,
+    returned vs non-returned lineitems) with 64 DETERMINISTIC label
+    reshuffles: resample b relabels each row by
+    md5(row_key # b) mod 2, so both engines replay the identical null
+    distribution and the p-value ((1 + #extreme)/(B+1), the standard
+    add-one permutation estimate) is reproducible to the bit — the
+    significance machinery of A/B platforms without distributional
+    assumptions (the KS/MWU tests' model-free sibling for MEANS).
+
+    Exactness: per-resample sums are exact integer cents; each mean is
+    one division; the extremeness comparison runs on identical doubles
+    in both engines.
+
+    Scale shape: the resample relation is rows × B — embarrassingly
+    parallel, partial-aggregated map-side to B rows before the single
+    tiny shuffle (the sample_poisson_bootstrap pattern); B is the
+    knob that trades p-value resolution for scan multiplication."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rows_k = li.select(
+        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")).alias("rk"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("cents"),
+    )
+    obs = rows_k.agg(
+        F.sum("grp").cast("long").alias("n1"),
+        F.sum(F.lit(1) - F.col("grp")).cast("long").alias("n0"),
+        F.sum(F.col("grp") * F.col("cents")).cast("long").alias("s1"),
+        F.sum((F.lit(1) - F.col("grp")) * F.col("cents")).cast("long").alias("s0"),
+    )
+    resamp = rows_k.select(
+        "rk", "cents", F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b")
+    ).select(
+        "b",
+        "cents",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", "rk", F.col("b").cast("string"))), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("pgrp"),
+    )
+    per_b = resamp.groupBy("b").agg(
+        F.sum("pgrp").cast("long").alias("pn1"),
+        F.sum(F.lit(1) - F.col("pgrp")).cast("long").alias("pn0"),
+        F.sum(F.col("pgrp") * F.col("cents")).cast("long").alias("ps1"),
+        F.sum((F.lit(1) - F.col("pgrp")) * F.col("cents")).cast("long").alias("ps0"),
+    )
+    od = F.col("s1").cast("double") / F.col("n1").cast("double") - F.col("s0").cast(
+        "double"
+    ) / F.col("n0").cast("double")
+    pd_ = F.col("ps1").cast("double") / F.col("pn1").cast("double") - F.col("ps0").cast(
+        "double"
+    ) / F.col("pn0").cast("double")
+    stat = (
+        per_b.crossJoin(F.broadcast(obs))
+        .groupBy("n1", "n0", "s1", "s0")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("pn1") > 0) & (F.col("pn0") > 0) & (F.abs(pd_) >= F.abs(od)),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_extreme")
+        )
+    )
+    return stat.select(
+        F.col("n1").alias("n_returned"),
+        F.col("n0").alias("n_other"),
+        F.round(od / 100.0, 4).alias("obs_diff_mean"),
+        "n_extreme",
+        F.round(
+            (F.col("n_extreme") + 1).cast("double") / F.lit(float(_PERM_B + 1)), 6
+        ).alias("p_value"),
+    )
