@@ -22,7 +22,7 @@ failed batch overwrites the same file_key rather than duplicating it
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
@@ -292,6 +292,70 @@ def start_txlog_upsert_query(
             batch.sparkSession, table_path, latest, key,
             extra={"batch_id": batch_id},
         )
+
+    trigger = trigger or {"availableNow": True}
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**trigger)
+        .start()
+    )
+
+
+def start_dedup_admission_query(
+    stream: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    trigger: dict | None = None,
+) -> StreamingQuery:
+    """Streaming INCREMENTAL DEDUP ADMISSION: each micro-batch admits
+    only documents whose normalized-content fingerprint has never been
+    admitted before — within the batch (first id wins, deterministic)
+    AND against every previously committed batch (anti-join on the
+    admitted table's fingerprints). The accepted rows land in a txlog
+    commit carrying the batch id, so a replayed batch is skipped
+    whole: exactly-once admission even though the dedup decision is
+    stateful across batches.
+
+    This is the streaming face of the batch dedup family: the
+    reference pipeline re-publishes replayed blobs without
+    re-cataloging them (event_recorder lambda_function.py:94–99 — its
+    only idempotence); here admission itself is idempotent AND
+    content-deduplicated, closing SURVEY §1.4's at-least-once gap at
+    the ingest boundary rather than downstream.
+
+    At 100 TB the anti-join's right side is the admitted FINGERPRINT
+    column only (hash-sized, not corpus-sized); production narrows it
+    further with the Bloom screen (dedup_bloom_incremental) before
+    the exact anti-join — same two-stage shape, same guarantees."""
+    from serverless_datalake_spark.sources import txlog
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch_id in txlog.committed_batch_ids(table_path):
+            return
+        spark = batch.sparkSession
+        fp = F.md5(F.lower(F.trim(F.col(text_col))))
+        w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+        in_batch = (
+            batch.withColumn("__fp", fp)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = txlog.txlog_read(spark, table_path).select(
+                F.col("__fp").alias("__seen_fp")
+            ).distinct()
+            fresh = in_batch.join(
+                seen, in_batch["__fp"] == seen["__seen_fp"], "left_anti"
+            )
+        except FileNotFoundError:
+            fresh = in_batch  # first batch: nothing admitted yet
+        # commit even when empty: the batch id must be recorded so a
+        # replay of an all-duplicate batch stays a no-op
+        txlog.txlog_write(fresh, table_path, extra={"batch_id": batch_id})
 
     trigger = trigger or {"availableNow": True}
     return (

@@ -313,3 +313,70 @@ def test_streaming_topk_matches_batch_topk(spark, tmp_path):
     assert got, "stream must emit at least the early closed windows"
     for key, v in got.items():
         assert want.get(key) == v, (key, v, want.get(key))
+
+
+def test_streaming_dedup_admission_across_batches(spark, tmp_path):
+    """Cross-batch content dedup with exactly-once admission: a doc
+    admitted in batch 1 must not be re-admitted when batch 2 carries
+    the same text under a new id; within a batch the smallest id wins;
+    an all-duplicate batch still records its batch id (replay no-op)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.sources import txlog
+    from serverless_datalake_spark.streaming.pipeline import (
+        start_dedup_admission_query,
+    )
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    table = str(tmp_path / "admitted")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    # batch 1: two distinct texts + an in-batch duplicate (id 3 loses to 1)
+    write_batch("b1.json", [
+        {"doc_id": 1, "text": "alpha beta"},
+        {"doc_id": 2, "text": "gamma delta"},
+        {"doc_id": 3, "text": "alpha beta"},
+    ])
+    stream = (
+        spark.readStream.schema("doc_id long, text string").json(str(src))
+    )
+    q = start_dedup_admission_query(stream, table, ckpt)
+    q.awaitTermination(120)
+
+    admitted = txlog.txlog_read(spark, table)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2]
+
+    # batch 2: one cross-batch duplicate (new id, admitted text) + one new
+    write_batch("b2.json", [
+        {"doc_id": 10, "text": "alpha beta"},
+        {"doc_id": 11, "text": "epsilon zeta"},
+    ])
+    q = start_dedup_admission_query(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        table, ckpt,
+    )
+    q.awaitTermination(120)
+    admitted = txlog.txlog_read(spark, table)
+    ids = sorted(r["doc_id"] for r in admitted.collect())
+    assert ids == [1, 2, 11], ids
+
+    # batch 3: all duplicates — admission is empty but the commit exists
+    write_batch("b3.json", [{"doc_id": 20, "text": "gamma delta"}])
+    q = start_dedup_admission_query(
+        spark.readStream.schema("doc_id long, text string").json(str(src)),
+        table, ckpt,
+    )
+    q.awaitTermination(120)
+    admitted = txlog.txlog_read(spark, table)
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 11]
+    n_batches = len(txlog.committed_batch_ids(table))
+    assert n_batches == 3, n_batches
