@@ -1082,3 +1082,163 @@ def eval_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_COST_FP) * F.col("ng")).cast("long").alias("cost_accept_all"),
         (F.lit(_COST_FN) * F.col("p")).cast("long").alias("cost_reject_all"),
     )
+
+
+# --------------------------------------------------------------------------
+# Logistic-regression quality-model fitting (in-plane ML)
+
+_LR_STEPS = 100
+_LR_ETA = "2.0"
+
+
+def _logreg_oracle() -> str:
+    sample = f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 5 = 0
+    ), feat0 AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks)
+                  THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END AS y,
+             ROUND((CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / GREATEST(len(toks), 1) - 0.5) * 10.0, 8) AS x1,
+             ROUND((CAST(len(toks) AS DOUBLE) - 30.0) / 20.0, 8) AS x2
+      FROM t
+    ), feat AS (
+      -- x3 = threshold-violation depth: how far BELOW either gate
+      -- margin the doc sits (0 when both satisfied) — linearizes the
+      -- AND boundary a plain linear model cannot express
+      SELECT doc_id, y, x1, x2,
+             ROUND(LEAST(x1, 0.0) + LEAST(x2, 0.0), 8) AS x3
+      FROM feat0
+    ), sl AS MATERIALIZED (
+      SELECT list(struct_pack(y := y, x1 := x1, x2 := x2, x3 := x3)
+                  ORDER BY doc_id) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM feat
+    ), it0 AS MATERIALIZED (
+      SELECT s, n, CAST(0.0 AS DOUBLE) AS t0, CAST(0.0 AS DOUBLE) AS t1,
+             CAST(0.0 AS DOUBLE) AS t2, CAST(0.0 AS DOUBLE) AS t3 FROM sl
+    )"""
+
+    def grad(xj: str) -> str:
+        # raw doubles throughout: the Spark side fits in CPython, and
+        # CPython and DuckDB share the platform libm, so exp() and the
+        # ordered fold reproduce the identical trajectory bit-for-bit
+        # — per-step ROUND guards would cost megabytes of rewritten
+        # oracle SQL (the round-mimic expands ~20x and nests) for no
+        # additional determinism.
+        return (
+            f"list_reduce(list_transform(s, r -> "
+            f"{xj} * (r.y - 1.0 / (1.0 + exp(-(t0 + t1 * r.x1 + t2 * r.x2 + t3 * r.x3))))), "
+            f"(a, b) -> a + b)"
+        )
+
+    iters = []
+    for k in range(1, _LR_STEPS + 1):
+        iters.append(
+            f""", it{k} AS MATERIALIZED (
+      SELECT s, n,
+             t0 + {_LR_ETA} * {grad('1.0')} / CAST(n AS DOUBLE) AS t0,
+             t1 + {_LR_ETA} * {grad('r.x1')} / CAST(n AS DOUBLE) AS t1,
+             t2 + {_LR_ETA} * {grad('r.x2')} / CAST(n AS DOUBLE) AS t2,
+             t3 + {_LR_ETA} * {grad('r.x3')} / CAST(n AS DOUBLE) AS t3
+      FROM it{k - 1}
+    )"""
+        )
+    acc = (
+        "list_reduce(list_transform(s, r -> CASE WHEN "
+        "(CASE WHEN 1.0 / (1.0 + exp(-(t0 + t1 * r.x1 + t2 * r.x2 + t3 * r.x3))) >= 0.5 "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END) = r.y "
+        "THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), (a, b) -> a + b)"
+    )
+    return (
+        sample
+        + "".join(iters)
+        + f"""
+    SELECT n AS n_train,
+           ROUND(t0, 6) AS theta0, ROUND(t1, 6) AS theta1, ROUND(t2, 6) AS theta2,
+           ROUND(t3, 6) AS theta3,
+           ROUND({acc} / CAST(n AS DOUBLE), 6) AS train_acc
+    FROM it{_LR_STEPS}
+    """
+    )
+
+
+@query("model_logreg_quality_fit", oracle=_logreg_oracle(),
+       tags=("evaluation", "model", "logistic-regression"))
+def model_logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-CLASSIFIER TRAINING in the data plane: logistic
+    regression (bias + centered diversity + centered length + a
+    threshold-violation depth feature that linearizes the gate's AND
+    boundary) fit to the quality-gate label with 100 deterministic
+    full-batch gradient steps
+    on a hash-free deterministic sample (doc_id % 5) — the fastText-
+    style pattern where the platform trains its own gate instead of
+    importing scores. Reports θ and training accuracy; the learned θ
+    deploys as a pure projection (the text_quality_model serving
+    path).
+
+    Exactness: the fit runs DRIVER-SIDE in Python over the collected
+    sample — deliberately: CPython and DuckDB share the platform
+    libm, so exp() and the doc_id-ordered gradient folds reproduce
+    the identical raw-double trajectory bit-for-bit (a JVM-side fold
+    would reopen the 1-ulp StrictMath/libm gap, which an ITERATED fit
+    amplifies); only the outputs round (at 6). Features round at 8 on
+    the distributed side before collection, so the collected doubles
+    are the oracle's exactly.
+
+    Scale shape: feature extraction is the distributed part (one
+    scan); the sample is bounded (production fits quality gates on
+    samples as a rule), the fit is O(sample × steps) driver-side, and
+    SERVING the model is map-only."""
+    import math
+
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    toks = textops.tokens(F.col("text"))
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    feat = d.select(
+        "doc_id",
+        F.when((n >= 30) & (nd * 2 >= n), 1.0).otherwise(0.0).alias("y"),
+        F.round(
+            (nd.cast("double") / F.greatest(n, F.lit(1)) - F.lit(0.5)) * 10.0, 8
+        ).alias("x1"),
+        F.round((n.cast("double") - 30.0) / 20.0, 8).alias("x2"),
+    ).select(
+        "doc_id", "y", "x1", "x2",
+        F.round(F.least(F.col("x1"), F.lit(0.0)) + F.least(F.col("x2"), F.lit(0.0)), 8).alias("x3"),
+    )
+    rows = [
+        (r["y"], r["x1"], r["x2"], r["x3"]) for r in feat.orderBy("doc_id").collect()
+    ]
+    nn = len(rows)
+    th = [0.0, 0.0, 0.0, 0.0]
+    eta = float(_LR_ETA)
+    for _ in range(_LR_STEPS):
+        g = [0.0, 0.0, 0.0, 0.0]
+        for y, x1, x2, x3 in rows:
+            sig = 1.0 / (1.0 + math.exp(-(th[0] + th[1] * x1 + th[2] * x2 + th[3] * x3)))
+            for j, xv in enumerate((1.0, x1, x2, x3)):
+                g[j] = g[j] + xv * (y - sig)
+        for j in range(4):
+            th[j] = th[j] + eta * g[j] / nn
+    acc = 0.0
+    for y, x1, x2, x3 in rows:
+        sig = 1.0 / (1.0 + math.exp(-(th[0] + th[1] * x1 + th[2] * x2 + th[3] * x3)))
+        acc = acc + (1.0 if (1.0 if sig >= 0.5 else 0.0) == y else 0.0)
+    out = spark.createDataFrame(
+        [(nn, th[0], th[1], th[2], th[3], acc / nn)],
+        "n_train long, th0 double, th1 double, th2 double, th3 double, acc double",
+    )
+    return out.select(
+        "n_train",
+        F.round("th0", 6).alias("theta0"),
+        F.round("th1", 6).alias("theta1"),
+        F.round("th2", 6).alias("theta2"),
+        F.round("th3", 6).alias("theta3"),
+        F.round("acc", 6).alias("train_acc"),
+    )
