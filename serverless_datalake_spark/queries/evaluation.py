@@ -1242,3 +1242,73 @@ def model_logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("th3", 6).alias("theta3"),
         F.round("acc", 6).alias("train_acc"),
     )
+
+
+def _logreg_serve_oracle() -> str:
+    fit = _logreg_oracle()
+    return f"""
+    WITH fitted AS ({fit}), ft0 AS (
+      SELECT source,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), ft AS (
+      SELECT source,
+             ROUND((CAST(len(list_distinct(toks)) AS DOUBLE)
+                    / GREATEST(len(toks), 1) - 0.5) * 10.0, 8) AS x1,
+             ROUND((CAST(len(toks) AS DOUBLE) - 30.0) / 20.0, 8) AS x2
+      FROM ft0
+    ), scored AS (
+      SELECT ft.source,
+             CASE WHEN f.theta0 + f.theta1 * ft.x1 + f.theta2 * ft.x2
+                  + f.theta3 * ROUND(LEAST(ft.x1, 0.0) + LEAST(ft.x2, 0.0), 8)
+                  >= 0.0 THEN 1 ELSE 0 END AS accept
+      FROM ft CROSS JOIN fitted f
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(accept) AS BIGINT) AS n_accepted,
+           ROUND(CAST(SUM(accept) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS accept_rate
+    FROM scored GROUP BY source
+    """
+
+
+@query("model_logreg_quality_serve", oracle=_logreg_serve_oracle(),
+       tags=("evaluation", "model", "serving"))
+def model_logreg_quality_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING the trained quality model over the full corpus: the
+    fitted θ (model_logreg_quality_fit, rounded at 6 — the deployed
+    artifact) scores every document as a pure projection, and the
+    accept decision uses the SIGN of the linear score (σ(z) ≥ 0.5 ⟺
+    z ≥ 0), so no transcendental is ever evaluated in the serving
+    path — the decision is exact IEEE arithmetic on identical doubles
+    in both engines. Output is the per-source accept-rate table a
+    curation dashboard watches after a model rollout.
+
+    Scale shape: train on a sample driver-side (the fit query), ship
+    θ as 4 literals, serve as a map-only scan — the canonical
+    train-small/serve-everywhere split, with zero shuffle in the
+    serving pass beyond the source rollup."""
+    from serverless_datalake_spark.operators import textops
+    from serverless_datalake_spark.queries import REGISTRY
+
+    fitted = REGISTRY["model_logreg_quality_fit"].fn(spark, sf_dir).collect()[0]
+    th0, th1, th2, th3 = (
+        fitted["theta0"], fitted["theta1"], fitted["theta2"], fitted["theta3"]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    x1 = F.round((nd.cast("double") / F.greatest(n, F.lit(1)) - F.lit(0.5)) * 10.0, 8)
+    x2 = F.round((n.cast("double") - 30.0) / 20.0, 8)
+    x3 = F.round(F.least(x1, F.lit(0.0)) + F.least(x2, F.lit(0.0)), 8)
+    z = F.lit(th0) + F.lit(th1) * x1 + F.lit(th2) * x2 + F.lit(th3) * x3
+    scored = d.select("source", F.when(z >= 0.0, 1).otherwise(0).alias("accept"))
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("accept").cast("long").alias("n_accepted"),
+        F.round(
+            F.sum("accept").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("accept_rate"),
+    )
