@@ -29,6 +29,7 @@ SYSTEMS = [
     "sim_topk_lsh_multiprobe",
     "sim_topk_lsh_indexed",
     "sim_topk_ivf",
+    "sim_topk_ivf_nprobe4",
     "sim_topk_pq",
     "sim_topk_ivfpq",
     "sim_topk_ivfpq_residual",

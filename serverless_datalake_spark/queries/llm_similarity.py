@@ -1752,3 +1752,26 @@ def sim_topk_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", "corpus_id", "hamming", "rank")
     )
+
+
+@query(
+    "sim_topk_ivf_nprobe4",
+    oracle=_ivf_oracle(nprobe=4),
+    tags=("llm", "similarity", "ann", "recall-knob"),
+)
+def sim_topk_ivf_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF recall/cost KNOB made explicit: identical index to
+    sim_topk_ivf, but each query probes its 4 nearest cells instead
+    of 2 — double the candidate scan for measurably higher recall@5
+    (RECALL.md tracks both rows side by side, which is exactly the
+    sweep an index operator runs before picking production nprobe).
+    The plan shape is unchanged: probe cells route via the broadcast
+    centroid table; cost scales linearly in nprobe, never in corpus
+    size."""
+    queries, corpus = _split(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus_lab = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    cents = _centroid_rows(sf_dir, corpus_lab)
+    return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=4, centroid_rows=cents)
