@@ -585,3 +585,138 @@ def funnel_window_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return levels.groupBy("level").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@query(
+    "events_attribution_position",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL THEN 1
+                  WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts, event_id))
+                       > 1800.0 THEN 1
+                  ELSE 0 END AS new_s
+      FROM events
+    ), sess AS (
+      SELECT user_id, event_id, event_type, ts,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    ), purchases AS (
+      SELECT user_id, session_no, event_id AS purchase_id, ts AS pts
+      FROM sess WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT s.user_id, p.purchase_id, s.event_id AS touch_id, s.event_type,
+             s.ts AS tts
+      FROM sess s
+      JOIN purchases p
+        ON p.user_id = s.user_id AND p.session_no = s.session_no
+       AND (s.ts < p.pts OR (s.ts = p.pts AND s.event_id < p.purchase_id))
+      WHERE s.event_type IN ('click', 'view', 'signup')
+    ), ranked AS (
+      SELECT event_type, purchase_id,
+             ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                ORDER BY tts, touch_id) AS pos,
+             COUNT(*) OVER (PARTITION BY purchase_id) AS n
+      FROM touches
+    ), weighted AS (
+      SELECT event_type,
+             CASE WHEN n = 1 THEN 1000000
+                  WHEN n = 2 THEN 500000
+                  WHEN pos = 1 OR pos = n THEN 400000
+                  ELSE CAST(ROUND(200000.0 / (CAST(n AS DOUBLE) - 2.0), 0)
+                            AS BIGINT)
+             END AS ppm
+      FROM ranked
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(CAST(SUM(ppm) AS DOUBLE) / 1000000.0, 6) AS credit
+    FROM weighted GROUP BY 1
+    """,
+    tags=("funnel", "attribution"),
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based 40/20/40) conversion attribution: the
+    first and last touch before each purchase get 40% of the credit
+    each, the interior touches split the remaining 20% equally —
+    the standard middle ground between first-touch and linear
+    (n=1 takes all credit, n=2 splits 50/50).
+
+    Exactness: as in events_attribution_linear, per-touch weights are
+    integer PARTS-PER-MILLION so the cross-purchase credit sum is an
+    exact integer under any partitioning (per-purchase total can be
+    ≤ 1 ppm off 1.0 from the interior-share rounding, documented).
+
+    Scale shape: identical to the linear variant — one user-keyed
+    sessionization window, one co-partitioned purchase/touch join —
+    plus a purchase-keyed ROW_NUMBER window (purchase cardinality,
+    narrow rows). Position rank ties break on event_id, keeping the
+    order total and the credit assignment deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag(F.col("ts")).over(uw)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(lag_ts.isNull(), 1)
+            .when(F.col("ts").cast("double") - lag_ts.cast("double") > 1800.0, 1)
+            .otherwise(0)
+        )
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_no"),
+    )
+    purchases = sess.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("session_no").alias("ps"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("pts"),
+    )
+    touches = (
+        sess.where(F.col("event_type").isin("click", "view", "signup"))
+        .join(
+            purchases,
+            (F.col("pu") == F.col("user_id"))
+            & (F.col("ps") == F.col("session_no"))
+            & (
+                (F.col("ts") < F.col("pts"))
+                | (
+                    (F.col("ts") == F.col("pts"))
+                    & (F.col("event_id") < F.col("purchase_id"))
+                )
+            ),
+        )
+        .select("event_type", "purchase_id", F.col("ts").alias("tts"), F.col("event_id").alias("touch_id"))
+    )
+    pw = Window.partitionBy("purchase_id")
+    ranked = touches.select(
+        "event_type",
+        F.row_number()
+        .over(Window.partitionBy("purchase_id").orderBy("tts", "touch_id"))
+        .alias("pos"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+    )
+    ppm = (
+        F.when(F.col("n") == 1, F.lit(1000000))
+        .when(F.col("n") == 2, F.lit(500000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(400000))
+        .otherwise(
+            F.round(F.lit(200000.0) / (F.col("n").cast("double") - F.lit(2.0)), 0).cast(
+                "long"
+            )
+        )
+    )
+    weighted = ranked.select("event_type", ppm.alias("ppm"))
+    return weighted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("ppm").cast("double") / F.lit(1000000.0), 6).alias("credit"),
+    )

@@ -1111,3 +1111,239 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_extreme") + 1).cast("double") / F.lit(float(_PERM_B + 1)), 6
         ).alias("p_value"),
     )
+
+
+@query(
+    "stats_fdr_bh",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_nationkey AS nation, o.o_orderstatus AS st
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per_nation AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS f_orders
+      FROM joined GROUP BY 1
+    ), gtot AS (
+      SELECT CAST(SUM(n_orders) AS DOUBLE) AS tot,
+             CAST(SUM(f_orders) AS DOUBLE) AS tot_f
+      FROM per_nation
+    ), scored AS (
+      SELECT nation, n_orders, f_orders,
+             CAST(n_orders AS DOUBLE)
+               * (CAST(f_orders AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                  - tot_f / tot)
+               * (CAST(f_orders AS DOUBLE) / CAST(n_orders AS DOUBLE)
+                  - tot_f / tot)
+               / ((tot_f / tot) * (1.0 - tot_f / tot)) AS z2
+      FROM per_nation, gtot
+    ), pvals AS (
+      SELECT nation, n_orders, f_orders, z2,
+             CASE WHEN z2 <= 1.0 THEN 1.0 ELSE 1.0 / z2 END AS p_cheb
+      FROM scored
+    ), ranked AS (
+      SELECT nation, n_orders, f_orders, z2, p_cheb,
+             CAST(ROW_NUMBER() OVER (ORDER BY p_cheb, nation) AS BIGINT) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM pvals
+    ), kstar AS (
+      SELECT COALESCE(MAX(CASE WHEN p_cheb * CAST(m AS DOUBLE)
+                                    <= CAST(rk AS DOUBLE) * 0.10
+                               THEN rk END) OVER (), 0) AS k_star,
+             nation, n_orders, f_orders, z2, p_cheb, rk
+      FROM ranked
+    )
+    SELECT nation, n_orders, f_orders,
+           ROUND(z2, 6) AS z2,
+           ROUND(p_cheb, 6) AS p_cheb,
+           rk AS p_rank,
+           CAST(CASE WHEN rk <= k_star THEN 1 ELSE 0 END AS BIGINT)
+             AS is_discovery
+    FROM kstar
+    """,
+    tags=("statistics", "multiple-testing", "fdr"),
+)
+def stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control over per-nation rate
+    tests: for each nation, a one-sample z² statistic of its
+    fulfilled-order ('F') rate against the global rate, converted to
+    a CONSERVATIVE p-value via the Chebyshev bound p = min(1, 1/z²)
+    (distribution-free, transcendental-free — BH with a p-value upper
+    bound still controls FDR; the mechanics under test are the
+    step-up machinery, not the tail approximation). Discovery set =
+    all ranks ≤ k* where k* = max{k : p_(k) ≤ k·α/m}, α = 0.10 —
+    note BH's step-up property: a rank below k* is IN even if its own
+    threshold test failed.
+
+    Exactness: every input to the double-arithmetic chain is an exact
+    integer count; both engines evaluate the IDENTICAL expression
+    tree on identical doubles, so the rank order and the boundary
+    comparisons agree bit-for-bit.
+
+    Scale shape: one fact-side join shuffle (orders→customer,
+    broadcast-able dimension), one m-row aggregate; the BH window
+    machinery runs on m rows (one per group) — driver-free, and the
+    group cardinality, not the fact cardinality, bounds the window
+    state. The multiple-testing pattern every metrics platform needs
+    when it scans thousands of segments for movers."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias(
+                "f_orders"
+            ),
+        )
+    )
+    g = per_nation.agg(
+        F.sum("n_orders").cast("double").alias("tot"),
+        F.sum("f_orders").cast("double").alias("tot_f"),
+    )
+    s = per_nation.crossJoin(F.broadcast(g))
+    p0 = F.col("tot_f") / F.col("tot")
+    phat = F.col("f_orders").cast("double") / F.col("n_orders").cast("double")
+    z2 = (
+        F.col("n_orders").cast("double")
+        * (phat - p0)
+        * (phat - p0)
+        / (p0 * (F.lit(1.0) - p0))
+    )
+    pvals = s.select(
+        "nation",
+        "n_orders",
+        "f_orders",
+        z2.alias("z2"),
+        F.when(z2 <= 1.0, F.lit(1.0)).otherwise(F.lit(1.0) / z2).alias("p_cheb"),
+    )
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(Window.orderBy("p_cheb", "nation")).cast("long").alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("m"),
+    )
+    qualifies = F.when(
+        F.col("p_cheb") * F.col("m").cast("double")
+        <= F.col("rk").cast("double") * F.lit(0.10),
+        F.col("rk"),
+    )
+    kstar = ranked.select(
+        "*",
+        F.coalesce(
+            F.max(qualifies).over(Window.partitionBy()), F.lit(0)
+        ).alias("k_star"),
+    )
+    return kstar.select(
+        "nation",
+        "n_orders",
+        "f_orders",
+        F.round("z2", 6).alias("z2"),
+        F.round("p_cheb", 6).alias("p_cheb"),
+        F.col("rk").alias("p_rank"),
+        F.when(F.col("rk") <= F.col("k_star"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_discovery"),
+    )
+
+
+@query(
+    "stats_welch_tstat",
+    oracle="""
+    WITH units AS (
+      SELECT c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM customer
+    ), suff AS (
+      SELECT seg,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(cents) AS DOUBLE) AS s,
+             CAST(SUM(CAST(cents AS HUGEINT) * CAST(cents AS HUGEINT))
+                  AS DOUBLE) AS ss
+      FROM units GROUP BY 1
+    ), pairs AS (
+      SELECT a.seg AS seg_a, b.seg AS seg_b,
+             a.n AS na, b.n AS nb,
+             (a.ss - (a.s / a.n) * a.s) / (a.n - 1.0) AS va,
+             (b.ss - (b.s / b.n) * b.s) / (b.n - 1.0) AS vb,
+             a.s / a.n AS ma, b.s / b.n AS mb
+      FROM suff a JOIN suff b ON a.seg < b.seg
+    )
+    SELECT seg_a, seg_b,
+           CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+           ROUND((ma - mb) / SQRT(va / na + vb / nb) , 6) AS t_welch,
+           ROUND((va / na + vb / nb) * (va / na + vb / nb)
+                 / ((va / na) * (va / na) / (na - 1.0)
+                    + (vb / nb) * (vb / nb) / (nb - 1.0)), 4) AS dof_ws
+    FROM pairs
+    """,
+    tags=("statistics", "hypothesis-test"),
+)
+def stats_welch_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t statistic with Welch–Satterthwaite
+    degrees of freedom for every pair of market segments on account
+    balance — the default two-sample location test when variances
+    differ (Student's pooled t is the special case this generalizes).
+    Emits the statistic and dof, not a p-value: the t CDF is
+    transcendental and engine-specific, while everything up to it is
+    closed-form arithmetic both engines evaluate identically (pair
+    with stats_fdr_bh's distribution-free bound, or thread the
+    statistic into stats_permutation_test for an exact p).
+
+    Exactness: per-segment sufficient statistics (n, Σcents, Σcents²)
+    are exact integers (HUGEINT/DECIMAL accumulators), converted once
+    to double; the identical expression tree then agrees bit-for-bit.
+
+    Scale shape: ONE partial-agg shuffle over the scan reduces the
+    fact table to one row per segment; the pair enumeration is a
+    broadcast self-join of a group-cardinality relation — at 100 TB
+    the cost is the scan, the pairing stays O(groups²) rows."""
+    c = load_table(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    suff = (
+        c.select(F.col("c_mktsegment").alias("seg"), cents.alias("cents"))
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(F.col("cents").cast(d38)).cast("double").alias("s"),
+            F.sum((F.col("cents") * F.col("cents")).cast(d38))
+            .cast("double")
+            .alias("ss"),
+        )
+    )
+    a = suff.alias("a")
+    b = suff.alias("b")
+    pairs = a.join(F.broadcast(b), F.col("a.seg") < F.col("b.seg")).select(
+        F.col("a.seg").alias("seg_a"),
+        F.col("b.seg").alias("seg_b"),
+        F.col("a.n").alias("na"),
+        F.col("b.n").alias("nb"),
+        ((F.col("a.ss") - (F.col("a.s") / F.col("a.n")) * F.col("a.s"))
+         / (F.col("a.n") - F.lit(1.0))).alias("va"),
+        ((F.col("b.ss") - (F.col("b.s") / F.col("b.n")) * F.col("b.s"))
+         / (F.col("b.n") - F.lit(1.0))).alias("vb"),
+        (F.col("a.s") / F.col("a.n")).alias("ma"),
+        (F.col("b.s") / F.col("b.n")).alias("mb"),
+    )
+    se2a = F.col("va") / F.col("na")
+    se2b = F.col("vb") / F.col("nb")
+    return pairs.select(
+        "seg_a",
+        "seg_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.round((F.col("ma") - F.col("mb")) / F.sqrt(se2a + se2b), 6).alias(
+            "t_welch"
+        ),
+        F.round(
+            (se2a + se2b) * (se2a + se2b)
+            / (
+                se2a * se2a / (F.col("na") - F.lit(1.0))
+                + se2b * se2b / (F.col("nb") - F.lit(1.0))
+            ),
+            4,
+        ).alias("dof_ws"),
+    )
