@@ -1557,3 +1557,69 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("j_raw", 6).alias("jaccard_kmv"),
         F.round(F.col("j_raw") * F.col("u_raw"), 3).alias("inter_kmv"),
     )
+
+
+@query(
+    "agg_histogram_log2",
+    oracle="""
+    WITH units AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders
+    ), bucketed AS (
+      SELECT CAST(LENGTH(bin(cents)) AS BIGINT) AS bucket_bits, cents
+      FROM units
+    ), hist AS (
+      SELECT bucket_bits,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(cents) AS BIGINT) AS sum_cents
+      FROM bucketed GROUP BY 1
+    )
+    SELECT bucket_bits,
+           CAST(1 AS BIGINT) << CAST(bucket_bits - 1 AS INTEGER) AS lo_cents,
+           (CAST(1 AS BIGINT) << CAST(bucket_bits AS INTEGER)) - 1 AS hi_cents,
+           n_orders, sum_cents,
+           CAST(SUM(n_orders) OVER (ORDER BY bucket_bits
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_orders,
+           ROUND(CAST(SUM(n_orders) OVER (ORDER BY bucket_bits
+                                          ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / CAST(SUM(n_orders) OVER () AS DOUBLE), 6) AS cum_share
+    FROM hist
+    """,
+    tags=("aggregate", "histogram", "sketch"),
+)
+def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed value histogram (the HdrHistogram/DDSketch
+    at-rest pattern): bucket = position of the value's highest set
+    bit, computed EXACTLY as the bit length of the integer cents —
+    no floating log whose x = 2^k boundary cells would flip per libm.
+    Guarantees ≤ 2× relative error on any percentile read off the
+    histogram while the state stays ~64 counters regardless of value
+    range — the standard latency/price distribution summary at scale.
+
+    Scale shape: a pure map projection (bin + length) then ONE
+    partial-agg shuffle onto tens of bucket rows; the cumulative
+    window runs on the bucket rows only. Mergeable across days/
+    partitions by adding counters."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    bucketed = o.select(
+        F.length(F.bin(cents)).cast("long").alias("bucket_bits"),
+        cents.alias("cents"),
+    )
+    hist = bucketed.groupBy("bucket_bits").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("long").alias("sum_cents"),
+    )
+    cw = Window.orderBy("bucket_bits").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum("n_orders").over(cw)
+    tot = F.sum("n_orders").over(Window.partitionBy())
+    return hist.select(
+        "bucket_bits",
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_bits - 1 AS INT))").alias("lo_cents"),
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_bits AS INT)) - 1").alias("hi_cents"),
+        "n_orders",
+        "sum_cents",
+        cum.cast("long").alias("cum_orders"),
+        F.round(cum.cast("double") / tot.cast("double"), 6).alias("cum_share"),
+    )

@@ -1697,3 +1697,59 @@ def pipeline_curation4_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.round(F.col("weight") * 1000.0, 0).cast("long").alias("budget_docs"),
     )
+
+
+@query(
+    "sample_curriculum_stages",
+    oracle="""
+    WITH staged AS (
+      SELECT doc_id, n_chars,
+             CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+               AS stage,
+             md5('cur|' || CAST(doc_id AS VARCHAR)) AS skey
+      FROM documents
+    )
+    SELECT doc_id, n_chars, stage,
+           CAST(ROW_NUMBER() OVER (ORDER BY stage, skey, doc_id) AS BIGINT)
+             AS emit_rank
+    FROM staged
+    """,
+    tags=("llm", "datapipe", "curriculum"),
+)
+def sample_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-curriculum emission order: documents are staged
+    easy→hard by n_chars decile (sequence-length curriculum — the
+    cheapest difficulty proxy that demonstrably stabilizes early
+    training), and WITHIN each stage the order is a deterministic
+    md5 shuffle — curriculum across stages, decorrelated within, and
+    bit-reproducible across runs/engines (no RNG state).
+
+    Scale shape at 100 TB: stage boundaries come from a quantile
+    sketch (one pass) instead of a global NTILE, making staging a
+    map-only projection; the emission order is then a range-partition
+    sort on (stage, md5) — exactly what Spark's orderBy plans, each
+    output partition writable independently. The fixture-scale NTILE/
+    ROW_NUMBER spelling keeps the assignment exactly
+    oracle-comparable; the plan property that matters (staging adds
+    no join, emission is one sort) holds in both spellings."""
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        "n_chars",
+        F.ntile(10)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("long")
+        .alias("stage"),
+        F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))).alias(
+            "skey"
+        ),
+    )
+    return staged.select(
+        "doc_id",
+        "n_chars",
+        "stage",
+        F.row_number()
+        .over(Window.orderBy("stage", "skey", "doc_id"))
+        .cast("long")
+        .alias("emit_rank"),
+    )

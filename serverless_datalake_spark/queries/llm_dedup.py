@@ -3,7 +3,7 @@ Implementations in operators/dedup.py and operators/similarity.py."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import dedup, similarity
@@ -1037,4 +1037,75 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_frac"
         ),
         F.coalesce("max_dup_run", F.lit(0).cast("long")).alias("max_dup_run"),
+    )
+
+
+def _minhash_cluster_report_oracle() -> str:
+    """The components recursion (see _minhash_components_oracle) with
+    a size-histogram head: per cluster-size, how many clusters and
+    docs land there, and the doc share."""
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM membership a
+      JOIN membership b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id <> b.doc_id
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM sigs
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    comp AS (
+      SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id
+    ),
+    sizes AS (
+      SELECT rep, COUNT(*) AS sz FROM comp GROUP BY rep
+    ),
+    hist AS (
+      SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+             CAST(SUM(sz) AS BIGINT) AS n_docs
+      FROM sizes GROUP BY sz
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size, n_clusters, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS doc_share
+    FROM hist
+    """
+
+
+@query(
+    "dedup_cluster_report",
+    oracle=_minhash_cluster_report_oracle(),
+    tags=("llm", "dedup", "minhash", "audit"),
+)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-audit artifact: the cluster-SIZE histogram of the full
+    transitive-closure near-dup clustering — how many singletons, how
+    many small clusters, whether one giant component is eating the
+    corpus (the classic symptom of a too-loose banding threshold),
+    and each size's share of all docs. The report every dedup run
+    should emit before anyone trusts its survivor set.
+
+    Scale shape: the components cost is dedup_minhash_components
+    (banded shuffles + O(log d) pointer-jump rounds); the report adds
+    two group-cardinality aggregates and a window over the size
+    histogram (tens of rows) — free at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    comp = dedup.minhash_dedup_components(d, "doc_id", "text", bands=8, k=1)
+    sizes = comp.groupBy("cluster_rep").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+    )
+    return hist.select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n_clusters"),
+        F.col("n_docs"),
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("doc_share"),
     )
