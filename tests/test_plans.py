@@ -472,3 +472,35 @@ def test_doremi_lm_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "mixture_doremi_excess")
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_fdr_bh_fact_join_broadcasts_dim(spark, sf_dir):
+    """stats_fdr_bh: the orders→customer join must broadcast the
+    dimension (no fact-side sort-merge), and the BH window machinery
+    must sit above the GROUP-cardinality aggregate, not the fact
+    scan."""
+    plan = plan_of(spark, sf_dir, "stats_fdr_bh")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_log2_single_shuffle_partial_agg(spark, sf_dir):
+    """agg_histogram_log2: one hash-partitioned exchange (the bucket
+    agg) with a map-side partial aggregate below it; the cumulative
+    window adds no further fact-grain exchange."""
+    plan = plan_of(spark, sf_dir, "agg_histogram_log2")
+    assert plan.count("Exchange hashpartitioning(bucket_bits") == 1
+    assert "partial" in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_welch_pairs_broadcast_self_join(spark, sf_dir):
+    """stats_welch_tstat: the pair enumeration is a broadcast
+    nested-loop over the GROUP-cardinality relation — acceptable only
+    because both sides are group-sized; the fact table contributes
+    exactly one partial-agg shuffle."""
+    plan = plan_of(spark, sf_dir, "stats_welch_tstat")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan.lower()
