@@ -1753,3 +1753,113 @@ def sample_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("emit_rank"),
     )
+
+
+@query(
+    "mixture_caps_floors",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens FROM documents
+    ), per AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tokens) AS BIGINT) AS actual_tokens
+      FROM tok GROUP BY lang
+    ), shares AS (
+      SELECT lang, n_docs, actual_tokens,
+             CAST(actual_tokens AS DOUBLE)
+               / CAST(SUM(actual_tokens) OVER () AS DOUBLE) AS raw_share
+      FROM per
+    ), clipped AS (
+      SELECT lang, n_docs, actual_tokens, raw_share,
+             CASE WHEN raw_share > 0.30 THEN 'cap'
+                  WHEN raw_share < 0.14 THEN 'floor'
+                  ELSE 'free' END AS clip,
+             CASE WHEN raw_share > 0.30 THEN 0.30
+                  WHEN raw_share < 0.14 THEN 0.14
+                  ELSE raw_share END AS clip_share
+      FROM shares
+    ), mass AS (
+      SELECT lang, n_docs, actual_tokens, raw_share, clip, clip_share,
+             SUM(CASE WHEN clip <> 'free' THEN clip_share ELSE 0.0 END)
+               OVER () AS fixed_mass,
+             SUM(CASE WHEN clip = 'free' THEN raw_share ELSE 0.0 END)
+               OVER () AS free_raw
+      FROM clipped
+    )
+    SELECT lang, n_docs, actual_tokens,
+           ROUND(raw_share, 6) AS raw_share,
+           clip,
+           ROUND(CASE WHEN clip = 'free'
+                      THEN raw_share * ((1.0 - fixed_mass) / free_raw)
+                      ELSE clip_share END, 6) AS final_share
+    FROM mass
+    """,
+    tags=("llm", "datapipe", "mixture"),
+)
+def mixture_caps_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture shares under per-domain caps and floors: raw token
+    shares are clipped to [0.14, 0.30] and the remaining mass is
+    redistributed PROPORTIONALLY over the unclipped domains — the
+    guardrail every production mixture applies on top of its ideal
+    weights (a cap bounds epoching of a dominant domain; a floor
+    keeps minority domains from vanishing). Single closed-form
+    redistribution round (the fully-iterated waterfall re-clips until
+    stable; on this corpus the scaled free shares stay inside the
+    band, and a production run would iterate the same closed form —
+    each round is one window pass over GROUP-cardinality rows). If
+    clipping ever fixes EVERY domain, the emitted shares stop summing
+    to 1 — that is the infeasibility signal (cap·n_capped +
+    floor·n_floored ≠ 1 has no valid mixture), surfaced rather than
+    hidden by renormalizing the caps away.
+
+    Scale shape: one token-count scan + partial-agg shuffle onto
+    group rows; every window after that runs on the handful of
+    domain rows. Deterministic: shares derive from exact integer
+    token sums and one fixed expression tree."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.size(_toks_col()).cast("long").alias("n_tokens"))
+    per = tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("actual_tokens"),
+    )
+    w = Window.partitionBy()
+    shares = per.select(
+        "*",
+        (
+            F.col("actual_tokens").cast("double")
+            / F.sum("actual_tokens").over(w).cast("double")
+        ).alias("raw_share"),
+    )
+    clip = (
+        F.when(F.col("raw_share") > 0.30, "cap")
+        .when(F.col("raw_share") < 0.14, "floor")
+        .otherwise("free")
+    )
+    clip_share = (
+        F.when(F.col("raw_share") > 0.30, F.lit(0.30))
+        .when(F.col("raw_share") < 0.14, F.lit(0.14))
+        .otherwise(F.col("raw_share"))
+    )
+    c = shares.select("*", clip.alias("clip"), clip_share.alias("clip_share"))
+    fixed_mass = F.sum(
+        F.when(F.col("clip") != "free", F.col("clip_share")).otherwise(0.0)
+    ).over(w)
+    free_raw = F.sum(
+        F.when(F.col("clip") == "free", F.col("raw_share")).otherwise(0.0)
+    ).over(w)
+    m = c.select("*", fixed_mass.alias("fixed_mass"), free_raw.alias("free_raw"))
+    return m.select(
+        "lang",
+        "n_docs",
+        "actual_tokens",
+        F.round("raw_share", 6).alias("raw_share"),
+        "clip",
+        F.round(
+            F.when(
+                F.col("clip") == "free",
+                F.col("raw_share")
+                * ((F.lit(1.0) - F.col("fixed_mass")) / F.col("free_raw")),
+            ).otherwise(F.col("clip_share")),
+            6,
+        ).alias("final_share"),
+    )

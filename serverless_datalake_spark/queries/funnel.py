@@ -720,3 +720,73 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum("ppm").cast("double") / F.lit(1000000.0), 6).alias("credit"),
     )
+
+
+@query(
+    "events_next_event_examples",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type, 3) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS l3,
+             LAG(event_type, 2) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS l2,
+             LAG(event_type, 1) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS l1
+      FROM events
+    ), examples AS (
+      SELECT l3 || '>' || l2 || '>' || l1 AS context, event_type AS label
+      FROM ordered WHERE l3 IS NOT NULL
+    ), counted AS (
+      SELECT context, label, CAST(COUNT(*) AS BIGINT) AS n_examples
+      FROM examples GROUP BY 1, 2
+    )
+    SELECT context, label, n_examples,
+           ROUND(CAST(n_examples AS DOUBLE)
+                 / CAST(SUM(n_examples) OVER (PARTITION BY context)
+                        AS DOUBLE), 6) AS label_share
+    FROM counted
+    """,
+    tags=("funnel", "datapipe", "sequence-model"),
+)
+def events_next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-example construction for next-event prediction: per
+    user, each event becomes one (context, label) pair where the
+    context is the ordered 3-gram of PRECEDING event types — the
+    sliding-window dataset build behind sequence/behavioral models
+    (same shape an LLM data pipeline uses to cut next-token windows,
+    at event granularity). Emitted grouped with per-context label
+    shares, i.e. the empirical transition distribution the model must
+    beat.
+
+    Scale shape: three LAGs over ONE user-keyed window (single
+    shuffle, streaming frame), then a partial-agg shuffle onto
+    (context, label) rows; the share window runs per context over
+    label-cardinality rows. Tie-break on event_id keeps windows
+    total-ordered and the dataset bit-reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type",
+        F.lag("event_type", 3).over(uw).alias("l3"),
+        F.lag("event_type", 2).over(uw).alias("l2"),
+        F.lag("event_type", 1).over(uw).alias("l1"),
+    )
+    ex = o.where(F.col("l3").isNotNull()).select(
+        F.concat_ws(">", "l3", "l2", "l1").alias("context"),
+        F.col("event_type").alias("label"),
+    )
+    counted = ex.groupBy("context", "label").agg(
+        F.count(F.lit(1)).alias("n_examples")
+    )
+    cw = Window.partitionBy("context")
+    return counted.select(
+        "context",
+        "label",
+        "n_examples",
+        F.round(
+            F.col("n_examples").cast("double")
+            / F.sum("n_examples").over(cw).cast("double"),
+            6,
+        ).alias("label_share"),
+    )

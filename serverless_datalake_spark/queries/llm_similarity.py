@@ -1775,3 +1775,108 @@ def sim_topk_ivf_nprobe4(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = _centroid_rows(sf_dir, corpus_lab)
     return similarity.topk_ivf(queries, corpus_lab, k=5, nprobe=4, centroid_rows=cents)
+
+
+@query(
+    "embedding_quality_screen",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ), norms AS (
+      SELECT vec_id,
+             CAST(ROUND(SQRT(list_aggregate(list_transform(emb, x -> x * x),
+                                            'sum')) * 1000000000.0, 0)
+                  AS BIGINT) AS norm_nu
+      FROM v
+    ), stats AS (
+      SELECT vec_id, norm_nu,
+             CAST(SUM(norm_nu) OVER () AS DOUBLE)
+               / CAST(COUNT(*) OVER () AS DOUBLE) AS mean_nu,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS n,
+             CAST(SUM(CAST(norm_nu AS HUGEINT) * CAST(norm_nu AS HUGEINT))
+                  OVER () AS DOUBLE) AS ss
+      FROM norms
+    ), scored AS (
+      SELECT vec_id, norm_nu,
+             (CAST(norm_nu AS DOUBLE) - mean_nu)
+               / SQRT((ss - mean_nu * mean_nu * n) / (n - 1.0)) AS z
+      FROM stats
+    ), ranked AS (
+      SELECT vec_id, norm_nu, z,
+             ROW_NUMBER() OVER (ORDER BY ABS(z) DESC, vec_id) AS rk
+      FROM scored
+    )
+    SELECT vec_id,
+           ROUND(CAST(norm_nu AS DOUBLE) / 1000000000.0, 6) AS l2_norm,
+           ROUND(z, 4) AS norm_z,
+           CAST(rk AS BIGINT) AS outlier_rank
+    FROM ranked WHERE rk <= 10
+    """,
+    tags=("llm", "similarity", "data-guard"),
+)
+def embedding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA before anything is indexed: the top-10 L2-norm
+    outliers by z-score — the screen that catches zero vectors (dead
+    encoder outputs), norm blowups (overflow/truncation bugs), and
+    mis-scaled batches before they poison an ANN index or a cosine
+    threshold. Norms are exact integer NANO-UNITS so the corpus mean
+    and variance are order-independent sums; z uses the identical
+    closed form in both engines.
+
+    Scale shape: one scan computes per-vector norms map-side (payload
+    never shuffles); the moment aggregation reduces to three scalars;
+    the top-10 is a TakeOrdered over (|z|, vec_id) — no full sort, no
+    join. Screens 100 TB of embeddings at scan speed."""
+    em = load_table(spark, sf_dir, "embeddings")
+    emb_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm2 = F.aggregate(
+        F.transform(emb_d, lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norms = em.select(
+        "vec_id",
+        F.round(F.sqrt(norm2) * 1000000000.0, 0).cast("long").alias("norm_nu"),
+    )
+    w = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    stats = norms.select(
+        "vec_id",
+        "norm_nu",
+        (
+            F.sum(F.col("norm_nu").cast(d38)).over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("mean_nu"),
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum((F.col("norm_nu") * F.col("norm_nu")).cast(d38))
+        .over(w)
+        .cast("double")
+        .alias("ss"),
+    )
+    scored = stats.select(
+        "vec_id",
+        "norm_nu",
+        (
+            (F.col("norm_nu").cast("double") - F.col("mean_nu"))
+            / F.sqrt(
+                (F.col("ss") - F.col("mean_nu") * F.col("mean_nu") * F.col("n"))
+                / (F.col("n") - F.lit(1.0))
+            )
+        ).alias("z"),
+    )
+    ranked = scored.select(
+        "vec_id",
+        "norm_nu",
+        "z",
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("z")).desc(), "vec_id"))
+        .alias("rk"),
+    )
+    return ranked.where(F.col("rk") <= 10).select(
+        "vec_id",
+        F.round(F.col("norm_nu").cast("double") / 1000000000.0, 6).alias("l2_norm"),
+        F.round("z", 4).alias("norm_z"),
+        F.col("rk").cast("long").alias("outlier_rank"),
+    )
