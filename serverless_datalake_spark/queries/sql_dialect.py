@@ -626,3 +626,95 @@ def sql_join_hint_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n.n_name
         """
     )
+
+
+@query(
+    "sql_pipe_syntax",
+    oracle="""
+    SELECT l_returnflag AS flag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM lineitem
+    WHERE l_quantity > 30
+    GROUP BY l_returnflag
+    """,
+    tags=("sql", "dialect", "pipe-syntax"),
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe-operator syntax (|>, Spark 4.0+): the same logical
+    plan as the classic SELECT spelling, written as a left-to-right
+    dataflow — scan |> filter |> aggregate. Catalyst compiles both
+    spellings to the identical optimized plan (filter pushed to the
+    scan, partial aggregate below the shuffle), which is the point:
+    pipe syntax is parser surface, not a different engine path."""
+    register_views(spark, sf_dir, only=("lineitem",))
+    return spark.sql(
+        """
+        FROM lineitem
+        |> WHERE l_quantity > 30
+        |> AGGREGATE COUNT(*) AS n_items,
+                     ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+           GROUP BY l_returnflag AS flag
+        """
+    )
+
+
+@query(
+    "sql_session_variable",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_totalprice > 200000.0
+    GROUP BY o_orderpriority
+    """,
+    tags=("sql", "dialect", "session-variable"),
+)
+def sql_session_variable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (DECLARE / SET VARIABLE, Spark 4.0+):
+    the threshold is bound once as a typed session variable and
+    referenced by name — the SQL-native parameterization path (the
+    python-side twin is sql_parameterized_query's named-parameter
+    binding). Constant-folded at plan time, so the predicate still
+    pushes to the scan exactly like a literal."""
+    register_views(spark, sf_dir, only=("orders",))
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE price_floor = 200000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "sql_identifier_dynamic",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("sql", "dialect", "identifier-clause"),
+)
+def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IDENTIFIER() clause (Spark 4.0+): table and column names
+    supplied as runtime string expressions without string-splicing
+    SQL (the injection-safe dynamic-name path for templated jobs —
+    name resolution happens in the analyzer, so an invalid name fails
+    analysis rather than executing spliced text)."""
+    register_views(spark, sf_dir, only=("customer",))
+    return spark.sql(
+        """
+        SELECT IDENTIFIER('c_' || 'mktsegment') AS segment,
+               COUNT(*) AS n_rows
+        FROM IDENTIFIER('cust' || 'omer')
+        GROUP BY IDENTIFIER('c_' || 'mktsegment')
+        """
+    )
