@@ -1312,3 +1312,243 @@ def model_logreg_quality_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("accept").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("accept_rate"),
     )
+
+
+@query(
+    "model_decision_stump_fit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), feat AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks)
+                  THEN 1 ELSE 0 END AS y,
+             CAST(ROUND(CAST(len(list_distinct(toks)) AS DOUBLE)
+                        / GREATEST(len(toks), 1) * 10000.0, 0) AS BIGINT)
+               AS f_ratio_e4,
+             CAST(len(toks) AS BIGINT) AS f_len
+      FROM t
+    ), melted AS (
+      SELECT 'ratio_e4' AS feature, f_ratio_e4 AS v, y FROM feat
+      UNION ALL
+      SELECT 'len' AS feature, f_len AS v, y FROM feat
+    ), vals AS (
+      SELECT feature, v,
+             CAST(SUM(y) AS BIGINT) AS c1,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS c0
+      FROM melted GROUP BY 1, 2
+    ), cum AS (
+      SELECT feature, v,
+             CAST(SUM(c1) OVER (PARTITION BY feature ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS l1,
+             CAST(SUM(c0) OVER (PARTITION BY feature ORDER BY v
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS l0,
+             CAST(SUM(c1) OVER (PARTITION BY feature) AS BIGINT) AS t1,
+             CAST(SUM(c0) OVER (PARTITION BY feature) AS BIGINT) AS t0
+      FROM vals
+    ), scored AS (
+      SELECT feature, v, l1, l0, t1 - l1 AS r1, t0 - l0 AS r0, t1, t0,
+             (CAST(l1 + l0 AS DOUBLE)
+                * (1.0 - (CAST(l1 AS DOUBLE) / CAST(l1 + l0 AS DOUBLE))
+                           * (CAST(l1 AS DOUBLE) / CAST(l1 + l0 AS DOUBLE))
+                        - (CAST(l0 AS DOUBLE) / CAST(l1 + l0 AS DOUBLE))
+                           * (CAST(l0 AS DOUBLE) / CAST(l1 + l0 AS DOUBLE)))
+              + CAST(t1 - l1 + t0 - l0 AS DOUBLE)
+                * (1.0 - (CAST(t1 - l1 AS DOUBLE) / CAST(t1 - l1 + t0 - l0 AS DOUBLE))
+                           * (CAST(t1 - l1 AS DOUBLE) / CAST(t1 - l1 + t0 - l0 AS DOUBLE))
+                        - (CAST(t0 - l0 AS DOUBLE) / CAST(t1 - l1 + t0 - l0 AS DOUBLE))
+                           * (CAST(t0 - l0 AS DOUBLE) / CAST(t1 - l1 + t0 - l0 AS DOUBLE))))
+             / CAST(t1 + t0 AS DOUBLE) AS wgini
+      FROM cum
+      WHERE l1 + l0 > 0 AND t1 - l1 + t0 - l0 > 0
+    )
+    SELECT feature, v AS threshold, l1 + l0 AS n_left, r1 + r0 AS n_right,
+           ROUND(wgini, 6) AS weighted_gini,
+           ROUND(1.0 - (CAST(t1 AS DOUBLE) / CAST(t1 + t0 AS DOUBLE))
+                         * (CAST(t1 AS DOUBLE) / CAST(t1 + t0 AS DOUBLE))
+                     - (CAST(t0 AS DOUBLE) / CAST(t1 + t0 AS DOUBLE))
+                         * (CAST(t0 AS DOUBLE) / CAST(t1 + t0 AS DOUBLE)), 6)
+             AS root_gini
+    FROM scored
+    ORDER BY wgini, feature, v
+    LIMIT 1
+    """,
+    tags=("evaluation", "model", "decision-tree"),
+)
+def model_decision_stump_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-STUMP training fully IN the data plane: the exact
+    best (feature, threshold) split by weighted Gini impurity over
+    every candidate threshold of every feature — the CART inner loop,
+    run distributed (contrast model_logreg_quality_fit, whose
+    iterative fit is deliberately driver-side). The classic at-scale
+    trick: per-feature value histograms + ONE prefix-sum window turn
+    the O(features × thresholds × rows) naive sweep into
+    O(features × distinct-values) after a single count shuffle — the
+    same histogram-split structure XGBoost/LightGBM use per node.
+
+    Exactness: split scores derive from exact integer class counts;
+    both engines evaluate the identical Gini expression, and the
+    (gini, feature, threshold) tie-break makes the argmin total.
+
+    Scale shape: one scan → (feature, value, class-counts) partial
+    agg; cumulative windows run per feature over DISTINCT VALUES
+    (bounded by the e4 quantization, not row count); the argmin is a
+    TakeOrdered(1). Deepening to a tree = re-running per node on
+    filtered partitions."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    feat = d.select(
+        F.when((nt >= 30) & (nd * 2 >= nt), 1).otherwise(0).alias("y"),
+        F.round(nd.cast("double") / F.greatest(nt, F.lit(1)) * 10000.0, 0)
+        .cast("long")
+        .alias("f_ratio_e4"),
+        nt.cast("long").alias("f_len"),
+    )
+    melted = feat.select(
+        F.lit("ratio_e4").alias("feature"), F.col("f_ratio_e4").alias("v"), "y"
+    ).unionAll(
+        feat.select(F.lit("len").alias("feature"), F.col("f_len").alias("v"), "y")
+    )
+    vals = melted.groupBy("feature", "v").agg(
+        F.sum("y").cast("long").alias("c1"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("c0"),
+    )
+    cw = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fw = Window.partitionBy("feature")
+    cum = vals.select(
+        "feature",
+        "v",
+        F.sum("c1").over(cw).cast("long").alias("l1"),
+        F.sum("c0").over(cw).cast("long").alias("l0"),
+        F.sum("c1").over(fw).cast("long").alias("t1"),
+        F.sum("c0").over(fw).cast("long").alias("t0"),
+    )
+    nl = (F.col("l1") + F.col("l0")).cast("double")
+    r1 = F.col("t1") - F.col("l1")
+    r0 = F.col("t0") - F.col("l0")
+    nr = (r1 + r0).cast("double")
+    n = (F.col("t1") + F.col("t0")).cast("double")
+    p1l = F.col("l1").cast("double") / nl
+    p0l = F.col("l0").cast("double") / nl
+    p1r = r1.cast("double") / nr
+    p0r = r0.cast("double") / nr
+    wgini = (
+        nl * (F.lit(1.0) - p1l * p1l - p0l * p0l)
+        + nr * (F.lit(1.0) - p1r * p1r - p0r * p0r)
+    ) / n
+    p1 = F.col("t1").cast("double") / n
+    p0 = F.col("t0").cast("double") / n
+    scored = cum.where((F.col("l1") + F.col("l0") > 0) & (r1 + r0 > 0)).select(
+        "feature",
+        F.col("v").alias("threshold"),
+        (F.col("l1") + F.col("l0")).alias("n_left"),
+        (r1 + r0).alias("n_right"),
+        wgini.alias("wgini"),
+        (F.lit(1.0) - p1 * p1 - p0 * p0).alias("rgini"),
+    )
+    return (
+        scored.orderBy("wgini", "feature", "threshold")
+        .limit(1)
+        .select(
+            "feature",
+            "threshold",
+            "n_left",
+            "n_right",
+            F.round("wgini", 6).alias("weighted_gini"),
+            F.round("rgini", 6).alias("root_gini"),
+        )
+    )
+
+
+@query(
+    "eval_mcnemar_paired",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), preds AS (
+      SELECT CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks)
+                  THEN 1 ELSE 0 END AS y,
+             CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+                  THEN 1 ELSE 0 END AS pred_a,
+             CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END AS pred_b
+      FROM t
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN pred_a = y AND pred_b <> y THEN 1 ELSE 0 END)
+                AS BIGINT) AS b_only_a_right,
+           CAST(SUM(CASE WHEN pred_a <> y AND pred_b = y THEN 1 ELSE 0 END)
+                AS BIGINT) AS c_only_b_right,
+           ROUND(CASE WHEN SUM(CASE WHEN pred_a <> pred_b THEN 1 ELSE 0 END) = 0
+                      THEN 0.0
+                      ELSE (ABS(CAST(SUM(CASE WHEN pred_a = y AND pred_b <> y
+                                              THEN 1 ELSE 0 END) AS DOUBLE)
+                                - CAST(SUM(CASE WHEN pred_a <> y AND pred_b = y
+                                                THEN 1 ELSE 0 END) AS DOUBLE))
+                            - 1.0)
+                           * (ABS(CAST(SUM(CASE WHEN pred_a = y AND pred_b <> y
+                                               THEN 1 ELSE 0 END) AS DOUBLE)
+                                  - CAST(SUM(CASE WHEN pred_a <> y AND pred_b = y
+                                                  THEN 1 ELSE 0 END) AS DOUBLE))
+                              - 1.0)
+                           / (CAST(SUM(CASE WHEN pred_a = y AND pred_b <> y
+                                            THEN 1 ELSE 0 END) AS DOUBLE)
+                              + CAST(SUM(CASE WHEN pred_a <> y AND pred_b = y
+                                              THEN 1 ELSE 0 END) AS DOUBLE))
+                 END, 6) AS chi2_cc
+    FROM preds
+    """,
+    tags=("evaluation", "hypothesis-test"),
+)
+def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test for comparing two classifiers on the
+    SAME examples — the correct test when model A and model B score
+    identical rows (two independent proportions would double-count
+    the shared examples). Only the discordant pair counts matter:
+    b = A right where B wrong, c = B right where A wrong;
+    continuity-corrected statistic (|b−c|−1)²/(b+c). Here the rivals
+    are the two halves of the quality gate (diversity-only vs
+    length-only), judged against the full gate's label.
+
+    Exactness: pure integer counts into one fixed double expression;
+    degenerate b+c=0 emits 0 rather than NaN.
+
+    Scale shape: single scan, map-side predicate evaluation, ONE
+    scalar aggregate — no shuffle beyond the final reduce. The
+    model-comparison gate a 100 TB eval harness runs cheapest."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    nt = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    preds = d.select(
+        F.when((nt >= 30) & (nd * 2 >= nt), 1).otherwise(0).alias("y"),
+        F.when(nd * 2 >= nt, 1).otherwise(0).alias("pred_a"),
+        F.when(nt >= 30, 1).otherwise(0).alias("pred_b"),
+    )
+    b = F.sum(
+        F.when((F.col("pred_a") == F.col("y")) & (F.col("pred_b") != F.col("y")), 1).otherwise(0)
+    )
+    c = F.sum(
+        F.when((F.col("pred_a") != F.col("y")) & (F.col("pred_b") == F.col("y")), 1).otherwise(0)
+    )
+    disc = F.sum(F.when(F.col("pred_a") != F.col("pred_b"), 1).otherwise(0))
+    bd = b.cast("double")
+    cd = c.cast("double")
+    chi2 = F.when(disc == 0, F.lit(0.0)).otherwise(
+        (F.abs(bd - cd) - 1.0) * (F.abs(bd - cd) - 1.0) / (bd + cd)
+    )
+    return preds.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        b.cast("long").alias("b_only_a_right"),
+        c.cast("long").alias("c_only_b_right"),
+        F.round(chi2, 6).alias("chi2_cc"),
+    )
