@@ -380,3 +380,56 @@ def test_streaming_dedup_admission_across_batches(spark, tmp_path):
     assert sorted(r["doc_id"] for r in admitted.collect()) == [1, 2, 11]
     n_batches = len(txlog.committed_batch_ids(table))
     assert n_batches == 3, n_batches
+
+
+def test_python_streaming_datasource_exactly_once_restart(spark, tmp_path):
+    """Spark 4 Python streaming DataSource (sources/pyds_stream): the
+    offset contract must deliver each seq exactly once ACROSS a
+    query restart from the same checkpoint — run 1 drains a
+    limit=10 feed, run 2 restarts with limit=20 and must append only
+    seq 10..19 (the WAL resumes at the committed offset; no skips,
+    no duplicates)."""
+    from serverless_datalake_spark.sources import pyds_stream
+
+    pyds_stream.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once(limit):
+        q = (
+            spark.readStream.format("counter_events")
+            .option("batch", "3")
+            .option("limit", str(limit))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def drain(limit):
+        # each AvailableNow run snapshots ONE read() range (the simple
+        # reader's prefetch), so draining = restarting until the
+        # committed offset stops advancing — every iteration is a
+        # fresh query resuming from the checkpoint WAL, which is
+        # exactly the restart path under test
+        seen = -1
+        for _ in range(12):
+            run_once(limit)
+            n = spark.read.parquet(out).count()
+            if n == seen:
+                break
+            seen = n
+
+    drain(10)
+    first = sorted(r.seq for r in spark.read.parquet(out).collect())
+    assert first == list(range(10)), first
+
+    drain(20)
+    rows = spark.read.parquet(out).collect()
+    seqs = sorted(r.seq for r in rows)
+    assert seqs == list(range(20)), seqs  # exactly-once: no dup, no gap
+    payloads = {r.seq: r.payload for r in rows}
+    assert payloads[7] == "evt-000007"
