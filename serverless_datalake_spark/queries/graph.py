@@ -1007,3 +1007,131 @@ def graph_jaccard_links_truncated(spark: SparkSession, sf_dir: str) -> DataFrame
         .where(F.col("rank") <= 20)
         .select("a", "b", "common_trunc", "deg_a", "deg_b", "jaccard_lb", "rank")
     )
+
+
+def _hits_oracle() -> str:
+    """HITS (2 unrolled iterations) over the buyer→supplier bipartite
+    graph. Same exactness scheme as _pagerank_oracle: per-edge
+    contributions round to 1e-10 integer units before the
+    order-independent sum; normalization is by the (exact integer)
+    max, and each published score rounds at 10."""
+    u = "10000000000"
+    return f"""
+    WITH edges AS (
+      SELECT o.o_custkey AS cust, l.l_suppkey AS supp,
+             CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS w
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY 1, 2
+    ), a1r AS (
+      SELECT supp, CAST(SUM(w * {u}) AS BIGINT) AS s
+      FROM edges GROUP BY 1
+    ), a1 AS (
+      SELECT supp, ROUND(CAST(s AS DOUBLE) / CAST(MAX(s) OVER () AS DOUBLE),
+                         10) AS a
+      FROM a1r
+    ), h1r AS (
+      SELECT e.cust,
+             CAST(SUM(CAST(ROUND(e.w * a1.a * {u}.0, 0) AS BIGINT))
+                  AS BIGINT) AS s
+      FROM edges e JOIN a1 ON a1.supp = e.supp GROUP BY 1
+    ), h1 AS (
+      SELECT cust, ROUND(CAST(s AS DOUBLE) / CAST(MAX(s) OVER () AS DOUBLE),
+                         10) AS h
+      FROM h1r
+    ), a2r AS (
+      SELECT e.supp,
+             CAST(SUM(CAST(ROUND(e.w * h1.h * {u}.0, 0) AS BIGINT))
+                  AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM edges e JOIN h1 ON h1.cust = e.cust GROUP BY 1
+    )
+    SELECT supp AS supplier, n_customers,
+           ROUND(CAST(s AS DOUBLE) / CAST(MAX(s) OVER () AS DOUBLE), 10)
+             AS authority
+    FROM a2r
+    """
+
+
+@query("graph_hits_bipartite", oracle=_hits_oracle(), tags=("graph", "hits"))
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (2 fixed iterations, max-normalized)
+    on the buyer→supplier bipartite graph: authority(supplier) =
+    endorsement by high-hub buyers; hub(buyer) = breadth of
+    high-authority suppliers bought from — the mutual-reinforcement
+    ranking PageRank's single score can't express on a two-sided
+    market (a supplier serving three diversified buyers should
+    outrank one serving three single-supplier buyers of equal size).
+
+    Exactness: max-normalization instead of the textbook L2 norm —
+    the max of exact integer-unit sums is exact and the single
+    division is one IEEE op both engines agree on (an L2 norm would
+    need an order-sensitive Σx² in doubles); ranking is identical
+    under any monotone normalization. Per-edge contributions round
+    to 1e-10 units before each sum, so partial aggregation is
+    order-independent (the pagerank scheme).
+
+    Scale shape: the weighted edge relation reduces the fact join
+    ONCE (one orderkey-co-partitioned join + one pair-grain agg),
+    is cached, and each half-iteration is a node-keyed join + agg
+    against it; normalization maxes run over node-sized relations.
+    At 100 TB: bucket edges by cust and supp (two copies) so the
+    alternating joins are both shuffle-free — the bipartite analogue
+    of pagerank's bucket-by-src note."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    u = 10000000000
+    e0 = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("cust"), F.col("l_suppkey").alias("supp")
+        )
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+    )
+    (edges,) = _retire_and_cache(("hits_edges", sf_dir), [e0])
+    d38 = "decimal(38,0)"
+    w_all = Window.partitionBy()
+    a1r = edges.groupBy("supp").agg(
+        F.sum((F.col("w") * u).cast(d38)).cast("long").alias("s")
+    )
+    a1 = a1r.select(
+        "supp",
+        F.round(
+            F.col("s").cast("double") / F.max("s").over(w_all).cast("double"), 10
+        ).alias("a"),
+    )
+    h1r = (
+        edges.join(a1, "supp")
+        .groupBy("cust")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("a") * float(u), 0).cast("long").cast(d38)
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    h1 = h1r.select(
+        "cust",
+        F.round(
+            F.col("s").cast("double") / F.max("s").over(w_all).cast("double"), 10
+        ).alias("h"),
+    )
+    a2r = (
+        edges.join(h1, "cust")
+        .groupBy("supp")
+        .agg(
+            F.sum(
+                F.round(F.col("w") * F.col("h") * float(u), 0).cast("long").cast(d38)
+            )
+            .cast("long")
+            .alias("s"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+    return a2r.select(
+        F.col("supp").alias("supplier"),
+        "n_customers",
+        F.round(
+            F.col("s").cast("double") / F.max("s").over(w_all).cast("double"), 10
+        ).alias("authority"),
+    )
