@@ -832,3 +832,49 @@ def txlog_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_cents"),
         )
     )
+
+
+@query(
+    "scan_xml_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS props_chars,
+           CAST(MAX(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scan", "format", "xml"),
+)
+def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native XML sink + source (Spark 4 built-in, no spark-xml jar):
+    rowTag-framed write then schema'd read-back, with the JSON props
+    column as hostile content — braces, double quotes, and spaces must
+    survive XML entity escaping bit-exactly (the oracle aggregates the
+    ORIGINAL parquet, so any escaping loss breaks parity). Explicit
+    schema on read for the same reason as the CSV twin: XML inference
+    costs an extra full scan and can mistype sparse fields.
+
+    Scale shape: partition-parallel rowTag framing on write; the
+    read is a streaming StAX parse per file — no DOM, so memory is
+    row-bounded; aggregates with map-side partials."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "props"
+    )
+    path = _roundtrip_dir("xml", sf_dir)
+    ev.write.mode("overwrite").format("xml").option("rowTag", "event").save(path)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    back = (
+        spark.read.format("xml").option("rowTag", "event").schema(schema).load(path)
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.length("props")).cast("long").alias("props_chars"),
+        F.max("event_id").cast("long").alias("max_event_id"),
+    )
