@@ -1109,3 +1109,119 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_share"),
     )
+
+
+def _minhash_pr_eval_oracle() -> str:
+    """Banding-quality eval: LSH candidate pairs vs exact-Jaccard≥0.8
+    ground truth on the brute-feasible doc_id<80 subset."""
+    return f"""
+    WITH {_minhash_ctes()},
+    pred AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      FROM membership a
+      JOIN membership b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id < b.doc_id AND a.doc_id < 80 AND b.doc_id < 80
+    ), ts AS (
+      SELECT doc_id,
+             list_distinct(list_filter(string_split(text, ' '), t -> t <> ''))
+               AS toks
+      FROM documents WHERE doc_id < 80
+    ), truth AS (
+      SELECT ta.doc_id AS da, tb.doc_id AS db
+      FROM ts ta JOIN ts tb ON ta.doc_id < tb.doc_id
+      WHERE ROUND(CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)
+                  / (CAST(len(ta.toks) + len(tb.toks) AS DOUBLE)
+                     - CAST(len(list_intersect(ta.toks, tb.toks)) AS DOUBLE)),
+                  4) >= 0.8
+    ), joined AS (
+      SELECT COALESCE(p.da, t.da) AS da,
+             CASE WHEN p.da IS NOT NULL THEN 1 ELSE 0 END AS in_pred,
+             CASE WHEN t.da IS NOT NULL THEN 1 ELSE 0 END AS in_truth
+      FROM pred p
+      FULL OUTER JOIN truth t ON p.da = t.da AND p.db = t.db
+    ), counts AS (
+      SELECT CAST(SUM(in_pred) AS DOUBLE) AS np,
+             CAST(SUM(in_truth) AS DOUBLE) AS nt,
+             CAST(SUM(in_pred * in_truth) AS DOUBLE) AS tp
+      FROM joined
+    )
+    SELECT CAST(np AS BIGINT) AS n_candidate_pairs,
+           CAST(nt AS BIGINT) AS n_true_pairs,
+           CAST(tp AS BIGINT) AS n_hits,
+           ROUND(CASE WHEN np = 0 THEN 0.0 ELSE tp / np END, 6) AS precision,
+           ROUND(CASE WHEN nt = 0 THEN 0.0 ELSE tp / nt END, 6) AS recall,
+           ROUND(CASE WHEN tp = 0 THEN 0.0
+                      ELSE 2.0 * (tp / np) * (tp / nt)
+                           / (tp / np + tp / nt) END, 6) AS f1
+    FROM counts
+    """
+
+
+@query(
+    "dedup_minhash_pr_eval",
+    oracle=_minhash_pr_eval_oracle(),
+    tags=("llm", "dedup", "minhash", "eval"),
+)
+def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-quality evaluation — the dedup family's twin of
+    sim_recall_eval: precision/recall/F1 of the RAW LSH candidate
+    pairs (8×8 banding, no Jaccard verify) against exact-Jaccard≥0.8
+    ground truth on the brute-feasible doc_id<80 subset. Quantifies
+    the S-curve claim the banding parameters encode (midpoint
+    (1/8)^(1/8) ≈ 0.77): recall says how much true near-dup mass the
+    bands catch; precision says how much the verify stage must filter
+    — the two numbers that justify (or re-tune) bands×rows before a
+    100 TB run.
+
+    Scale shape: the eval runs on a bounded audit sample by
+    construction (ground truth is inherently quadratic); the banding
+    side reuses the production signature machinery unchanged. One
+    full-outer pair join + a scalar aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    d80 = d.where(F.col("doc_id") < 80)
+    sigs = dedup.minhash_signatures(d80, "doc_id", "text", 64, 1)
+    mem = dedup.banded_membership(sigs, 8, 64)
+    ma = mem.select(
+        F.col("band_id").alias("ba"), F.col("band_hash").alias("bh"),
+        F.col("doc_id").alias("da"),
+    )
+    mb = mem.select(
+        F.col("band_id").alias("ba"), F.col("band_hash").alias("bh"),
+        F.col("doc_id").alias("db"),
+    )
+    pred = (
+        ma.join(mb, ["ba", "bh"])
+        .where(F.col("da") < F.col("db"))
+        .select("da", "db")
+        .distinct()
+    )
+    truth = dedup.ngram_jaccard_pairs(d80, "doc_id", "text", threshold=0.8).select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db")
+    )
+    p = pred.withColumn("in_pred", F.lit(1))
+    t = truth.withColumn("in_truth", F.lit(1))
+    joined = p.join(t, ["da", "db"], "full_outer").select(
+        F.coalesce("in_pred", F.lit(0)).alias("in_pred"),
+        F.coalesce("in_truth", F.lit(0)).alias("in_truth"),
+    )
+    c = joined.agg(
+        F.sum("in_pred").cast("double").alias("np"),
+        F.sum("in_truth").cast("double").alias("nt"),
+        F.sum(F.col("in_pred") * F.col("in_truth")).cast("double").alias("tp"),
+    )
+    prec = F.when(F.col("np") == 0, 0.0).otherwise(F.col("tp") / F.col("np"))
+    rec = F.when(F.col("nt") == 0, 0.0).otherwise(F.col("tp") / F.col("nt"))
+    f1 = F.when(F.col("tp") == 0, 0.0).otherwise(
+        2.0
+        * (F.col("tp") / F.col("np"))
+        * (F.col("tp") / F.col("nt"))
+        / (F.col("tp") / F.col("np") + F.col("tp") / F.col("nt"))
+    )
+    return c.select(
+        F.col("np").cast("long").alias("n_candidate_pairs"),
+        F.col("nt").cast("long").alias("n_true_pairs"),
+        F.col("tp").cast("long").alias("n_hits"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
