@@ -878,3 +878,61 @@ def scan_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("props")).cast("long").alias("props_chars"),
         F.max("event_id").cast("long").alias("max_event_id"),
     )
+
+
+@query(
+    "join_dpp_runtime_prune",
+    oracle="""
+    WITH dim AS (
+      SELECT event_type FROM events
+      GROUP BY event_type HAVING AVG(value) > 50.0
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 1000.0, 0) AS BIGINT)) AS BIGINT)
+             AS value_milli
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    tags=("join", "partition-pruning", "dpp"),
+)
+def join_dpp_runtime_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC partition pruning: the fact side is an event_type-
+    partitioned at-rest table; the dim side qualifies types by a
+    predicate on a NON-key column (AVG(value) > 50), so no static
+    filter on the partition key exists at plan time — the fact scan's
+    partition list can only be pruned at RUNTIME from the dim's
+    broadcast result (PartitionFilters gains a
+    dynamicpruningexpression; pinned in tests/test_plans.py). The
+    star-join mechanism that lets a 100 TB fact table read only the
+    partitions a filtered dimension touches — without it this plan
+    scans every partition and throws rows away post-join.
+
+    Exactness: value sums as exact milli-unit integers; the dim
+    qualification compares per-group AVG (identical expression both
+    engines) against a literal.
+
+    Scale shape: ONE partitioned write (per process, scratch dir),
+    runtime-pruned fact scan, broadcast dim, partial-agg shuffle.
+    At 100 TB the write side is the lake's standing layout, so only
+    the pruned read happens per query."""
+    ev = load_table(spark, sf_dir, "events")
+    path = _roundtrip_dir("dppfact", sf_dir)
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        ev.groupBy("event_type")
+        .agg(F.avg("value").alias("v"))
+        .where(F.col("v") > 50.0)
+        .select("event_type")
+    )
+    return (
+        fact.join(F.broadcast(dim), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1000.0, 0).cast("long"))
+            .cast("long")
+            .alias("value_milli"),
+        )
+    )

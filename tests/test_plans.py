@@ -504,3 +504,13 @@ def test_welch_pairs_broadcast_self_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan.lower()
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
+    """join_dpp_runtime_prune: the partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters (runtime subquery
+    pruning), and the dim must broadcast — no sort-merge join."""
+    plan = plan_of(spark, sf_dir, "join_dpp_runtime_prune")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
