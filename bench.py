@@ -90,6 +90,12 @@ HEADLINE = [
     "mixture_doremi_excess",
     "eval_pass_at_k",
     "pref_bradley_terry",
+    # continued-session additions: banding-quality eval (candidate
+    # join + brute truth on the audit subset), runtime-pruned star
+    # join, histogram-split stump training
+    "dedup_minhash_pr_eval",
+    "join_dpp_runtime_prune",
+    "model_decision_stump_fit",
 ]
 
 

@@ -725,13 +725,13 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivfpq_rerank_oracle(k: int = 5, shortlist: int = 20) -> str:
+def _ivfpq_rerank_oracle(k: int = 5, shortlist: int = 20, nprobe: int = 2) -> str:
     """The full IVF-PQ pipeline (nested as a CTE — DuckDB allows WITH
     inside a CTE body) widened to a ``shortlist``-deep candidate list,
     then re-scored with EXACT cosine against the raw vectors."""
     return f"""
     WITH shortlist AS (
-      {_ivfpq_oracle(k=shortlist)}
+      {_ivfpq_oracle(k=shortlist, nprobe=nprobe)}
     ), {_SPLIT_SQL},
     rescored AS (
       SELECT s.query_id, s.corpus_id, {_cos_sql("q.emb", "c.emb")} AS score
@@ -1879,4 +1879,57 @@ def embedding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("norm_nu").cast("double") / 1000000000.0, 6).alias("l2_norm"),
         F.round("z", 4).alias("norm_z"),
         F.col("rk").cast("long").alias("outlier_rank"),
+    )
+
+
+@query(
+    "sim_topk_ivfpq_rerank_np4",
+    oracle=_ivfpq_rerank_oracle(nprobe=4, shortlist=60),
+    tags=("llm", "similarity", "ann", "ivf", "pq", "rerank", "recall-knob"),
+)
+def sim_topk_ivfpq_rerank_np4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rerank pipeline at the wide operating point: PQ codes
+    nominate a 60-deep shortlist from FOUR probed cells, exact cosine
+    re-orders it. The two recall levers, isolated in RECALL.md:
+    nprobe bounds which true neighbors are REACHABLE (cell recall —
+    sim_topk_ivf_nprobe4's 0.68 is this query's ceiling), shortlist
+    depth bounds how many reachable ones PQ nomination SURFACES for
+    exact scoring (20→60 moved recall@5 0.36→0.54 at sf0.01 against
+    that 0.68 ceiling; the residual gap is PQ ordering error inside
+    the cells). Exact-stage cost stays ~60 point reads per query —
+    the knob sweep an index operator runs before fixing production
+    (nprobe, shortlist)."""
+    queries, corpus = _split(spark, sf_dir)
+    em = load_table(spark, sf_dir, "embeddings")
+    corpus_lab = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), "embedding", "label"
+    )
+    rows = _codebook_rows(sf_dir, corpus)
+    cents = _centroid_rows(sf_dir, corpus_lab)
+    sl = similarity.topk_ivfpq(
+        queries, corpus_lab, k=60, nprobe=4,
+        codebook_rows=rows, centroid_rows=cents,
+    ).select("query_id", "corpus_id")
+    from pyspark.sql import Window
+
+    from serverless_datalake_spark.operators.similarity import _as_double, cosine
+
+    q = queries.select("query_id", _as_double(F.col("embedding")).alias("__qv"))
+    c = corpus.select("corpus_id", _as_double(F.col("embedding")).alias("__cv"))
+    rescored = (
+        c.join(F.broadcast(sl), "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "corpus_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("corpus_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "corpus_id", F.round("score", 6).alias("score"), "rank")
     )
