@@ -456,3 +456,98 @@ def udf_grouped_ols_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.groupBy("event_type").applyInPandas(
         fit, "event_type string, n bigint, slope_per_hour double, intercept double"
     )
+
+
+def _reconcile_cogroup(key, odf, ldf):
+    """Cogrouped merge kernel: one orders row per key (possibly
+    absent), k lineitem rows. Pure int64 arithmetic — every float was
+    rounded to integer cents SPARK-SIDE before crossing the Arrow
+    boundary, so Python contributes no rounding semantics of its own."""
+    import pandas as pd
+
+    (orderkey,) = key
+    o_cents = int(odf["o_cents"].iloc[0]) if len(odf) else 0
+    n_lines = int(len(ldf))
+    line_cents = int(ldf["line_cents"].sum()) if n_lines else 0
+    return pd.DataFrame(
+        {
+            "orderkey": [int(orderkey)],
+            "o_cents": [o_cents],
+            "n_lines": [n_lines],
+            "line_cents": [line_cents],
+            "delta_cents": [o_cents - line_cents],
+        }
+    )
+
+
+@query(
+    "udf_cogrouped_reconcile",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey AS orderkey,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS o_cents
+      FROM orders
+    ), l AS (
+      SELECT l_orderkey AS orderkey,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 100, 0) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY 1
+    )
+    SELECT COALESCE(o.orderkey, l.orderkey) AS orderkey,
+           COALESCE(o.o_cents, 0) AS o_cents,
+           COALESCE(l.n_lines, 0) AS n_lines,
+           COALESCE(l.line_cents, 0) AS line_cents,
+           COALESCE(o.o_cents, 0) - COALESCE(l.line_cents, 0) AS delta_cents
+    FROM o FULL OUTER JOIN l ON l.orderkey = o.orderkey
+    """,
+    tags=("udf", "cogroup", "pandas"),
+)
+def udf_cogrouped_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup().applyInPandas — the two-sided grouped-map API (the
+    fifth Python execution surface after scalar/grouped-agg/grouped-
+    map/UDTF): orders and lineitem cogrouped on orderkey, one pandas
+    kernel sees BOTH sides of each key and reconciles header total
+    vs Σ line net·(1+tax) — the merge shape for per-entity
+    source-vs-derived audits where the kernel genuinely needs both
+    relations at once (this arithmetic has a join+agg codegen twin,
+    used as the oracle, exactly like the other UDF demos).
+
+    Exactness: every monetary value becomes exact integer cents
+    SPARK-SIDE (registry ROUND rewriting applies) before crossing
+    Arrow; the Python kernel is int64-only, so no libm or pandas
+    rounding semantics leak into results.
+
+    Scale shape: ONE co-partitioned shuffle brings both sides of a
+    key to the same task (same cost as the equivalent join); Arrow
+    batches both ways; output is key-grain. Keys missing from either
+    side arrive with an empty frame — surfaced as 0-line orders /
+    orphan lines rather than dropped."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("o_cents"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("orderkey"),
+        F.round(
+            F.col("l_extendedprice")
+            * (1 - F.col("l_discount"))
+            * (1 + F.col("l_tax"))
+            * 100,
+            0,
+        )
+        .cast("long")
+        .alias("line_cents"),
+    )
+    return (
+        o.groupBy("orderkey")
+        .cogroup(li.groupBy("orderkey"))
+        .applyInPandas(
+            _reconcile_cogroup,
+            schema=(
+                "orderkey bigint, o_cents bigint, n_lines bigint, "
+                "line_cents bigint, delta_cents bigint"
+            ),
+        )
+    )
