@@ -1347,3 +1347,126 @@ def stats_welch_tstat(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dof_ws"),
     )
+
+
+@query(
+    "stats_eb_shrinkage",
+    oracle="""
+    WITH joined AS (
+      SELECT c.c_nationkey AS nation, o.o_orderstatus AS st
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ), per AS (
+      SELECT nation,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN st = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS x
+      FROM joined GROUP BY 1
+    ), units AS (
+      SELECT nation, n, x,
+             CAST(ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                        * 1000000000.0, 0) AS BIGINT) AS p_nu
+      FROM per
+    ), moments AS (
+      SELECT nation, n, x, p_nu,
+             CAST(SUM(p_nu) OVER () AS DOUBLE)
+               / CAST(COUNT(*) OVER () AS DOUBLE) / 1000000000.0 AS m,
+             (CAST(SUM(CAST(p_nu AS HUGEINT) * CAST(p_nu AS HUGEINT))
+                   OVER () AS DOUBLE)
+              - (CAST(SUM(p_nu) OVER () AS DOUBLE)
+                 / CAST(COUNT(*) OVER () AS DOUBLE))
+                * CAST(SUM(p_nu) OVER () AS DOUBLE))
+             / (CAST(COUNT(*) OVER () AS DOUBLE) - 1.0)
+             / 1000000000.0 / 1000000000.0 AS s2
+      FROM units
+    ), ab AS (
+      SELECT nation, n, x, p_nu, m, s2,
+             CASE WHEN s2 > 0 AND m * (1.0 - m) / s2 - 1.0 > 0
+                  THEN m * (m * (1.0 - m) / s2 - 1.0) END AS a,
+             CASE WHEN s2 > 0 AND m * (1.0 - m) / s2 - 1.0 > 0
+                  THEN (1.0 - m) * (m * (1.0 - m) / s2 - 1.0) END AS b
+      FROM moments
+    )
+    SELECT nation, n, x,
+           ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS raw_rate,
+           ROUND(CASE WHEN a IS NULL THEN CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                      ELSE (CAST(x AS DOUBLE) + a)
+                           / (CAST(n AS DOUBLE) + a + b) END, 6)
+             AS shrunk_rate,
+           ROUND(CASE WHEN a IS NULL THEN 1.0
+                      ELSE CAST(n AS DOUBLE) / (CAST(n AS DOUBLE) + a + b)
+                 END, 4) AS weight_on_data
+    FROM ab
+    """,
+    tags=("statistics", "empirical-bayes", "shrinkage"),
+)
+def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes beta-binomial shrinkage of per-nation rates:
+    Beta(a, b) prior fit by method-of-moments on the observed
+    per-group rates, posterior mean (x+a)/(n+a+b) per group — the
+    standard fix for small-sample segments dominating a rate
+    leaderboard (a 2/2 = 100% segment shrinks hard toward the prior;
+    a 900/1000 barely moves). `weight_on_data` = n/(n+a+b) makes the
+    shrinkage factor explicit. Degenerate spread (s² = 0 or MoM K ≤
+    0) falls back to raw rates rather than emitting NaN priors.
+
+    Exactness: group rates quantize to 1e-9 integer units so the
+    cross-group mean/variance are order-independent exact sums;
+    everything after is one fixed expression tree on identical
+    doubles.
+
+    Scale shape: one fact join + partial-agg shuffle onto group rows;
+    moment windows and the posterior arithmetic run on m group rows.
+    Same shape as stats_fdr_bh — the two are the report pair every
+    segment dashboard needs (shrink the estimates, control the
+    discoveries)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("x"),
+        )
+    )
+    u = per.select(
+        "*",
+        F.round(F.col("x").cast("double") / F.col("n").cast("double") * 1e9, 0)
+        .cast("long")
+        .alias("p_nu"),
+    )
+    w = Window.partitionBy()
+    d38 = "decimal(38,0)"
+    cnt = F.count(F.lit(1)).over(w).cast("double")
+    s1 = F.sum(F.col("p_nu").cast(d38)).over(w).cast("double")
+    ss = F.sum((F.col("p_nu") * F.col("p_nu")).cast(d38)).over(w).cast("double")
+    m = (s1 / cnt / F.lit(1000000000.0)).alias("m")
+    s2 = (
+        (ss - (s1 / cnt) * s1)
+        / (cnt - F.lit(1.0))
+        / F.lit(1000000000.0)
+        / F.lit(1000000000.0)
+    ).alias("s2")
+    mo = u.select("*", m, s2)
+    k = F.col("m") * (F.lit(1.0) - F.col("m")) / F.col("s2") - F.lit(1.0)
+    ok = (F.col("s2") > 0) & (k > 0)
+    ab = mo.select(
+        "*",
+        F.when(ok, F.col("m") * k).alias("a"),
+        F.when(ok, (F.lit(1.0) - F.col("m")) * k).alias("b"),
+    )
+    raw = F.col("x").cast("double") / F.col("n").cast("double")
+    shrunk = F.when(F.col("a").isNull(), raw).otherwise(
+        (F.col("x").cast("double") + F.col("a"))
+        / (F.col("n").cast("double") + F.col("a") + F.col("b"))
+    )
+    wod = F.when(F.col("a").isNull(), F.lit(1.0)).otherwise(
+        F.col("n").cast("double") / (F.col("n").cast("double") + F.col("a") + F.col("b"))
+    )
+    return ab.select(
+        "nation",
+        "n",
+        "x",
+        F.round(raw, 6).alias("raw_rate"),
+        F.round(shrunk, 6).alias("shrunk_rate"),
+        F.round(wod, 4).alias("weight_on_data"),
+    )

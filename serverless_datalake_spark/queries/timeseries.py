@@ -1200,3 +1200,126 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_within_10pct"),
     )
+
+
+@query(
+    "ts_cusum_drift",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type,
+             list(h ORDER BY h) AS hs,
+             list(v ORDER BY h) AS vs
+      FROM obs GROUP BY event_type
+    ), params AS (
+      SELECT event_type, hs, vs,
+             list_reduce(vs, (a, x) -> a + x) / len(vs) AS mu,
+             SQRT(list_reduce(list_transform(vs,
+                    x -> (x - list_reduce(vs, (a, y) -> a + y) / len(vs))
+                       * (x - list_reduce(vs, (a, y) -> a + y) / len(vs))),
+                  (a, x) -> a + x) / (len(vs) - 1)) AS sigma
+      FROM ser
+    )
+    SELECT event_type,
+           unnest(hs) * 3600 AS bucket_start,
+           unnest(vs) AS v,
+           unnest(list_transform(range(1, len(vs) + 1),
+             i -> ROUND(list_reduce(list_prepend(0.0, vs[1:i]),
+                        (s, x) -> GREATEST(0.0, s + (x - (mu + 0.5 * sigma)))),
+                        4))) AS cusum_hi,
+           unnest(list_transform(range(1, len(vs) + 1),
+             i -> CASE WHEN list_reduce(list_prepend(0.0, vs[1:i]),
+                        (s, x) -> GREATEST(0.0, s + (x - (mu + 0.5 * sigma))))
+                        > 4.0 * sigma THEN 1 ELSE 0 END)) AS alarm
+    FROM params
+    """,
+    tags=("timeseries", "changepoint", "monitoring"),
+)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM control chart over each type's hourly totals:
+    S_i = max(0, S_{i-1} + (x_i − (μ + 0.5σ))), alarm when S exceeds
+    4σ — the sequential drift detector that catches SUSTAINED small
+    shifts a per-point z-score (ts_anomaly_zscore) never accumulates,
+    and the page-Hinkley/SPC machinery behind data-quality drift
+    monitors.
+
+    Exactness: the recurrence is inherently sequential, so it runs as
+    the family's LEFT PREFIX FOLD over the per-type series (the
+    ts_ewma scheme) with an explicit 0 init (list_prepend on the
+    DuckDB side); μ and σ come from the same ordered folds, so every
+    value is bit-identical before the final round.
+
+    Scale shape: raw events collapse to the (type, hour) grid in one
+    partial-agg shuffle; fold cost is bounded by series length per
+    type, never event volume. A year of hourly buckets is ~9k
+    elements — the O(n²) prefix spelling stays sub-second; the
+    streaming twin carries S as one scalar of state per key."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    ser = obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
+    )
+    vs = F.transform(F.col("arr"), lambda x: x["v"])
+    hs = F.transform(F.col("arr"), lambda x: x["h"])
+    n = F.size(F.col("__vs"))
+    fold_sum = F.aggregate(F.col("__vs"), F.lit(0.0), lambda a, x: a + x)
+    p = ser.select(
+        "event_type",
+        hs.alias("__hs"),
+        vs.alias("__vs"),
+    ).select(
+        "event_type",
+        "__hs",
+        "__vs",
+        (fold_sum / n.cast("double")).alias("mu"),
+    )
+    dev2 = F.transform(
+        F.col("__vs"), lambda x: (x - F.col("mu")) * (x - F.col("mu"))
+    )
+    p = p.select(
+        "*",
+        F.sqrt(
+            F.aggregate(dev2, F.lit(0.0), lambda a, x: a + x)
+            / (F.size(F.col("__vs")) - F.lit(1)).cast("double")
+        ).alias("sigma"),
+    )
+    target = F.col("mu") + 0.5 * F.col("sigma")
+
+    def cusum_at(i):
+        return F.aggregate(
+            F.slice(F.col("__vs"), F.lit(1), i),
+            F.lit(0.0),
+            lambda s, x: F.greatest(F.lit(0.0), s + (x - target)),
+        )
+
+    idx = F.sequence(F.lit(1), F.size(F.col("__vs")))
+    cus = F.transform(idx, lambda i: F.round(cusum_at(i), 4))
+    alarms = F.transform(
+        idx,
+        lambda i: F.when(cusum_at(i) > 4.0 * F.col("sigma"), 1).otherwise(0),
+    )
+    z = p.select(
+        "event_type",
+        F.explode(
+            F.arrays_zip(
+                F.col("__hs").alias("h"),
+                F.col("__vs").alias("v"),
+                cus.alias("c"),
+                alarms.alias("a"),
+            )
+        ).alias("t"),
+    )
+    return z.select(
+        "event_type",
+        (F.col("t.h") * 3600).alias("bucket_start"),
+        F.col("t.v").alias("v"),
+        F.col("t.c").alias("cusum_hi"),
+        F.col("t.a").alias("alarm"),
+    )
