@@ -343,9 +343,7 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "agg_quantile_sketch",
-    oracle="""
+_QSKETCH_ORACLE = """
     WITH stats AS (
       SELECT l_returnflag, MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi,
              COUNT(*) AS n
@@ -380,7 +378,12 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (bin + (target - (cum - cnt)) / cnt) END, 4) AS q_est,
            CAST(n AS BIGINT) AS n
     FROM first_bin
-    """,
+    """
+
+
+@query(
+    "agg_quantile_sketch",
+    oracle=_QSKETCH_ORACLE,
     tags=("agg", "sketch", "quantile"),
 )
 def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1622,4 +1625,93 @@ def agg_histogram_log2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_cents",
         cum.cast("long").alias("cum_orders"),
         F.round(cum.cast("double") / tot.cast("double"), 6).alias("cum_share"),
+    )
+
+
+@query(
+    "agg_sketch_error_audit",
+    oracle="WITH est AS (" + _QSKETCH_ORACLE + """
+    ), vals AS (
+      SELECT l_returnflag, l_extendedprice AS v, COUNT(*) AS cnt
+      FROM lineitem GROUP BY 1, 2
+    ), vcum AS (
+      SELECT l_returnflag, v,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum
+      FROM vals
+    ), gn AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem GROUP BY 1
+    ), targets AS (
+      SELECT gn.l_returnflag, p, p * gn.n AS target
+      FROM gn, UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                       CAST(0.99 AS DOUBLE)]) AS u(p)
+    ), exact AS (
+      SELECT l_returnflag, p, MIN(v) AS q_exact
+      FROM targets t JOIN vcum c USING (l_returnflag)
+      WHERE c.cum >= t.target
+      GROUP BY 1, 2
+    )
+    SELECT e.l_returnflag, e.p,
+           e.q_est,
+           ROUND(x.q_exact, 4) AS q_exact,
+           ROUND(ABS(e.q_est - x.q_exact), 4) AS abs_err,
+           ROUND(ABS(e.q_est - x.q_exact) / x.q_exact, 6) AS rel_err
+    FROM est e JOIN exact x ON x.l_returnflag = e.l_returnflag AND x.p = e.p
+    """,
+    tags=("agg", "sketch", "quantile", "audit"),
+)
+def agg_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit of the histogram quantile sketch against exact
+    order statistics — the approx-operator twin of RECALL.md's ANN
+    tracking: per (group, percentile), the sketch estimate, the exact
+    percentile-disc value (smallest value whose cumulative count
+    reaches p·n), and the absolute/relative error. The error bound
+    the sketch PROMISES is one bin width (range/128); this query
+    MEASURES it, so a fixture or binning change that silently
+    degrades the sketch shows up like a recall regression.
+
+    Scale shape: the exact side is value-grain (one count shuffle +
+    a per-group cumulative window over distinct values) — affordable
+    as an AUDIT on a sample or a group slice even when the full-data
+    answer would use the sketch alone; the sketch side is unchanged.
+    Join grain is (group × 3 percentiles)."""
+    from serverless_datalake_spark.queries import REGISTRY
+
+    est = REGISTRY["agg_quantile_sketch"].fn(spark, sf_dir).select(
+        "l_returnflag", "p", "q_est"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    vals = li.groupBy("l_returnflag", F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    vcum = vals.select(
+        "l_returnflag",
+        "v",
+        F.sum("cnt")
+        .over(Window.partitionBy("l_returnflag").orderBy("v"))
+        .alias("cum"),
+    )
+    gn = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    ps = F.explode(
+        F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+    ).alias("p")
+    targets = gn.select("l_returnflag", ps, "n").select(
+        "l_returnflag", "p", (F.col("p") * F.col("n")).alias("target")
+    )
+    exact = (
+        targets.join(vcum, "l_returnflag")
+        .where(F.col("cum") >= F.col("target"))
+        .groupBy("l_returnflag", "p")
+        .agg(F.min("v").alias("q_exact"))
+    )
+    j = est.join(exact, ["l_returnflag", "p"])
+    return j.select(
+        "l_returnflag",
+        "p",
+        "q_est",
+        F.round("q_exact", 4).alias("q_exact"),
+        F.round(F.abs(F.col("q_est") - F.col("q_exact")), 4).alias("abs_err"),
+        F.round(
+            F.abs(F.col("q_est") - F.col("q_exact")) / F.col("q_exact"), 6
+        ).alias("rel_err"),
     )
