@@ -883,3 +883,104 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", "n_transitions_out", F.round("sp_raw", 6).alias("stationary_prob")
     )
+
+
+@query(
+    "orders_fulfillment_cycle",
+    oracle="""
+    WITH cyc AS (
+      SELECT o.o_orderpriority AS priority,
+             CAST(CAST(MAX(l.l_shipdate) AS DATE)
+                  - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+    ), vals AS (
+      SELECT priority, days, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM cyc GROUP BY 1, 2
+    ), vcum AS (
+      SELECT priority, days, cnt,
+             SUM(cnt) OVER (PARTITION BY priority ORDER BY days) AS cum,
+             SUM(cnt) OVER (PARTITION BY priority) AS n
+      FROM vals
+    ), qs AS (
+      SELECT priority,
+             MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * n THEN days END) AS p50_days,
+             MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * n THEN days END) AS p90_days
+      FROM vcum GROUP BY 1
+    ), mn AS (
+      SELECT priority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(CAST(SUM(days) AS DOUBLE) / COUNT(*), 4) AS mean_days,
+             CAST(MAX(days) AS BIGINT) AS max_days
+      FROM cyc GROUP BY 1
+    )
+    SELECT mn.priority, mn.n_orders, mn.mean_days,
+           CAST(qs.p50_days AS BIGINT) AS p50_days,
+           CAST(qs.p90_days AS BIGINT) AS p90_days,
+           mn.max_days
+    FROM mn JOIN qs ON qs.priority = mn.priority
+    """,
+    tags=("warehouse", "operations", "cycle-time"),
+)
+def orders_fulfillment_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle time by priority: per order, days from
+    order date to its LAST line shipment (the customer-visible
+    completion), then per priority the exact mean / p50 / p90 / max —
+    the operations SLA report (does 1-URGENT actually ship faster,
+    and is the tail under control?).
+
+    Exactness: day arithmetic is CALENDAR date difference (datediff /
+    DATE subtraction — timezone-free on the NTZ fixture dates); exact
+    percentiles read off a value-grain cumulative window
+    (percentile_disc semantics: smallest day value whose cumulative
+    count reaches p·n).
+
+    Scale shape: one orderkey-co-partitioned join + order-grain agg,
+    then a days-value-grain relation (bounded by the day range, not
+    order count) for the percentile windows. At 100 TB the value
+    grain IS the scalability trick — the window runs over distinct
+    day values per priority, a few thousand rows at most."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cyc = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("last_ship"), F.to_date("o_orderdate"))
+            .cast("long")
+            .alias("days"),
+        )
+    )
+    vals = cyc.groupBy("priority", "days").agg(F.count(F.lit(1)).alias("cnt"))
+    pw = Window.partitionBy("priority").orderBy("days")
+    vcum = vals.select(
+        "priority",
+        "days",
+        F.sum("cnt").over(pw).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("priority")).alias("n"),
+    )
+    qs = vcum.groupBy("priority").agg(
+        F.min(
+            F.when(F.col("cum").cast("double") >= 0.5 * F.col("n"), F.col("days"))
+        ).alias("p50_days"),
+        F.min(
+            F.when(F.col("cum").cast("double") >= 0.9 * F.col("n"), F.col("days"))
+        ).alias("p90_days"),
+    )
+    mn = cyc.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("days").cast("double") / F.count(F.lit(1)), 4).alias(
+            "mean_days"
+        ),
+        F.max("days").cast("long").alias("max_days"),
+    )
+    return mn.join(qs, "priority").select(
+        "priority",
+        "n_orders",
+        "mean_days",
+        F.col("p50_days").cast("long").alias("p50_days"),
+        F.col("p90_days").cast("long").alias("p90_days"),
+        "max_days",
+    )
