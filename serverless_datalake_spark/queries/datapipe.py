@@ -1863,3 +1863,90 @@ def mixture_caps_floors(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("final_share"),
     )
+
+
+@query(
+    "pipeline_dedup_impact",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             md5(lower(trim(text))) AS fp,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), survivors AS (
+      SELECT fp, MIN(doc_id) AS keep_id FROM toks GROUP BY fp
+    ), marked AS (
+      SELECT t.lang, t.n_tokens,
+             CASE WHEN s.keep_id = t.doc_id THEN 1 ELSE 0 END AS kept
+      FROM toks t JOIN survivors s ON s.fp = t.fp
+    ), per AS (
+      SELECT lang,
+             CAST(COUNT(*) AS BIGINT) AS docs_before,
+             CAST(SUM(kept) AS BIGINT) AS docs_after,
+             CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+             CAST(SUM(kept * n_tokens) AS BIGINT) AS tokens_after
+      FROM marked GROUP BY 1
+    )
+    SELECT lang, docs_before, docs_after, tokens_before, tokens_after,
+           ROUND(CAST(tokens_before AS DOUBLE)
+                 / CAST(SUM(tokens_before) OVER () AS DOUBLE), 6)
+             AS share_before,
+           ROUND(CAST(tokens_after AS DOUBLE)
+                 / CAST(SUM(tokens_after) OVER () AS DOUBLE), 6)
+             AS share_after,
+           ROUND(CAST(tokens_after AS DOUBLE)
+                 / CAST(SUM(tokens_after) OVER () AS DOUBLE)
+                 - CAST(tokens_before AS DOUBLE)
+                   / CAST(SUM(tokens_before) OVER () AS DOUBLE), 6)
+             AS share_delta
+    FROM per
+    """,
+    tags=("llm", "datapipe", "dedup", "mixture", "audit"),
+)
+def pipeline_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation accounting: what exact dedup DOES to the language
+    mixture — per language, doc/token counts before vs after
+    fingerprint dedup and the resulting token-share shift. Duplicates
+    never distribute uniformly (crawl boilerplate concentrates in
+    dominant languages), so any dedup stage silently moves the
+    mixture; this is the report that catches a 2-point share swing
+    BEFORE mixture weights (mixture_weights / mixture_caps_floors)
+    are fit on the deduped corpus — chain them: dedup → impact
+    report → weight fit.
+
+    Scale shape: one fingerprint hash-agg shuffle (the dedup_exact
+    cost), one fp-keyed survivor join, one partial-agg onto language
+    rows; share windows run on group rows. Exact integer token sums
+    throughout."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        F.size(_toks_col()).cast("long").alias("n_tokens"),
+    )
+    survivors = toks.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    marked = toks.join(survivors, "fp").select(
+        "lang",
+        "n_tokens",
+        F.when(F.col("keep_id") == F.col("doc_id"), 1).otherwise(0).alias("kept"),
+    )
+    per = marked.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs_before"),
+        F.sum("kept").cast("long").alias("docs_after"),
+        F.sum("n_tokens").alias("tokens_before"),
+        F.sum(F.col("kept") * F.col("n_tokens")).alias("tokens_after"),
+    )
+    w = Window.partitionBy()
+    sb = F.col("tokens_before").cast("double") / F.sum("tokens_before").over(w).cast("double")
+    sa = F.col("tokens_after").cast("double") / F.sum("tokens_after").over(w).cast("double")
+    return per.select(
+        "lang",
+        "docs_before",
+        "docs_after",
+        "tokens_before",
+        "tokens_after",
+        F.round(sb, 6).alias("share_before"),
+        F.round(sa, 6).alias("share_after"),
+        F.round(sa - sb, 6).alias("share_delta"),
+    )
