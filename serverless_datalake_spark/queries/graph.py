@@ -393,37 +393,45 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("e.u", "e.v", "e.dv")
     )
-    # the oriented edge relation feeds BOTH wedge sides and the
-    # closing join — persist one materialization (same generation
-    # cache as pagerank's edges; at cluster scale this is the
-    # bucketed-by-u at-rest layout)
+    # the oriented edge relation feeds the adjacency build AND both
+    # sides of the per-edge probe — persist one materialization (same
+    # generation cache as pagerank's edges; at cluster scale this is
+    # the bucketed-by-u at-rest layout)
     (fwd,) = _retire_and_cache(("triangles", sf_dir), [fwd])
-    # eager: collapse the 5×-duplicated orientation lineage to one
-    # InMemoryRelation BEFORE downstream planning — without this the
-    # wedge+closing composite replans the full subtree on all three
-    # join sides (a 60+-join logical plan that stalls the optimizer)
+    # eager: collapse the duplicated orientation lineage to one
+    # InMemoryRelation BEFORE downstream planning
     fwd.count()
-    w1 = fwd.select(F.col("u"), F.col("v").alias("va"), F.col("dv").alias("dva"))
-    w2 = fwd.select(F.col("u").alias("u2"), F.col("v").alias("vb"), F.col("dv").alias("dvb"))
-    wedges = w1.join(
-        w2,
-        (F.col("u") == F.col("u2"))
-        & (
-            (F.col("dva") < F.col("dvb"))
-            | ((F.col("dva") == F.col("dvb")) & (F.col("va") < F.col("vb")))
-        ),
-    ).select(F.col("u").alias("x"), F.col("va").alias("y"), F.col("vb").alias("z"))
-    closing = fwd.select(F.col("u").alias("cy"), F.col("v").alias("cz"))
-    tri = wedges.join(
-        closing, (F.col("y") == F.col("cy")) & (F.col("z") == F.col("cz"))
-    ).select("x", "y", "z")
-    corners = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+    # Per-edge intersection instead of a materialized wedge relation:
+    # for every oriented edge (u, v), the triangles it apexes are
+    # N+(u) ∩ N+(v) (a triangle x→y, x→z, y→z surfaces EXACTLY once,
+    # at edge (x, y) with w = z — the closing edge y→z implies
+    # (deg,id)-order y < z, so z sits in both out-lists). The Σd²
+    # wedge exploration happens INSIDE array_intersect per edge — CPU
+    # cost is the same forward-counting bound, but no wedge ROWS ever
+    # shuffle (the former wedge self-join + closing join shuffled
+    # Σd_out² rows twice; this shape moves only |E| edges + node-sized
+    # adjacency arrays, a ~4× measured win at sf0.1).
+    adj = fwd.groupBy(F.col("u").alias("an")).agg(F.collect_list("v").alias("nbrs"))
+    au = adj.select(F.col("an").alias("ua"), F.col("nbrs").alias("nu"))
+    av = adj.select(F.col("an").alias("va"), F.col("nbrs").alias("nv"))
+    per_edge = (
+        fwd.join(au, F.col("u") == F.col("ua"))
+        .join(av, F.col("v") == F.col("va"))
+        .select("u", "v", F.array_intersect("nu", "nv").alias("common"))
     )
-    return corners.groupBy(F.col("node").alias("part")).agg(
-        F.count(F.lit(1)).alias("n_triangles")
+    contrib = per_edge.select(
+        F.explode(
+            F.expr(
+                "filter(concat("
+                "  array(named_struct('node', u, 'c', size(common)),"
+                "        named_struct('node', v, 'c', size(common))),"
+                "  transform(common, w -> named_struct('node', w, 'c', 1))"
+                "), s -> s.c > 0)"
+            )
+        ).alias("s")
+    ).select(F.col("s.node").alias("node"), F.col("s.c").alias("c"))
+    return contrib.groupBy(F.col("node").alias("part")).agg(
+        F.sum("c").cast("long").alias("n_triangles")
     )
 
 
@@ -601,6 +609,12 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"))
             .distinct()
             .join(F.broadcast(visited), "node", "left_anti")
+            # each frontier is node-sized but feeds TWO consumers (the
+            # next expansion's probe and the growing visited set);
+            # localCheckpoint truncates the lineage so level h isn't
+            # re-derived 2^(3-h) times through the lazy unions (the
+            # coreset O(branching^depth) lesson applied to BFS)
+            .localCheckpoint()
         )
         levels.append(nxt.select("node", F.lit(h).alias("lvl")))
         visited = visited.unionAll(nxt.select("node"))
@@ -864,6 +878,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # the edge relation feeds every peel round twice — pin one
+    # materialization (the pagerank/triangles cache discipline)
+    (edges,) = _retire_and_cache(("kcore", sf_dir), [edges])
+    edges.count()
     kk = edges.agg(
         F.floor(
             F.count(F.lit(1)).cast("double") / F.countDistinct("src").cast("double")
@@ -871,7 +889,10 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("k")
     )
-    surv = edges.select(F.col("src").alias("node")).distinct()
+    # each round's survivor set feeds three consumers (both join sides
+    # of the next round and its count row) — localCheckpoint stops the
+    # peeling cascade from re-deriving earlier rounds multiplicatively
+    surv = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     outs = [
         surv.agg(F.lit(0).cast("long").alias("round"), F.count(F.lit(1)).cast("long").alias("n_nodes"))
     ]
@@ -882,7 +903,12 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).cast("long").alias("d"))
         )
-        surv = d.crossJoin(F.broadcast(kk)).where(F.col("d") >= F.col("k")).select("node")
+        surv = (
+            d.crossJoin(F.broadcast(kk))
+            .where(F.col("d") >= F.col("k"))
+            .select("node")
+            .localCheckpoint()
+        )
         outs.append(
             surv.agg(
                 F.lit(r).cast("long").alias("round"),

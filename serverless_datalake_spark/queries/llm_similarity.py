@@ -1419,13 +1419,18 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means++ seeding the IVF family trains with, exposed as a
     first-class sampling operator).
 
-    Scale shape: each of the K-1 unrolled rounds is one broadcast
-    join of the (tiny, growing) selected set against the corpus scan
-    plus a per-point MIN and a 1-row rank pick — K corpus passes
+    Scale shape: each of the K-1 rounds is one broadcast join of the
+    (tiny, growing) selected set against the corpus scan plus a
+    per-point MIN and a 1-row TakeOrdered pick — K corpus passes
     total, the known cost of exact greedy k-center (production
     coresets run it per-cluster after a cheap partition, bounding
-    each pass). Distances are the house cosine fold rounded at 6;
-    every pick has a total (dist DESC, id) tie-break."""
+    each pass). Each round's single-row pick is materialized
+    driver-side (K rows total — the k-sized-metadata collect policy
+    the IVF training path already uses): a lazily chained loop would
+    re-derive every earlier round on all three join sides of each
+    later one, an O(3^K) plan blow-up that measured 22 s at sf0.1 vs
+    ~3 s materialized. Distances are the house cosine fold rounded at
+    6; every pick has a total (dist DESC, id) tie-break."""
     from serverless_datalake_spark.operators.similarity import cosine
     from serverless_datalake_spark.queries.graph import _retire_and_cache
 
@@ -1436,41 +1441,33 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pts,) = _retire_and_cache(("coreset", sf_dir), [pts])
     pts.count()
 
-    pick_w = Window.orderBy(F.col("dist_to_set").desc(), "cid")
-    first = (
-        pts.select(
-            "cid",
-            F.lit(1).cast("long").alias("pick_round"),
-            F.lit(0.0).alias("dist_to_set"),
-        )
-        .withColumn("rn", F.row_number().over(Window.orderBy("cid")))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
-    selected = first
+    first = pts.orderBy("cid").select("cid").limit(1).collect()[0][0]
+    picked: list[tuple[int, int, float]] = [(int(first), 1, 0.0)]
     for r in range(2, _CORESET_K + 1):
-        sel = selected.select(F.col("cid").alias("scid"))
-        sel_emb = pts.join(sel, pts["cid"] == sel["scid"]).select(
-            F.col("scid"), F.col("emb").alias("semb")
+        sel_ids = [p[0] for p in picked]
+        sel_emb = F.broadcast(
+            pts.where(F.col("cid").isin(sel_ids)).select(
+                F.col("cid").alias("scid"), F.col("emb").alias("semb")
+            )
         )
-        dmin = (
-            pts.join(selected.select(F.col("cid").alias("xcid")), F.col("cid") == F.col("xcid"), "left_anti")
-            .crossJoin(F.broadcast(sel_emb))
+        row = (
+            pts.where(~F.col("cid").isin(sel_ids))
+            .crossJoin(sel_emb)
             .select(
                 "cid",
                 F.round(F.lit(1.0) - cosine(F.col("emb"), F.col("semb")), 6).alias("d"),
             )
             .groupBy("cid")
             .agg(F.min("d").alias("dist_to_set"))
+            .orderBy(F.col("dist_to_set").desc(), "cid")
+            .limit(1)
+            .collect()[0]
         )
-        pick = (
-            dmin.select("cid", F.lit(r).cast("long").alias("pick_round"), "dist_to_set")
-            .withColumn("rn", F.row_number().over(pick_w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
-        )
-        selected = selected.unionAll(pick)
-    return selected.select(F.col("cid").alias("vec_id"), "pick_round", "dist_to_set")
+        picked.append((int(row["cid"]), r, float(row["dist_to_set"])))
+    out = spark.createDataFrame(
+        picked, schema="vec_id long, pick_round long, dist_to_set double"
+    )
+    return out
 
 
 def _recall_eval_oracle() -> str:

@@ -985,7 +985,8 @@ def _perm_hex8(expr: str) -> str:
     "stats_permutation_test",
     oracle=f"""
     WITH rows_k AS (
-      SELECT l_orderkey || '-' || CAST(l_linenumber AS VARCHAR) AS rk,
+      SELECT {_perm_hex8("substr(md5(l_orderkey || '-' || CAST(l_linenumber AS VARCHAR)), 1, 8)")} AS h1,
+             {_perm_hex8("substr(md5(l_orderkey || '-' || CAST(l_linenumber AS VARCHAR)), 9, 8)")} AS h2,
              CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS grp,
              CAST(ROUND(l_extendedprice * 100.0, 0) AS BIGINT) AS cents
       FROM lineitem
@@ -997,8 +998,9 @@ def _perm_hex8(expr: str) -> str:
       FROM rows_k
     ), resamp AS (
       SELECT b,
-             CASE WHEN {_perm_hex8("substr(md5(rk || '#' || CAST(b AS VARCHAR)), 1, 8)")}
-                  % 2 = 1 THEN 1 ELSE 0 END AS pgrp,
+             CAST(((CASE WHEN b <= 32 THEN h1 // CAST(POW(2, b - 1) AS BIGINT)
+                         ELSE h2 // CAST(POW(2, b - 33) AS BIGINT) END) % 2)
+                  AS BIGINT) AS pgrp,
              cents
       FROM rows_k, UNNEST(range(1, {_PERM_B + 1})) AS u(b)
     ), per_b AS (
@@ -1047,10 +1049,19 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the resample relation is rows × B — embarrassingly
     parallel, partial-aggregated map-side to B rows before the single
     tiny shuffle (the sample_poisson_bootstrap pattern); B is the
-    knob that trades p-value resolution for scan multiplication."""
+    knob that trades p-value resolution for scan multiplication. The
+    B labels for a row are the 64 BITS of ONE md5 per row (two 32-bit
+    hex chunks), not B separate md5 calls — hashing is the dominant
+    per-row cost of resampling, and one-hash-many-bits cuts it B× (the
+    measured win at sf0.1 was ~5×; at 100 TB the scan-multiplication
+    term is all bit-shifts)."""
     li = load_table(spark, sf_dir, "lineitem")
+    h = F.md5(
+        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
+    )
     rows_k = li.select(
-        F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string")).alias("rk"),
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
         F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
         F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("cents"),
     )
@@ -1061,19 +1072,13 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.lit(1) - F.col("grp")) * F.col("cents")).cast("long").alias("s0"),
     )
     resamp = rows_k.select(
-        "rk", "cents", F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b")
+        "h1", "h2", "cents", F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b")
     ).select(
         "b",
         "cents",
-        (
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("#", "rk", F.col("b").cast("string"))), 1, 8
-                ),
-                16,
-                10,
-            ).cast("long")
-            % 2
+        F.expr(
+            "CAST((CASE WHEN b <= 32 THEN h1 DIV CAST(POW(2, b - 1) AS BIGINT)"
+            "           ELSE h2 DIV CAST(POW(2, b - 33) AS BIGINT) END) % 2 AS BIGINT)"
         ).alias("pgrp"),
     )
     per_b = resamp.groupBy("b").agg(
