@@ -823,26 +823,32 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_POIS = (
-    "CASE WHEN {u} < 0.36787944117144233 THEN 0 "
-    "WHEN {u} < 0.7357588823428847 THEN 1 "
-    "WHEN {u} < 0.9196986029286058 THEN 2 "
-    "WHEN {u} < 0.9810118431238462 THEN 3 "
-    "WHEN {u} < 0.9963401531726563 THEN 4 ELSE 5 END"
-)
+def _bootstrap_thresholds() -> list:
+    """Poisson(1) inverse-CDF cut points as 4-hex string literals:
+    u < p on a 16-bit uniform ⟺ its 4-hex chunk < hex(floor(p·2^16)+1)
+    lexicographically (lowercase hex order IS numeric order, and
+    p·2^16 is never an integer for these thresholds). Shared by both
+    engines so the comparison is string-identical."""
+    ps = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+          0.9810118431238462, 0.9963401531726563]
+    return [format(int(p * 2**16) + 1, "04x") for p in ps]
 
 
 def _bootstrap_oracle(reps: int = 32) -> str:
-    from serverless_datalake_spark.queries.llm_dedup import _hex8_int
-
-    # one md5 per (row, replica-QUAD): md5(rk_g) for g = b // 4 yields
-    # 4 independent 32-bit uniforms (8-hex chunks of the 128-bit
-    # digest) covering replicas 4g..4g+3 — 8 hashes per row instead
-    # of 32
-    key = "CAST(l_orderkey * 16 + l_linenumber AS VARCHAR) || '_' || CAST(b // 4 AS VARCHAR)"
-    chunk = f"substr(md5({key}), (b % 4) * 8 + 1, 8)"
-    u = f"(CAST({_hex8_int(chunk)} AS DOUBLE) / 4294967296.0)"
-    w = _POIS.format(u=u)
+    # one md5 per (row, replica-OCTET): md5(rk_g) for g = b // 8
+    # yields 8 independent 16-bit uniforms (4-hex chunks of the
+    # 128-bit digest) covering replicas 8g..8g+7 — 4 hashes per row
+    # instead of 32. 16-bit uniforms shift each Poisson cell
+    # probability by < 2^-16, far below the B=32 resampling noise;
+    # hashing is the dominant per-row cost and this is the knob.
+    key = "CAST(l_orderkey * 16 + l_linenumber AS VARCHAR) || '_' || CAST(b // 8 AS VARCHAR)"
+    chunk = f"substr(md5({key}), (b % 8) * 4 + 1, 4)"
+    t = _bootstrap_thresholds()
+    w = (
+        f"CASE WHEN {chunk} < '{t[0]}' THEN 0 WHEN {chunk} < '{t[1]}' THEN 1 "
+        f"WHEN {chunk} < '{t[2]}' THEN 2 WHEN {chunk} < '{t[3]}' THEN 3 "
+        f"WHEN {chunk} < '{t[4]}' THEN 4 ELSE 5 END"
+    )
     return f"""
     WITH expanded AS (
       SELECT b, {w} AS w,
@@ -900,46 +906,51 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     reps = 32
     cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
-    # the whole 32-uniform vector is built INSIDE the generator
-    # argument (array of 8 md5 digests -> 4 eight-hex chunks each), so
-    # Generate evaluates the hashes once per INPUT row; a sibling
-    # expression in a generator select would re-evaluate per replica
-    uraws = F.expr(
-        "flatten(transform("
-        "  transform(sequence(0, 7), g -> md5(concat_ws('_',"
-        "    cast(l_orderkey * 16 + l_linenumber as string), cast(g as string)))),"
-        "  h -> transform(sequence(0, 3),"
-        "    j -> cast(conv(substring(h, j * 8 + 1, 8), 16, 10) as bigint))"
-        "))"
-    )
-    expanded = li.select(
-        F.posexplode(uraws).alias("b", "uraw"),
-        cents.alias("cents"),
-    )
-    u = F.col("uraw").cast("double") / 4294967296.0
-    w = (
-        F.when(u < 0.36787944117144233, 0)
-        .when(u < 0.7357588823428847, 1)
-        .when(u < 0.9196986029286058, 2)
-        .when(u < 0.9810118431238462, 3)
-        .when(u < 0.9963401531726563, 4)
-        .otherwise(5)
-    )
-    rep = expanded.select("b", w.alias("w"), "cents").groupBy("b").agg(
-        F.sum("w").alias("n_eff"),
+    # The whole bootstrap is ONE scan with 64 agg columns (the "wider
+    # combiner" shape the 100 TB note describes): per row, 4 md5
+    # digests (FLAT column expressions — whole-stage codegen; a
+    # transform() lambda runs interpreted and measured 2× slower)
+    # yield 32 16-bit uniform chunks, each cut against the Poisson
+    # thresholds by plain string comparison. No row expansion, no
+    # Generate, no shuffle beyond the singleton aggregate — the
+    # original 32× explode + per-replica md5+conv measured ~21 s at
+    # sf0.1; this is ~2.5 s, scan-bound.
+    t = _bootstrap_thresholds()
+    rk = (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("string")
+    digests = [F.md5(F.concat_ws("_", rk, F.lit(str(g)))) for g in range(reps // 8)]
+    wcols = []
+    for b in range(reps):
+        chunk = F.substring(digests[b // 8], (b % 8) * 4 + 1, 4)
+        wcols.append(
+            F.when(chunk < t[0], 0)
+            .when(chunk < t[1], 1)
+            .when(chunk < t[2], 2)
+            .when(chunk < t[3], 3)
+            .when(chunk < t[4], 4)
+            .otherwise(5)
+            .alias(f"w{b}")
+        )
+    rows = li.select(*wcols, cents.alias("cents"))
+    aggs = []
+    for b in range(reps):
+        aggs.append(F.sum(f"w{b}").alias(f"n{b}"))
+        aggs.append(F.sum(F.col(f"w{b}") * F.col("cents")).alias(f"s{b}"))
+    aggs.append(F.sum("cents").alias("tot_cents"))
+    aggs.append(F.count(F.lit(1)).alias("n_rows"))
+    one = rows.agg(*aggs)
+    means = [
         F.round(
-            (F.sum(F.col("w") * F.col("cents")).cast("double") / 100.0)
-            / F.sum("w").cast("double"),
+            (F.col(f"s{b}").cast("double") / 100.0) / F.col(f"n{b}").cast("double"), 6
+        )
+        for b in range(reps)
+    ]
+    return one.select(
+        F.round(
+            F.col("tot_cents").cast("double") / 100.0 / F.col("n_rows").cast("double"),
             6,
-        ).alias("mean_b"),
-    )
-    base = li.agg(
-        F.round(
-            F.sum(cents).cast("double") / 100.0 / F.count(F.lit(1)).cast("double"), 6
-        ).alias("point_mean")
-    )
-    sorted_ms = rep.groupBy().agg(F.array_sort(F.collect_list("mean_b")).alias("ms"))
-    return base.crossJoin(F.broadcast(sorted_ms)).select(
+        ).alias("point_mean"),
+        F.array_sort(F.array(*means)).alias("ms"),
+    ).select(
         "point_mean",
         F.element_at("ms", 2).alias("boot_p05"),
         F.element_at("ms", 16).alias("boot_median"),

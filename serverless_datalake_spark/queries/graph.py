@@ -499,15 +499,32 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     (und, deg, e0) = _retire_and_cache(("jaccard", sf_dir), [und, deg, e0])
+    # The wedge relation is ~Σd²/2 rows (149M at sf0.1, 101M distinct
+    # pairs) and its count shuffle dominates the query. Pack the pair
+    # (a, b) into ONE long key (a << 32 | b) for the aggregate and the
+    # existing-edge exclusion: half the key bytes, one hash per row —
+    # valid while node ids < 2^32 (the TPC-H partkey domain); with a
+    # wider id domain keep the two-column key. The exclusion side is
+    # edge-count-sized → broadcast anti join, so the 101M-row pair
+    # relation never shuffles again after the count.
     w1 = und.select(F.col("src").alias("c"), F.col("dst").alias("a"))
     w2 = und.select(F.col("src").alias("c2"), F.col("dst").alias("b"))
+    pk = F.expr("shiftleft(cast(a as bigint), 32) + cast(b as bigint)").alias("pk")
     cn = (
         w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("a") < F.col("b")))
-        .groupBy("a", "b")
+        .select(pk)
+        .groupBy("pk")
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    epk = e0.select(
+        F.expr("shiftleft(cast(src as bigint), 32) + cast(dst as bigint)").alias("epk")
+    )
     nonedge = cn.join(
-        e0, (e0["src"] == cn["a"]) & (e0["dst"] == cn["b"]), "left_anti"
+        F.broadcast(epk), F.col("pk") == F.col("epk"), "left_anti"
+    ).select(
+        F.expr("shiftright(pk, 32)").alias("a"),
+        F.expr("pk & 4294967295").alias("b"),
+        "common",
     )
     da = F.broadcast(deg.select(F.col("node").alias("__na"), F.col("d").alias("deg_a")))
     db = F.broadcast(deg.select(F.col("node").alias("__nb"), F.col("d").alias("deg_b")))
