@@ -156,10 +156,22 @@ def minhash_signatures(
         f"(m, p) -> least(m, (element_at(p, 1) * x + element_at(p, 2)) % {_MINHASH_P}L)))"
     )
     narrow = spread_for_compute(docs.select(F.col(id_col), F.col(text_col)))
-    keyed = narrow.select(
-        F.col(id_col).alias("doc_id"),
-        F.transform(textops.shingles(F.col(text_col), k), md5_key32).alias("__keys"),
-    ).where(F.size("__keys") > 0)
+    # tokenize in a projection BELOW the shingle lambda so the split
+    # runs once per doc, not once per shingle position (SCALE.md
+    # aliased-fold rule; shingles_of_tokens docstring)
+    keyed = (
+        narrow.select(
+            F.col(id_col).alias("doc_id"),
+            textops.tokens(F.col(text_col)).alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                textops.shingles_of_tokens(F.col("__toks"), k), md5_key32
+            ).alias("__keys"),
+        )
+        .where(F.size("__keys") > 0)
+    )
     return keyed.select("doc_id", sig.alias("sig"))
 
 

@@ -87,10 +87,13 @@ def fingerprint_md5(text: Column) -> Column:
     return F.md5(F.lower(F.trim(text)))
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """k-word shingles via a sequence/slice HOF — no explode, no
-    shuffle; the MinHash building block."""
-    toks = tokens(text)
+def shingles_of_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles over an ALREADY-MATERIALIZED token-array column.
+    Pass a real column reference (materialize `tokens(...)` in a
+    projection below), NOT the inline tokens(...) expression: the
+    per-position lambda captures `toks`, and an inlined split+filter
+    re-runs per shingle position — the SCALE.md aliased-fold O(N²)
+    rule (measured 3–10× on the gram/bigram family)."""
     if k == 1:
         return toks  # unigram fast path: skip the slice/concat machinery
     n = F.size(toks)
@@ -100,6 +103,15 @@ def shingles(text: Column, k: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
         )
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles via a sequence/slice HOF — no explode, no
+    shuffle; the MinHash building block. NOTE: inlines tokenization
+    into the per-position lambda — fine for k=1 or one-shot use, but
+    hot paths should materialize the token array and call
+    shingles_of_tokens (see that docstring)."""
+    return shingles_of_tokens(tokens(text), k)
 
 
 def shingle_fingerprint(text: Column, k: int = 3) -> Column:

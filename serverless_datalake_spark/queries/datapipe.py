@@ -177,7 +177,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     score high and get dropped. Array HOFs only — no explode, no
     shuffle; the bigram list lives and dies inside one task."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _toks_col()
+    # toks as a materialized COLUMN (SCALE.md aliased-fold rule: an
+    # inlined split would re-run per element_at per position)
+    toks = F.col("toks")
     bigrams = F.when(F.size(toks) < 2, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 1),
@@ -186,7 +188,9 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    b = d.select("doc_id", bigrams.alias("bigrams"))
+    b = d.select("doc_id", _toks_col().alias("toks")).select(
+        "doc_id", bigrams.alias("bigrams")
+    )
     n_b = F.size("bigrams")
     n_dup = n_b - F.size(F.array_distinct("bigrams"))
     return b.select(
@@ -469,7 +473,12 @@ def split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set (at scale: gram HASHES, bucketed) before the join — the
     fact side never shuffles text. Exact integer counts throughout."""
     d = load_table(spark, sf_dir, "documents")
-    toks = _toks_col()
+    # materialize the token array as a COLUMN before the gram lambda:
+    # inlining _toks_col() into the five element_at calls re-runs the
+    # split+filter PER GRAM POSITION (the aliased-fold-inside-lambda
+    # O(N²) rule from SCALE.md — measured 9.6 s for a 250k-row gram
+    # relation; column-referenced, ~1 s)
+    toks = F.col("toks")
     grams = F.array_distinct(
         F.transform(
             F.sequence(F.lit(1), F.size(toks) - 4),
@@ -484,12 +493,17 @@ def split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = (
-        d.where(F.size(toks) >= 5)
-        .select(
+        d.select(
             "doc_id",
             F.when(_bucket_col() < 90, "train").otherwise("test").alias("split"),
-            F.explode(grams).alias("gram"),
+            _toks_col().alias("toks"),
         )
+        .where(F.size("toks") >= 5)
+        .select("doc_id", "split", F.explode(grams).alias("gram"))
+        # the exploded gram relation feeds BOTH the train-side distinct
+        # and the test-side probe — pin one materialization so the
+        # tokenize+shingle explode runs once, not per branch
+        .localCheckpoint(eager=False)
     )
     train_grams = (
         g.where(F.col("split") == "train").select(F.col("gram").alias("tgram")).distinct()

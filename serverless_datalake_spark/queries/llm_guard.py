@@ -283,16 +283,22 @@ def _segment_lines(df: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     Empty/whitespace-only docs produce zero lines (matching the
     oracles' range(0, 0)); Spark's sequence(0, -1) would instead
     DESCEND and emit two phantom lines, hence the guard."""
-    toks = _toks_col()
-    return df.where(F.size(toks) > 0).select(
-        "doc_id",
-        *carry,
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1),
-                lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
-            )
-        ).alias("line_no", "line"),
+    toks = F.col("__toks")
+    return (
+        df.select("doc_id", *carry, _toks_col().alias("__toks"))
+        .where(F.size(toks) > 0)
+        .select(
+            "doc_id",
+            *carry,
+            F.posexplode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.ceil(F.size(toks) / F.lit(10.0)).cast("int") - 1
+                    ),
+                    lambda i: F.array_join(F.slice(toks, i * 10 + 1, 10), " "),
+                )
+            ).alias("line_no", "line"),
+        )
     )
 
 
@@ -661,10 +667,17 @@ def eval_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
 
     def tris(df):
-        toks = textops.tokens(F.col("text"))
-        return df.where(F.size(toks) >= 3).select(
-            "doc_id",
-            F.explode(textops.shingles(F.col("text"), k=3)).alias("tri"),
+        # materialize the token array below the shingle lambda
+        # (SCALE.md aliased-fold rule)
+        return (
+            df.select("doc_id", textops.tokens(F.col("text")).alias("__toks"))
+            .where(F.size("__toks") >= 3)
+            .select(
+                "doc_id",
+                F.explode(
+                    textops.shingles_of_tokens(F.col("__toks"), k=3)
+                ).alias("tri"),
+            )
         )
 
     ref = tris(d.where(F.col("doc_id") % 3 != 0)).select("tri").distinct()

@@ -244,13 +244,17 @@ def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     string. One explode + one hash aggregate; the ORDER/LIMIT is
     TakeOrderedAndProject — no global sort materialization."""
     d = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens(F.col("text"))
+    # toks as a materialized COLUMN, not an inlined expression: the
+    # per-position lambda would otherwise re-run split+filter per
+    # element_at (the SCALE.md aliased-fold rule)
+    toks = F.col("toks")
     bigrams = F.when(F.size(toks) >= 2, F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
     )).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        d.select(textops.tokens(F.col("text")).alias("toks"))
+        .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "bigram")

@@ -400,42 +400,43 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rounds replan it on every join side (triangle-count precedent)
     pairs.count()
 
-    pick_w = Window.orderBy(F.col("mmr_score").desc(), "cid")
-    first = (
+    # each greedy round's single-row pick is materialized driver-side
+    # (K rows total — the coreset k-sized-metadata pattern): a lazily
+    # chained selected-set re-derives every earlier round on all three
+    # consumer sides, a branching^K plan blow-up that measured ~7 s of
+    # pure planning/micro-jobs at sf0.1 vs ~2 s materialized
+    row = (
         cand.select(
             "cid",
-            F.lit(1).cast("long").alias("pick_round"),
             F.round(F.lit(_MMR_LAMBDA) * F.col("rel"), 6).alias("mmr_score"),
         )
-        .withColumn("rn", F.row_number().over(pick_w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
+        .orderBy(F.col("mmr_score").desc(), "cid")
+        .limit(1)
+        .collect()[0]
     )
-    selected = first
+    picked: list[tuple[int, int, float]] = [(int(row["cid"]), 1, float(row["mmr_score"]))]
     for r in range(2, _MMR_K + 1):
-        sel_ids = selected.select(F.col("cid").alias("scid"))
-        ms = (
-            pairs.join(F.broadcast(sel_ids), F.col("cb") == F.col("scid"))
+        sel_ids = [p[0] for p in picked]
+        row = (
+            pairs.where(F.col("cb").isin(sel_ids))
             .groupBy(F.col("ca").alias("cid"))
             .agg(F.max("sim").alias("ms"))
-        )
-        pick = (
-            cand.join(sel_ids, cand["cid"] == sel_ids["scid"], "left_anti")
-            .join(F.broadcast(ms), "cid")
+            .join(cand.where(~F.col("cid").isin(sel_ids)), "cid")
             .select(
                 "cid",
-                F.lit(r).cast("long").alias("pick_round"),
                 F.round(
                     F.lit(_MMR_LAMBDA) * F.col("rel") - F.lit(_MMR_REST) * F.col("ms"),
                     6,
                 ).alias("mmr_score"),
             )
-            .withColumn("rn", F.row_number().over(pick_w))
-            .where(F.col("rn") == 1)
-            .drop("rn")
+            .orderBy(F.col("mmr_score").desc(), "cid")
+            .limit(1)
+            .collect()[0]
         )
-        selected = selected.unionAll(pick)
-    return selected.select(F.col("cid").alias("corpus_id"), "pick_round", "mmr_score")
+        picked.append((int(row["cid"]), r, float(row["mmr_score"])))
+    return spark.createDataFrame(
+        picked, schema="corpus_id long, pick_round long, mmr_score double"
+    )
 
 
 _MS_SUBS = 8   # 64-dim vectors → 8 sub-vectors of 8 dims
