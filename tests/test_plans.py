@@ -514,3 +514,47 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:2000]
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_bootstrap_single_pass_no_generate(spark, sf_dir):
+    """sample_poisson_bootstrap folds all 32 replicas into one scan
+    with agg columns: no row-expanding Generate/Expand node anywhere
+    (the 32x explode alone measured ~11 s at sf0.1), and exactly the
+    two aggregate exchanges (partial -> single-partition final)."""
+    plan = plan_of(spark, sf_dir, "sample_poisson_bootstrap")
+    assert "Generate" not in plan, plan[:1500]
+    assert "Expand" not in plan
+    assert "Join" not in plan
+
+
+def test_ngram_lambdas_tokenize_once(spark, sf_dir):
+    """The SCALE.md aliased-fold rule, pinned: the token-array split
+    must appear ONCE in the optimized plan of each n-gram query — an
+    inlined tokenization captured by the per-position lambda would
+    re-run split+filter per element (3-10x measured)."""
+    for name in ("split_contamination_ngram", "text_top_bigrams", "text_repetition"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert opt.count("split(") <= 1, (name, opt.count("split("))
+
+
+def test_triangle_count_no_wedge_shuffle(spark, sf_dir):
+    """graph_triangle_count counts via per-edge adjacency
+    array_intersect: no wedge relation is ever materialized through a
+    join, so the plan carries no sort-merge join and no cartesian
+    product; the intersection expression must be present."""
+    plan = final_plan_of(spark, sf_dir, "graph_triangle_count")
+    assert "array_intersect" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_links_packed_key_and_broadcast_exclusion(spark, sf_dir):
+    """graph_jaccard_links: the Sigma-d^2 candidate-pair aggregate
+    shuffles on ONE packed long key, and the existing-edge exclusion
+    is a broadcast (never shuffle) anti join - the 101M-row pair
+    relation must not shuffle again after its count."""
+    plan = final_plan_of(spark, sf_dir, "graph_jaccard_links")
+    assert "shiftleft" in plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
