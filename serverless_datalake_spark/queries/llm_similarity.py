@@ -1274,15 +1274,27 @@ def sim_knn_graph_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("emb"),
     )
-    a = em.select(F.col("vec_id").alias("src"), F.col("label").alias("la"), F.col("emb").alias("ea"))
-    b = em.select(F.col("vec_id").alias("dst"), F.col("label").alias("lb"), F.col("emb").alias("eb"))
+    # norms are a per-VECTOR property — compute them once below the
+    # pair join (bit-identical doubles to a per-pair evaluation; the
+    # HOF norm fold is interpreted, so evaluating it per Σ|cell|² pair
+    # instead of per vector tripled the per-pair cost)
+    nrm = F.sqrt(
+        F.aggregate(F.transform("emb", lambda x: x * x), F.lit(0.0), lambda s, x: s + x)
+    )
+    em = em.select("vec_id", "label", "emb", nrm.alias("nrm"))
+    a = em.select(
+        F.col("vec_id").alias("src"), F.col("label").alias("la"),
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"),
+    )
+    b = em.select(
+        F.col("vec_id").alias("dst"), F.col("label").alias("lb"),
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+    )
     pairs = a.join(b, (F.col("la") == F.col("lb")) & (F.col("src") != F.col("dst")))
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
-    na = F.sqrt(F.aggregate(F.transform("ea", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    nb = F.sqrt(F.aggregate(F.transform("eb", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
-    scored = pairs.select("src", "dst", (dot / (na * nb)).alias("score"))
+    scored = pairs.select("src", "dst", (dot / (F.col("na") * F.col("nb"))).alias("score"))
     w = Window.partitionBy("src").orderBy(F.col("score").desc(), F.col("dst"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
