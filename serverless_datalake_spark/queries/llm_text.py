@@ -495,6 +495,100 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "text_ppl_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), cnt AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt
+    ), lm AS (
+      SELECT t,
+             ROUND(ln((CAST(c AS DOUBLE) + 1.0)
+                      / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))), 8) AS lp
+      FROM cnt CROSS JOIN tot
+    ), dt AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2
+    ), contrib AS (
+      SELECT dt.doc_id, dt.t, dt.k, CAST(dt.k AS DOUBLE) * lm.lp AS klp
+      FROM dt JOIN lm USING (t)
+    ), scored AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_tokens,
+             ROUND(-list_aggregate(list(klp ORDER BY t), 'sum')
+                   / CAST(SUM(k) AS DOUBLE), 6) AS mean_nll
+      FROM contrib GROUP BY doc_id
+    ), bucketed AS (
+      SELECT d.lang, s.n_tokens,
+             CAST(ROUND(s.mean_nll * 1000000.0, 0) AS BIGINT) AS nll_e6,
+             NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.mean_nll, s.doc_id)
+               AS tile
+      FROM scored s JOIN documents d USING (doc_id)
+    )
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(nll_e6) AS DOUBLE) / 1000000.0
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_nll
+    FROM bucketed
+    GROUP BY lang, tile
+    """,
+    tags=("llm", "text", "quality", "curation"),
+)
+def text_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing — the curation pass that runs
+    ON TOP of LM scoring: per language, split documents into
+    head/middle/tail thirds by unigram mean-NLL (head = most fluent
+    under the corpus LM) and report each bucket's doc and token mass.
+    CCNet keeps head+middle for pre-training and routes tail to
+    re-inspection; this query is that decision table.
+
+    Exactness: per-doc mean_nll is the text_unigram_logprob value
+    (rounded at 6); bucket means sum e6-integer units, so partial
+    aggregation is order-independent; NTILE over a TOTAL order
+    (mean_nll, doc_id) is deterministic in both engines.
+
+    Scale shape: the scoring subtree is text_unigram_logprob
+    (vocabulary-keyed join, per-doc fold); bucketing adds one
+    doc-grain NTILE per language — at 100 TB swap NTILE for
+    quantile-sketch cutpoints (the sample_curriculum_stages note) so
+    no per-language total sort is needed; the final aggregate is
+    (lang × 3)-grain."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = text_unigram_logprob(spark, sf_dir).select("doc_id", "n_tokens", "mean_nll")
+    bucketed = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang",
+        "n_tokens",
+        F.round(F.col("mean_nll") * 1000000.0, 0).cast("long").alias("nll_e6"),
+        F.ntile(3)
+        .over(Window.partitionBy("lang").orderBy("mean_nll", "doc_id"))
+        .alias("tile"),
+    )
+    return bucketed.groupBy("lang", "tile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.round(
+            F.sum("nll_e6").cast("double") / 1000000.0
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("mean_nll"),
+    ).select(
+        "lang",
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+        "n_docs",
+        "n_tokens",
+        "mean_nll",
+    )
+
+
+@query(
     "text_bigram_logprob",
     oracle="""
     WITH toks AS (
