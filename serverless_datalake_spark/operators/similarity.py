@@ -261,15 +261,36 @@ def kcenter_rows(sample: list[tuple[int, list[float]]], k: int) -> list[dict]:
     same centers. Spread-out seeds cover the corpus' directions far
     better than whatever the first k labels/ids happen to hit, which
     is what lifts post-Lloyd's recall."""
+    import math
+
     sample = sorted(sample, key=lambda r: r[0])
-    chosen = [sample[0][1]]
+    vecs = [emb for _, emb in sample]
+    # norms once per vector (identical doubles to the per-call sqrt)
+    norms = [math.sqrt(_fold_dot(v, v)) for v in vecs]
+
+    def cos_to(j: int, c: list[float], nc: float) -> float:
+        return _fold_dot(vecs[j], c) / (norms[j] * nc)
+
+    chosen = [vecs[0]]
+    nc0 = norms[0]
+    # incremental farthest-point: maxsim_j only ever grows by the
+    # NEWEST center, so track it per point — O(k·n) cosines instead of
+    # the O(k²·n) recompute-over-all-chosen (identical floats: max
+    # over the same values arrives at the same double; argmin keeps
+    # the original first-strictly-smaller id-order tie-break)
+    maxsim = [cos_to(j, chosen[0], nc0) for j in range(len(vecs))]
     for _ in range(1, k):
-        best_id, best_vec, best_maxsim = None, None, None
-        for cid, emb in sample:
-            maxsim = max(_fold_cos(emb, c) for c in chosen)
-            if best_maxsim is None or maxsim < best_maxsim:
-                best_id, best_vec, best_maxsim = cid, emb, maxsim
-        chosen.append(best_vec)
+        best_j = 0
+        for j in range(1, len(vecs)):
+            if maxsim[j] < maxsim[best_j]:
+                best_j = j
+        newest = vecs[best_j]
+        chosen.append(newest)
+        nn = norms[best_j]
+        for j in range(len(vecs)):
+            s = cos_to(j, newest, nn)
+            if s > maxsim[j]:
+                maxsim[j] = s
     return [
         {"centroid_id": i, "centroid": list(map(float, c))} for i, c in enumerate(chosen)
     ]
@@ -281,7 +302,7 @@ def ivf_centroids_refined(
     vec: str = "embedding",
     by: str = "label",
     dim: int = 64,
-    refine_iters: int = 2,
+    refine_iters: int = 4,
     sample_n: int = 256,
     init: str = "medoid",
     n_centroids: int = 10,
@@ -302,48 +323,67 @@ def ivf_centroids_refined(
     while keeping the SQL twin one step shorter. The cosine objective
     Σ max_c cos(x, c) is non-decreasing per round (spherical k-means
     monotonicity; asserted in tests/test_pq_refine.py)."""
-    sample = (
-        corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
-        .orderBy(corpus_id)
-        .limit(sample_n)
-    )
-    if init == "kcenter":
-        rows = [(r[corpus_id], list(r["__v"])) for r in sample.collect()]
-        cents = corpus.sparkSession.createDataFrame(
-            kcenter_rows(rows, n_centroids), "centroid_id int, centroid array<double>"
+    sample_rows = [
+        (r[corpus_id], list(r["__v"]))
+        for r in (
+            corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+            .orderBy(corpus_id)
+            .limit(sample_n)
+            .collect()
         )
+    ]
+    sample_rows.sort(key=lambda r: r[0])
+    if init == "kcenter":
+        cent_rows = [r["centroid"] for r in kcenter_rows(sample_rows, n_centroids)]
     elif init == "medoid":
-        cents = ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
+        cent_rows = [
+            list(r["centroid"])
+            for r in sorted(
+                ivf_centroids(corpus, corpus_id, vec, by, mode="medoid").collect(),
+                key=lambda r: r["centroid_id"],
+            )
+        ]
     else:
         raise ValueError(f"init must be medoid|kcenter, got {init!r}")
+    # Lloyd's rounds run DRIVER-SIDE over the collected sample (the
+    # kcenter_rows precedent: every float op is the same sequential
+    # fold/IEEE primitive the SQL twin and the former DataFrame loop
+    # used — cosine as left-fold dot over dims, ties to the smaller
+    # centroid id, per-dimension mean as a left fold in corpus_id
+    # order, empty cells keep their centroid — so the trained rows are
+    # bit-identical). A Spark job per round cost ~2 s each in pure
+    # scheduling for a 256-row sample; this whole loop is ~ms.
+    import math
+
     for _ in range(refine_iters):
-        scored = sample.crossJoin(F.broadcast(cents)).select(
-            corpus_id, "__v", "centroid_id", cosine(F.col("__v"), F.col("centroid")).alias("__cs")
-        )
-        w = Window.partitionBy(corpus_id).orderBy(F.col("__cs").desc(), F.col("centroid_id"))
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select(corpus_id, "centroid_id", "__v")
-        )
-        grouped = assigned.groupBy("centroid_id").agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(corpus_id).alias("i"), F.col("__v").alias("v")))
-            ).alias("__arr")
-        )
-        vs = F.transform(F.col("__arr"), lambda x: x["v"])
-        mean_vec = F.transform(
-            F.sequence(F.lit(0), F.lit(dim - 1)),
-            lambda i: F.aggregate(
-                vs, F.lit(0.0), lambda a, v: a + F.element_at(v, (i + 1).cast("int"))
-            )
-            / F.size("__arr"),
-        )
-        means = grouped.select("centroid_id", mean_vec.alias("__new_c"))
-        cents = cents.join(means, "centroid_id", "left").select(
-            "centroid_id", F.coalesce("__new_c", "centroid").alias("centroid")
-        )
-    return cents
+        members: dict[int, list[list[float]]] = {}
+        for _cid, v in sample_rows:
+            nv = math.sqrt(_fold_dot(v, v))
+            best_c, best_s = 0, None
+            for c_idx, cvec in enumerate(cent_rows):
+                s = _fold_dot(v, cvec) / (nv * math.sqrt(_fold_dot(cvec, cvec)))
+                if best_s is None or s > best_s:
+                    best_c, best_s = c_idx, s
+            members.setdefault(best_c, []).append(v)
+        new_cents = []
+        for c_idx, cvec in enumerate(cent_rows):
+            mem = members.get(c_idx)
+            if not mem:
+                new_cents.append(cvec)
+                continue
+            n = float(len(mem))
+            newv = []
+            for di in range(dim):
+                acc = 0.0
+                for v in mem:  # corpus_id order (sample_rows sorted)
+                    acc += v[di]
+                newv.append(acc / n)
+            new_cents.append(newv)
+        cent_rows = new_cents
+    return corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cent_rows)],
+        "centroid_id int, centroid array<double>",
+    )
 
 
 def topk_ivf(
@@ -453,8 +493,8 @@ def pq_codebook(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
-    refine_iters: int = 2,
-    sample_n: int = 128,
+    refine_iters: int = 4,
+    sample_n: int = 256,
 ) -> DataFrame:
     """Product-quantization codebook: split the vector into m
     subspaces of d dims; per subspace, n_codes code vectors.
@@ -500,46 +540,66 @@ def pq_codebook(
     if refine_iters <= 0:
         return cb
 
-    sample = (
-        corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
-        .orderBy(corpus_id)
-        .limit(sample_n)
-    )
-    smp = _explode_subspaces(sample, corpus_id, "__v", m, d, "sub_vec")
-
-    dist = F.aggregate(
-        F.zip_with("sub_vec", "code_vec", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda a, x: a + x,
-    )
+    # Lloyd's rounds run DRIVER-SIDE over the collected sample (the
+    # ivf_centroids_refined / kcenter_rows discipline: sequential-fold
+    # L2 distance, ties to the smaller code id, per-dimension mean as
+    # a left fold in corpus_id order, empty clusters keep their code —
+    # every float op is the same IEEE primitive the SQL twin uses, so
+    # the codebook rows are bit-identical to the former DataFrame
+    # loop, which paid ~1-2 s of job scheduling per round).
+    sample_rows = [
+        (r[corpus_id], list(r["__v"]))
+        for r in (
+            corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
+            .orderBy(corpus_id)
+            .limit(sample_n)
+            .collect()
+        )
+    ]
+    sample_rows.sort(key=lambda r: r[0])
+    # init: subvectors of the n_codes smallest-id vectors, code_id by
+    # id rank (matches the row_number() init above)
+    init_rows = sample_rows[:n_codes] if len(sample_rows) >= n_codes else sample_rows
+    codes: dict[int, list[list[float]]] = {}
+    for s in range(m):
+        codes[s] = [v[s * d : (s + 1) * d] for _, v in init_rows]
     for _ in range(refine_iters):
-        scored = smp.join(F.broadcast(cb), "s").select(
-            corpus_id, "s", "code_id", "sub_vec", dist.alias("__dist")
-        )
-        wmin = Window.partitionBy(corpus_id, "s").orderBy("__dist", "code_id")
-        assigned = (
-            scored.withColumn("__rn", F.row_number().over(wmin))
-            .where(F.col("__rn") == 1)
-            .select(corpus_id, "s", "code_id", "sub_vec")
-        )
-        grouped = assigned.groupBy("s", "code_id").agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(corpus_id).alias("i"), F.col("sub_vec").alias("v")))
-            ).alias("__arr")
-        )
-        vs = F.transform(F.col("__arr"), lambda x: x["v"])
-        mean_vec = F.transform(
-            F.sequence(F.lit(0), F.lit(d - 1)),
-            lambda i: F.aggregate(
-                vs, F.lit(0.0), lambda a, v: a + F.element_at(v, (i + 1).cast("int"))
-            )
-            / F.size("__arr"),
-        )
-        means = grouped.select("s", "code_id", mean_vec.alias("__new_vec"))
-        cb = cb.join(means, ["s", "code_id"], "left").select(
-            "code_id", "s", F.coalesce("__new_vec", "code_vec").alias("code_vec")
-        )
-    return cb
+        members: dict[tuple[int, int], list[list[float]]] = {}
+        for _cid, v in sample_rows:
+            for s in range(m):
+                sub = v[s * d : (s + 1) * d]
+                best_c, best_dist = 0, None
+                for c_idx, cvec in enumerate(codes[s]):
+                    acc = 0.0
+                    for x, y in zip(sub, cvec):
+                        acc += (x - y) * (x - y)
+                    if best_dist is None or acc < best_dist:
+                        best_c, best_dist = c_idx, acc
+                members.setdefault((s, best_c), []).append(sub)
+        for s in range(m):
+            new_codes = []
+            for c_idx, cvec in enumerate(codes[s]):
+                mem = members.get((s, c_idx))
+                if not mem:
+                    new_codes.append(cvec)
+                    continue
+                n = float(len(mem))
+                newv = []
+                for di in range(d):
+                    acc = 0.0
+                    for sub in mem:  # corpus_id order (sample sorted)
+                        acc += sub[di]
+                    newv.append(acc / n)
+                new_codes.append(newv)
+            codes[s] = new_codes
+    return corpus.sparkSession.createDataFrame(
+        [
+            (c_idx, s, [float(x) for x in cvec])
+            for s in range(m)
+            for c_idx, cvec in enumerate(codes[s])
+        ],
+        "code_id int, s int, code_vec array<double>",
+    )
 
 
 def ivf_assign_expr(centroid_rows: list, vec_sql: str) -> Column:
@@ -630,8 +690,8 @@ def pq_residual_codebook(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
-    refine_iters: int = 2,
-    sample_n: int = 128,
+    refine_iters: int = 4,
+    sample_n: int = 256,
 ) -> DataFrame:
     """PQ codebook trained on RESIDUALS x − centroid(x) (FAISS's
     IndexIVFPQ default): after coarse quantization the residuals are
@@ -797,8 +857,8 @@ def topk_pq(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
-    refine_iters: int = 2,
-    sample_n: int = 128,
+    refine_iters: int = 4,
+    sample_n: int = 256,
     codebook: DataFrame | None = None,
     codebook_rows: list | None = None,
 ) -> DataFrame:
@@ -887,8 +947,8 @@ def topk_ivfpq(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
-    refine_iters: int = 2,
-    sample_n: int = 128,
+    refine_iters: int = 4,
+    sample_n: int = 256,
     codebook: DataFrame | None = None,
     centroids: DataFrame | None = None,
     codebook_rows: list | None = None,

@@ -230,7 +230,7 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 def _ivf_cents_sql(
-    refine_iters: int = 2,
+    refine_iters: int = 4,
     sample_n: int = 256,
     dim: int = 64,
     init: str = "kcenter",
@@ -438,8 +438,8 @@ def _pq_oracle(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
-    refine_iters: int = 2,
-    sample_n: int = 128,
+    refine_iters: int = 4,
+    sample_n: int = 256,
 ) -> str:
     """Same PQ pipeline in SQL: k-means-refined codebooks
     (_pq_codebook_sql), per-subspace L2 argmin encoding (ties to the
@@ -509,8 +509,8 @@ def _ivfpq_oracle(
     m: int = 8,
     d: int = 8,
     n_codes: int = 16,
-    refine_iters: int = 2,
-    sample_n: int = 128,
+    refine_iters: int = 4,
+    sample_n: int = 256,
 ) -> str:
     """IVF routing (medoid centroids, nprobe cells) composed with PQ
     scoring (refined codebook/encode/reconstruct) — both deterministic,
@@ -654,7 +654,7 @@ def _ivfpq_residual_oracle(
       SELECT corpus_id, list_transform(list_zip(emb, centroid), p -> p[1] - p[2]) AS emb
       FROM cra
     ),
-    {_pq_codebook_sql(m, d, n_codes, 2, 128, src="cr")},
+    {_pq_codebook_sql(m, d, n_codes, 4, 256, src="cr")},
     r_sub AS (
       SELECT corpus_id, s, list_transform(range(1, {d + 1}), i -> emb[s * {d} + i]) AS sub_vec
       FROM cr, subs
