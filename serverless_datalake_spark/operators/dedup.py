@@ -82,11 +82,16 @@ def token_sets_encoded(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     carry two token arrays: with string arrays the saturated-banding
     case measured 13–17 s at sf0.1; encoded, ~3 s.
 
-    Scale note: the vocabulary id assignment here is a rank window
-    (exact, deterministic) — vocabulary-sized, fine to ~10^8 distinct
-    tokens; beyond that assign ids by (hash, disambiguation-rank) or
-    keep a persisted vocab table. Docs whose token set is empty drop
-    out (they cannot score against anything)."""
+    Scale note: the rank-window id assignment and the broadcast of
+    the (token, id) vocabulary are both vocabulary-bounded — fine to
+    ~10^7 distinct tokens (a few hundred MB broadcast); beyond that
+    drop the broadcast hint (shuffle join) and assign ids by
+    (hash, disambiguation-rank) or keep a persisted vocab table.
+    Docs whose token set is empty drop out (they cannot score against
+    anything). The result carries a lazy localCheckpoint: scoring
+    joins consume it on BOTH pair sides, and the checkpoint makes the
+    explode + vocab window + re-collect run once per call, not per
+    consumer."""
     from pyspark.sql import Window
 
     toks = token_sets(docs, id_col, text_col)
@@ -100,6 +105,7 @@ def token_sets_encoded(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
         ex.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("tid")).alias("toks"))
+        .localCheckpoint(eager=False)
     )
 
 

@@ -269,7 +269,10 @@ def kcenter_rows(sample: list[tuple[int, list[float]]], k: int) -> list[dict]:
     norms = [math.sqrt(_fold_dot(v, v)) for v in vecs]
 
     def cos_to(j: int, c: list[float], nc: float) -> float:
-        return _fold_dot(vecs[j], c) / (norms[j] * nc)
+        denom = norms[j] * nc
+        # zero-norm vectors score NaN (the SQL cosine's value) rather
+        # than raising; NaN loses every comparison below
+        return _fold_dot(vecs[j], c) / denom if denom != 0.0 else float("nan")
 
     chosen = [vecs[0]]
     nc0 = norms[0]
@@ -334,15 +337,18 @@ def ivf_centroids_refined(
     ]
     sample_rows.sort(key=lambda r: r[0])
     if init == "kcenter":
+        cent_ids = list(range(n_centroids))
         cent_rows = [r["centroid"] for r in kcenter_rows(sample_rows, n_centroids)]
     elif init == "medoid":
-        cent_rows = [
-            list(r["centroid"])
-            for r in sorted(
-                ivf_centroids(corpus, corpus_id, vec, by, mode="medoid").collect(),
-                key=lambda r: r["centroid_id"],
-            )
-        ]
+        # preserve the centroid_id values ivf_centroids assigns (the
+        # label ids) — the SQL twin keeps them, and they need not be a
+        # contiguous 0..n-1 range
+        medoids = sorted(
+            ivf_centroids(corpus, corpus_id, vec, by, mode="medoid").collect(),
+            key=lambda r: r["centroid_id"],
+        )
+        cent_ids = [int(r["centroid_id"]) for r in medoids]
+        cent_rows = [list(r["centroid"]) for r in medoids]
     else:
         raise ValueError(f"init must be medoid|kcenter, got {init!r}")
     # Lloyd's rounds run DRIVER-SIDE over the collected sample (the
@@ -361,7 +367,11 @@ def ivf_centroids_refined(
             nv = math.sqrt(_fold_dot(v, v))
             best_c, best_s = 0, None
             for c_idx, cvec in enumerate(cent_rows):
-                s = _fold_dot(v, cvec) / (nv * math.sqrt(_fold_dot(cvec, cvec)))
+                denom = nv * math.sqrt(_fold_dot(cvec, cvec))
+                # zero-norm vectors: NaN like the SQL cosine (float
+                # division never throws in either engine); NaN loses
+                # every > comparison, matching the window's ordering
+                s = _fold_dot(v, cvec) / denom if denom != 0.0 else float("nan")
                 if best_s is None or s > best_s:
                     best_c, best_s = c_idx, s
             members.setdefault(best_c, []).append(v)
@@ -381,7 +391,10 @@ def ivf_centroids_refined(
             new_cents.append(newv)
         cent_rows = new_cents
     return corpus.sparkSession.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(cent_rows)],
+        [
+            (cid, [float(x) for x in c])
+            for cid, c in zip(cent_ids, cent_rows)
+        ],
         "centroid_id int, centroid array<double>",
     )
 

@@ -441,6 +441,40 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _contamination_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, split, gram) — distinct 5-grams per doc with the
+    train/test bucket. Exposed module-level (pre-checkpoint) so
+    tests/test_plans.py can pin the tokenize-once property on its
+    optimized plan: the token array is materialized as a COLUMN
+    before the gram lambda — inlining _toks_col() into the five
+    element_at calls re-runs split+filter PER GRAM POSITION (the
+    aliased-fold-inside-lambda O(N²) rule from SCALE.md; measured
+    9.6 s for a 250k-row gram relation vs ~1 s column-referenced)."""
+    toks = F.col("toks")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 4),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i),
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+                F.element_at(toks, i + 4),
+            ),
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.when(_bucket_col() < 90, "train").otherwise("test").alias("split"),
+            _toks_col().alias("toks"),
+        )
+        .where(F.size("toks") >= 5)
+        .select("doc_id", "split", F.explode(grams).alias("gram"))
+    )
+
+
 @query(
     "split_contamination_ngram",
     oracle=f"""
@@ -473,38 +507,10 @@ def split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set (at scale: gram HASHES, bucketed) before the join — the
     fact side never shuffles text. Exact integer counts throughout."""
     d = load_table(spark, sf_dir, "documents")
-    # materialize the token array as a COLUMN before the gram lambda:
-    # inlining _toks_col() into the five element_at calls re-runs the
-    # split+filter PER GRAM POSITION (the aliased-fold-inside-lambda
-    # O(N²) rule from SCALE.md — measured 9.6 s for a 250k-row gram
-    # relation; column-referenced, ~1 s)
-    toks = F.col("toks")
-    grams = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 4),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, i),
-                F.element_at(toks, i + 1),
-                F.element_at(toks, i + 2),
-                F.element_at(toks, i + 3),
-                F.element_at(toks, i + 4),
-            ),
-        )
-    )
-    g = (
-        d.select(
-            "doc_id",
-            F.when(_bucket_col() < 90, "train").otherwise("test").alias("split"),
-            _toks_col().alias("toks"),
-        )
-        .where(F.size("toks") >= 5)
-        .select("doc_id", "split", F.explode(grams).alias("gram"))
-        # the exploded gram relation feeds BOTH the train-side distinct
-        # and the test-side probe — pin one materialization so the
-        # tokenize+shingle explode runs once, not per branch
-        .localCheckpoint(eager=False)
-    )
+    # the exploded gram relation feeds BOTH the train-side distinct
+    # and the test-side probe — pin one materialization so the
+    # tokenize+shingle explode runs once, not per branch
+    g = _contamination_grams(d).localCheckpoint(eager=False)
     train_grams = (
         g.where(F.col("split") == "train").select(F.col("gram").alias("tgram")).distinct()
     )

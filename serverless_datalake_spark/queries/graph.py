@@ -522,7 +522,9 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonedge = cn.join(
         F.broadcast(epk), F.col("pk") == F.col("epk"), "left_anti"
     ).select(
-        F.expr("shiftright(pk, 32)").alias("a"),
+        # LOGICAL shift: ids in [2^31, 2^32) set the sign bit of pk,
+        # and an arithmetic shiftright would unpack them as negatives
+        F.expr("shiftrightunsigned(pk, 32)").alias("a"),
         F.expr("pk & 4294967295").alias("b"),
         "common",
     )

@@ -1453,16 +1453,20 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     (pts,) = _retire_and_cache(("coreset", sf_dir), [pts])
     pts.count()
 
-    first = pts.orderBy("cid").select("cid").limit(1).collect()[0][0]
-    picked: list[tuple[int, int, float]] = [(int(first), 1, 0.0)]
+    first = pts.orderBy("cid").select("cid").limit(1).collect()
+    picked: list[tuple[int, int, float]] = [
+        (int(r["cid"]), 1, 0.0) for r in first[:1]
+    ]
     for r in range(2, _CORESET_K + 1):
+        if not picked:
+            break
         sel_ids = [p[0] for p in picked]
         sel_emb = F.broadcast(
             pts.where(F.col("cid").isin(sel_ids)).select(
                 F.col("cid").alias("scid"), F.col("emb").alias("semb")
             )
         )
-        row = (
+        rows = (
             pts.where(~F.col("cid").isin(sel_ids))
             .crossJoin(sel_emb)
             .select(
@@ -1473,9 +1477,11 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("d").alias("dist_to_set"))
             .orderBy(F.col("dist_to_set").desc(), "cid")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
-        picked.append((int(row["cid"]), r, float(row["dist_to_set"])))
+        if not rows:  # corpus smaller than K: stop like the former
+            break     # empty Window pick did, keeping rounds so far
+        picked.append((int(rows[0]["cid"]), r, float(rows[0]["dist_to_set"])))
     out = spark.createDataFrame(
         picked, schema="vec_id long, pick_round long, dist_to_set double"
     )

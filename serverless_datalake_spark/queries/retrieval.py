@@ -405,19 +405,23 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # chained selected-set re-derives every earlier round on all three
     # consumer sides, a branching^K plan blow-up that measured ~7 s of
     # pure planning/micro-jobs at sf0.1 vs ~2 s materialized
-    row = (
+    first = (
         cand.select(
             "cid",
             F.round(F.lit(_MMR_LAMBDA) * F.col("rel"), 6).alias("mmr_score"),
         )
         .orderBy(F.col("mmr_score").desc(), "cid")
         .limit(1)
-        .collect()[0]
+        .collect()
     )
-    picked: list[tuple[int, int, float]] = [(int(row["cid"]), 1, float(row["mmr_score"]))]
+    picked: list[tuple[int, int, float]] = [
+        (int(r["cid"]), 1, float(r["mmr_score"])) for r in first[:1]
+    ]
     for r in range(2, _MMR_K + 1):
+        if not picked:
+            break
         sel_ids = [p[0] for p in picked]
-        row = (
+        rows = (
             pairs.where(F.col("cb").isin(sel_ids))
             .groupBy(F.col("ca").alias("cid"))
             .agg(F.max("sim").alias("ms"))
@@ -431,9 +435,11 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy(F.col("mmr_score").desc(), "cid")
             .limit(1)
-            .collect()[0]
+            .collect()
         )
-        picked.append((int(row["cid"]), r, float(row["mmr_score"])))
+        if not rows:  # shortlist exhausted: stop like the former
+            break     # empty Window pick did, keeping rounds so far
+        picked.append((int(rows[0]["cid"]), r, float(rows[0]["mmr_score"])))
     return spark.createDataFrame(
         picked, schema="corpus_id long, pick_round long, mmr_score double"
     )

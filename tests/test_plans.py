@@ -532,10 +532,23 @@ def test_ngram_lambdas_tokenize_once(spark, sf_dir):
     must appear ONCE in the optimized plan of each n-gram query — an
     inlined tokenization captured by the per-position lambda would
     re-run split+filter per element (3-10x measured)."""
-    for name in ("split_contamination_ngram", "text_top_bigrams", "text_repetition"):
+    for name in ("text_top_bigrams", "text_repetition"):
         df = REGISTRY[name].fn(spark, sf_dir)
         opt = df._jdf.queryExecution().optimizedPlan().toString()
         assert opt.count("split(") <= 1, (name, opt.count("split("))
+    # split_contamination_ngram checkpoints its gram relation, which
+    # hides the tokenize subtree from the registry query's plan — pin
+    # the property on the PRE-checkpoint builder instead
+    from serverless_datalake_spark.queries.datapipe import _contamination_grams
+    from serverless_datalake_spark.tables import load_table
+
+    g = _contamination_grams(load_table(spark, sf_dir, "documents"))
+    opt = g._jdf.queryExecution().optimizedPlan().toString()
+    # ≤2: one in the projection, one the optimizer pushes into the
+    # row filter (both per-ROW). The regression this pins is per-GRAM
+    # re-tokenization — 6+ occurrences (five element_at + size inside
+    # the generator lambda)
+    assert 1 <= opt.count("split(") <= 2, opt.count("split(")
 
 
 def test_triangle_count_no_wedge_shuffle(spark, sf_dir):
