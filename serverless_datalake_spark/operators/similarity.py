@@ -369,10 +369,16 @@ def ivf_centroids_refined(
             for c_idx, cvec in enumerate(cent_rows):
                 denom = nv * math.sqrt(_fold_dot(cvec, cvec))
                 # zero-norm vectors: NaN like the SQL cosine (float
-                # division never throws in either engine); NaN loses
-                # every > comparison, matching the window's ordering
+                # division never throws in either engine). Both Spark
+                # and DuckDB sort NaN GREATEST, so under ORDER BY cos
+                # DESC a NaN score WINS; mirror that (first NaN keeps
+                # the smaller centroid id, the window's tie-break).
                 s = _fold_dot(v, cvec) / denom if denom != 0.0 else float("nan")
-                if best_s is None or s > best_s:
+                if best_s is None:
+                    best_c, best_s = c_idx, s
+                elif math.isnan(best_s):
+                    pass  # NaN incumbent sorts first; smaller id wins
+                elif math.isnan(s) or s > best_s:
                     best_c, best_s = c_idx, s
             members.setdefault(best_c, []).append(v)
         new_cents = []

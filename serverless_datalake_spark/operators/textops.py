@@ -114,8 +114,17 @@ def shingles(text: Column, k: int = 3) -> Column:
     return shingles_of_tokens(tokens(text), k)
 
 
+def shingle_fingerprint_of_tokens(toks: Column, k: int = 3) -> Column:
+    """Rolling-hash document fingerprint over an ALREADY-MATERIALIZED
+    token-array column: the minimum md5 over k-word shingles
+    (1-permutation MinHash) — robust to local edits, still
+    oracle-expressible. Materialize the tokens a projection below
+    (the shingles_of_tokens aliased-fold rule)."""
+    return F.array_min(F.transform(shingles_of_tokens(toks, k), F.md5))
+
+
 def shingle_fingerprint(text: Column, k: int = 3) -> Column:
-    """Rolling-hash document fingerprint: the minimum md5 over k-word
-    shingles (1-permutation MinHash) — robust to local edits, still
-    oracle-expressible."""
+    """shingle_fingerprint_of_tokens with inline tokenization — fine
+    for one-shot use; hot paths should materialize the token array
+    (the per-position shingle lambda re-tokenizes otherwise)."""
     return F.array_min(F.transform(shingles(text, k), F.md5))

@@ -362,10 +362,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     strategy).
 
     Scale shape: edge build = one self-join on orderkey; degree is a
-    node-sized aggregate BROADCAST into the orientation; the wedge
-    self-join and the closing join are equi-joins on node keys (at
-    cluster scale: bucket the oriented edges by u — wedge join becomes
-    co-located, the closing join shuffles the wedge relation once)."""
+    node-sized aggregate BROADCAST into the orientation; counting is
+    PER-EDGE adjacency intersection (N+(u) ∩ N+(v) via
+    array_intersect) — the Σd_out² wedge exploration happens inside
+    the intersection per edge, so wedge ROWS never shuffle; only |E|
+    edges and node-sized out-adjacency arrays move (at cluster scale:
+    bucket the oriented edges AND the adjacency relation by u/v so
+    both probe joins co-locate)."""
     li = load_table(spark, sf_dir, "lineitem")
     pl = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")

@@ -604,16 +604,12 @@ def text_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     (For containment-heavy workloads, banding the SHORTER side with
     more permissive parameters raises recall; the fixture's word-soup
     text keeps the standard banding adequate.)"""
-    from serverless_datalake_spark.queries.graph import _retire_and_cache
-
     d = load_table(spark, sf_dir, "documents")
     sigs = dedup.minhash_signatures(d, "doc_id", "text", k=1)
     pairs = dedup.lsh_candidate_pairs(sigs, bands=8)
+    # token_sets_encoded carries its own lazy localCheckpoint, so both
+    # score directions share one materialization of the encode
     toks = dedup.token_sets_encoded(d, "doc_id", "text")
-    # both score directions consume the encoded relation — pin one
-    # materialization so the vocab window + re-collect runs once
-    (toks,) = _retire_and_cache(("containment_toks", sf_dir), [toks])
-    toks.count()
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")

@@ -1481,7 +1481,12 @@ def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not rows:  # corpus smaller than K: stop like the former
             break     # empty Window pick did, keeping rounds so far
-        picked.append((int(rows[0]["cid"]), r, float(rows[0]["dist_to_set"])))
+        dist = rows[0]["dist_to_set"]
+        # a NULL aggregate (all-NULL cosines, e.g. zero-norm vectors)
+        # propagates as a NULL row, as the former Window pick did
+        picked.append(
+            (int(rows[0]["cid"]), r, None if dist is None else float(dist))
+        )
     out = spark.createDataFrame(
         picked, schema="vec_id long, pick_round long, dist_to_set double"
     )

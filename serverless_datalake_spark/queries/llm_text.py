@@ -128,10 +128,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: whole-text md5 + min-shingle-hash
     (1-permutation MinHash) rolling fingerprint."""
     d = load_table(spark, sf_dir, "documents")
+    # tokens materialized a projection below the shingle lambda
+    # (SCALE.md aliased-fold rule)
     return d.select(
         "doc_id",
         textops.fingerprint_md5(F.col("text")).alias("fp"),
-        textops.shingle_fingerprint(F.col("text"), k=3).alias("shingle_fp"),
+        textops.tokens(F.col("text")).alias("__toks"),
+    ).select(
+        "doc_id",
+        "fp",
+        textops.shingle_fingerprint_of_tokens(F.col("__toks"), k=3).alias("shingle_fp"),
     )
 
 
@@ -397,10 +403,11 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "text_unigram_logprob",
-    oracle="""
-    WITH tok AS (
+# CTE chain: corpus unigram LM (Laplace add-one) -> per-doc
+# (doc_id, n_tokens, mean_nll) in a CTE named `unigram_scored`.
+# Shared by text_unigram_logprob and text_ppl_buckets so the scorer
+# definition cannot drift between the two oracles.
+_UNIGRAM_SCORED_SQL = """tok AS (
       SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
       FROM documents
     ), cnt AS (
@@ -417,15 +424,21 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), contrib AS (
       SELECT dt.doc_id, dt.t, dt.k, CAST(dt.k AS DOUBLE) * lm.lp AS klp
       FROM dt JOIN lm USING (t)
-    ), agg AS (
+    ), unigram_scored AS (
       SELECT doc_id,
              CAST(SUM(k) AS BIGINT) AS n_tokens,
              ROUND(-list_aggregate(list(klp ORDER BY t), 'sum')
                    / CAST(SUM(k) AS DOUBLE), 6) AS mean_nll
       FROM contrib GROUP BY doc_id
-    )
+    )"""
+
+
+@query(
+    "text_unigram_logprob",
+    oracle=f"""
+    WITH {_UNIGRAM_SCORED_SQL}
     SELECT doc_id, n_tokens, mean_nll, ROUND(exp(mean_nll), 4) AS ppl_proxy
-    FROM agg
+    FROM unigram_scored
     """,
     tags=("llm", "text", "quality"),
 )
@@ -496,36 +509,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "text_ppl_buckets",
-    oracle="""
-    WITH tok AS (
-      SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
-      FROM documents
-    ), cnt AS (
-      SELECT t, COUNT(*) AS c FROM tok GROUP BY 1
-    ), tot AS (
-      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v FROM cnt
-    ), lm AS (
-      SELECT t,
-             ROUND(ln((CAST(c AS DOUBLE) + 1.0)
-                      / (CAST(n AS DOUBLE) + CAST(v AS DOUBLE))), 8) AS lp
-      FROM cnt CROSS JOIN tot
-    ), dt AS (
-      SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS k FROM tok GROUP BY 1, 2
-    ), contrib AS (
-      SELECT dt.doc_id, dt.t, dt.k, CAST(dt.k AS DOUBLE) * lm.lp AS klp
-      FROM dt JOIN lm USING (t)
-    ), scored AS (
-      SELECT doc_id,
-             CAST(SUM(k) AS BIGINT) AS n_tokens,
-             ROUND(-list_aggregate(list(klp ORDER BY t), 'sum')
-                   / CAST(SUM(k) AS DOUBLE), 6) AS mean_nll
-      FROM contrib GROUP BY doc_id
-    ), bucketed AS (
+    oracle=f"""
+    WITH {_UNIGRAM_SCORED_SQL}, bucketed AS (
       SELECT d.lang, s.n_tokens,
              CAST(ROUND(s.mean_nll * 1000000.0, 0) AS BIGINT) AS nll_e6,
              NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.mean_nll, s.doc_id)
                AS tile
-      FROM scored s JOIN documents d USING (doc_id)
+      FROM unigram_scored s JOIN documents d USING (doc_id)
     )
     SELECT lang,
            CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END

@@ -415,7 +415,12 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     picked: list[tuple[int, int, float]] = [
-        (int(r["cid"]), 1, float(r["mmr_score"])) for r in first[:1]
+        (
+            int(r["cid"]),
+            1,
+            None if r["mmr_score"] is None else float(r["mmr_score"]),
+        )
+        for r in first[:1]
     ]
     for r in range(2, _MMR_K + 1):
         if not picked:
@@ -439,7 +444,10 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if not rows:  # shortlist exhausted: stop like the former
             break     # empty Window pick did, keeping rounds so far
-        picked.append((int(rows[0]["cid"]), r, float(rows[0]["mmr_score"])))
+        ms = rows[0]["mmr_score"]
+        # a NULL score (all-NULL cosines) propagates as a NULL row,
+        # as the former Window pick did
+        picked.append((int(rows[0]["cid"]), r, None if ms is None else float(ms)))
     return spark.createDataFrame(
         picked, schema="corpus_id long, pick_round long, mmr_score double"
     )
