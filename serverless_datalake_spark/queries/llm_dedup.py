@@ -1227,3 +1227,184 @@ def dedup_minhash_pr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rec, 6).alias("recall"),
         F.round(f1, 6).alias("f1"),
     )
+
+
+@query(
+    "dedup_span_removal",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K - 2})) AS p, toks
+      FROM t WHERE len(toks) >= {_SPAN_K}
+    ), sh AS (
+      SELECT doc_id, p,
+             md5(array_to_string(list_slice(toks, p, p + {_SPAN_K - 1}), ' ')) AS fp
+      FROM pos
+    ), dup AS (
+      SELECT fp FROM sh GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+    ), cov AS (
+      SELECT sh.doc_id,
+             list_distinct(flatten(list(range(sh.p, sh.p + {_SPAN_K})))) AS covered
+      FROM sh JOIN dup USING (fp)
+      GROUP BY 1
+    ), rewritten AS (
+      SELECT t.doc_id,
+             CAST(len(t.toks) AS BIGINT) AS n_tokens,
+             list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                           q -> NOT list_contains(COALESCE(c.covered, CAST([] AS BIGINT[])), q)),
+               q -> t.toks[q]) AS kept
+      FROM t LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           -- DuckDB array_to_string([]) is NULL (Spark array_join is
+           -- ''): a fully-removed doc must fingerprint as md5('')
+           md5(COALESCE(array_to_string(kept, ' '), '')) AS kept_fp
+    FROM rewritten
+    """,
+    tags=("llm", "dedup", "substring", "spans"),
+)
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr span REMOVAL — the dedup ACTION to
+    dedup_ngram_spans' audit: rewrite every document with the tokens
+    covered by any cross-document duplicated 8-token window deleted
+    (Lee et al. cut the shared spans rather than dropping documents,
+    preserving the unique remainder). kept_fp fingerprints the
+    rewritten token stream so the oracle value-verifies the full
+    rewrite, not just the counts; docs shorter than the window (and
+    docs with no shared span) pass through with n_removed = 0 and
+    kept_fp = fingerprint(original).
+
+    Scale shape: the shingle relation, duplicate-fp aggregate and flag
+    join are shared with dedup_ngram_spans (fp-keyed, no pairwise
+    work); covered positions aggregate per doc (one doc_id shuffle,
+    output bounded by token count), and the rewrite is a doc-local HOF
+    over (toks, covered). The membership filter is O(n * |covered|)
+    per doc — fine at fixture lengths; for 100k-token documents sort
+    the starts and merge intervals (linear, same doc-local stage). The
+    DISTRIBUTED shape — inverted gram index + doc-local rewrite — is
+    what replaces the single-node suffix array at 100 TB."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"))
+    t = base.where(F.size("toks") >= _SPAN_K)
+    sh = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (_SPAN_K - 1))).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        "p",
+        F.md5(F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K))).alias("fp"),
+    )
+    dup = (
+        sh.groupBy("fp")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("fp")
+    )
+    cov = (
+        sh.join(dup, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.array_distinct(
+                F.flatten(
+                    F.collect_list(
+                        F.sequence(F.col("p"), F.col("p") + (_SPAN_K - 1))
+                    )
+                )
+            ).alias("covered")
+        )
+    )
+    j = base.join(cov, "doc_id", "left")
+    covered = F.coalesce(F.col("covered"), F.array().cast("array<int>"))
+    kept_pos = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda q: ~F.array_contains(covered, q),
+    )
+    kept = F.transform(kept_pos, lambda q: F.element_at(F.col("toks"), q))
+    return j.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.array_join(kept, " ")).alias("kept_fp"),
+    )
+
+
+@query(
+    "dedup_boilerplate_grams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, array_to_string(list_slice(toks, p, p + {_SPAN_K - 1}), ' ') AS gram
+      FROM (
+        SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_K - 2})) AS p, toks
+        FROM t WHERE len(toks) >= {_SPAN_K}
+      )
+    ), df AS (
+      SELECT gram,
+             CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ,
+             MIN(doc_id) AS first_doc
+      FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, n_occ DESC, gram) AS rank
+      FROM df
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, gram, n_docs, n_occ, first_doc
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("llm", "dedup", "substring", "spans"),
+)
+def dedup_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate hotlist: the 20 8-token windows shared by the most
+    documents — the report a curation team reads before writing
+    removal rules (license headers, navigation chrome, and quoted
+    passages surface here first). Complements text_heavy_hitters
+    (single-token, per-source) and text_top_bigrams (2-gram, corpus
+    frequency) with CROSS-DOCUMENT document-frequency at span width —
+    the signal that separates boilerplate from merely-common phrases.
+
+    Scale shape: one map-only gram expansion + ONE hash aggregate
+    carrying (n_docs, n_occ, first_doc) in the same pass, then a
+    20-row rank window over the >= 2-doc survivors. The gram STRING
+    rides the shuffle here because it is the report payload; the
+    audit/removal twins shuffle only the 32-char md5."""
+    from pyspark.sql import Window
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= _SPAN_K)
+    g = t.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("toks") - (_SPAN_K - 1))).alias("p"),
+        "toks",
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K)).alias("gram"),
+    )
+    df = (
+        g.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    w = Window.orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "gram")
+    return (
+        df.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .select("rank", "gram", "n_docs", "n_occ", "first_doc")
+    )

@@ -571,3 +571,26 @@ def test_jaccard_links_packed_key_and_broadcast_exclusion(spark, sf_dir):
     assert "shiftleft" in plan
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan.split("BroadcastHashJoin")[0]
+
+
+def test_span_removal_no_pairwise_work(spark, sf_dir):
+    """dedup_span_removal: the ExactSubstr surrogate must stay on the
+    inverted-index plan — fp-keyed aggregate + flag join + doc-local
+    rewrite. No sort-merge or nested-loop join anywhere (pairwise
+    document comparison would be the scale-killer the gram index
+    exists to avoid)."""
+    plan = plan_of(spark, sf_dir, "dedup_span_removal")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_boilerplate_grams_single_agg_pass(spark, sf_dir):
+    """dedup_boilerplate_grams: one gram expansion feeding one
+    distinct-doc aggregate (two-phase: (gram, doc_id) partial then
+    gram final) plus the 20-row rank window — no join at all, and no
+    extra shuffle beyond the distinct-aggregate pair + the single-row
+    window collect."""
+    plan = plan_of(spark, sf_dir, "dedup_boilerplate_grams")
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 4, plan.count("Exchange")
