@@ -1970,3 +1970,241 @@ def pipeline_dedup_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sa, 6).alias("share_after"),
         F.round(sa - sb, 6).alias("share_delta"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Importance resampling (DSIR) and leakage-free splitting
+
+
+@query(
+    "sample_dsir_importance",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             ((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * CAST(268435456 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * CAST(16777216 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * CAST(1048576 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1) * CAST(65536 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(t), 5, 1)) - 1) * CAST(4096 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(t), 6, 1)) - 1) * CAST(256 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(t), 7, 1)) - 1) * CAST(16 AS BIGINT)
+            + (strpos('0123456789abcdef', substr(md5(t), 8, 1)) - 1)) % 256 AS b
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+        FROM documents
+      )
+    ), qc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cq FROM tok GROUP BY 1
+    ), pc AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS cp FROM tok WHERE lang = 'en' GROUP BY 1
+    ), tots AS (
+      SELECT (SELECT CAST(SUM(cq) AS BIGINT) FROM qc) AS nq,
+             (SELECT CAST(COALESCE(SUM(cp), 0) AS BIGINT) FROM pc) AS np
+    ), llr AS (
+      SELECT q.b,
+             ROUND(ln((CAST(COALESCE(p.cp, 0) AS DOUBLE) + 1.0)
+                      / (CAST(t.np AS DOUBLE) + 256.0)), 8)
+             - ROUND(ln((CAST(q.cq AS DOUBLE) + 1.0)
+                        / (CAST(t.nq AS DOUBLE) + 256.0)), 8) AS w
+      FROM qc q LEFT JOIN pc p USING (b) CROSS JOIN tots t
+    ), db AS (
+      SELECT doc_id, lang, b, CAST(COUNT(*) AS BIGINT) AS k
+      FROM tok GROUP BY 1, 2, 3
+    ), contrib AS (
+      SELECT db.doc_id, db.lang, db.b, db.k, CAST(db.k AS DOUBLE) * llr.w AS kw
+      FROM db JOIN llr USING (b)
+    ), scored AS (
+      SELECT doc_id, lang,
+             CAST(SUM(k) AS BIGINT) AS n_tokens,
+             ROUND(list_aggregate(list(kw ORDER BY b), 'sum'), 6) AS logw
+      FROM contrib GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_tokens, logw,
+           CAST(CASE WHEN NTILE(5) OVER (ORDER BY logw DESC, doc_id) = 1
+                THEN 1 ELSE 0 END AS BIGINT) AS selected
+    FROM scored
+    """,
+    tags=("llm", "datapipe", "sampling", "dsir"),
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): score every raw document by how target-like its hashed
+    n-gram distribution is — log importance weight
+    sum_b k_b * (ln p_target(b) - ln q_raw(b)) over B=256 hashed
+    unigram buckets (Laplace-smoothed), here with the English subset
+    standing in for the target domain. The top importance quintile is
+    flagged `selected` — the resampling pool a DSIR pipeline would
+    draw from. Hashing into a fixed bucket count is what makes the
+    method corpus-size-independent: the "LM" is 256 floats per side
+    regardless of vocabulary.
+
+    Cross-engine float discipline (the text_unigram_logprob
+    precedent): per-bucket log-ratios rounded at 8 decimals, per-doc
+    contributions summed as an ORDERED fold over the bucket-sorted
+    list, final weight rounded at 6.
+
+    Scale shape: two bucket-grain aggregates (256-row outputs,
+    broadcast back), one (doc, bucket) count shuffle, a per-doc fold
+    bounded by 256 — no corpus-sized state anywhere; the NTILE is one
+    rank pass over doc-grain rows (at 100 TB make the selection
+    threshold a quantile from agg_quantile_sketch instead of a global
+    window)."""
+    from serverless_datalake_spark.operators.dedup import md5_key32
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    ).select("doc_id", "lang", (md5_key32(F.col("t")) % 256).alias("b"))
+    qc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
+    pc = tok.where(F.col("lang") == "en").groupBy("b").agg(
+        F.count(F.lit(1)).alias("cp")
+    )
+    tots = qc.agg(F.sum("cq").alias("nq")).crossJoin(
+        pc.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np"))
+    )
+    llr = (
+        qc.join(pc, "b", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce(F.col("cp"), F.lit(0)).cast("double") + F.lit(1.0))
+                        / (F.col("np").cast("double") + F.lit(256.0))
+                    ),
+                    8,
+                )
+                - F.round(
+                    F.log(
+                        (F.col("cq").cast("double") + F.lit(1.0))
+                        / (F.col("nq").cast("double") + F.lit(256.0))
+                    ),
+                    8,
+                )
+            ).alias("w"),
+        )
+    )
+    db = tok.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("k"))
+    contrib = db.join(llr, "b").select(
+        "doc_id", "lang", "b", F.col("k").cast("long").alias("k"),
+        (F.col("k").cast("double") * F.col("w")).alias("kw"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("b"), F.col("kw"))))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["kw"]), F.lit(0.0), lambda a, x: a + x
+    )
+    scored = contrib.groupBy("doc_id", "lang").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.round(folded, 6).alias("logw"),
+    )
+    w = Window.orderBy(F.col("logw").desc(), "doc_id")
+    return scored.select(
+        "doc_id", "lang", "n_tokens", "logw",
+        F.when(F.ntile(5).over(w) == 1, 1).otherwise(0).cast("long").alias("selected"),
+    )
+
+
+def _leakage_free_split_oracle() -> str:
+    """Connected components of the LSH bucket graph (the
+    dedup_minhash_components recursion, verbatim) + a deterministic
+    md5-of-representative split so every near-dup cluster lands on ONE
+    side."""
+    from serverless_datalake_spark.queries.llm_dedup import _hex8_int, _minhash_ctes
+
+    rep_m = _hex8_int("substr(md5(CAST(rep AS VARCHAR)), 1, 8)")
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM membership a
+      JOIN membership b ON a.band_id = b.band_id AND a.band_val = b.band_val
+      WHERE a.doc_id <> b.doc_id
+    ),
+    reach(id, r) AS (
+      SELECT doc_id, doc_id FROM sigs
+      UNION
+      SELECT reach.id, e.v FROM reach JOIN edges e ON e.u = reach.r
+    ),
+    comp AS (
+      SELECT id AS doc_id, MIN(r) AS rep FROM reach GROUP BY id
+    ),
+    assign AS (
+      SELECT doc_id, rep,
+             CASE WHEN m <= 7 THEN 'train'
+                  WHEN m = 8 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id, rep, {rep_m} % 10 AS m FROM comp)
+    ),
+    cl AS (
+      SELECT split, rep, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM assign GROUP BY 1, 2
+    )
+    SELECT split,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(MAX(sz) AS BIGINT) AS max_cluster_size,
+           ROUND(CAST(SUM(sz) AS DOUBLE)
+                 / CAST(SUM(SUM(sz)) OVER () AS DOUBLE), 6) AS doc_share
+    FROM cl GROUP BY split
+    """
+
+
+@query(
+    "split_leakage_free",
+    oracle=_leakage_free_split_oracle(),
+    tags=("llm", "datapipe", "split", "dedup"),
+)
+def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test split: assign each NEAR-DUP CLUSTER
+    (MinHash-LSH connected components, the dedup_minhash_components
+    recursion) to one side by hashing its representative — so a
+    document and its near-duplicates can never straddle the train/test
+    boundary (the contamination mode plain hash-of-doc_id splits like
+    split_train_test cannot prevent: two 95%-identical docs hash
+    independently). 80/10/10 via md5(rep) % 10. Emits per-split doc
+    and cluster counts plus the largest cluster — the skew a split
+    audit watches (one giant near-dup cluster can unbalance the
+    split).
+
+    Leakage-freedom is structural, not statistical: split is a
+    function of the cluster representative, so every member of a
+    cluster inherits the same side by construction.
+
+    Scale shape: components cost = dedup_minhash_components (pointer-
+    jumping label propagation, localCheckpoint-truncated lineage); the
+    split assignment and rollup add one cluster-grain aggregate and a
+    3-row window — noise next to the signature pass. The same
+    rep-hash rule runs incrementally: new documents joining an
+    existing cluster inherit its side without re-splitting history."""
+    from serverless_datalake_spark.operators import dedup
+    from serverless_datalake_spark.operators.dedup import md5_key32
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = dedup.minhash_dedup_components(d, "doc_id", "text", bands=8, k=1)
+    m = md5_key32(F.col("cluster_rep").cast("string")) % 10
+    assign = comp.select(
+        "doc_id",
+        F.col("cluster_rep").alias("rep"),
+        F.when(m <= 7, "train").when(m == 8, "val").otherwise("test").alias("split"),
+    )
+    cl = assign.groupBy("split", "rep").agg(F.count(F.lit(1)).alias("sz"))
+    out = cl.groupBy("split").agg(
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.max("sz").cast("long").alias("max_cluster_size"),
+    )
+    return out.select(
+        "split",
+        "n_docs",
+        "n_clusters",
+        "max_cluster_size",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("doc_share"),
+    )
