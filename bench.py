@@ -96,6 +96,10 @@ HEADLINE = [
     "dedup_minhash_pr_eval",
     "join_dpp_runtime_prune",
     "model_decision_stump_fit",
+    # final-session additions: ExactSubstr span removal (the dedup
+    # ACTION over the inverted gram index), DSIR importance weighting
+    "dedup_span_removal",
+    "sample_dsir_importance",
 ]
 
 
