@@ -1552,3 +1552,173 @@ def eval_mcnemar_paired(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.cast("long").alias("c_only_b_right"),
         F.round(chi2, 6).alias("chi2_cc"),
     )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier — trained IN-PLANE with
+# aggregate-grain parameters (contrast: model_logreg_quality_fit
+# collects a bounded sample for its sequential GD loop; NB's
+# sufficient statistics ARE group-by counts, so training is fully
+# distributed at any corpus size)
+
+
+@query(
+    "model_naive_bayes_langid",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS t
+      FROM documents
+    ), lt AS (
+      SELECT true_lang AS lang, t, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    ), nl AS (
+      SELECT lang, CAST(SUM(c) AS BIGINT) AS n_l FROM lt GROUP BY 1
+    ), vocab AS (
+      SELECT DISTINCT t FROM tok
+    ), vv AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab
+    ), lm AS (
+      SELECT vocab.t, nl.lang,
+             ROUND(ln((CAST(COALESCE(lt.c, 0) AS DOUBLE) + 1.0)
+                      / (CAST(nl.n_l AS DOUBLE) + CAST(vv.v AS DOUBLE))), 8) AS ll
+      FROM vocab CROSS JOIN nl CROSS JOIN vv
+      LEFT JOIN lt ON lt.t = vocab.t AND lt.lang = nl.lang
+    ), pri AS (
+      SELECT lang,
+             ROUND(ln(CAST(nd AS DOUBLE)
+                      / CAST(SUM(nd) OVER () AS DOUBLE)), 8) AS lp
+      FROM (SELECT lang, CAST(COUNT(*) AS BIGINT) AS nd
+            FROM documents GROUP BY 1)
+    ), dt AS (
+      SELECT doc_id, true_lang, t, CAST(COUNT(*) AS BIGINT) AS k
+      FROM tok GROUP BY 1, 2, 3
+    ), contrib AS (
+      SELECT dt.doc_id, dt.true_lang, lm.lang AS cand_lang, dt.t,
+             CAST(dt.k AS DOUBLE) * lm.ll AS kll
+      FROM dt JOIN lm ON lm.t = dt.t
+    ), sc AS (
+      SELECT c.doc_id, c.true_lang, c.cand_lang,
+             ROUND(p.lp + list_aggregate(list(c.kll ORDER BY c.t), 'sum'), 6)
+               AS score
+      FROM contrib c JOIN pri p ON p.lang = c.cand_lang
+      GROUP BY c.doc_id, c.true_lang, c.cand_lang, p.lp
+    ), pred AS (
+      SELECT doc_id, true_lang, cand_lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, cand_lang) AS rn
+      FROM sc
+    ), cells AS (
+      SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM pred WHERE rn = 1 GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n_docs,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY true_lang) AS DOUBLE), 4)
+             AS frac
+    FROM cells
+    """,
+    tags=("model", "langid", "naive-bayes", "training"),
+)
+def model_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial naive Bayes language classifier, trained and served
+    in-plane: per-language token counts with Laplace add-one smoothing
+    are the ENTIRE model (NB's sufficient statistics are group-by
+    aggregates — training distributes at any corpus size, unlike the
+    collected-sample GD of model_logreg_quality_fit), and every
+    document is classified by argmax of ln(prior) + sum k_t * ln
+    P(t|lang). Output is the training-set confusion matrix (labeled x
+    predicted language, row-normalized) — the view that tells a
+    curation team whether the corpus' language labels are even
+    self-consistent enough to train a router on.
+
+    Cross-engine float discipline: log-likelihoods and log-priors
+    rounded at 8 decimals, per-(doc, lang) contributions summed as an
+    ORDERED fold over the token-sorted list, scores rounded at 6
+    before the argmax window (DESC score, ASC lang tie-break).
+
+    Scale shape: training = two token-keyed aggregates (lang x token
+    counts, vocabulary-sized output) plus a vocabulary x |langs| LEFT
+    join to materialize the smoothing floor (the crossJoin fans a
+    CONSTANT 5-row language dimension over the vocab — broadcast);
+    serving joins doc-token counts against the token-keyed model
+    (vocabulary-grain, AQE-broadcastable per shard) and folds per
+    (doc, lang) bounded by distinct tokens x |langs|. Nothing
+    corpus-sized crosses the driver."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.col("doc_id"),
+        F.col("lang").alias("true_lang"),
+        F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
+    )
+    lt = tok.groupBy(F.col("true_lang").alias("lang"), "t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nl = lt.groupBy("lang").agg(F.sum("c").alias("n_l"))
+    vocab = lt.select("t").distinct()
+    vv = vocab.agg(F.count(F.lit(1)).alias("v"))
+    lm = (
+        vocab.crossJoin(F.broadcast(nl))
+        .crossJoin(F.broadcast(vv))
+        .join(lt, ["t", "lang"], "left")
+        .select(
+            "t",
+            "lang",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(1.0))
+                    / (F.col("n_l").cast("double") + F.col("v").cast("double"))
+                ),
+                8,
+            ).alias("ll"),
+        )
+    )
+    nd = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nd"))
+    pri = nd.select(
+        "lang",
+        F.round(
+            F.log(
+                F.col("nd").cast("double")
+                / F.sum("nd").over(Window.partitionBy()).cast("double")
+            ),
+            8,
+        ).alias("lp"),
+    )
+    dt = tok.groupBy("doc_id", "true_lang", "t").agg(F.count(F.lit(1)).alias("k"))
+    contrib = dt.join(lm.withColumnRenamed("lang", "cand_lang"), "t").select(
+        "doc_id",
+        "true_lang",
+        "cand_lang",
+        "t",
+        (F.col("k").cast("double") * F.col("ll")).alias("kll"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("t"), F.col("kll"))))
+    folded = F.aggregate(
+        F.transform(arr, lambda x: x["kll"]), F.lit(0.0), lambda a, x: a + x
+    )
+    sc = (
+        contrib.join(
+            F.broadcast(pri.withColumnRenamed("lang", "cand_lang")), "cand_lang"
+        )
+        .groupBy("doc_id", "true_lang", "cand_lang", "lp")
+        .agg(F.round(F.col("lp") + folded, 6).alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand_lang")
+    pred = (
+        sc.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("true_lang", F.col("cand_lang").alias("pred_lang"))
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    wl = Window.partitionBy("true_lang")
+    return cells.select(
+        "true_lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.sum("n_docs").over(wl).cast("double"),
+            4,
+        ).alias("frac"),
+    )
