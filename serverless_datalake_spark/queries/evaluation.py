@@ -1722,3 +1722,197 @@ def model_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("frac"),
     )
+
+
+
+# --------------------------------------------------------------------------
+# BLEU (clipped 1-4-gram precisions + brevity penalty)
+
+
+@query(
+    "eval_bleu_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS nt
+      FROM documents WHERE doc_id % 7 = 0
+    ), pairs AS (
+      SELECT doc_id,
+             toks[1 : nt - CAST(FLOOR(3 * nt / 10.0) AS BIGINT)] AS ctoks,
+             toks[CAST(FLOOR(nt / 5.0) AS BIGINT) + 1 : nt] AS rtoks
+      FROM base
+    ), sized AS (
+      SELECT doc_id, ctoks, rtoks,
+             CAST(len(ctoks) AS BIGINT) AS c, CAST(len(rtoks) AS BIGINT) AS r
+      FROM pairs
+    ), ns AS (
+      SELECT unnest([1, 2, 3, 4]) AS n
+    ), cg AS (
+      SELECT doc_id, n, array_to_string(ctoks[i : i + n - 1], ' ') AS g,
+             CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM sized CROSS JOIN ns,
+           unnest(range(1, len(ctoks) - n + 2)) AS u(i)
+      WHERE len(ctoks) >= n
+      GROUP BY 1, 2, 3
+    ), rg AS (
+      SELECT doc_id, n, array_to_string(rtoks[i : i + n - 1], ' ') AS g,
+             CAST(COUNT(*) AS BIGINT) AS rcnt
+      FROM sized CROSS JOIN ns,
+           unnest(range(1, len(rtoks) - n + 2)) AS u(i)
+      WHERE len(rtoks) >= n
+      GROUP BY 1, 2, 3
+    ), mt AS (
+      SELECT cg.doc_id, cg.n, CAST(SUM(LEAST(cg.ccnt, rg.rcnt)) AS BIGINT) AS m
+      FROM cg JOIN rg ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.g = cg.g
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT s.doc_id, s.c, s.r,
+             COALESCE(MAX(CASE WHEN mt.n = 1 THEN mt.m END), 0) AS m1,
+             COALESCE(MAX(CASE WHEN mt.n = 2 THEN mt.m END), 0) AS m2,
+             COALESCE(MAX(CASE WHEN mt.n = 3 THEN mt.m END), 0) AS m3,
+             COALESCE(MAX(CASE WHEN mt.n = 4 THEN mt.m END), 0) AS m4,
+             GREATEST(s.c, 0) AS t1, GREATEST(s.c - 1, 0) AS t2,
+             GREATEST(s.c - 2, 0) AS t3, GREATEST(s.c - 3, 0) AS t4
+      FROM sized s LEFT JOIN mt ON mt.doc_id = s.doc_id
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, c AS n_cand_tokens, r AS n_ref_tokens,
+           CASE WHEN t1 = 0 THEN 0.0
+                ELSE ROUND(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) END AS prec1,
+           CASE WHEN t4 = 0 THEN 0.0
+                ELSE ROUND(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE), 6) END AS prec4,
+           CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0
+                  OR t1 = 0 OR t2 = 0 OR t3 = 0 OR t4 = 0 THEN 0.0
+                ELSE ROUND(exp(
+                  (CASE WHEN c >= r THEN 0.0
+                        ELSE ROUND(1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE), 8) END)
+                  + (ROUND(ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE)), 8)
+                   + ROUND(ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 8)
+                   + ROUND(ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE)), 8)
+                   + ROUND(ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE)), 8)) / 4.0), 6)
+                END AS bleu
+    FROM per
+    """,
+    tags=("evaluation", "text", "bleu"),
+)
+def eval_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-level BLEU (unsmoothed, clipped 1-4-gram precisions,
+    brevity penalty) — the precision-oriented generation eval
+    alongside eval_rouge1_pairs' recall-oriented unigram overlap.
+    Candidate/reference pairs are two overlapping windows of each
+    sampled document (the first 70% vs the last 80% of its tokens):
+    the ~60% shared middle gives every pair KNOWN nonzero n-gram
+    precisions and the shorter candidate exercises the brevity
+    penalty — a metric-calibration harness whose expected values are
+    visible in the output (successor-doc pairing on this word-soup
+    fixture scores an all-zero column, which verifies trivially; the
+    clipping, geometric mean, and BP arithmetic is what this query
+    pins cross-engine).
+
+    Cross-engine float discipline: match counts and totals are exact
+    integers; per-order log-precisions rounded at 8, summed in the
+    spelled-out order, brevity-penalty exponent rounded at 8, final
+    exp rounded at 6 (the text_unigram_logprob exp precedent).
+
+    Scale shape: n-gram counting shuffles on (doc, n, gram) — 4x
+    token grain, the text_tfidf family; pair scoring joins the two
+    per-document count relations on (doc, n, gram) and never
+    materializes cross-document products. With real candidate/
+    reference columns the same kernel runs unchanged; pairs would
+    come from a shortlist, keeping everything downstream
+    shortlist-sized."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("nt")
+    )
+    sized = base.select(
+        "doc_id",
+        F.slice(
+            "toks", 1, F.col("nt") - F.floor(F.lit(3) * F.col("nt") / F.lit(10.0)).cast("int")
+        ).alias("ctoks"),
+        F.slice(
+            "toks",
+            F.floor(F.col("nt") / F.lit(5.0)).cast("int") + F.lit(1),
+            F.col("nt"),
+        ).alias("rtoks"),
+    ).select(
+        "doc_id",
+        "ctoks",
+        "rtoks",
+        F.size("ctoks").cast("long").alias("c"),
+        F.size("rtoks").cast("long").alias("r"),
+    )
+    ns = F.explode(F.array(*[F.lit(n) for n in (1, 2, 3, 4)])).alias("n")
+
+    def grams(tc, cnt_name):
+        # guard the n > len case explicitly: sequence(1, len-n+1)
+        # DESCENDS when len < n (the SCALE.md sequence gotcha)
+        g = F.expr(
+            f"CASE WHEN size({tc}) >= n THEN "
+            f"transform(sequence(1, size({tc}) - n + 1), "
+            f"i -> concat_ws(' ', slice({tc}, i, n))) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+        return (
+            sized.select("doc_id", tc, ns)
+            .select("doc_id", "n", F.explode(g).alias("g"))
+            .groupBy("doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias(cnt_name))
+        )
+
+    cg = grams("ctoks", "ccnt")
+    rg = grams("rtoks", "rcnt")
+    mt = (
+        cg.join(rg, ["doc_id", "n", "g"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.least("ccnt", "rcnt")).cast("long").alias("m"))
+    )
+    per = (
+        sized.join(mt, "doc_id", "left")
+        .groupBy("doc_id", "c", "r")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("n") == i, F.col("m"))), F.lit(0).cast("long")
+                ).alias(f"m{i}")
+                for i in (1, 2, 3, 4)
+            ]
+        )
+        .select(
+            "*",
+            *[
+                F.greatest(F.col("c") - (i - 1), F.lit(0).cast("long")).alias(f"t{i}")
+                for i in (1, 2, 3, 4)
+            ],
+        )
+    )
+    zero = (
+        (F.col("m1") == 0) | (F.col("m2") == 0) | (F.col("m3") == 0)
+        | (F.col("m4") == 0) | (F.col("t1") == 0) | (F.col("t2") == 0)
+        | (F.col("t3") == 0) | (F.col("t4") == 0)
+    )
+    bp_log = F.when(F.col("c") >= F.col("r"), F.lit(0.0)).otherwise(
+        F.round(F.lit(1.0) - F.col("r").cast("double") / F.col("c").cast("double"), 8)
+    )
+    lp = [
+        F.round(F.log(F.col(f"m{i}").cast("double") / F.col(f"t{i}").cast("double")), 8)
+        for i in (1, 2, 3, 4)
+    ]
+    return per.select(
+        "doc_id",
+        F.col("c").alias("n_cand_tokens"),
+        F.col("r").alias("n_ref_tokens"),
+        F.when(F.col("t1") == 0, 0.0)
+        .otherwise(F.round(F.col("m1").cast("double") / F.col("t1").cast("double"), 6))
+        .alias("prec1"),
+        F.when(F.col("t4") == 0, 0.0)
+        .otherwise(F.round(F.col("m4").cast("double") / F.col("t4").cast("double"), 6))
+        .alias("prec4"),
+        F.when(zero, 0.0)
+        .otherwise(
+            F.round(F.exp(bp_log + (lp[0] + lp[1] + lp[2] + lp[3]) / F.lit(4.0)), 6)
+        )
+        .alias("bleu"),
+    )
