@@ -1916,3 +1916,71 @@ def eval_bleu_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("bleu"),
     )
+
+
+@query(
+    "eval_distinct_n",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, {_TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT source, n, array_to_string(toks[i : i + n - 1], ' ') AS g
+      FROM t CROSS JOIN (SELECT unnest([1, 2, 3]) AS n),
+           unnest(range(1, len(toks) - n + 2)) AS u(i)
+      WHERE len(toks) >= n
+    ), per AS (
+      SELECT source, n,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct
+      FROM g GROUP BY 1, 2
+    )
+    SELECT source, CAST(n AS BIGINT) AS n, n_grams, n_distinct,
+           ROUND(CAST(n_distinct AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+             AS distinct_ratio
+    FROM per
+    """,
+    tags=("evaluation", "text", "diversity"),
+)
+def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-n diversity (Li et al. 2016): per source, the ratio of
+    distinct 1/2/3-grams to total — THE standard degeneracy metric
+    for generated text (mode-collapsed or template-heavy sources show
+    a low distinct-2/3 long before humans notice). The per-source
+    grain makes it the dashboard row a curation team tracks per
+    upstream generator.
+
+    Exactness: both counts are integers from one aggregate; the ratio
+    is a single division rounded at 6.
+
+    Scale shape: gram expansion is map-only; ONE (source, n, gram)
+    aggregate with a distinct count (two-phase partial) — 3x the
+    token grain, no joins, no windows. Mergeable across shards: at
+    100 TB keep per-shard (gram, count) partials and merge."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    t = d.select("source", "doc_id", toks.alias("toks"))
+    ns = F.explode(F.array(*[F.lit(n) for n in (1, 2, 3)])).alias("n")
+    g = F.expr(
+        "CASE WHEN size(toks) >= n THEN "
+        "transform(sequence(1, size(toks) - n + 1), "
+        "i -> concat_ws(' ', slice(toks, i, n))) "
+        "ELSE CAST(array() AS array<string>) END"
+    )
+    grams = t.select("source", "toks", ns).select(
+        "source", "n", F.explode(g).alias("g")
+    )
+    per = grams.groupBy("source", "n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.countDistinct("g").cast("long").alias("n_distinct"),
+    )
+    return per.select(
+        "source",
+        F.col("n").cast("long").alias("n"),
+        "n_grams",
+        "n_distinct",
+        F.round(
+            F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"), 6
+        ).alias("distinct_ratio"),
+    )
