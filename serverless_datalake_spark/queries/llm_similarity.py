@@ -308,7 +308,7 @@ def _ivf_cents_sql(
       FROM (SELECT centroid_id, list(emb ORDER BY corpus_id) AS vs
             FROM casg{t} GROUP BY centroid_id)
     ),
-    {nxt} AS (
+    {nxt} AS MATERIALIZED (
       SELECT cents{t}.centroid_id, COALESCE(cmu{t}.new_c, cents{t}.centroid) AS centroid
       FROM cents{t} LEFT JOIN cmu{t} USING (centroid_id)
     )""")
@@ -423,7 +423,7 @@ def _pq_codebook_sql(
       FROM (SELECT s, code_id, list(sub_vec ORDER BY corpus_id) AS vs
             FROM asg{t} GROUP BY s, code_id)
     ),
-    {nxt} AS (
+    {nxt} AS MATERIALIZED (
       SELECT cb{t}.code_id, cb{t}.s, COALESCE(mu{t}.new_vec, cb{t}.code_vec) AS code_vec
       FROM cb{t} LEFT JOIN mu{t} ON mu{t}.s = cb{t}.s AND mu{t}.code_id = cb{t}.code_id
     )""")
