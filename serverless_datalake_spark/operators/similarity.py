@@ -511,7 +511,7 @@ def pq_codebook(
     vec: str = "embedding",
     m: int = 8,
     d: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     refine_iters: int = 4,
     sample_n: int = 256,
 ) -> DataFrame:
@@ -708,7 +708,7 @@ def pq_residual_codebook(
     centroid_rows: list | None = None,
     m: int = 8,
     d: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     refine_iters: int = 4,
     sample_n: int = 256,
 ) -> DataFrame:
@@ -747,7 +747,7 @@ def topk_ivfpq_residual(
     nprobe: int = 2,
     m: int = 8,
     d: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     centroid_rows: list | None = None,
     codebook_rows: list | None = None,
 ) -> DataFrame:
@@ -875,7 +875,7 @@ def topk_pq(
     k: int = 5,
     m: int = 8,
     d: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     refine_iters: int = 4,
     sample_n: int = 256,
     codebook: DataFrame | None = None,
@@ -965,7 +965,7 @@ def topk_ivfpq(
     nprobe: int = 2,
     m: int = 8,
     d: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     refine_iters: int = 4,
     sample_n: int = 256,
     codebook: DataFrame | None = None,

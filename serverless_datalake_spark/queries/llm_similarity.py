@@ -437,7 +437,7 @@ def _pq_oracle(
     k: int = 5,
     m: int = 8,
     d: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     refine_iters: int = 4,
     sample_n: int = 256,
 ) -> str:
@@ -508,7 +508,7 @@ def _ivfpq_oracle(
     nprobe: int = 2,
     m: int = 8,
     d: int = 8,
-    n_codes: int = 16,
+    n_codes: int = 32,
     refine_iters: int = 4,
     sample_n: int = 256,
 ) -> str:
@@ -619,7 +619,7 @@ def _residual_codebook_rows(sf_dir: str, corpus, cent_rows: list) -> list:
 
 
 def _ivfpq_residual_oracle(
-    k: int = 5, nprobe: int = 2, m: int = 8, d: int = 8, n_codes: int = 16
+    k: int = 5, nprobe: int = 2, m: int = 8, d: int = 8, n_codes: int = 32
 ) -> str:
     """Residual IVF-PQ in SQL: refined centroids (_ivf_cents_sql), exact
     per-vector residuals, Lloyd's codebook over the residual relation

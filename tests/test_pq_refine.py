@@ -182,7 +182,7 @@ def test_residual_pq_reconstructs_better_than_plain(spark, sf_dir):
         )
 
     plain = (
-        cd.select(err(pq_reconstruct_expr(cb_rows, M, D, 16, "__v")).alias("e"))
+        cd.select(err(pq_reconstruct_expr(cb_rows, M, D, 32, "__v")).alias("e"))
         .agg(F.avg("e"))
         .collect()[0][0]
     )
@@ -193,7 +193,7 @@ def test_residual_pq_reconstructs_better_than_plain(spark, sf_dir):
             err(
                 F.zip_with(
                     "__cv",
-                    pq_reconstruct_expr(rcb_rows, M, D, 16, "__r"),
+                    pq_reconstruct_expr(rcb_rows, M, D, 32, "__r"),
                     lambda x, y: x + y,
                 )
             ).alias("e")
