@@ -984,3 +984,128 @@ def orders_fulfillment_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p90_days").cast("long").alias("p90_days"),
         "max_days",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence pattern matching over sessions (the MATCH_RECOGNIZE
+# workaround: encode each session's ordered event initials into a
+# string, match regexes — a known Spark pattern for engines without
+# row-pattern recognition)
+
+_EVENT_PATTERNS = [
+    # (name, regex over initials v=view c=click p=purchase s=signup e=error)
+    ("view_to_purchase_clean", "v[^e]*p"),
+    ("error_then_recovery", "e.*p"),
+    ("signup_first_purchase", "^s.*p"),
+    ("bounce", "^v$"),
+]
+
+
+@query(
+    "events_pattern_match_regex",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+    ), sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM ordered
+    ), paths AS MATERIALIZED (
+      SELECT user_id, sid,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM sess GROUP BY user_id, sid
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM paths
+    ), pats(pattern, rx) AS (
+      VALUES ('view_to_purchase_clean', 'v[^e]*p'),
+             ('error_then_recovery', 'e.*p'),
+             ('signup_first_purchase', '^s.*p'),
+             ('bounce', '^v$')
+    ), hits AS (
+      SELECT p.pattern,
+             CAST(COUNT(*) AS BIGINT) AS n_sessions,
+             CAST(COUNT(DISTINCT paths.user_id) AS BIGINT) AS n_users
+      FROM pats p JOIN paths ON regexp_matches(paths.s, p.rx)
+      GROUP BY 1
+    )
+    SELECT p.pattern,
+           COALESCE(h.n_sessions, CAST(0 AS BIGINT)) AS n_sessions,
+           COALESCE(h.n_users, CAST(0 AS BIGINT)) AS n_users,
+           ROUND(CAST(COALESCE(h.n_sessions, 0) AS DOUBLE)
+                 / CAST(tot.n AS DOUBLE), 6) AS session_share
+    FROM pats p CROSS JOIN tot LEFT JOIN hits h USING (pattern)
+    """,
+    tags=("analytics", "sessionization", "pattern-matching"),
+)
+def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-sequence pattern matching without MATCH_RECOGNIZE: gap-
+    sessionize (30 min, the events_session_path_topk definition),
+    encode each session's ordered event INITIALS into one string, and
+    count sessions/users matching named regex funnels — a clean
+    view→…→purchase run with no intervening error, purchase after an
+    error, signup-led purchase, single-view bounce. The encode-then-
+    regex trick turns arbitrary within-session sequence questions
+    into string scans, which is how engines without row-pattern
+    syntax answer them; the regexes stay in the cross-engine subset
+    (char classes, anchors, quantifiers — the text_token_regex_gpt
+    precedent).
+
+    Scale shape: one user_id shuffle for the gap window + per-session
+    fold (sessions encode via array_sort of (ts, event_id) structs,
+    deterministic under any partitioning); the 4-pattern dimension is
+    a broadcast fan-out over session-grain rows; the rollup is
+    4 rows. Session strings are session-length — bound them with the
+    same cap real funnel systems use if sessions can run unbounded."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    sess = e.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "event_type"))),
+                lambda r: F.substring(r["event_type"], 1, 1),
+            ),
+            "",
+        ).alias("s")
+    )
+    tot = paths.agg(F.count(F.lit(1)).alias("n"))
+    pats = spark.createDataFrame(_EVENT_PATTERNS, "pattern string, rx string")
+    hits = (
+        paths.crossJoin(F.broadcast(pats))
+        .where(F.expr("s rlike rx"))
+        .groupBy("pattern")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+    )
+    return (
+        F.broadcast(pats)
+        .join(hits, "pattern", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pattern",
+            F.coalesce("n_sessions", F.lit(0).cast("long")).alias("n_sessions"),
+            F.coalesce("n_users", F.lit(0).cast("long")).alias("n_users"),
+            F.round(
+                F.coalesce("n_sessions", F.lit(0).cast("long")).cast("double")
+                / F.col("n").cast("double"),
+                6,
+            ).alias("session_share"),
+        )
+    )
