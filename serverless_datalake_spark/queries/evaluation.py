@@ -38,16 +38,22 @@ def _passk_oracle() -> str:
     h = _hex8_int("substr(md5(CAST(event_id AS VARCHAR)), 1, 8)")
     per_k = []
     for k in _PASS_KS:
+        # inner per-task ROUND hoisted into a subquery column so the
+        # Spark-rounding rewrite never sees ROUND nested in ROUND (the
+        # rewrite duplicates its operand ~10x; nesting multiplies)
         per_k.append(
             f"""
     SELECT CAST({k} AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_tasks,
-           ROUND(CAST(SUM(CAST(ROUND((CASE WHEN n - c < {k} THEN 1.0
+           ROUND(CAST(SUM(p_e6) AS DOUBLE)
+                 / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_pass_at_k
+    FROM (
+      SELECT CAST(ROUND((CASE WHEN n - c < {k} THEN 1.0
                  ELSE 1.0 - list_reduce(list_transform(range(0, {k}),
                       i -> CAST(n - c - i AS DOUBLE) / CAST(n - i AS DOUBLE)),
-                      (a, b) -> a * b) END) * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
-                 / (1000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_pass_at_k
-    FROM tasks WHERE n >= {k}"""
+                      (a, b) -> a * b) END) * 1000000.0, 0) AS BIGINT) AS p_e6
+      FROM tasks WHERE n >= {k}
+    )"""
         )
     return (
         f"""
@@ -1774,23 +1780,36 @@ def model_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
              GREATEST(s.c - 2, 0) AS t3, GREATEST(s.c - 3, 0) AS t4
       FROM sized s LEFT JOIN mt ON mt.doc_id = s.doc_id
       GROUP BY 1, 2, 3
+    ), logs AS (
+      -- each ROUND operand is a SHORT column expression: the Spark-
+      -- rounding rewrite (queries/__init__.rewrite_spark_round)
+      -- duplicates its operand ~10x, so NESTED rounds expand
+      -- multiplicatively (the original nested spelling rewrote to a
+      -- 1.7 MB oracle that cost ~1 GB to bind in DuckDB)
+      SELECT doc_id, c, r, m1, m4, t1, t4,
+             (m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0
+              OR t1 = 0 OR t2 = 0 OR t3 = 0 OR t4 = 0) AS degenerate,
+             CASE WHEN c >= r OR c = 0 THEN 0.0
+                  ELSE ROUND(1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE), 8) END AS bp,
+             CASE WHEN m1 = 0 OR t1 = 0 THEN 0.0
+                  ELSE ROUND(ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE)), 8) END AS lp1,
+             CASE WHEN m2 = 0 OR t2 = 0 THEN 0.0
+                  ELSE ROUND(ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 8) END AS lp2,
+             CASE WHEN m3 = 0 OR t3 = 0 THEN 0.0
+                  ELSE ROUND(ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE)), 8) END AS lp3,
+             CASE WHEN m4 = 0 OR t4 = 0 THEN 0.0
+                  ELSE ROUND(ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE)), 8) END AS lp4
+      FROM per
     )
     SELECT doc_id, c AS n_cand_tokens, r AS n_ref_tokens,
            CASE WHEN t1 = 0 THEN 0.0
                 ELSE ROUND(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE), 6) END AS prec1,
            CASE WHEN t4 = 0 THEN 0.0
                 ELSE ROUND(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE), 6) END AS prec4,
-           CASE WHEN m1 = 0 OR m2 = 0 OR m3 = 0 OR m4 = 0
-                  OR t1 = 0 OR t2 = 0 OR t3 = 0 OR t4 = 0 THEN 0.0
-                ELSE ROUND(exp(
-                  (CASE WHEN c >= r THEN 0.0
-                        ELSE ROUND(1.0 - CAST(r AS DOUBLE) / CAST(c AS DOUBLE), 8) END)
-                  + (ROUND(ln(CAST(m1 AS DOUBLE) / CAST(t1 AS DOUBLE)), 8)
-                   + ROUND(ln(CAST(m2 AS DOUBLE) / CAST(t2 AS DOUBLE)), 8)
-                   + ROUND(ln(CAST(m3 AS DOUBLE) / CAST(t3 AS DOUBLE)), 8)
-                   + ROUND(ln(CAST(m4 AS DOUBLE) / CAST(t4 AS DOUBLE)), 8)) / 4.0), 6)
+           CASE WHEN degenerate THEN 0.0
+                ELSE ROUND(exp(bp + (lp1 + lp2 + lp3 + lp4) / 4.0), 6)
                 END AS bleu
-    FROM per
+    FROM logs
     """,
     tags=("evaluation", "text", "bleu"),
 )

@@ -73,18 +73,23 @@ def _pagerank_oracle(iters: int = _ITERS) -> str:
     ]
     tele, damp = _TELEPORT, _DAMP
     for i in range(1, iters + 1):
+        # inner contribution ROUND hoisted below the aggregate so the
+        # Spark-rounding rewrite never nests (nesting multiplies the
+        # ~10x operand duplication; 5 iterations rewrote to 2.7 MB)
         parts.append(
-            f""", r{i} AS (
+            f""", c{i} AS (
       SELECT e.dst AS node,
-             ROUND({tele} / CAST(nn.n AS DOUBLE)
-                   + {damp} * (CAST(SUM(CAST(ROUND(r.rank / CAST(deg.d AS DOUBLE)
-                                                   * 10000000000.0, 0) AS BIGINT)) AS DOUBLE)
-                               / 10000000000.0), 10) AS rank
+             CAST(SUM(CAST(ROUND(r.rank / CAST(deg.d AS DOUBLE)
+                                 * 10000000000.0, 0) AS BIGINT)) AS BIGINT) AS s_e10
       FROM edges e
       JOIN r{i - 1} r ON r.node = e.src
       JOIN deg ON deg.node = e.src
-      CROSS JOIN nn
-      GROUP BY e.dst, nn.n
+      GROUP BY e.dst
+    ), r{i} AS (
+      SELECT c{i}.node,
+             ROUND({tele} / CAST(nn.n AS DOUBLE)
+                   + {damp} * (CAST(c{i}.s_e10 AS DOUBLE) / 10000000000.0), 10) AS rank
+      FROM c{i} CROSS JOIN nn
     )"""
         )
     parts.append(

@@ -111,8 +111,16 @@ def _bm25_sql_ctes() -> str:
         f"CAST(SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df{i}"
         for i in range(len(_TERMS))
     )
+    # idf ROUNDs live in their own CTE so the outer score ROUND's
+    # operand contains no nested ROUND (the Spark-rounding rewrite
+    # duplicates its operand ~10x; nesting multiplies — the inlined
+    # spelling rewrote text_bm25_topk/sim_hybrid_rrf to ~1.1 MB each)
+    idf_cols = ",\n         ".join(
+        f"ROUND(LN((n_docs - df{i} + 0.5) / (df{i} + 0.5) + 1.0), 6) AS idf{i}"
+        for i in range(len(_TERMS))
+    )
     terms = " + ".join(
-        f"ROUND(LN((s.n_docs - s.df{i} + 0.5) / (s.df{i} + 0.5) + 1.0), 6)"
+        f"s.idf{i}"
         f" * ((d.tf{i} * {_K1P1}) / (d.tf{i} + {_K1} * ({_ONE_MINUS_B}"
         f" + ({_B} * CAST(d.dl AS DOUBLE)) / (s.sum_dl / s.n_docs))))"
         for i in range(len(_TERMS))
@@ -131,9 +139,13 @@ def _bm25_sql_ctes() -> str:
              CAST(SUM(dl) AS DOUBLE) AS sum_dl,
          {df_cols}
       FROM docs
+    ), stats2 AS (
+      SELECT *,
+         {idf_cols}
+      FROM stats
     ), scored AS (
       SELECT d.doc_id, d.dl, ROUND({terms}, 6) AS score
-      FROM docs d CROSS JOIN stats s
+      FROM docs d CROSS JOIN stats2 s
     )"""
 
 
@@ -507,12 +519,18 @@ def _maxsim_oracle() -> str:
       SELECT s.query_id, s.corpus_id, s.pooled_cos,
              {qc} AS qc, {qn} AS qn, {cc} AS cc, {cn} AS cn
       FROM shortlist s
+    ), inner_max AS (
+      -- per-(pair, query-chunk i) max over corpus chunks j: the inner
+      -- ROUND sits in its own CTE so the outer sum ROUND's operand
+      -- has no nested ROUND (Spark-rounding rewrite size discipline)
+      SELECT query_id, corpus_id, pooled_cos, u.i AS i,
+             ROUND(list_aggregate(list_transform(range({_MS_SUBS}), j ->
+               {pair}), 'max'), 6) AS mi
+      FROM chunked, unnest(range({_MS_SUBS})) AS u(i)
     ), scored AS (
       SELECT query_id, corpus_id, pooled_cos,
-             ROUND(list_aggregate(list_transform(range({_MS_SUBS}), i ->
-               ROUND(list_aggregate(list_transform(range({_MS_SUBS}), j ->
-                 {pair}), 'max'), 6)), 'sum'), 6) AS maxsim
-      FROM chunked
+             ROUND(list_aggregate(list(mi ORDER BY i), 'sum'), 6) AS maxsim
+      FROM inner_max GROUP BY query_id, corpus_id, pooled_cos
     ), ranked AS (
       SELECT query_id, corpus_id, pooled_cos, maxsim,
              ROW_NUMBER() OVER (PARTITION BY query_id
