@@ -2003,3 +2003,183 @@ def eval_distinct_n(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_distinct").cast("double") / F.col("n_grams").cast("double"), 6
         ).alias("distinct_ratio"),
     )
+
+
+@query(
+    "eval_chrf_pairs",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS nt
+      FROM documents WHERE doc_id % 7 = 0
+    ), pairs AS (
+      SELECT doc_id,
+             array_to_string(toks[1 : nt - CAST(FLOOR(3 * nt / 10.0) AS BIGINT)], '') AS cs,
+             array_to_string(toks[CAST(FLOOR(nt / 5.0) AS BIGINT) + 1 : nt], '') AS rs
+      FROM base
+    ), sized AS (
+      SELECT doc_id, COALESCE(cs, '') AS cs, COALESCE(rs, '') AS rs,
+             CAST(length(COALESCE(cs, '')) AS BIGINT) AS c,
+             CAST(length(COALESCE(rs, '')) AS BIGINT) AS r
+      FROM pairs
+    ), ns AS (
+      SELECT unnest([1, 2, 3, 4]) AS n
+    ), cg AS (
+      SELECT doc_id, n, substr(cs, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
+             CAST(COUNT(*) AS BIGINT) AS ccnt
+      FROM sized CROSS JOIN ns,
+           unnest(range(1, length(cs) - n + 2)) AS u(i)
+      WHERE length(cs) >= n
+      GROUP BY 1, 2, 3
+    ), rg AS (
+      SELECT doc_id, n, substr(rs, CAST(i AS INTEGER), CAST(n AS INTEGER)) AS g,
+             CAST(COUNT(*) AS BIGINT) AS rcnt
+      FROM sized CROSS JOIN ns,
+           unnest(range(1, length(rs) - n + 2)) AS u(i)
+      WHERE length(rs) >= n
+      GROUP BY 1, 2, 3
+    ), mt AS (
+      SELECT cg.doc_id, cg.n, CAST(SUM(LEAST(cg.ccnt, rg.rcnt)) AS BIGINT) AS m
+      FROM cg JOIN rg ON rg.doc_id = cg.doc_id AND rg.n = cg.n AND rg.g = cg.g
+      GROUP BY 1, 2
+    ), per AS (
+      SELECT s.doc_id, s.c, s.r,
+             COALESCE(MAX(CASE WHEN mt.n = 1 THEN mt.m END), 0) AS m1,
+             COALESCE(MAX(CASE WHEN mt.n = 2 THEN mt.m END), 0) AS m2,
+             COALESCE(MAX(CASE WHEN mt.n = 3 THEN mt.m END), 0) AS m3,
+             COALESCE(MAX(CASE WHEN mt.n = 4 THEN mt.m END), 0) AS m4
+      FROM sized s LEFT JOIN mt ON mt.doc_id = s.doc_id
+      GROUP BY 1, 2, 3
+    ), pr AS (
+      SELECT doc_id, c, r,
+             ((CASE WHEN c - 0 <= 0 THEN 0.0 ELSE CAST(m1 AS DOUBLE) / CAST(c - 0 AS DOUBLE) END)
+            + (CASE WHEN c - 1 <= 0 THEN 0.0 ELSE CAST(m2 AS DOUBLE) / CAST(c - 1 AS DOUBLE) END)
+            + (CASE WHEN c - 2 <= 0 THEN 0.0 ELSE CAST(m3 AS DOUBLE) / CAST(c - 2 AS DOUBLE) END)
+            + (CASE WHEN c - 3 <= 0 THEN 0.0 ELSE CAST(m4 AS DOUBLE) / CAST(c - 3 AS DOUBLE) END)) / 4.0 AS p,
+             ((CASE WHEN r - 0 <= 0 THEN 0.0 ELSE CAST(m1 AS DOUBLE) / CAST(r - 0 AS DOUBLE) END)
+            + (CASE WHEN r - 1 <= 0 THEN 0.0 ELSE CAST(m2 AS DOUBLE) / CAST(r - 1 AS DOUBLE) END)
+            + (CASE WHEN r - 2 <= 0 THEN 0.0 ELSE CAST(m3 AS DOUBLE) / CAST(r - 2 AS DOUBLE) END)
+            + (CASE WHEN r - 3 <= 0 THEN 0.0 ELSE CAST(m4 AS DOUBLE) / CAST(r - 3 AS DOUBLE) END)) / 4.0 AS rr
+      FROM per
+    )
+    SELECT doc_id,
+           c AS n_cand_chars, r AS n_ref_chars,
+           ROUND(p, 6) AS chrf_precision,
+           ROUND(rr, 6) AS chrf_recall,
+           CASE WHEN 4.0 * p + rr = 0.0 THEN 0.0
+                ELSE ROUND(5.0 * p * rr / (4.0 * p + rr), 6) END AS chrf2
+    FROM pr
+    """,
+    tags=("evaluation", "text", "chrf"),
+)
+def eval_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF2 (Popović 2015): character n-gram F-beta (beta=2,
+    recall-weighted) over whitespace-stripped text — the third
+    standard generation metric beside eval_bleu_pairs (word-precision)
+    and eval_rouge1_pairs (word-recall); chrF is the robust one for
+    morphology-rich languages and noisy tokenization because it never
+    trusts word boundaries. Same deterministic overlapping-window
+    candidate/reference pairs as BLEU (first 70% vs last 80% of each
+    sampled doc's tokens, concatenated without spaces). Orders n=1..4;
+    per-order precision/recall are exact integer divisions (0 when an
+    order has no grams, the sacreBLEU empty-order convention),
+    averaged in spelled-out fixed order, F computed once and rounded
+    at 6 — no nested ROUND anywhere (the rewrite-size discipline).
+
+    Scale shape: char-gram counting shuffles on (doc, n, gram) — same
+    family as the BLEU kernel one granularity finer; everything
+    downstream of the counts is pair-grain."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    base = d.where(F.col("doc_id") % 7 == 0).select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("nt")
+    )
+    sized = base.select(
+        "doc_id",
+        F.coalesce(
+            F.array_join(
+                F.slice(
+                    "toks",
+                    1,
+                    F.col("nt")
+                    - F.floor(F.lit(3) * F.col("nt") / F.lit(10.0)).cast("int"),
+                ),
+                "",
+            ),
+            F.lit(""),
+        ).alias("cs"),
+        F.coalesce(
+            F.array_join(
+                F.slice(
+                    "toks",
+                    F.floor(F.col("nt") / F.lit(5.0)).cast("int") + F.lit(1),
+                    F.col("nt"),
+                ),
+                "",
+            ),
+            F.lit(""),
+        ).alias("rs"),
+    ).select(
+        "doc_id", "cs", "rs",
+        F.length("cs").cast("long").alias("c"),
+        F.length("rs").cast("long").alias("r"),
+    )
+    ns = F.explode(F.array(*[F.lit(n) for n in (1, 2, 3, 4)])).alias("n")
+
+    def grams(sc, cnt_name):
+        g = F.expr(
+            f"CASE WHEN length({sc}) >= n THEN "
+            f"transform(sequence(1, length({sc}) - n + 1), "
+            f"i -> substring({sc}, i, n)) "
+            f"ELSE CAST(array() AS array<string>) END"
+        )
+        return (
+            sized.select("doc_id", sc, ns)
+            .select("doc_id", "n", F.explode(g).alias("g"))
+            .groupBy("doc_id", "n", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias(cnt_name))
+        )
+
+    cg = grams("cs", "ccnt")
+    rg = grams("rs", "rcnt")
+    mt = (
+        cg.join(rg, ["doc_id", "n", "g"])
+        .groupBy("doc_id", "n")
+        .agg(F.sum(F.least("ccnt", "rcnt")).cast("long").alias("m"))
+    )
+    per = (
+        sized.join(mt, "doc_id", "left")
+        .groupBy("doc_id", "c", "r")
+        .agg(
+            *[
+                F.coalesce(
+                    F.max(F.when(F.col("n") == i, F.col("m"))), F.lit(0).cast("long")
+                ).alias(f"m{i}")
+                for i in (1, 2, 3, 4)
+            ]
+        )
+    )
+
+    def _avg(tot_col):
+        terms = []
+        for i in (1, 2, 3, 4):
+            t = F.col(tot_col) - (i - 1)
+            terms.append(
+                F.when(t <= 0, F.lit(0.0)).otherwise(
+                    F.col(f"m{i}").cast("double") / t.cast("double")
+                )
+            )
+        return (terms[0] + terms[1] + terms[2] + terms[3]) / F.lit(4.0)
+
+    p, rr = _avg("c"), _avg("r")
+    return per.select(
+        "doc_id",
+        F.col("c").alias("n_cand_chars"),
+        F.col("r").alias("n_ref_chars"),
+        F.round(p, 6).alias("chrf_precision"),
+        F.round(rr, 6).alias("chrf_recall"),
+        F.when(F.lit(4.0) * p + rr == 0.0, 0.0)
+        .otherwise(F.round(F.lit(5.0) * p * rr / (F.lit(4.0) * p + rr), 6))
+        .alias("chrf2"),
+    )

@@ -151,3 +151,53 @@ def test_dsir_oracle_equals_python_reference(rows):
     }
     con.close()
     assert got == _dsir_ref(docs)
+
+
+# ---------------------------------------------------------------- chrF
+
+_CHRF = REGISTRY["eval_chrf_pairs"].oracle
+
+
+def _chrf_ref(doc_id: int, text: str):
+    tk = [t for t in text.split(" ") if t != ""]
+    nt = len(tk)
+    cs = "".join(tk[: nt - math.floor(3 * nt / 10.0)])
+    rs = "".join(tk[math.floor(nt / 5.0) :])
+    c, r = len(cs), len(rs)
+
+    def gcnt(s, n):
+        return Counter(s[i : i + n] for i in range(len(s) - n + 1))
+
+    def avg(side_len, other):
+        acc = 0.0
+        for n in (1, 2, 3, 4):
+            t = side_len - (n - 1)
+            if t <= 0:
+                acc += 0.0
+            else:
+                m = sum(
+                    min(cnt, gcnt(other[1], n)[g])
+                    for g, cnt in gcnt(other[0], n).items()
+                )
+                acc += m / t
+        return acc / 4.0
+
+    p = avg(c, (cs, rs))
+    rr = avg(r, (rs, cs))
+    chrf = 0.0 if 4.0 * p + rr == 0.0 else _rnd(5.0 * p * rr / (4.0 * p + rr), 6)
+    return (c, r, _rnd(p, 6), _rnd(rr, 6), chrf)
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=6))
+def test_chrf_oracle_equals_python_reference(texts):
+    ids = [7 * i for i in range(len(texts))]
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame({"doc_id": ids, "text": texts}))
+    rows = con.execute(_CHRF).fetchall()
+    con.close()
+    got = {
+        int(r[0]): (int(r[1]), int(r[2]), float(r[3]), float(r[4]), float(r[5]))
+        for r in rows
+    }
+    assert got == {i: _chrf_ref(i, t) for i, t in zip(ids, texts)}
