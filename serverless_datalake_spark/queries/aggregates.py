@@ -126,6 +126,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "cube"),
 )
 def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping combinations in one pass."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
@@ -271,6 +272,7 @@ def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "having"),
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING filter (groups surviving a count threshold)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_suppkey")

@@ -100,6 +100,7 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("functions", "math"),
 )
 def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math built-ins (round/abs/floor/ceil/pow/log) over order totals."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.where(F.col("l_orderkey") % 13 == 0).select(
         "l_orderkey",

@@ -29,6 +29,7 @@ from serverless_datalake_spark.tables import load_table
     tags=("functions", "string"),
 )
 def fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function batch (pad/translate/initcap/levenshtein family)."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",

@@ -83,6 +83,7 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join",),
 )
 def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer equi-join preserving unmatched rows from both sides."""
     o = load_table(spark, sf_dir, "orders")
     small = (
         o.where(F.col("o_totalprice") < 5000)

@@ -132,6 +132,7 @@ def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("distinct",),
 )
 def distinct_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a two-column projection (dedup-then-project shape)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_returnflag", "l_linestatus").distinct()
 

@@ -20,6 +20,7 @@ from serverless_datalake_spark.tables import load_table
     tags=("join",),
 )
 def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer equi-join preserving unmatched right-side rows."""
     o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 250000)
     c = load_table(spark, sf_dir, "customer")
     return o.join(c, o.o_custkey == c.c_custkey, "right").select(

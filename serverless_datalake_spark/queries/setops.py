@@ -46,6 +46,7 @@ def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two projections — union + dedup in one operator."""
     return _buyers(spark, sf_dir).union(_urgent(spark, sf_dir)).distinct()
 
 
@@ -55,6 +56,7 @@ def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: rows present in both inputs (set semantics)."""
     return _buyers(spark, sf_dir).intersect(_urgent(spark, sf_dir))
 
 
@@ -64,6 +66,7 @@ def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("setop",),
 )
 def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: rows of the left input absent from the right (set semantics)."""
     # subtract == SQL EXCEPT (set semantics); exceptAll would keep
     # multiplicity differences, which is a different operator.
     return _buyers(spark, sf_dir).subtract(_urgent(spark, sf_dir))

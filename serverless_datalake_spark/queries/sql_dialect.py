@@ -152,6 +152,7 @@ def sql_exists_not_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("sql", "in-subquery"),
 )
 def sql_in_subquery_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (subquery) predicate against a top-n derived set."""
     register_views(spark, sf_dir, only=("orders", "customer"))
     return spark.sql(
         """
