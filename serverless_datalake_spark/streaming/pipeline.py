@@ -131,12 +131,18 @@ def stream_stream_enrich(
     enrich: DataFrame,
     key: str = "user_id",
     max_skew: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: each event matched to enrichment
-    records for the same key within ±max_skew event time. Both sides
-    carry watermarks so the join state store can evict rows once the
+    """Stream-stream join: each event matched to enrichment records
+    for the same key within ±max_skew event time. Both sides carry
+    watermarks so the join state store can evict rows once the
     time-range condition can no longer match — without the range
-    bound, stream-stream join state grows forever."""
+    bound, stream-stream join state grows forever. how="leftOuter"
+    emits NULL-padded event rows, but only AFTER the watermark proves
+    no matching enrichment can still arrive (outer results are
+    delayed by the watermark, the documented Structured Streaming
+    semantics — an availableNow drain emits them because the final
+    batch advances the watermark past the data)."""
     e = events.select(
         F.col(key), F.col("ts").alias("e_ts"), "event_id", "value"
     ).withWatermark("e_ts", max_skew)
@@ -148,7 +154,7 @@ def stream_stream_enrich(
         & (F.col("x_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {max_skew}"))
         & (F.col("x_ts") <= F.col("e_ts") + F.expr(f"INTERVAL {max_skew}"))
     )
-    return e.join(x, cond, "inner").select(key, "event_id", "value", "tag", "e_ts", "x_ts")
+    return e.join(x, cond, how).select(key, "event_id", "value", "tag", "e_ts", "x_ts")
 
 
 def windowed_counts_stream(stream: DataFrame, window: str = "1 hour") -> DataFrame:

@@ -433,3 +433,81 @@ def test_python_streaming_datasource_exactly_once_restart(spark, tmp_path):
     assert seqs == list(range(20)), seqs  # exactly-once: no dup, no gap
     payloads = {r.seq: r.payload for r in rows}
     assert payloads[7] == "evt-000007"
+
+
+def test_stream_stream_left_outer_join_null_pads_after_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER time-range join: events with no
+    enrichment match within ±1 hour must surface as NULL-padded rows
+    once the watermark closes their join window (Structured Streaming
+    delays outer results until the state store can PROVE no match can
+    still arrive); matched rows must equal the batch join exactly."""
+    ev_dir = str(tmp_path / "ev")
+    en_dir = str(tmp_path / "en")
+    out = str(tmp_path / "joined")
+    ckpt = str(tmp_path / "ck")
+    # 40 events over hours 0-2; only 10 enrichment rows, so many
+    # events have no match within the hour and must null-pad. The
+    # OUTER result for a row flushes only once the COMBINED watermark
+    # (min over both sides) passes its eviction bound, and each side's
+    # watermark trails its own max event time — so both streams get a
+    # far-future sentinel row (user 999, excluded below) that drives
+    # the watermark past all real data.
+    sentinel = [{
+        "event_id": 99990, "ts": "2024-01-03T00:00:00.000",
+        "user_id": 999, "event_type": "clicks", "value": 1.0, "props": "{}",
+    }]
+    _write(ev_dir, _evts(40, lambda i: i % 3) + sentinel, "ev.json.gz")
+    _write(en_dir, _evts(10, lambda i: i % 3, start_id=9000) + sentinel, "en.json.gz")
+
+    ev_stream = spark.readStream.schema(sp.EVENTS_JSON_SCHEMA).json(ev_dir)
+    en_stream = (
+        spark.readStream.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(en_dir)
+        .withColumn("tag", F.col("event_type"))
+    )
+    joined = sp.stream_stream_enrich(
+        ev_stream, en_stream, key="user_id", max_skew="1 hour", how="leftOuter"
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .format("parquet")
+        .option("path", out)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(out).collect()
+    got = {
+        (r["user_id"], r["event_id"], r["tag"], r["x_ts"])
+        for r in rows
+        if r["user_id"] != 999  # sentinel rows drive the watermark only
+    }
+
+    ev_b = spark.read.schema(sp.EVENTS_JSON_SCHEMA).json(ev_dir)
+    en_b = (
+        spark.read.schema(sp.EVENTS_JSON_SCHEMA)
+        .json(en_dir)
+        .select(
+            F.col("user_id").alias("u2"),
+            F.col("ts").alias("x_ts"),
+            F.col("event_type").alias("tag"),
+        )
+    )
+    batch = ev_b.join(
+        en_b,
+        (ev_b.user_id == F.col("u2"))
+        & (F.col("x_ts") >= ev_b.ts - F.expr("INTERVAL 1 hour"))
+        & (F.col("x_ts") <= ev_b.ts + F.expr("INTERVAL 1 hour")),
+        "left_outer",
+    )
+    want = {
+        (r["user_id"], r["event_id"], r["tag"], r["x_ts"])
+        for r in batch.collect()
+        if r["user_id"] != 999
+    }
+    assert got == want
+    null_padded = {t for t in got if t[2] is None}
+    matched = got - null_padded
+    assert null_padded, "unmatched events must surface NULL-padded"
+    assert matched, "matched events must keep their enrichment"
