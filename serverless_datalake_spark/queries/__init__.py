@@ -270,63 +270,59 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND 4 window: the first 50 never-driver-checked round-3
-    # additions, in the ledger order planned at the end of round 3
-    # (data-guard 8, feature-engineering 3, five stragglers, the 11
-    # curation/analytics entries, then the continued-session list up
-    # to join_asof_nearest). Rounds 5-7 windows are precomputed in
-    # WINDOWS.md (50 + 50 + 40) so the union covers all 330 by
-    # round 7; round 5 starts at sim_topk_truncated_dims.
-    "pii_detect",
-    "pii_redact",
-    "text_clean_normalize",
-    "dedup_url_canonical",
-    "decontaminate_semantic",
-    "text_heavy_hitters",
-    "dedup_intra_lines",
-    "pipeline_guarded_curation",
-    "feature_minmax_scale",
-    "feature_zscore",
-    "feature_winsorize",
-    "window_ignore_nulls",
-    "sim_topk_ivfpq_residual",
-    "sql_recursive_cte",
-    "sample_balanced_cap",
-    "dedup_keep_longest",
-    "dedup_semdedup",
-    "sample_weighted",
-    "agg_quantile_sketch",
-    "ts_resample_interpolate",
-    "ts_anomaly_zscore",
-    "join_asof_forward",
-    "join_asof_tolerance",
-    "text_kl_divergence",
-    "text_chunk_sliding",
-    "dedup_chunk_exact",
-    "ts_ewma",
-    "text_unigram_logprob",
-    "dedup_bloom_incremental",
-    "sim_topk_ivfpq_rerank",
-    "validate_expectations",
-    "text_minhash_containment",
-    "graph_pagerank",
-    "ts_holt_linear",
-    "stream_topk_windowed",
-    "agg_cms_heavy_hitters",
-    "feature_hashing_trick",
-    "text_bigram_logprob",
-    "market_basket_rules",
-    "sample_temperature_mixture",
-    "window_gaps_islands",
-    "cdc_latest_by_key",
-    "agg_mode_deterministic",
-    "ts_autocorrelation",
-    "pipeline_llm_curation2",
-    "embedding_quantize_int8",
-    "sim_range_search",
-    "fn_variant_json",
-    "dedup_minhash_pairs",
-    "join_asof_nearest",
+    # ROUND 5 window: per WINDOWS.md (round-5 block, 50 entries).
+    # Rounds 6+ windows re-planned in WINDOWS.md so every window
+    # holds exactly <=50 entries and the union closes the backlog.
+    "sim_topk_truncated_dims",
+    "sim_centroid_drift",
+    "embedding_pca_power",
+    "sim_knn_graph_blocked",
+    "sample_hard_negatives",
+    "sample_coreset_kcenter",
+    "sim_recall_eval",
+    "sim_index_health",
+    "dedup_threshold_sweep",
+    "agg_histogram_equiwidth",
+    "agg_entropy_by_group",
+    "agg_gini_concentration",
+    "agg_weighted_median",
+    "sample_poisson_bootstrap",
+    "agg_time_hierarchy_rollup",
+    "agg_moments_shape",
+    "agg_benford_deviation",
+    "agg_bitmap_presence",
+    "agg_mad_robust",
+    "agg_kmv_distinct_union",
+    "agg_median_of_means",
+    "split_group_holdout",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "validate_referential_integrity",
+    "split_time_embargo",
+    "pipeline_dataset_card",
+    "privacy_generalize_enforce",
+    "sample_neyman_allocation",
+    "feature_target_encode",
+    "feature_quantile_bucketize",
+    "feature_onehot_topn",
+    "retention_cohorts",
+    "events_dau_stickiness",
+    "events_attribution_linear",
+    "events_bot_gap_regularity",
+    "retention_ltv_cumulative",
+    "funnel_window_bounded",
+    "fn_collation_join",
+    "fn_try_arithmetic",
+    "fn_inline_struct_array",
+    "fn_binary_codecs",
+    "fn_url_parse",
+    "fn_aes_roundtrip",
+    "fn_xml_parse",
+    "fn_array3",
+    "fn_datetime3",
+    "fn_map_hof",
+    "fn_surrogate_key_uuid",
+    "fn_json_struct_roundtrip",
 )
 
 
