@@ -158,8 +158,14 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1900, f"bench JSON line {len(line)}B risks driver tail-capture truncation"
+    # Print FIRST, warn after: an oversized line must degrade (possible
+    # tail truncation) rather than discard the whole measured run.
     print(line, flush=True)
+    if len(line) >= 1900:
+        print(
+            f"WARNING: bench JSON line {len(line)}B risks driver tail-capture truncation",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

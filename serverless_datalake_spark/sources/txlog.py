@@ -31,6 +31,21 @@ import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _stat_repr(v):
+    """Canonical JSON-safe form for a partition-stat value. JSON-native
+    scalars pass through (None stays null — the explicit NULL-partition
+    stat); everything else (date, Decimal, bytes, ...) becomes a
+    deterministic string so _commit's json.dump can never raise after
+    data files are already on disk. Membership checks canonicalize the
+    probe values with the same function, so pruning stays consistent."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return str(v)
 
 _LOG_DIR = "_txlog"
 # Committed entries are EXACTLY 8-digit names. In-flight temp files
@@ -367,12 +382,15 @@ def txlog_write_partitioned(
     batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     for v in sorted(values, key=str):
         vdir = os.path.join(batch_dir, f"pv-{uuid.uuid4().hex[:8]}")
-        df.where(df[part_col] == v).write.mode("error").parquet(vdir)
+        # eqNullSafe so a NULL partition value becomes its own file
+        # with an explicit null stat (Delta/Iceberg route NULLs to a
+        # default partition; dropping them would be silent data loss).
+        df.where(df[part_col].eqNullSafe(F.lit(v))).write.mode("error").parquet(vdir)
         for n in os.listdir(vdir):
             if n.endswith(".parquet"):
                 fp = os.path.join(vdir, n)
                 adds.append(fp)
-                stats[fp] = {part_col: v}
+                stats[fp] = {part_col: _stat_repr(v)}
     removes = live_files(path) if mode == "overwrite" else []
     _commit(path, version, sorted(adds), removes, extra={"stats": stats})
     return version
@@ -397,10 +415,11 @@ def live_files_pruned(
             files.add(a)
         for fp, st in (e.get("stats") or {}).items():
             stats[fp] = st
+    wanted = [_stat_repr(v) for v in values]
     keep = [
         f
         for f in sorted(files)
-        if part_col not in stats.get(f, {}) or stats[f][part_col] in values
+        if part_col not in stats.get(f, {}) or stats[f][part_col] in wanted
     ]
     return keep, len(files)
 

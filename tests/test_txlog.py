@@ -428,3 +428,39 @@ def test_partition_stats_survive_removes(spark, sf_dir, tmp_path):
     assert 0 < len(files) < total
     files_gone, _ = live_files_pruned(path, "event_type", ["purchase"])
     assert files_gone == []  # purchase generation fully overwritten
+
+
+def test_partition_stats_null_and_nonjson_values(spark, tmp_path):
+    """NULL partition values must be committed (not silently dropped
+    by null-unsafe equality) with an explicit null stat, and non-JSON
+    partition types (date) must serialize in the log entry without
+    raising after data files are already written."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.sources.txlog import (
+        txlog_read,
+        txlog_read_pruned,
+        txlog_write_partitioned,
+    )
+
+    path = str(tmp_path / "ppnull")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "b"), (4, None)], "id int, k string"
+    )
+    txlog_write_partitioned(df, path, "k")
+    # no data loss: NULL-keyed rows are committed
+    assert txlog_read(spark, path).count() == 4
+    # the NULL partition prunes like any other value
+    nulls = txlog_read_pruned(spark, path, "k", [None])
+    assert sorted(r.id for r in nulls.where(F.col("k").isNull()).collect()) == [2, 4]
+
+    path2 = str(tmp_path / "ppdate")
+    dd = spark.createDataFrame(
+        [(1, datetime.date(2024, 1, 1)), (2, datetime.date(2024, 1, 2))],
+        "id int, d date",
+    )
+    txlog_write_partitioned(dd, path2, "d")  # json.dump must not raise
+    got = txlog_read_pruned(spark, path2, "d", [datetime.date(2024, 1, 2)])
+    assert [r.id for r in got.where(F.col("d") == "2024-01-02").collect()] == [2]
