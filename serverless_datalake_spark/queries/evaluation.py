@@ -1095,13 +1095,23 @@ def eval_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LR_STEPS = 100
 _LR_ETA = "2.0"
+# Hard cap on the driver-collected training sample: the modulo filter
+# selects a FRACTION of the corpus (unbounded at 100 TB); the
+# hash-ordered LIMIT makes the collected set constant-size.
+_LR_CAP = 4096
 
 
 def _logreg_oracle() -> str:
     sample = f"""
-    WITH t AS (
+    WITH cap AS (
+      -- constant-size training set: hash-ordered LIMIT caps the
+      -- collected sample at {_LR_CAP} rows regardless of corpus size
+      -- (a modulo filter alone is a FRACTION, not a bound)
+      SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_LR_CAP}
+    ), t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents WHERE doc_id % 5 = 0
+      FROM cap
     ), feat0 AS (
       SELECT doc_id,
              CASE WHEN len(toks) >= 30
@@ -1179,12 +1189,13 @@ def model_logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression (bias + centered diversity + centered length + a
     threshold-violation depth feature that linearizes the gate's AND
     boundary) fit to the quality-gate label with 100 deterministic
-    full-batch gradient steps
-    on a hash-free deterministic sample (doc_id % 5) — the fastText-
-    style pattern where the platform trains its own gate instead of
-    importing scores. Reports θ and training accuracy; the learned θ
-    deploys as a pure projection (the text_quality_model serving
-    path).
+    full-batch gradient steps on a deterministic sample: doc_id % 5
+    pre-filter, then a HASH-ORDERED LIMIT (_LR_CAP = 4096) so the
+    collected set is CONSTANT-SIZE at any corpus scale — the
+    fastText-style pattern where the platform trains its own gate
+    instead of importing scores. Reports θ and training accuracy; the
+    learned θ deploys as a pure projection (the text_quality_model
+    serving path).
 
     Exactness: the fit runs DRIVER-SIDE in Python over the collected
     sample — deliberately: CPython and DuckDB share the platform
@@ -1196,14 +1207,20 @@ def model_logreg_quality_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the oracle's exactly.
 
     Scale shape: feature extraction is the distributed part (one
-    scan); the sample is bounded (production fits quality gates on
-    samples as a rule), the fit is O(sample × steps) driver-side, and
-    SERVING the model is map-only."""
+    scan); the collected sample is capped at _LR_CAP rows by a
+    TakeOrdered over md5(doc_id) (constant driver memory at any
+    corpus size), the fit is O(cap × steps) driver-side, and SERVING
+    the model is map-only."""
     import math
 
     from serverless_datalake_spark.operators import textops
 
-    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(_LR_CAP)
+    )
     toks = textops.tokens(F.col("text"))
     nd = F.size(F.array_distinct(toks))
     n = F.size(toks)
