@@ -82,11 +82,15 @@ def token_sets_encoded(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     carry two token arrays: with string arrays the saturated-banding
     case measured 13–17 s at sf0.1; encoded, ~3 s.
 
-    Scale note: the rank-window id assignment and the broadcast of
-    the (token, id) vocabulary are both vocabulary-bounded — fine to
-    ~10^7 distinct tokens (a few hundred MB broadcast); beyond that
-    drop the broadcast hint (shuffle join) and assign ids by
-    (hash, disambiguation-rank) or keep a persisted vocab table.
+    Scale note: ids are assigned as (hash-bucket << 32) | rank-within-
+    bucket — the window partitions by a 1024-way hash of the token, so
+    id assignment is partition-parallel at ANY vocabulary size (a
+    global rank window would serialize the whole vocabulary through
+    one task; downstream only needs an injective token→int map, not
+    dense ranks). The broadcast of the (token, id) vocabulary is
+    vocabulary-bounded — fine to ~10^7 distinct tokens (a few hundred
+    MB); beyond that drop the broadcast hint (shuffle join) or keep a
+    persisted vocab table.
     Docs whose token set is empty drop out (they cannot score against
     anything). The result carries a lazy localCheckpoint: scoring
     joins consume it on BOTH pair sides, and the checkpoint makes the
@@ -96,10 +100,18 @@ def token_sets_encoded(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     toks = token_sets(docs, id_col, text_col)
     ex = toks.select("doc_id", F.explode("toks").alias("tok"))
+    bucket = F.pmod(F.xxhash64("tok"), F.lit(1024)).alias("__b")
     vocab = (
         ex.select("tok")
         .distinct()
-        .select("tok", F.row_number().over(Window.orderBy("tok")).alias("tid"))
+        .withColumn("__b", bucket)
+        .select(
+            "tok",
+            (
+                F.shiftleft(F.col("__b"), 32)
+                + F.row_number().over(Window.partitionBy("__b").orderBy("tok"))
+            ).cast("long").alias("tid"),
+        )
     )
     return (
         ex.join(F.broadcast(vocab), "tok")

@@ -258,11 +258,13 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     then label marketing segments from the score triple.
 
     Scale shape: one partial-agg shuffle over orders collapses to the
-    customer-dim-sized relation; the three NTILE windows sort THAT
-    relation, not orders (quintile ties broken by custkey → fully
-    deterministic). At billions of customers you'd swap NTILE for
-    approxQuantile bucket edges broadcast back — the
-    feature_winsorize pattern."""
+    customer-dim-sized relation; the three quintile assignments use
+    the two-pass range-partitioned global rank (operators/ranking.py)
+    — each NTILE sorts partition-parallel ranges of the customer
+    relation plus a broadcast per-range offset, never a
+    single-partition global window, so the plan survives billions of
+    customers. Quintile ties broken by custkey → fully deterministic,
+    bit-identical to the windowed NTILE."""
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max(
@@ -278,17 +280,19 @@ def orders_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
-    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
-    wm = Window.orderBy(F.col("monetary_cents").desc(), F.col("o_custkey"))
-    q = scored.select(
-        "o_custkey",
-        "recency_days",
-        "frequency",
-        "monetary_cents",
-        F.ntile(5).over(wr).cast("long").alias("r_quintile"),
-        F.ntile(5).over(wf).cast("long").alias("f_quintile"),
-        F.ntile(5).over(wm).cast("long").alias("m_quintile"),
+    from serverless_datalake_spark.operators.ranking import with_global_ntile
+
+    q = with_global_ntile(
+        scored, [F.col("recency_days").asc(), F.col("o_custkey")], 5, "r_quintile"
+    )
+    q = with_global_ntile(
+        q, [F.col("frequency").desc(), F.col("o_custkey")], 5, "f_quintile"
+    )
+    q = with_global_ntile(
+        q, [F.col("monetary_cents").desc(), F.col("o_custkey")], 5, "m_quintile"
+    ).select(
+        "o_custkey", "recency_days", "frequency", "monetary_cents",
+        "r_quintile", "f_quintile", "m_quintile",
     )
     return q.withColumn(
         "segment",
@@ -334,24 +338,25 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: revenue and its running sum are integer cents (no
     float accumulation order issues); the share division and the
     threshold comparison evaluate the identical IEEE expression in
-    both engines. Scale: the window sorts the PART-sized aggregate,
-    not lineitem; one fact shuffle total. (The global window is
-    dim-bounded; at extreme part cardinality the same thresholds come
-    from approxQuantile over the cumulative distribution.)"""
+    both engines; the running sum is exact integer-cents addition, so
+    the per-range offset decomposition is bit-identical to the global
+    window. Scale: the cumulative sum runs as partition-parallel
+    per-range windows plus broadcast offsets (operators/ranking.py) —
+    no single-partition sort at any part cardinality; one fact
+    shuffle total."""
     li = load_table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")).alias("revenue_cents")
     )
+    from serverless_datalake_spark.operators.ranking import with_global_cumsum
+
     tot = rev.groupBy().agg(F.sum("revenue_cents").alias("t"))
-    w = Window.orderBy(F.col("revenue_cents").desc(), F.col("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = rev.crossJoin(F.broadcast(tot)).select(
-        "l_partkey",
+    cum = with_global_cumsum(
+        rev,
+        [F.col("revenue_cents").desc(), F.col("l_partkey")],
         "revenue_cents",
-        F.sum("revenue_cents").over(w).alias("cum_cents"),
-        "t",
-    )
+        out="cum_cents",
+    ).crossJoin(F.broadcast(tot))
     share = F.col("cum_cents").cast("double") / F.col("t").cast("double")
     return cum.select(
         "l_partkey",
