@@ -477,7 +477,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a, b, common, deg_a, deg_b, jaccard, rank
     FROM ranked WHERE rank <= 20
     """,
-    tags=("graph", "link-prediction"),
+    tags=("graph", "link-prediction", "exact-baseline"),
 )
 def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link prediction over the part co-purchase graph: for every
@@ -489,12 +489,14 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental drift.
 
     Scale shape: the wedge join (und x und on the shared neighbor) is
-    the same Sigma d^2 relation every common-neighbor system computes;
-    at hub-heavy scale you cap per-node neighbor lists (top-d by
-    weight) exactly as production recommenders do — the fixture graph
-    needs no cap. Degrees are node-sized broadcasts; the existing-edge
-    exclusion is a broadcast anti join; final top-20 is a rank-window
-    (WindowGroupLimit)."""
+    Sigma d^2 — inherently quadratic in hub degree, so this query is
+    an EXACT BASELINE, kept for oracle verification at sf <= 0.01 and
+    excluded from full-scale sweeps (the `exact-baseline` tag; the
+    sweep runs it at sf0.01). The production-scale twin is
+    graph_jaccard_links_truncated (32-neighbor cap — what recommender
+    systems actually deploy). Degrees are node-sized broadcasts; the
+    existing-edge exclusion is a broadcast anti join; final top-20 is
+    a rank-window (WindowGroupLimit)."""
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
