@@ -700,7 +700,7 @@ def _ivfpq_residual_oracle(
     # Residuals, codebook, encode, and scoring all reuse the proven
     # deterministic idioms (ordered folds, fold argmin/argmax with
     # first-wins ties) — the oracle recomputes the exact pipeline.
-    oracle=_ivfpq_residual_oracle(),
+    oracle=_ivfpq_residual_oracle(nprobe=4),
     tags=("llm", "similarity", "ann", "ivf", "pq", "residual"),
 )
 def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -712,7 +712,17 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     more on genuinely clustered corpora, where residual norms shrink
     with cluster tightness. The corpus side is one map-only projection
     (assign → residual → encode → reconstruct → re-add) before the
-    broadcast probe join."""
+    broadcast probe join.
+
+    Knobs (measured, round 5): on this fixture the binding constraint
+    is ROUTING, not quantization — exact-vector recall inside the
+    probed cells is 0.36 at nprobe=2 vs 0.66 at nprobe=4, while
+    residual reconstruction MSE is already below plain IVF-PQ's
+    (0.0069 vs 0.0074; the near-uniform embeddings leave the coarse
+    quantizer only ~7% of the energy to remove, so the residual gain
+    is structural, not dramatic). nprobe=4 lifts this leg's recall@5
+    0.20 → 0.30 for ~2× candidate-scoring cost on the cheap ADC side;
+    the corpus-side encode (the expensive fixed cost) is unchanged."""
     queries, corpus = _split(spark, sf_dir)
     em = load_table(spark, sf_dir, "embeddings")
     corpus_lab = em.where(F.col("vec_id") >= 10).select(
@@ -721,7 +731,7 @@ def sim_topk_ivfpq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _centroid_rows(sf_dir, corpus_lab)
     rcb = _residual_codebook_rows(sf_dir, corpus, cents)
     return similarity.topk_ivfpq_residual(
-        queries, corpus, k=5, nprobe=2, centroid_rows=cents, codebook_rows=rcb
+        queries, corpus, k=5, nprobe=4, centroid_rows=cents, codebook_rows=rcb
     )
 
 
