@@ -2208,3 +2208,95 @@ def split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("doc_share"),
     )
+
+
+@query(
+    "privacy_t_closeness",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(FLOOR(EPOCH(CAST(time_bucket(INTERVAL '1 day', ts) AS TIMESTAMP))) AS BIGINT)
+               AS day_start,
+             CAST(user_id % 10 AS BIGINT) AS user_bucket,
+             event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2, 3
+    ), gdist AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS g FROM events GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n FROM gdist
+    ), kg AS (
+      SELECT day_start, user_bucket, CAST(SUM(c) AS BIGINT) AS k
+      FROM cells GROUP BY 1, 2
+    ), terms AS (
+      SELECT c.day_start, c.user_bucket, kg.k, tot.n,
+             ABS(CAST(c.c AS HUGEINT) * tot.n - CAST(gdist.g AS HUGEINT) * kg.k)
+               AS term,
+             CAST(gdist.g AS HUGEINT) AS g
+      FROM cells c
+      JOIN gdist USING (event_type)
+      JOIN kg ON kg.day_start = c.day_start AND kg.user_bucket = c.user_bucket
+      CROSS JOIN tot
+    )
+    SELECT day_start, user_bucket, CAST(k AS BIGINT) AS k,
+           ROUND(CAST(SUM(term) + CAST(k AS HUGEINT) * (n - SUM(g)) AS DOUBLE)
+                 / (2.0 * CAST(k AS DOUBLE) * CAST(n AS DOUBLE)), 6) AS t_dist,
+           CAST(SUM(term) + CAST(k AS HUGEINT) * (n - SUM(g)) AS DOUBLE)
+                 / (2.0 * CAST(k AS DOUBLE) * CAST(n AS DOUBLE)) > 0.3
+             AS exceeds_t
+    FROM terms GROUP BY day_start, user_bucket, k, n
+    """,
+    tags=("privacy", "governance", "t-closeness"),
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit — completes the k-anonymity / l-diversity
+    trio: a cell is unsafe if its SENSITIVE-VALUE DISTRIBUTION
+    diverges from the global one (skewness attack: a cell can be
+    large AND diverse yet 90% one disease). Distance is total
+    variation (the categorical EMD): t = ½ Σ_v |p_cell(v) − p_glob(v)|,
+    computed EXACTLY as integer arithmetic — ½ Σ|c_v·N − g_v·k|/(k·N)
+    — with the absent-value mass folded in algebraically
+    (Σ_{v∉cell} g_v·k = k·(N − Σ_{v∈cell} g_v)), so the sensitive
+    domain is never expanded per cell. Cells with t > 0.3 are flagged.
+
+    Scale shape: one shuffle to cell-grain counts, a broadcast join
+    of the (tiny) global sensitive-value table, one grid-grain
+    re-aggregate. Numerators accumulate in DECIMAL(38,0) (DuckDB
+    HUGEINT) — exact past 100 TB row counts; the single division and
+    threshold evaluate identically in both engines."""
+    e = load_table(spark, sf_dir, "events")
+    qi = [
+        F.window("ts", "1 day").alias("w"),
+        (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+    ]
+    cells = e.groupBy(qi[0], qi[1], F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    glob = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("g"))
+    tot = glob.groupBy().agg(F.sum("g").alias("n"))
+    kg = cells.groupBy("w", "user_bucket").agg(F.sum("c").alias("k"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    terms = (
+        cells.join(F.broadcast(glob), "event_type")
+        .join(kg, ["w", "user_bucket"])
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w",
+            "user_bucket",
+            "k",
+            "n",
+            F.abs(dec("c") * dec("n") - dec("g") * dec("k")).alias("term"),
+            dec("g").alias("gd"),
+        )
+    )
+    agg = terms.groupBy("w", "user_bucket", "k", "n").agg(
+        F.sum("term").alias("sterm"), F.sum("gd").alias("sg")
+    )
+    t_num = (F.col("sterm") + dec("k") * (dec("n") - F.col("sg"))).cast("double")
+    t = t_num / (2.0 * F.col("k").cast("double") * F.col("n").cast("double"))
+    return agg.select(
+        F.col("w.start").cast("long").alias("day_start"),
+        "user_bucket",
+        F.col("k").cast("long").alias("k"),
+        F.round(t, 6).alias("t_dist"),
+        (t > 0.3).alias("exceeds_t"),
+    )

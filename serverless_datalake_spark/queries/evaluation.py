@@ -2200,3 +2200,180 @@ def eval_chrf_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.lit(5.0) * p * rr / (F.lit(4.0) * p + rr), 6))
         .alias("chrf2"),
     )
+
+
+_RIDGE_LAMBDA = "1000.0"  # spelled as the same literal on both sides
+
+
+def _ridge_oracle() -> str:
+    """Closed-form ridge via the exact distributed Gram matrix; the
+    3x3 solve is a fixed cofactor expansion spelled identically in
+    Spark — identical IEEE expression trees on identical doubles."""
+    quad = (
+        "t0 * (t0 * n + t1 * s1 + t2 * s2)"
+        " + t1 * (t0 * s1 + t1 * s11 + t2 * s12)"
+        " + t2 * (t0 * s2 + t1 * s12 + t2 * s22)"
+    )
+    return f"""
+    WITH units AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x1,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS x2,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS y
+      FROM lineitem
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x1 AS HUGEINT)) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x2 AS HUGEINT)) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x1) AS DOUBLE) AS s11,
+             CAST(SUM(CAST(x1 AS HUGEINT) * x2) AS DOUBLE) AS s12,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS DOUBLE) AS s22,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x1 AS HUGEINT) * y) AS DOUBLE) AS s1y,
+             CAST(SUM(CAST(x2 AS HUGEINT) * y) AS DOUBLE) AS s2y,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM units
+    ), a AS (
+      SELECT *,
+             n + {_RIDGE_LAMBDA} AS a11,
+             s11 + {_RIDGE_LAMBDA} AS a22,
+             s22 + {_RIDGE_LAMBDA} AS a33
+      FROM g
+    ), det AS (
+      SELECT *,
+             a11 * (a22 * a33 - s12 * s12)
+             - s1 * (s1 * a33 - s12 * s2)
+             + s2 * (s1 * s12 - a22 * s2) AS d
+      FROM a
+    ), theta AS (
+      SELECT *,
+             (sy * (a22 * a33 - s12 * s12)
+              - s1 * (s1y * a33 - s12 * s2y)
+              + s2 * (s1y * s12 - a22 * s2y)) / d AS t0,
+             (a11 * (s1y * a33 - s12 * s2y)
+              - sy * (s1 * a33 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) / d AS t1,
+             (a11 * (a22 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - a22 * s2)) / d AS t2
+      FROM det
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           ROUND(t0, 6) AS theta0,
+           ROUND(t1, 6) AS theta1,
+           ROUND(t2, 6) AS theta2,
+           ROUND(1.0 - (syy - 2.0 * (t0 * sy + t1 * s1y + t2 * s2y)
+                        + ({quad}))
+                     / (syy - sy * sy / n), 6) AS r2
+    FROM theta
+    """
+
+
+@query(
+    "model_ridge_gram",
+    oracle=_ridge_oracle(),
+    tags=("model", "regression", "ridge"),
+)
+def model_ridge_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (2 features + intercept, λ=1000) fit ENTIRELY
+    in the data plane via the Gram-matrix pattern — the canonical
+    distributed closed-form fit: one scan accumulates the exact
+    sufficient statistics (n, Σx, Σxxᵀ, Σxy, Σy²) in DECIMAL(38,0)
+    integer units (quantity, discount-pct, price-cents), the 3×3
+    system (XᵀX + λI)θ = Xᵀy is solved by a fixed cofactor expansion
+    in the projection, and training R² comes from the same statistics
+    (SSE = Σy² − 2θ·Xᵀy + θᵀXᵀXθ). Nothing is collected; at 100 TB
+    the fit costs exactly one partial-agg shuffle to ONE row — this
+    is how linear probes over petabyte corpora are actually fit
+    (contrast model_logreg_quality_fit, which must iterate and so
+    trains on a capped sample).
+
+    Determinism: the sums are exact (order-independent integer
+    accumulation); every double expression after the single CAST is
+    spelled with identical association order in both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    units = li.select(
+        F.col("l_quantity").cast("long").alias("x1"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = units.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x1")).cast("double").alias("s1"),
+        F.sum(dec("x2")).cast("double").alias("s2"),
+        F.sum(dec("x1") * dec("x1")).cast("double").alias("s11"),
+        F.sum(dec("x1") * dec("x2")).cast("double").alias("s12"),
+        F.sum(dec("x2") * dec("x2")).cast("double").alias("s22"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x1") * dec("y")).cast("double").alias("s1y"),
+        F.sum(dec("x2") * dec("y")).cast("double").alias("s2y"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+    )
+    lam = F.lit(float(_RIDGE_LAMBDA))
+    a = g.select(
+        "*",
+        (F.col("n") + lam).alias("a11"),
+        (F.col("s11") + lam).alias("a22"),
+        (F.col("s22") + lam).alias("a33"),
+    )
+    det = a.select(
+        "*",
+        (
+            F.col("a11") * (F.col("a22") * F.col("a33") - F.col("s12") * F.col("s12"))
+            - F.col("s1") * (F.col("s1") * F.col("a33") - F.col("s12") * F.col("s2"))
+            + F.col("s2") * (F.col("s1") * F.col("s12") - F.col("a22") * F.col("s2"))
+        ).alias("d"),
+    )
+    theta = det.select(
+        "*",
+        (
+            (
+                F.col("sy") * (F.col("a22") * F.col("a33") - F.col("s12") * F.col("s12"))
+                - F.col("s1") * (F.col("s1y") * F.col("a33") - F.col("s12") * F.col("s2y"))
+                + F.col("s2") * (F.col("s1y") * F.col("s12") - F.col("a22") * F.col("s2y"))
+            )
+            / F.col("d")
+        ).alias("t0"),
+        (
+            (
+                F.col("a11") * (F.col("s1y") * F.col("a33") - F.col("s12") * F.col("s2y"))
+                - F.col("sy") * (F.col("s1") * F.col("a33") - F.col("s12") * F.col("s2"))
+                + F.col("s2") * (F.col("s1") * F.col("s2y") - F.col("s1y") * F.col("s2"))
+            )
+            / F.col("d")
+        ).alias("t1"),
+        (
+            (
+                F.col("a11") * (F.col("a22") * F.col("s2y") - F.col("s1y") * F.col("s12"))
+                - F.col("s1") * (F.col("s1") * F.col("s2y") - F.col("s1y") * F.col("s2"))
+                + F.col("sy") * (F.col("s1") * F.col("s12") - F.col("a22") * F.col("s2"))
+            )
+            / F.col("d")
+        ).alias("t2"),
+    )
+    quad = (
+        F.col("t0") * (F.col("t0") * F.col("n") + F.col("t1") * F.col("s1") + F.col("t2") * F.col("s2"))
+        + F.col("t1") * (F.col("t0") * F.col("s1") + F.col("t1") * F.col("s11") + F.col("t2") * F.col("s12"))
+        + F.col("t2") * (F.col("t0") * F.col("s2") + F.col("t1") * F.col("s12") + F.col("t2") * F.col("s22"))
+    )
+    return theta.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.round("t0", 6).alias("theta0"),
+        F.round("t1", 6).alias("theta1"),
+        F.round("t2", 6).alias("theta2"),
+        F.round(
+            F.lit(1.0)
+            - (
+                F.col("syy")
+                - F.lit(2.0)
+                * (
+                    F.col("t0") * F.col("sy")
+                    + F.col("t1") * F.col("s1y")
+                    + F.col("t2") * F.col("s2y")
+                )
+                + quad
+            )
+            / (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")),
+            6,
+        ).alias("r2"),
+    )

@@ -444,3 +444,88 @@ def feature_onehot_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("oh_other"),
     )
+
+
+@query(
+    "feature_woe_binned",
+    oracle="""
+    WITH lab AS (
+      SELECT o_orderpriority AS bin,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders
+    ), bins AS (
+      SELECT bin,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM lab GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_pos) AS BIGINT) AS t_pos,
+             CAST(SUM(n_neg) AS BIGINT) AS t_neg
+      FROM bins
+    ), scored AS (
+      SELECT bin, n, n_pos, n_neg,
+             ROUND(LN(((CAST(n_pos AS DOUBLE) + 0.5) / CAST(t_pos AS DOUBLE))
+                      / ((CAST(n_neg AS DOUBLE) + 0.5) / CAST(t_neg AS DOUBLE))),
+                   6) AS woe
+      FROM bins CROSS JOIN tot
+    )
+    SELECT bin, n, n_pos, n_neg, woe,
+           ROUND((CAST(n_pos AS DOUBLE) / (SELECT t_pos FROM tot)
+                  - CAST(n_neg AS DOUBLE) / (SELECT t_neg FROM tot)) * woe,
+                 6) AS iv_term
+    FROM scored
+    """,
+    tags=("feature", "woe", "encoding"),
+)
+def feature_woe_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence encoding table — the credit-scoring /
+    risk-modeling categorical encoder: per bin (order priority),
+    WoE = ln(p_pos/p_neg) with a +0.5 Laplace floor on the bin counts,
+    plus each bin's information-value contribution
+    (p_pos − p_neg)·WoE. The output IS the deployable encoder: a
+    pipeline broadcast-joins it back onto the fact table to replace
+    the category with its WoE (monotone-in-risk, NULL-safe, no
+    high-cardinality one-hot blowup).
+
+    Determinism: all counts are exact integers; the single LN rounds
+    at 6 on creation, and iv_term is a per-bin projection (no
+    cross-bin float sum — consumers needing total IV sum the rounded
+    terms). Scale shape: one partial-agg shuffle to bin grain, a
+    1-row totals broadcast, map-only scoring — bin-bounded output."""
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_orderpriority").alias("bin"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    bins = lab.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    tot = bins.groupBy().agg(
+        F.sum("n_pos").alias("t_pos"), F.sum("n_neg").alias("t_neg")
+    )
+    j = bins.crossJoin(F.broadcast(tot))
+    woe = F.round(
+        F.log(
+            ((F.col("n_pos").cast("double") + F.lit(0.5)) / F.col("t_pos").cast("double"))
+            / ((F.col("n_neg").cast("double") + F.lit(0.5)) / F.col("t_neg").cast("double"))
+        ),
+        6,
+    )
+    return j.select(
+        "bin",
+        "n",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        F.round(
+            (
+                F.col("n_pos").cast("double") / F.col("t_pos").cast("double")
+                - F.col("n_neg").cast("double") / F.col("t_neg").cast("double")
+            )
+            * woe,
+            6,
+        ).alias("iv_term"),
+    )

@@ -655,3 +655,114 @@ def sim_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+_QL_MU = 200.0  # Dirichlet pseudo-count, sized for the fixture's short docs
+
+
+def _ql_sql_ctes() -> str:
+    """DuckDB CTEs mirroring retrieval_query_likelihood_dirichlet
+    expression-for-expression (same association order, LN rounded at 6
+    in its own CTE so the outer ROUND operand nests no ROUND)."""
+    tf_cols = ",\n         ".join(
+        f"CAST(len(list_filter(toks, t -> t = '{w}')) AS DOUBLE) AS tf{i}"
+        for i, w in enumerate(_TERMS)
+    )
+    cf_cols = ",\n         ".join(
+        f"CAST(SUM(tf{i}) AS DOUBLE) AS cf{i}" for i in range(len(_TERMS))
+    )
+    term_cols = ",\n         ".join(
+        f"ROUND(LN((tf{i} + {_QL_MU} * ((cf{i} + 1.0) / (t_tokens + 1.0)))"
+        f" / (CAST(dl AS DOUBLE) + {_QL_MU})), 6) AS term{i}"
+        for i in range(len(_TERMS))
+    )
+    score_sum = " + ".join(f"term{i}" for i in range(len(_TERMS)))
+    return f"""base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+         {tf_cols}
+      FROM base
+    ), stats AS (
+      SELECT CAST(SUM(dl) AS DOUBLE) AS t_tokens,
+         {cf_cols}
+      FROM feats
+    ), terms AS (
+      SELECT doc_id, dl,
+         {term_cols}
+      FROM feats CROSS JOIN stats
+    ), scored AS (
+      SELECT doc_id, dl, ROUND({score_sum}, 6) AS score FROM terms
+    )"""
+
+
+@query(
+    "retrieval_query_likelihood_dirichlet",
+    oracle=f"""
+    WITH {_ql_sql_ctes()}, ranked AS (
+      SELECT doc_id, dl, score,
+             ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+      FROM scored
+    )
+    SELECT doc_id, dl, score, rank FROM ranked WHERE rank <= 20
+    """,
+    tags=("llm", "retrieval", "query-likelihood"),
+)
+def retrieval_query_likelihood_dirichlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Zhai &
+    Lafferty) — the language-modeling leg of the classic IR trio
+    (alongside BM25 and vector cosine): score(q,d) = Σ_{w∈q}
+    ln((tf_wd + μ·p(w|C)) / (dl + μ)) with μ=200 and the add-one
+    collection floor p(w|C) = (cf_w+1)/(T+1), so an unseen query term
+    degrades smoothly instead of −∞.
+
+    Determinism: each per-term LN (the only transcendental) is rounded
+    at 6 on creation — the BM25/tf-idf house rule — then the per-doc
+    score sums the fixed literal term list left-to-right.
+
+    Scale shape: identical to text_bm25_topk — one corpus scan
+    produces (dl, tf_i), the corpus stats (T, cf_i) are a 1-row
+    broadcast, scoring is map-only, and the top-20 rank-window
+    rewrites to WindowGroupLimit (partial top-k per partition)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def tf(word: str) -> Column:
+        return F.size(F.filter(F.col("toks"), lambda t: t == F.lit(word)))
+
+    base = d.select("doc_id", textops.tokens(F.col("text")).alias("toks")).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("dl"),
+        *[tf(w).cast("double").alias(f"tf{i}") for i, w in enumerate(_TERMS)],
+    )
+    stats = base.agg(
+        F.sum("dl").cast("double").alias("t_tokens"),
+        *[F.sum(f"tf{i}").cast("double").alias(f"cf{i}") for i in range(len(_TERMS))],
+    )
+
+    def term(i: int) -> Column:
+        return F.round(
+            F.log(
+                (
+                    F.col(f"tf{i}")
+                    + F.lit(_QL_MU)
+                    * ((F.col(f"cf{i}") + F.lit(1.0)) / (F.col("t_tokens") + F.lit(1.0)))
+                )
+                / (F.col("dl").cast("double") + F.lit(_QL_MU))
+            ),
+            6,
+        )
+
+    total = term(0)
+    for i in range(1, len(_TERMS)):
+        total = total + term(i)
+    scored = base.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "dl", F.round(total, 6).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("doc_id", "dl", "score", F.col("rank").cast("long").alias("rank"))
+    )

@@ -1475,3 +1475,116 @@ def stats_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(shrunk, 6).alias("shrunk_rate"),
         F.round(wod, 4).alias("weight_on_data"),
     )
+
+
+@query(
+    "stats_cuped_adjusted",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             user_id % 2 AS arm,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS x,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00'
+                           THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM per_user
+    ), arms AS (
+      SELECT arm,
+             CAST(COUNT(*) AS DOUBLE) AS na,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sxa,
+             CAST(SUM(CAST(y AS HUGEINT)) AS DOUBLE) AS sya
+      FROM per_user GROUP BY 1
+    )
+    SELECT CAST(arm AS BIGINT) AS arm,
+           CAST(na AS BIGINT) AS n_users,
+           ROUND(sya / na / 100.0, 6) AS mean_post,
+           ROUND((sya / na
+                  - ((g.n * g.sxy - g.sx * g.sy) / (g.n * g.sxx - g.sx * g.sx))
+                    * (sxa / na - g.sx / g.n)) / 100.0, 6) AS mean_post_cuped,
+           ROUND((g.n * g.sxy - g.sx * g.sy)
+                 / (g.n * g.sxx - g.sx * g.sx), 6) AS theta,
+           ROUND((g.n * g.sxy - g.sx * g.sy) * (g.n * g.sxy - g.sx * g.sy)
+                 / ((g.n * g.sxx - g.sx * g.sx) * (g.n * g.syy - g.sy * g.sy)),
+                 6) AS var_reduction
+    FROM arms CROSS JOIN g
+    """,
+    tags=("stats", "experimentation", "cuped"),
+)
+def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    industry-standard A/B variance-reduction adjustment: per-user
+    pre-period covariate X (first-half spend) and experiment metric Y
+    (second-half spend), theta = cov(X,Y)/var(X) fit on ALL users
+    (arm-agnostic, the unbiasedness requirement), then each arm's
+    adjusted mean Y - theta*(X - mean(X)). Reports the adjusted means
+    and the achieved variance reduction (= corr^2, the CUPED
+    guarantee).
+
+    Exactness: per-user X/Y are exact integer cents; the sufficient
+    statistics (n, Sx, Sy, Sxx, Syy, Sxy) accumulate in DECIMAL(38,0)
+    (DuckDB: HUGEINT) — order-independent, map-side combinable — and
+    both engines evaluate the identical closed-form double expression
+    once. Scale shape: one user-grain partial-agg shuffle, then an
+    arm-grain (2-row) and a global (1-row) reduction — the same
+    one-pass sufficient-statistics pattern as the rest of this module;
+    nothing is collected, no windows."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cut = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    per_user = ev.groupBy(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).agg(
+        F.sum(F.when(F.col("ts") < cut, cents).otherwise(F.lit(0))).alias("x"),
+        F.sum(F.when(F.col("ts") >= cut, cents).otherwise(F.lit(0))).alias("y"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    g = per_user.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(dec("x")).cast("double").alias("sx"),
+        F.sum(dec("y")).cast("double").alias("sy"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("sxx"),
+        F.sum(dec("y") * dec("y")).cast("double").alias("syy"),
+        F.sum(dec("x") * dec("y")).cast("double").alias("sxy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("na"),
+        F.sum(dec("x")).cast("double").alias("sxa"),
+        F.sum(dec("y")).cast("double").alias("sya"),
+    )
+    j = arms.crossJoin(F.broadcast(g))
+    theta = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return j.select(
+        F.col("arm").cast("long").alias("arm"),
+        F.col("na").cast("long").alias("n_users"),
+        F.round(F.col("sya") / F.col("na") / 100.0, 6).alias("mean_post"),
+        F.round(
+            (
+                F.col("sya") / F.col("na")
+                - theta * (F.col("sxa") / F.col("na") - F.col("sx") / F.col("n"))
+            )
+            / 100.0,
+            6,
+        ).alias("mean_post_cuped"),
+        F.round(theta, 6).alias("theta"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("var_reduction"),
+    )

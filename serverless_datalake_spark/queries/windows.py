@@ -542,3 +542,50 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.sum("first_seen").over(rw).cast("long").alias("distinct_users_so_far"),
     ).where(F.col("event_id") % 100 == 0)
+
+
+@query(
+    "window_global_rank_distributed",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+               AS spend_cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend_cents,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rank,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           CAST(SUM(spend_cents) OVER (w ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_cents
+    FROM spend
+    WINDOW w AS (ORDER BY spend_cents DESC, o_custkey)
+    """,
+    tags=("window", "ranking", "distributed", "scale"),
+)
+def window_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GLOBAL rank + quartile + running total WITHOUT a global window:
+    the two-pass range-partitioned primitives (operators/ranking.py —
+    repartitionByRange on the total order, per-range parallel windows,
+    broadcast per-range offsets). The oracle is the single-window SQL
+    the primitives must reproduce bit-for-bit; the Spark plan contains
+    ONLY partitioned Window nodes (pinned in tests/test_ranking.py),
+    so the same plan survives billions of entities where
+    `Window.orderBy` with no partition would serialize on one task.
+    Running total is exact integer cents, so the per-range offset
+    decomposition is associative and exact."""
+    from serverless_datalake_spark.operators.ranking import (
+        with_global_cumsum,
+        with_global_ntile,
+        with_global_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_cents")
+    )
+    order = [F.col("spend_cents").desc(), F.col("o_custkey")]
+    out = with_global_rank(spend, order, out="rank")
+    out = with_global_ntile(out, order, 4, out="quartile")
+    out = with_global_cumsum(out, order, "spend_cents", out="cum_cents")
+    return out.select("o_custkey", "spend_cents", "rank", "quartile", "cum_cents")
