@@ -100,6 +100,12 @@ HEADLINE = [
     # ACTION over the inverted gram index), DSIR importance weighting
     "dedup_span_removal",
     "sample_dsir_importance",
+    # round-5 additions: distributed global rank (the two-pass
+    # range-partitioned primitive), one-pass Gram-matrix ridge fit,
+    # Dirichlet query-likelihood retrieval leg
+    "window_global_rank_distributed",
+    "model_ridge_gram",
+    "retrieval_query_likelihood_dirichlet",
 ]
 
 

@@ -2377,3 +2377,90 @@ def model_ridge_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+@query(
+    "eval_ppi_mean_estimate",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), feats AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks)
+                  THEN 1 ELSE 0 END AS label,
+             CASE WHEN len(toks) >= 25 THEN 1 ELSE 0 END AS pred,
+             CASE WHEN doc_id % 20 = 0 THEN 1 ELSE 0 END AS labeled
+      FROM scored
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_all,
+             CAST(SUM(pred) AS DOUBLE) AS s_pred_all,
+             CAST(SUM(labeled) AS DOUBLE) AS n_lab,
+             CAST(SUM(CASE WHEN labeled = 1 THEN label ELSE 0 END) AS DOUBLE)
+               AS s_label_lab,
+             CAST(SUM(CASE WHEN labeled = 1 THEN pred ELSE 0 END) AS DOUBLE)
+               AS s_pred_lab
+      FROM feats
+    )
+    SELECT CAST(n_all AS BIGINT) AS n_total,
+           CAST(n_lab AS BIGINT) AS n_labeled,
+           ROUND(s_label_lab / n_lab, 6) AS classical_mean,
+           ROUND(s_pred_all / n_all, 6) AS pred_mean_all,
+           ROUND(s_pred_all / n_all
+                 - (s_pred_lab / n_lab - s_label_lab / n_lab), 6) AS ppi_mean
+    FROM g
+    """,
+    tags=("evaluation", "ppi", "inference"),
+)
+def eval_ppi_mean_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prediction-Powered Inference (Angelopoulos et al. 2023) for a
+    corpus-level mean — the modern eval pattern when labels are
+    scarce but a model scores everything: estimate the quality-gate
+    acceptance rate from a SMALL labeled slice (doc_id % 20, the
+    'human annotations') plus a cheap model prediction (a length
+    stump) over the WHOLE corpus. θ̂_PPI = mean(pred | all) −
+    (mean(pred | labeled) − mean(label | labeled)) — the rectifier
+    removes the model's bias while keeping the large-n variance of
+    the prediction term. Output reports the classical small-sample
+    estimate, the naive all-prediction mean, and the PPI estimate.
+
+    Exactness: all five sufficient statistics are exact integer
+    counts; the three divisions and the rectifier subtraction are
+    the identical IEEE expression in both engines. Scale shape: ONE
+    corpus scan to a 1-row aggregate — nothing collected, no joins;
+    the labeled slice is a predicate, not a separate table."""
+    d = load_table(spark, sf_dir, "documents")
+    from serverless_datalake_spark.operators import textops
+
+    toks = textops.tokens(F.col("text"))
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    feats = d.select(
+        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("label"),
+        F.when(n >= 25, 1).otherwise(0).alias("pred"),
+        F.when(F.col("doc_id") % 20 == 0, 1).otherwise(0).alias("labeled"),
+    )
+    g = feats.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n_all"),
+        F.sum("pred").cast("double").alias("s_pred_all"),
+        F.sum("labeled").cast("double").alias("n_lab"),
+        F.sum(F.when(F.col("labeled") == 1, F.col("label")).otherwise(0))
+        .cast("double")
+        .alias("s_label_lab"),
+        F.sum(F.when(F.col("labeled") == 1, F.col("pred")).otherwise(0))
+        .cast("double")
+        .alias("s_pred_lab"),
+    )
+    return g.select(
+        F.col("n_all").cast("long").alias("n_total"),
+        F.col("n_lab").cast("long").alias("n_labeled"),
+        F.round(F.col("s_label_lab") / F.col("n_lab"), 6).alias("classical_mean"),
+        F.round(F.col("s_pred_all") / F.col("n_all"), 6).alias("pred_mean_all"),
+        F.round(
+            F.col("s_pred_all") / F.col("n_all")
+            - (F.col("s_pred_lab") / F.col("n_lab") - F.col("s_label_lab") / F.col("n_lab")),
+            6,
+        ).alias("ppi_mean"),
+    )

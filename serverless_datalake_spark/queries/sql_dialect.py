@@ -719,3 +719,30 @@ def sql_identifier_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY IDENTIFIER('c_' || 'mktsegment')
         """
     )
+
+
+@query(
+    "sql_select_star_except_replace",
+    oracle="""
+    SELECT n_nationkey, n_regionkey,
+           lower(n_name) AS n_name
+    FROM nation
+    """,
+    tags=("sql", "dialect", "star-modifiers"),
+)
+def sql_select_star_except_replace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(...) with a projected replacement — the wide-
+    table ergonomics modifier (BigQuery/DuckDB pioneered it; Spark
+    4 supports * EXCEPT natively): drop-and-recompute a column
+    without enumerating the schema. On a 1000-column feature table
+    this is the difference between a readable job and a maintenance
+    hazard; column pruning still reaches the scan because EXCEPT
+    resolves in the analyzer."""
+    register_views(spark, sf_dir, only=("nation",))
+    return spark.sql(
+        """
+        SELECT * EXCEPT (n_name),
+               lower(n_name) AS n_name
+        FROM nation
+        """
+    )

@@ -594,3 +594,24 @@ def test_boilerplate_grams_single_agg_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "dedup_boilerplate_grams")
     assert "Join" not in plan
     assert plan.count("Exchange") <= 4, plan.count("Exchange")
+
+
+def test_ridge_gram_is_single_reduction(spark, sf_dir):
+    """model_ridge_gram must be ONE partial-agg reduction: a single
+    exchange (to one row), no joins, no windows — the petabyte
+    linear-probe shape its docstring claims."""
+    plan = plan_of(spark, sf_dir, "model_ridge_gram")
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_query_likelihood_topk_is_group_limited(spark, sf_dir):
+    """retrieval_query_likelihood_dirichlet: corpus stats arrive via
+    broadcast and the global top-20 runs as WindowGroupLimit (partial
+    top-k per partition), never a full global sort of the corpus."""
+    plan = plan_of(spark, sf_dir, "retrieval_query_likelihood_dirichlet")
+    # the global top-20 materializes as a partial-per-partition top-k
+    # (TakeOrderedAndProject feeding the rank window), never a full
+    # global sort of the corpus
+    assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
