@@ -1740,3 +1740,107 @@ def agg_sketch_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("q_est") - F.col("q_exact")) / F.col("q_exact"), 6
         ).alias("rel_err"),
     )
+
+
+@query(
+    "agg_sketch_set_algebra",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS has_click,
+             MAX(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN 1 ELSE 0 END) AS has_big
+      FROM events GROUP BY 1
+    )
+    SELECT CAST(SUM(has_click) AS BIGINT) AS n_click_exact,
+           CAST(SUM(has_big) AS BIGINT) AS n_big_exact,
+           CAST(SUM(has_click * has_big) AS BIGINT) AS n_inter_exact,
+           CAST(SUM(has_click * (1 - has_big)) AS BIGINT) AS n_diff_exact,
+           CAST(COUNT(*) AS BIGINT) AS n_all_exact,
+           TRUE AS hll_click_ok,
+           TRUE AS hll_union_ok,
+           TRUE AS theta_inter_ok,
+           TRUE AS theta_diff_ok
+    FROM per_user
+    """,
+    tags=("agg", "sketch", "datasketches", "theta", "hll"),
+)
+def agg_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache DataSketches set algebra (Spark 4.1 built-ins) — the
+    mergeable-sketch pattern every 100 TB audience system runs:
+    HLL sketches per segment merged with hll_union_agg for the
+    overall distinct-user estimate, and THETA sketches (which, unlike
+    HLL, support intersection and difference) for clickers∩big-spenders
+    and clickers\\big-spenders (purchase, value > 150). Sketches are tiny mergeable states — at
+    rest you store one per partition/day and answer any segment
+    overlap at query time without touching raw events.
+
+    Oracle contract (tolerance certificates, the agg_approx pattern):
+    the exact counts are driver-verified values; the sketch estimates
+    are checked INSIDE the query against relative-error bounds (5%
+    for HLL counts, 10% for theta set ops whose error compounds) and
+    shipped as booleans the oracle pins to TRUE — so a sketch
+    regression fails the driver check without demanding cross-engine
+    bit-equality of estimator internals.
+
+    Scale shape: one pass over events builds all four sketches via
+    conditional sketch aggregates (NULLs are ignored by the sketch,
+    so no pre-filter scans); the exact twins cost one user-grain
+    shuffle and exist only to prove the sketches honest."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = ev.groupBy().agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)"
+        ).alias("t_click"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN event_type = 'purchase' AND value > 150.0 THEN user_id END)"
+        ).alias("t_big"),
+        F.expr(
+            "hll_sketch_agg(CASE WHEN event_type = 'click' THEN user_id END)"
+        ).alias("h_click"),
+        F.expr("hll_sketch_agg(user_id)").alias("h_all"),
+    ).select(
+        F.expr("hll_sketch_estimate(h_click)").alias("e_click"),
+        F.expr("hll_sketch_estimate(h_all)").alias("e_all"),
+        F.expr("theta_sketch_estimate(theta_intersection(t_click, t_big))").alias(
+            "e_inter"
+        ),
+        F.expr("theta_sketch_estimate(theta_difference(t_click, t_big))").alias(
+            "e_diff"
+        ),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("has_click"),
+        F.max(
+            F.when((F.col("event_type") == "purchase") & (F.col("value") > 150.0), 1)
+            .otherwise(0)
+        ).alias("has_big"),
+    )
+    exact = per_user.groupBy().agg(
+        F.sum("has_click").cast("long").alias("n_click_exact"),
+        F.sum("has_big").cast("long").alias("n_big_exact"),
+        F.sum(F.col("has_click") * F.col("has_big")).cast("long").alias(
+            "n_inter_exact"
+        ),
+        F.sum(F.col("has_click") * (F.lit(1) - F.col("has_big")))
+        .cast("long")
+        .alias("n_diff_exact"),
+        F.count(F.lit(1)).cast("long").alias("n_all_exact"),
+    )
+
+    def ok(est, exact_col, tol):
+        return (
+            F.abs(est - F.col(exact_col).cast("double"))
+            <= F.lit(tol) * F.col(exact_col).cast("double")
+        )
+
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_click_exact",
+        "n_big_exact",
+        "n_inter_exact",
+        "n_diff_exact",
+        "n_all_exact",
+        ok(F.col("e_click"), "n_click_exact", 0.05).alias("hll_click_ok"),
+        ok(F.col("e_all"), "n_all_exact", 0.05).alias("hll_union_ok"),
+        ok(F.col("e_inter"), "n_inter_exact", 0.10).alias("theta_inter_ok"),
+        ok(F.col("e_diff"), "n_diff_exact", 0.10).alias("theta_diff_ok"),
+    )
