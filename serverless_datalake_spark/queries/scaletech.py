@@ -936,3 +936,55 @@ def join_dpp_runtime_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_milli"),
         )
     )
+
+
+@query(
+    "txlog_zonemap_prune",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS value_cents,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE value BETWEEN 50.0 AND 120.0
+    """,
+    tags=("txlog", "zonemap", "data-skipping"),
+)
+def txlog_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX zone-map file skipping through the transaction log —
+    the step past txlog_partition_prune's single-value stats: the
+    write clusters rows with repartitionByRange(value), harvests each
+    file's [min, max] from the parquet FOOTERS (no data pages read),
+    and records them in the log entry; a range read then prunes the
+    file list by interval overlap before Spark opens anything. This
+    is Delta/Iceberg column-statistics skipping (and the reason
+    OPTIMIZE ZORDER exists: clustered layout == tight zone maps ==
+    effective skipping). The residual predicate enforces exactness,
+    so equality against the plain filtered scan proves the skip a
+    sound superset; tests/test_txlog.py asserts files are actually
+    skipped AND that an unclustered layout degrades to reading more
+    files without losing rows.
+
+    Scale shape: skipping is decided at METADATA grain (log replay,
+    constant per file); the data read touches only overlapping
+    files — at 100 TB this is the manifest-driven scan an
+    object-store reader performs instead of listing directories."""
+    import uuid as _uuid
+
+    from serverless_datalake_spark.sources.txlog import (
+        txlog_read_zonemap,
+        txlog_write_zonemapped,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = _scratch(f"sdlspark_zm_{_uuid.uuid4().hex[:12]}")
+    clustered = ev.repartitionByRange(8, F.col("value"))
+    txlog_write_zonemapped(clustered, path, ["value"])
+    got = txlog_read_zonemap(spark, path, "value", 50.0, 120.0)
+    return got.where(F.col("value").between(50.0, 120.0)).groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("value_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )

@@ -1588,3 +1588,92 @@ def stats_cuped_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("var_reduction"),
     )
+
+
+@query(
+    "stats_anova_oneway",
+    oracle="""
+    WITH units AS (
+      SELECT event_type AS grp,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+      FROM events
+    ), per_group AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sg,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS ssg
+      FROM units GROUP BY 1
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0],
+                 list([sg, CAST(ng AS DOUBLE), ssg] ORDER BY grp)),
+               (a, r) -> [a[1] + r[1] * r[1] / r[2], a[2] + r[1], a[3] + r[3]]
+             ) AS acc
+      FROM per_group
+    )
+    SELECT k, n,
+           ROUND(acc[1] - acc[2] * acc[2] / CAST(n AS DOUBLE), 4) AS ss_between,
+           ROUND(acc[3] - acc[1], 4) AS ss_within,
+           ROUND(((acc[1] - acc[2] * acc[2] / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((acc[3] - acc[1]) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+                 6) AS f_stat
+    FROM folded
+    """,
+    tags=("stats", "anova"),
+)
+def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types (does mean event value differ
+    by type?): F = (SSB/(k−1)) / (SSW/(n−k)) from per-group exact
+    sufficient statistics (n_g, Σx, Σx² in integer cents, HUGEINT /
+    DECIMAL(38,0) accumulation).
+
+    Determinism: the per-group stats are exact; the CROSS-GROUP float
+    sums (Σ S_g²/n_g, ΣS_g, ΣSS_g) run as ONE ordered fold over the
+    group rows sorted by group key — a LIST accumulator (the
+    ts_holt_linear rule: DuckDB list_reduce mutates struct
+    accumulators in place), identical association order in both
+    engines. Group count is type-bounded (5), so the fold is a
+    constant-size expression over a k-row relation.
+
+    Scale shape: one partial-agg shuffle to group grain, then a k-row
+    reduction — the textbook test at any corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    units = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    per_group = units.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum(dec("x")).cast("double").alias("sg"),
+        F.sum(dec("x") * dec("x")).cast("double").alias("ssg"),
+    )
+    folded = per_group.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("grp"), F.col("sg"), F.col("ng"), F.col("ssg")))
+            ),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            lambda a, r: F.array(
+                a[0] + r["sg"] * r["sg"] / r["ng"].cast("double"),
+                a[1] + r["sg"],
+                a[2] + r["ssg"],
+            ),
+        ).alias("acc"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    ssb = F.col("acc")[0] - F.col("acc")[1] * F.col("acc")[1] / nd
+    ssw = F.col("acc")[2] - F.col("acc")[0]
+    return folded.select(
+        "k",
+        "n",
+        F.round(ssb, 4).alias("ss_between"),
+        F.round(ssw, 4).alias("ss_within"),
+        F.round((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)), 6).alias("f_stat"),
+    )

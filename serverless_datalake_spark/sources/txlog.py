@@ -437,3 +437,100 @@ def txlog_read_pruned(
     if not files:
         raise FileNotFoundError(f"no matching committed files in {path}")
     return spark.read.parquet(*files)
+
+
+def txlog_write_zonemapped(
+    df: DataFrame, path: str, stat_cols: list[str], mode: str = "append"
+) -> int:
+    """Commit df with per-file MIN/MAX ZONE MAPS for `stat_cols` in
+    the log entry — the Delta/Iceberg file-statistics model one step
+    past txlog_write_partitioned's single-value stats: files hold
+    arbitrary value ranges, and a range predicate prunes the file
+    LIST by [min, max] overlap. Stats are harvested from the parquet
+    FOOTERS after the write (pyarrow metadata read — no data pages
+    touched), so the stats are exactly what the files contain
+    regardless of task-level row distribution.
+
+    Pair with a repartitionByRange(stat_col) before writing to make
+    the zone maps tight (clustered layout == effective skipping —
+    the same reason Delta OPTIMIZE ZORDER exists)."""
+    import pyarrow.parquet as pq
+
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode {mode!r}")
+    prior = _entries(path)
+    version = prior[-1]["version"] + 1 if prior else 0
+    batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+    df.write.mode("error").parquet(batch_dir)
+    adds: list[str] = []
+    stats: dict[str, dict] = {}
+    for n in sorted(os.listdir(batch_dir)):
+        if not n.endswith(".parquet"):
+            continue
+        fp = os.path.join(batch_dir, n)
+        adds.append(fp)
+        md = pq.read_metadata(fp)
+        names = md.schema.to_arrow_schema().names
+        fstats: dict[str, list] = {}
+        for col in stat_cols:
+            if col not in names:
+                continue
+            ci = names.index(col)
+            lo = hi = None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    lo = hi = None
+                    break
+                lo = st.min if lo is None or st.min < lo else lo
+                hi = st.max if hi is None or st.max > hi else hi
+            if lo is not None:
+                fstats[col] = [_stat_repr(lo), _stat_repr(hi)]
+        if fstats:
+            stats[fp] = fstats
+    removes = live_files(path) if mode == "overwrite" else []
+    _commit(path, version, sorted(adds), removes, extra={"zonemaps": stats})
+    return version
+
+
+def live_files_zonemap_pruned(
+    path: str, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """Replay the log keeping per-file zone maps; return (files whose
+    [min, max] for `col` OVERLAPS [lo, hi] PLUS every file with no
+    zone map for that column, total_live). Unstatted files must be
+    read — skipping is an optimization, never a correctness filter."""
+    zmaps: dict[str, dict] = {}
+    files: set[str] = set()
+    for e in _entries(path):
+        if version is not None and e["version"] > version:
+            break
+        for r in e["removes"]:
+            files.discard(r)
+            zmaps.pop(r, None)
+        for a in e["adds"]:
+            files.add(a)
+        for fp, st in (e.get("zonemaps") or {}).items():
+            zmaps[fp] = st
+    lo_r, hi_r = _stat_repr(lo), _stat_repr(hi)
+    keep = []
+    for f in sorted(files):
+        zm = zmaps.get(f, {}).get(col)
+        if zm is None or not (zm[1] < lo_r or zm[0] > hi_r):
+            keep.append(f)
+    return keep, len(files)
+
+
+def txlog_read_zonemap(
+    spark: SparkSession, path: str, col: str, lo, hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read touching only files whose zone map can contain
+    `col BETWEEN lo AND hi` (plus unstatted legacy files). Callers
+    still apply the residual predicate — the skip is a superset
+    guarantee, exactly how min/max pruning composes with filters in
+    Delta/Iceberg readers."""
+    files, _total = live_files_zonemap_pruned(path, col, lo, hi, version)
+    if not files:
+        raise FileNotFoundError(f"no matching committed files in {path}")
+    return spark.read.parquet(*files)

@@ -464,3 +464,47 @@ def test_partition_stats_null_and_nonjson_values(spark, tmp_path):
     txlog_write_partitioned(dd, path2, "d")  # json.dump must not raise
     got = txlog_read_pruned(spark, path2, "d", [datetime.date(2024, 1, 2)])
     assert [r.id for r in got.where(F.col("d") == "2024-01-02").collect()] == [2]
+
+
+def test_zonemap_prune_skips_files_and_keeps_rows(spark, sf_dir, tmp_path):
+    """Range-clustered commit -> tight zone maps -> the range read
+    opens strictly fewer files; unclustered commit still answers
+    correctly (skip is a superset guarantee, never a filter)."""
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.sources.txlog import (
+        live_files_zonemap_pruned,
+        txlog_read_zonemap,
+        txlog_write_zonemapped,
+    )
+    from serverless_datalake_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    expect = ev.where(F.col("value").between(50.0, 120.0)).count()
+
+    clustered = str(tmp_path / "zm_clustered")
+    txlog_write_zonemapped(ev.repartitionByRange(8, F.col("value")), clustered, ["value"])
+    files, total = live_files_zonemap_pruned(clustered, "value", 50.0, 120.0)
+    assert len(files) < total, (len(files), total)  # skipping happened
+    got = (
+        txlog_read_zonemap(spark, clustered, "value", 50.0, 120.0)
+        .where(F.col("value").between(50.0, 120.0))
+        .count()
+    )
+    assert got == expect
+
+    # unclustered: zone maps are wide, skipping degrades, rows survive
+    unclustered = str(tmp_path / "zm_unclustered")
+    txlog_write_zonemapped(ev.repartition(8), unclustered, ["value"])
+    f2, t2 = live_files_zonemap_pruned(unclustered, "value", 50.0, 120.0)
+    assert len(f2) >= len(files) * 0  # no guarantee, just readable
+    got2 = (
+        txlog_read_zonemap(spark, unclustered, "value", 50.0, 120.0)
+        .where(F.col("value").between(50.0, 120.0))
+        .count()
+    )
+    assert got2 == expect
+
+    # a column with no zone map never prunes (every file kept)
+    f3, t3 = live_files_zonemap_pruned(clustered, "event_id", 0, 10)
+    assert len(f3) == t3
