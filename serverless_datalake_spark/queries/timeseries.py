@@ -1323,3 +1323,98 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.c").alias("cusum_hi"),
         F.col("t.a").alias("alarm"),
     )
+
+
+@query(
+    "ts_decompose_classical",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(time_bucket(INTERVAL '1 day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), ma AS (
+      SELECT event_type, day, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS trend7,
+             CAST(COUNT(*) OVER w AS BIGINT) AS wn
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ), det AS (
+      SELECT event_type, day, cents, trend7,
+             7 * cents - trend7 AS det7,
+             DAYOFWEEK(day) AS dow
+      FROM ma WHERE wn = 7
+    ), seas AS (
+      SELECT event_type, dow,
+             CAST(SUM(det7) AS BIGINT) AS s_num,
+             CAST(7 * COUNT(*) AS BIGINT) AS s_den
+      FROM det GROUP BY 1, 2
+    )
+    SELECT d.event_type, d.day,
+           d.cents,
+           ROUND(CAST(d.trend7 AS DOUBLE) / 7.0, 4) AS trend,
+           ROUND(CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE), 4) AS seasonal,
+           ROUND(CAST(d.det7 AS DOUBLE) / 7.0
+                 - CAST(s.s_num AS DOUBLE) / CAST(s.s_den AS DOUBLE), 4)
+             AS remainder
+    FROM det d JOIN seas s ON s.event_type = d.event_type AND s.dow = d.dow
+    """,
+    tags=("ts", "decomposition", "seasonal"),
+)
+def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of the daily revenue series
+    per event type: trend = centered 7-day moving average, seasonal =
+    day-of-week mean of the detrended series, remainder = the rest —
+    the moving-average decomposition STL generalizes (STL's loess is
+    iterative and engine-specific; the classical form is exact).
+
+    Exactness: daily totals are integer cents; the trick is to keep
+    the MA exact by working in SEVENTHS — trend7 = Σ of 7 integer
+    days, detrended7 = 7·x − trend7, seasonal numerator/denominator
+    exact integers — so every reported double is ONE correctly-
+    rounded division (or two, in remainder's fixed order) of exact
+    integers. Edge days without a full 7-day window are excluded
+    (the classical convention). Seasonal means are reported raw
+    (without the sum-to-zero re-centering, which would introduce a
+    cross-group float sum — consumers re-center the 7 values if
+    needed).
+
+    Scale shape: one shuffle to (type, day) grain, a partitioned
+    window over day-grain rows, a dow-grain re-aggregate broadcast
+    back — series-bounded everywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.window("ts", "1 day").alias("w")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents")
+    ).select("event_type", F.col("w.start").cast("date").alias("day"), "cents")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, 3)
+    )
+    ma = daily.select(
+        "event_type", "day", "cents",
+        F.sum("cents").over(w).alias("trend7"),
+        F.count(F.lit(1)).over(w).alias("wn"),
+    )
+    det = ma.where(F.col("wn") == 7).select(
+        "event_type", "day", "cents", "trend7",
+        (F.lit(7) * F.col("cents") - F.col("trend7")).alias("det7"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas = det.groupBy("event_type", "dow").agg(
+        F.sum("det7").alias("s_num"),
+        (F.lit(7) * F.count(F.lit(1))).alias("s_den"),
+    )
+    j = det.join(F.broadcast(seas), ["event_type", "dow"])
+    seasonal = F.col("s_num").cast("double") / F.col("s_den").cast("double")
+    return j.select(
+        "event_type",
+        "day",
+        "cents",
+        F.round(F.col("trend7").cast("double") / 7.0, 4).alias("trend"),
+        F.round(seasonal, 4).alias("seasonal"),
+        F.round(F.col("det7").cast("double") / 7.0 - seasonal, 4).alias("remainder"),
+    )
