@@ -832,3 +832,56 @@ def fn_json_struct_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed["uid"].alias("uid_back"),
         parsed["k"].alias("k_back"),
     )
+
+
+@query(
+    "fn_hof_exists_forall_indexed",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents WHERE doc_id % 17 = 0
+    )
+    SELECT doc_id,
+           len(list_filter(toks, t -> len(t) > 8)) > 0 AS has_long_token,
+           len(list_filter(toks, t -> len(t) >= 2)) = len(toks)
+             AS all_ge2,
+           CAST(len(list_filter(
+                  list_transform(toks, (t, i) -> CASE WHEN (i - 1) % 2 = 0
+                                                      THEN t ELSE '' END),
+                  t -> t <> '')) AS BIGINT) AS n_even_positions
+    FROM base
+    """,
+    tags=("fn", "hof", "exists-forall"),
+)
+def fn_hof_exists_forall_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predicate HOFs fn_array_hof leaves out — exists (any
+    element matches), forall (every element matches), and the
+    POSITIONAL transform lambda (element, index) that underlies
+    stride/window tricks (here: count of even-position tokens).
+    DuckDB has no exists/forall, so the oracle states them as
+    filter-length identities, which also documents the semantics:
+    exists ≡ |filter| > 0, forall ≡ |filter| = |input|. The Spark
+    side uses the native short-circuiting forms. DuckDB's lambda
+    index is 1-based where Spark's is 0-based — normalized in the
+    oracle ((i−1) % 2), the same shift rule as DAYOFWEEK."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 17 == 0)
+    from serverless_datalake_spark.operators import textops
+
+    base = d.select("doc_id", textops.tokens(F.col("text")).alias("toks"))
+    return base.select(
+        "doc_id",
+        F.exists("toks", lambda t: F.length(t) > 8).alias("has_long_token"),
+        F.forall("toks", lambda t: F.length(t) >= 2).alias("all_ge2"),
+        F.size(
+            F.filter(
+                F.transform(
+                    "toks",
+                    lambda t, i: F.when(i % 2 == 0, t).otherwise(F.lit("")),
+                ),
+                lambda t: t != "",
+            )
+        )
+        .cast("long")
+        .alias("n_even_positions"),
+    )
