@@ -1190,3 +1190,114 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s").cast("double") / F.max("s").over(w_all).cast("double"), 10
         ).alias("authority"),
     )
+
+
+_LPA_ROUNDS = 4
+
+
+def _lpa_oracle(rounds: int = _LPA_ROUNDS) -> str:
+    parts = [
+        """
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), edges AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), l0 AS (
+      SELECT src AS node, src AS label FROM edges GROUP BY 1
+    )"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""", l{t} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label,
+               ROW_NUMBER() OVER (PARTITION BY e.dst
+                                  ORDER BY COUNT(*) DESC, l.label) AS rn
+        FROM edges e JOIN l{t - 1} l ON l.node = e.src
+        GROUP BY e.dst, l.label
+      ) WHERE rn = 1
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT label, n_members, rank FROM (
+      SELECT CAST(label AS BIGINT) AS label,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, label) AS rank
+      FROM l{rounds} GROUP BY label
+    ) WHERE rank <= 20
+    """
+    )
+    return "".join(parts)
+
+
+@query(
+    "graph_label_propagation",
+    oracle=_lpa_oracle(),
+    tags=("graph", "community", "label-propagation"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al.) over the part co-purchase graph — the near-linear community
+    algorithm production graph systems run before anything Louvain-
+    shaped: every node adopts its neighbors' MODAL label each round
+    (ties → smallest label; 4 fixed rounds), communities = final
+    label groups; output is the top-20 community size table.
+
+    Determinism: labels and counts are integers end-to-end; the modal
+    pick is a (count DESC, label) rank — no floats anywhere, so the
+    unrolled plan is exact under any scheduling, and the oracle
+    replays the identical rounds as MATERIALIZED CTEs (the Lloyd's
+    rule: round t is referenced once per round t+1, materialization
+    stops 2^t inlining).
+
+    Scale shape: identical per-round cost to graph_pagerank — the
+    cached edge relation is pre-partitioned by dst so each round's
+    modal aggregate reuses the cached partitioning; labels are
+    node-sized broadcasts. Rounds are FIXED (4), not convergence-
+    polled: the plan stays static and sync-LPA's oscillation risk is
+    bounded by construction."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pl.select(F.col("o"), F.col("p").alias("src"))
+    b = pl.select(F.col("o"), F.col("p").alias("dst"))
+    e0 = (
+        a.join(b, "o")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    edges = e0.unionAll(
+        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).repartition(F.col("dst"))
+    (edges,) = _retire_and_cache(("lpa", sf_dir), [edges])
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        cnt = (
+            edges.join(F.broadcast(labels), edges["src"] == labels["node"])
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    out_w = Window.orderBy(F.col("n_members").desc(), F.col("label"))
+    return (
+        labels.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .withColumn("rank", F.row_number().over(out_w).cast("long"))
+        .where(F.col("rank") <= 20)
+    )
