@@ -153,12 +153,16 @@ def main() -> None:
     }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
+    # compact line carries 2-decimal times (the 3-decimal precision
+    # lives in BENCH_DETAIL.json) — at 62 queries the line sits ~100 B
+    # under the ~1.9 kB tail-capture budget; 2 decimals buys ~60 B of
+    # headroom per future headline growth.
     line = json.dumps(
         {
             "metric": "headline_queries_total_time",
             "value": total,
             "unit": "sec",
-            "queries": times,
+            "queries": {n: round(t, 2) for n, t in times.items()},
             "spread_max": max(spread.values()) if spread else 0.0,
             "sf": sf,
         },
