@@ -35,6 +35,7 @@ SYSTEMS = [
     "sim_topk_ivfpq_residual",
     "sim_topk_ivfpq_rerank",
     "sim_topk_ivfpq_rerank_np4",
+    "sim_topk_ivfpq_rerank_np8",
     "sim_topk_hamming",
 ]
 

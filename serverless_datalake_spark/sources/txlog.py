@@ -21,6 +21,37 @@ retries against the new head (optimistic concurrency).
 This complements sources/replay.read_lake_as_of (catalog time travel
 by ingest time): the txlog gives version-exact snapshots and atomic
 compaction; the catalog gives time-range selection semantics (R12).
+
+Manual object-store verification recipe (no network in the build
+sandbox, so this is the documented execution path for the ACID claim;
+run it once against any S3-compatible endpoint):
+
+1. Endpoint: `docker run -p 9000:9000 minio/minio server /data`
+   (or a real S3 bucket — S3 supports `If-None-Match: *` conditional
+   PUT natively since 2024-08, so no coordination table is needed).
+2. Spark session confs (hadoop-aws on the classpath):
+   `spark.hadoop.fs.s3a.endpoint=http://localhost:9000`,
+   `.access.key/.secret.key=minioadmin`,
+   `.path.style.access=true`.
+3. Swap the publish primitive: on s3a, `os.rename`-if-absent is not
+   atomic — route `_commit`'s publish through a `put_if_absent(key,
+   body)` that issues `PutObject` with `IfNoneMatch="*"` (boto3
+   `put_object(..., IfNoneMatch="*")`); a 412 PreconditionFailed IS
+   the lost race and must trigger the existing retry-against-new-head
+   path (the local-FS code treats rename-target-exists the same way).
+4. Race test: two processes loop `txlog_write(...)` 50 commits each
+   against the same table URI. Expected: exactly 100 committed
+   versions 0..99, no gaps, no duplicate version number, and
+   `txlog_read` at any version sees a prefix-consistent file set.
+5. Torn-read test: a reader polling `txlog_read(spark, uri)` in a
+   loop during the race must never observe a version whose listed
+   data files 404 — data files are fully written before the log
+   entry publishes.
+
+The same five steps validate vacuum/checkpoint: run `txlog_vacuum`
+concurrently with readers pinned to an old version; the replay-
+equivalent checkpoint must land BEFORE any delete (step 4's reader
+asserts no 404).
 """
 
 from __future__ import annotations
