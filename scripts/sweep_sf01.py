@@ -11,11 +11,15 @@ The per-chunk JVM restart costs ~10 s and keeps every measurement at
 codegen speed — which is also the honest number, since production jobs
 don't run 330 unrelated queries in one driver.
 
-Writes SWEEP_sf0.1.json: per-query single-run wall seconds (one run
-each — a smoke screen for scaling anomalies, not a steady-state
-benchmark; per-chunk warmup amortizes JVM startup, but per-query
-first-run codegen is included, so compare against the >5 s gate, not
-against bench.py numbers).
+Writes SWEEP_sf0.1.json: per-query wall seconds. Queries whose FIRST
+run exceeds 5 s are run a second time in the same chunk session and
+report the steady-state (second) run in `times`, with the cold first
+run preserved in `cold_first_run` — measured round 5: graph_pagerank
+reads 12.6 s cold vs 3.6 s steady (whole-stage-codegen compilation of
+a 17-exchange iterative plan, paid once per JVM), and conflating the
+two had the sweep flagging compile time as data-proportional cost.
+Sub-5 s queries stay single-run (codegen included) — they are a smoke
+screen for scaling anomalies, not a benchmark.
 """
 
 from __future__ import annotations
@@ -42,15 +46,26 @@ names = json.loads(sys.argv[1])
 spark = get_spark(app_name="sweep-chunk")
 reg = load_registry()
 reg["scan_project"].fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
-times, errs = {{}}, {{}}
+times, cold, errs = {{}}, {{}}, {{}}
 for name in names:
     t0 = time.time()
     try:
         reg[name].fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
     except Exception as ex:
         errs[name] = repr(ex)[:300]
-    times[name] = round(time.time() - t0, 3)
-print("CHUNK_RESULT " + json.dumps({{"times": times, "errs": errs}}), flush=True)
+        times[name] = round(time.time() - t0, 3)
+        continue
+    t1 = time.time() - t0
+    if t1 > 5.0:
+        # steady-state rerun: first runs pay whole-stage-codegen
+        # compilation (once per JVM), which is not data-proportional
+        t0 = time.time()
+        reg[name].fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+        cold[name] = round(t1, 3)
+    else:
+        times[name] = round(t1, 3)
+print("CHUNK_RESULT " + json.dumps({{"times": times, "cold": cold, "errs": errs}}), flush=True)
 """
 
 
@@ -67,6 +82,7 @@ def main() -> None:
     baselines = [n for n, q in reg.items() if "exact-baseline" in q.tags]
     names = [n for n in reg if n not in baselines]
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     errs: dict[str, str] = {}
     child_src = _CHILD.format(repo=REPO, sf_dir=SF_DIR)
     for lo in range(0, len(names), CHUNK):
@@ -91,6 +107,7 @@ def main() -> None:
             continue
         res = json.loads(out[0][len("CHUNK_RESULT ") :])
         times.update(res["times"])
+        cold.update(res.get("cold", {}))
         errs.update(res["errs"])
         print(
             f"{min(lo + CHUNK, len(names))}/{len(names)} "
@@ -119,6 +136,7 @@ def main() -> None:
         "n_queries": len(times),
         "total_sec": round(sum(times.values()), 1),
         "over_5s": slow,
+        "cold_first_run": dict(sorted(cold.items(), key=lambda kv: -kv[1])),
         "exact_baselines_sf0.01": base_times,
         "errors": errs,
         "times": dict(sorted(times.items(), key=lambda kv: -kv[1])),

@@ -314,6 +314,18 @@ def test_rerank_stage_adds_no_sort_merge(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_rerank_np8_same_plan_shape_as_np4(spark, sf_dir):
+    """The high-recall operating point (nprobe=8, 150-deep shortlist)
+    must change only knob VALUES, not plan shape: wider probing and a
+    deeper shortlist still mean broadcast-only joins and no
+    corpus-wide sort-merge/cartesian — recall is bought with a larger
+    probed fraction, never with a new shuffle."""
+    plan = final_plan_of(spark, sf_dir, "sim_topk_ivfpq_rerank_np8")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # shortlist ids + query vecs
+
+
 def test_scd2_point_in_time_broadcasts_dim(spark, sf_dir):
     """The versioned dimension is entity-sized → must broadcast; the
     interval predicate rides as a residual on the hash join, never a
