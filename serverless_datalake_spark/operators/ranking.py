@@ -21,9 +21,23 @@ window runs partition-parallel. This is the same decomposition
 Spark's own SQL `RANK` physical rewrite would want and what
 Snowflake/BigQuery do under the hood for global ORDER BY analytics.
 
-The relation is persisted for the duration of the two passes so the
-offsets observed in pass 1 describe exactly the partitions ranked in
-pass 2 (repartitionByRange samples its bounds; caching pins them).
+The range-partitioned relation must be PINNED between the two passes:
+`repartitionByRange` SAMPLES its bounds, so two independent
+evaluations could split the key space differently and the pass-1
+offsets would describe partitions that pass 2 never sees. Pinning is
+a lazy `localCheckpoint` rather than `persist()` — a persisted
+relation sits in the CacheManager for the life of the session (these
+primitives run inside bench/sweep loops that execute hundreds of
+queries per JVM; the round-5 advisor flagged the accumulation), while
+checkpoint blocks are reclaimed by the ContextCleaner as soon as the
+caller's result is garbage-collected.
+
+When rank, NTILE and the running sum are all needed over the SAME
+order (`window_global_rank_distributed`), `with_global_order_analytics`
+computes the three in ONE range pass: one shuffle, one pass-1 stats
+job, one partitioned WindowExec evaluating row_number and the framed
+sum together (same partition/order spec → Spark plans a single window
+node). The narrow wrappers below share that implementation.
 """
 
 from __future__ import annotations
@@ -31,50 +45,118 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["with_global_rank", "with_global_cumsum", "with_global_ntile"]
+__all__ = [
+    "with_global_order_analytics",
+    "with_global_rank",
+    "with_global_cumsum",
+    "with_global_ntile",
+]
+
+# reserved intermediate names (dropped before return when not requested)
+_PID = "__pid"
+_RNK = "__gor_rank"
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long"}
 
 
-def _range_indexed(df: DataFrame, order_cols: list[Column], num_partitions: int):
-    """Range-partition df by the total order and materialize the
-    partition id. Returns (persisted df with `__pid`, pid->rows counts
-    dict, pid->value sums pass computed by callers)."""
-    parted = (
+def _range_indexed(df: DataFrame, order_cols: list[Column], num_partitions: int) -> DataFrame:
+    """Range-partition df by the total order, materialize the partition
+    id, and pin the result (lazy localCheckpoint — materialized by the
+    pass-1 stats job, reclaimed on GC; see module docstring)."""
+    return (
         df.repartitionByRange(num_partitions, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
     )
-    return parted
 
 
-def _offset_expr(offsets: dict[int, int]) -> Column:
+def _prefix_offsets(per_pid: dict[int, int | float]) -> tuple[dict, int | float]:
+    """Exclusive prefix totals in pid order; returns (offsets, total)."""
+    offsets: dict = {}
+    acc: int | float = 0
+    for pid in sorted(per_pid):
+        offsets[pid] = acc
+        acc += per_pid[pid] or 0
+    return offsets, acc
+
+
+def _offset_expr(offsets: dict) -> Column:
     if not offsets:
         return F.lit(0)
     return F.coalesce(
         F.element_at(
             F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv]),
-            F.col("__pid"),
+            F.col(_PID),
         ),
         F.lit(0),
     )
 
 
-def _ranked_with_n(
-    df: DataFrame, order_cols: list[Column], out: str, num_partitions: int
-) -> tuple[DataFrame, int]:
+def _cum_cast(col: Column, value_dtype: str) -> Column:
+    """Result type of the running sum: long for integral inputs (exact
+    offset addition), double for float inputs (NO truncating long cast
+    — the round-5 advisor caught exactly that), untouched otherwise
+    (decimal keeps Spark's SUM(decimal) result type)."""
+    if value_dtype in _INTEGRAL:
+        return col.cast("long")
+    if value_dtype in ("float", "double"):
+        return col.cast("double")
+    return col
+
+
+def _ntile_expr(rank0: Column, n: int, k: int) -> Column:
+    """ANSI NTILE from a 0-based global rank: with n rows the first
+    (n mod k) buckets hold ceil(n/k) rows, the rest floor(n/k)."""
+    q, rem = divmod(n, k)
+    big = rem * (q + 1)  # rows covered by the ceil-sized buckets
+    return F.when(rank0 < big, F.floor(rank0 / F.lit(q + 1)) + 1).otherwise(
+        F.lit(rem) + F.floor((rank0 - big) / F.lit(max(q, 1))) + 1
+    )
+
+
+def with_global_order_analytics(
+    df: DataFrame,
+    order_cols: list[Column],
+    *,
+    k: int | None = None,
+    value_col: str | None = None,
+    rank_out: str = "rank",
+    ntile_out: str = "ntile",
+    cum_out: str = "cum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """row_number() [+ NTILE(k)] [+ SUM(value_col) ROWS UNBOUNDED
+    PRECEDING] over ONE global total order in a single range pass.
+    `order_cols` must be a total order (append a unique tiebreaker).
+    Integer running sums are exact (offset addition is associative);
+    float ones match the global window up to summation-order effects.
+    """
     parted = _range_indexed(df, order_cols, num_partitions)
-    counts = {
-        r["__pid"]: r["n"]
-        for r in parted.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-    w = Window.partitionBy("__pid").orderBy(*order_cols)
-    ranked = parted.withColumn(
-        out, (F.row_number().over(w) + _offset_expr(offsets)).cast("long")
-    ).drop("__pid")
-    return ranked, acc
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if value_col is not None:
+        aggs.append(F.sum(value_col).alias("s"))
+    rows = parted.groupBy(_PID).agg(*aggs).collect()
+
+    count_off, n_total = _prefix_offsets({r[_PID]: r["n"] for r in rows})
+    w = Window.partitionBy(_PID).orderBy(*order_cols)
+    out = parted.withColumn(
+        rank_out, (F.row_number().over(w) + _offset_expr(count_off)).cast("long")
+    )
+    if value_col is not None:
+        sum_off, _ = _prefix_offsets({r[_PID]: r["s"] for r in rows})
+        wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        out = out.withColumn(
+            cum_out,
+            _cum_cast(
+                F.sum(value_col).over(wf) + _offset_expr(sum_off),
+                dict(df.dtypes)[value_col],
+            ),
+        )
+    if k is not None:
+        out = out.withColumn(
+            ntile_out, _ntile_expr(F.col(rank_out) - 1, n_total, k).cast("long")
+        )
+    return out.drop(_PID)
 
 
 def with_global_rank(
@@ -84,9 +166,10 @@ def with_global_rank(
     num_partitions: int = 32,
 ) -> DataFrame:
     """row_number() over a GLOBAL total order, computed with parallel
-    per-range windows + broadcast offsets. `order_cols` must be a
-    total order (append a unique key as tiebreaker)."""
-    return _ranked_with_n(df, order_cols, out, num_partitions)[0]
+    per-range windows + broadcast offsets."""
+    return with_global_order_analytics(
+        df, order_cols, rank_out=out, num_partitions=num_partitions
+    )
 
 
 def with_global_cumsum(
@@ -98,31 +181,17 @@ def with_global_cumsum(
 ) -> DataFrame:
     """SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING) over a
     global total order, as per-range running sums + broadcast prior-
-    partition totals. Exact for integer value columns (offset addition
-    is associative); for floats the result matches the global window
-    only up to summation-order effects — use integer units on hot
-    paths (the repo rule)."""
-    parted = _range_indexed(df, order_cols, num_partitions)
-    sums = {
-        r["__pid"]: r["s"]
-        for r in parted.groupBy("__pid")
-        .agg(F.sum(value_col).alias("s"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(sums):
-        offsets[pid] = acc
-        acc += sums[pid] or 0
-    off = _offset_expr(offsets)
-    w = (
-        Window.partitionBy("__pid")
-        .orderBy(*order_cols)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return (
-        parted.withColumn(out, (F.sum(value_col).over(w) + off).cast("long"))
-        .drop("__pid")
-    )
+    partition totals. Exact for integer value columns; float results
+    are double (never truncated) and match the global window up to
+    summation-order effects."""
+    return with_global_order_analytics(
+        df,
+        order_cols,
+        value_col=value_col,
+        cum_out=out,
+        rank_out=_RNK,
+        num_partitions=num_partitions,
+    ).drop(_RNK)
 
 
 def with_global_ntile(
@@ -132,15 +201,13 @@ def with_global_ntile(
     out: str = "ntile",
     num_partitions: int = 32,
 ) -> DataFrame:
-    """NTILE(k) over a global total order via the distributed rank.
-    Reproduces Spark/ANSI NTILE bucket sizing exactly: with n rows,
-    the first (n mod k) buckets hold ceil(n/k) rows, the rest
-    floor(n/k)."""
-    ranked, n = _ranked_with_n(df, order_cols, "__rnk", num_partitions)
-    q, rem = divmod(n, k)
-    r0 = F.col("__rnk") - 1  # 0-based
-    big = rem * (q + 1)  # rows covered by the ceil-sized buckets
-    tile = F.when(
-        r0 < big, F.floor(r0 / F.lit(q + 1)) + 1
-    ).otherwise(F.lit(rem) + F.floor((r0 - big) / F.lit(max(q, 1))) + 1)
-    return ranked.withColumn(out, tile.cast("long")).drop("__rnk")
+    """NTILE(k) over a global total order via the distributed rank,
+    reproducing Spark/ANSI NTILE bucket sizing exactly."""
+    return with_global_order_analytics(
+        df,
+        order_cols,
+        k=k,
+        ntile_out=out,
+        rank_out=_RNK,
+        num_partitions=num_partitions,
+    ).drop(_RNK)

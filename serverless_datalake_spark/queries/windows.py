@@ -575,9 +575,7 @@ def window_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFram
     Running total is exact integer cents, so the per-range offset
     decomposition is associative and exact."""
     from serverless_datalake_spark.operators.ranking import (
-        with_global_cumsum,
-        with_global_ntile,
-        with_global_rank,
+        with_global_order_analytics,
     )
 
     o = load_table(spark, sf_dir, "orders")
@@ -585,7 +583,15 @@ def window_global_rank_distributed(spark: SparkSession, sf_dir: str) -> DataFram
         F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("spend_cents")
     )
     order = [F.col("spend_cents").desc(), F.col("o_custkey")]
-    out = with_global_rank(spend, order, out="rank")
-    out = with_global_ntile(out, order, 4, out="quartile")
-    out = with_global_cumsum(out, order, "spend_cents", out="cum_cents")
+    # rank + quartile + running total share ONE order → one range pass,
+    # one pass-1 stats job, one partitioned WindowExec (not three).
+    out = with_global_order_analytics(
+        spend,
+        order,
+        k=4,
+        value_col="spend_cents",
+        rank_out="rank",
+        ntile_out="quartile",
+        cum_out="cum_cents",
+    )
     return out.select("o_custkey", "spend_cents", "rank", "quartile", "cum_cents")

@@ -57,9 +57,11 @@ asserts no 404).
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import uuid
+from decimal import Decimal, InvalidOperation
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -71,12 +73,78 @@ def _stat_repr(v):
     stat); everything else (date, Decimal, bytes, ...) becomes a
     deterministic string so _commit's json.dump can never raise after
     data files are already on disk. Membership checks canonicalize the
-    probe values with the same function, so pruning stays consistent."""
+    probe values with the same function, so pruning stays consistent.
+    Decimals get a CANONICAL plain form (1.00 and 1 collapse to "1")
+    so trailing-zero representation differences can never defeat an
+    equality prune; ORDERED comparisons on stats never happen on these
+    strings directly — see _ord_pair, which compares numerics in the
+    Decimal domain ("150" < "99" lexicographically; the round-5
+    advisor's zone-map finding)."""
     if v is None or isinstance(v, (bool, int, float, str)):
         return v
     if isinstance(v, (bytes, bytearray)):
         return v.hex()
+    if isinstance(v, Decimal):
+        return format(v.normalize(), "f") if v.is_finite() else str(v)
     return str(v)
+
+
+def _numview(v):
+    """Decimal view of a numeric value, else None. Strings do NOT
+    qualify — a VARCHAR stat '100' must never order numerically."""
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return Decimal(v)
+    if isinstance(v, float):
+        return None if (math.isnan(v) or math.isinf(v)) else Decimal(str(v))
+    if isinstance(v, Decimal):
+        return v if v.is_finite() else None
+    return None
+
+
+def _ord_pair(stat, probe):
+    """Comparable (stat_key, probe_key) for an ORDERED zone-map check,
+    or None when the pair is ambiguous (ambiguity → the file is read;
+    skipping is an optimization, never a correctness filter). Numeric
+    probes compare in the Decimal domain — a stored Decimal stat is a
+    canonical numeric STRING after the JSON round-trip, so it is
+    re-parsed rather than compared lexicographically. Non-numeric
+    probes (str/date/datetime/bytes) compare through _stat_repr, whose
+    string forms are order-preserving within one type (ISO dates,
+    fixed-width hex)."""
+    pn = _numview(probe)
+    if pn is not None:
+        sn = _numview(stat)
+        if sn is None and isinstance(stat, str):
+            try:
+                sn = Decimal(stat)
+            except InvalidOperation:
+                sn = None
+        return (sn, pn) if sn is not None else None
+    pr = _stat_repr(probe)
+    if isinstance(stat, str) and isinstance(pr, str):
+        return (stat, pr)
+    return None
+
+
+def _stat_matches(stored, probe) -> bool:
+    """Equality for a membership prune: exact canonical-repr match,
+    plus numeric-domain equality so int/float/Decimal flavors of the
+    same value can never cause a false MISS (a false miss silently
+    drops committed data; a false match only reads one extra file)."""
+    if stored == _stat_repr(probe):
+        return True
+    pn = _numview(probe)
+    if pn is None:
+        return False
+    sn = _numview(stored)
+    if sn is None and isinstance(stored, str):
+        try:
+            sn = Decimal(stored)
+        except InvalidOperation:
+            return False
+    return sn is not None and sn == pn
 
 _LOG_DIR = "_txlog"
 # Committed entries are EXACTLY 8-digit names. In-flight temp files
@@ -446,11 +514,11 @@ def live_files_pruned(
             files.add(a)
         for fp, st in (e.get("stats") or {}).items():
             stats[fp] = st
-    wanted = [_stat_repr(v) for v in values]
     keep = [
         f
         for f in sorted(files)
-        if part_col not in stats.get(f, {}) or stats[f][part_col] in wanted
+        if part_col not in stats.get(f, {})
+        or any(_stat_matches(stats[f][part_col], v) for v in values)
     ]
     return keep, len(files)
 
@@ -487,6 +555,32 @@ def txlog_write_zonemapped(
     the same reason Delta OPTIMIZE ZORDER exists)."""
     import pyarrow.parquet as pq
 
+    def _footer_minmax(st, sch_col):
+        """(min, max) from a column-chunk Statistics, decoding logical
+        types pyarrow's stats cast doesn't implement: Spark writes
+        precision≤18 decimals as INT32/INT64 physical (and larger ones
+        as FLBA) and `st.min` raises ArrowNotImplementedError there —
+        the raw unscaled value is still in min_raw/max_raw. Undecodable
+        stats return (None, None) → file committed unstatted → always
+        read (prune is an optimization, never a correctness filter)."""
+        try:
+            return st.min, st.max
+        except NotImplementedError:
+            pass
+        lt = sch_col.logical_type
+        if lt is not None and lt.type == "DECIMAL":
+
+            def dec(raw):
+                unscaled = (
+                    int.from_bytes(bytes(raw), "big", signed=True)
+                    if isinstance(raw, (bytes, bytearray))
+                    else int(raw)
+                )
+                return Decimal(unscaled).scaleb(-sch_col.scale)
+
+            return dec(st.min_raw), dec(st.max_raw)
+        return None, None
+
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     prior = _entries(path)
@@ -513,8 +607,12 @@ def txlog_write_zonemapped(
                 if st is None or not st.has_min_max:
                     lo = hi = None
                     break
-                lo = st.min if lo is None or st.min < lo else lo
-                hi = st.max if hi is None or st.max > hi else hi
+                mn, mx = _footer_minmax(st, md.schema.column(ci))
+                if mn is None:
+                    lo = hi = None
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
             if lo is not None:
                 fstats[col] = [_stat_repr(lo), _stat_repr(hi)]
         if fstats:
@@ -543,11 +641,17 @@ def live_files_zonemap_pruned(
             files.add(a)
         for fp, st in (e.get("zonemaps") or {}).items():
             zmaps[fp] = st
-    lo_r, hi_r = _stat_repr(lo), _stat_repr(hi)
     keep = []
     for f in sorted(files):
         zm = zmaps.get(f, {}).get(col)
-        if zm is None or not (zm[1] < lo_r or zm[0] > hi_r):
+        disjoint = False
+        if zm is not None:
+            below = _ord_pair(zm[1], lo)  # file_max vs query lo
+            above = _ord_pair(zm[0], hi)  # file_min vs query hi
+            disjoint = (below is not None and below[0] < below[1]) or (
+                above is not None and above[0] > above[1]
+            )
+        if not disjoint:
             keep.append(f)
     return keep, len(files)
 

@@ -56,6 +56,50 @@ def test_global_ntile_matches_window(spark, n):
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
 
 
+def test_global_cumsum_float_not_truncated(spark):
+    """Float value columns keep a double running sum — no long cast
+    (the round-5 advisor found the truncation). Halves are exactly
+    representable, so the offset decomposition is bit-identical."""
+    df = _toy(spark, 2000).withColumn("wf", F.col("w") / F.lit(2.0))
+    order = [F.col("v").asc(), F.col("id")]
+    got = with_global_cumsum(df, order, "wf", out="c", num_partitions=5)
+    assert dict(got.dtypes)["c"] == "double"
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.withColumn("c", F.sum("wf").over(w))
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_global_order_analytics_combined(spark):
+    """rank + NTILE + running sum over one order in a single range
+    pass must match the three global windows, and the plan must hold
+    exactly ONE Window node (shared partition/order spec)."""
+    from serverless_datalake_spark.operators.ranking import (
+        with_global_order_analytics,
+    )
+
+    df = _toy(spark, 3000)
+    order = [F.col("v").desc(), F.col("id")]
+    got = with_global_order_analytics(
+        df, order, k=4, value_col="w", rank_out="r", ntile_out="t", cum_out="c"
+    )
+    w = Window.orderBy(*order)
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = (
+        df.withColumn("r", F.row_number().over(w).cast("long"))
+        .withColumn("t", F.ntile(4).over(w).cast("long"))
+        .withColumn("c", F.sum("w").over(wf).cast("long"))
+    )
+    cols = ["id", "v", "w", "r", "t", "c"]  # exceptAll is positional
+    got, ref = got.select(*cols), ref.select(*cols)
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    window_nodes = [
+        ln for ln in plan.splitlines() if "windowspecdefinition(" in ln
+    ]
+    assert len(window_nodes) == 1, plan
+    assert "__pid" in window_nodes[0]
+
+
 def test_ranked_windows_are_partitioned(spark):
     """Every Window node in the primitive's plan carries a partition
     spec (__pid) — the whole point of the rewrite."""

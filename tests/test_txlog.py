@@ -497,7 +497,9 @@ def test_zonemap_prune_skips_files_and_keeps_rows(spark, sf_dir, tmp_path):
     unclustered = str(tmp_path / "zm_unclustered")
     txlog_write_zonemapped(ev.repartition(8), unclustered, ["value"])
     f2, t2 = live_files_zonemap_pruned(unclustered, "value", 50.0, 120.0)
-    assert len(f2) >= len(files) * 0  # no guarantee, just readable
+    # round-robin layout spreads the value range over every file, so
+    # wide zone maps must keep them ALL (pruning any would be unsound)
+    assert len(f2) == t2 and t2 > 1, (len(f2), t2)
     got2 = (
         txlog_read_zonemap(spark, unclustered, "value", 50.0, 120.0)
         .where(F.col("value").between(50.0, 120.0))
@@ -508,3 +510,101 @@ def test_zonemap_prune_skips_files_and_keeps_rows(spark, sf_dir, tmp_path):
     # a column with no zone map never prunes (every file kept)
     f3, t3 = live_files_zonemap_pruned(clustered, "event_id", 0, 10)
     assert len(f3) == t3
+
+
+def test_zonemap_and_membership_ordering_is_type_aware():
+    """Pure-Python contract of the pruning keys (the round-5 advisor
+    finding): Decimal stats survive the JSON round-trip as canonical
+    numeric STRINGS, so ordered zone-map checks must compare them in
+    the Decimal domain ('150' < '99' lexicographically would prune a
+    file whose rows sit inside the query range), equality membership
+    must not miss on trailing-zero flavors (1.0 vs 1.00), and any
+    ambiguous pairing must KEEP the file (prune is an optimization,
+    never a correctness filter)."""
+    import json
+    from decimal import Decimal
+
+    from serverless_datalake_spark.sources.txlog import (
+        _ord_pair,
+        _stat_matches,
+        _stat_repr,
+    )
+
+    def roundtrip(v):
+        return json.loads(json.dumps(_stat_repr(v)))
+
+    # Decimal zone map [100, 150] vs probe range [99, 200]: overlaps
+    zlo, zhi = roundtrip(Decimal("100")), roundtrip(Decimal("150"))
+    assert zlo == "100" and zhi == "150"  # canonical plain strings
+    below = _ord_pair(zhi, Decimal("99"))   # file_max vs lo
+    above = _ord_pair(zlo, Decimal("200"))  # file_min vs hi
+    assert below is not None and not (below[0] < below[1])
+    assert above is not None and not (above[0] > above[1])
+    # genuinely disjoint: probe [200, 300] is above the file
+    b2 = _ord_pair(zhi, Decimal("200"))
+    assert b2 is not None and b2[0] < b2[1]
+    # int/float probes against Decimal-string stats also order numerically
+    b3 = _ord_pair(zhi, 200)
+    assert b3 is not None and b3[0] < b3[1]
+    assert _ord_pair(zhi, 99.5) is not None
+
+    # VARCHAR stats stay lexicographic ('100' is a STRING here)
+    s = _ord_pair("banana", "apple")
+    assert s == ("banana", "apple")
+    # ambiguous pairings (non-numeric stat vs numeric probe) → None → keep
+    assert _ord_pair("banana", Decimal("5")) is None
+
+    # membership: trailing-zero Decimal flavors are the same partition
+    stored = roundtrip(Decimal("1.0"))
+    assert _stat_matches(stored, Decimal("1.00"))
+    assert _stat_matches(stored, Decimal("1"))
+    assert not _stat_matches(stored, Decimal("1.01"))
+    # int-stored stat probed with a Decimal (and vice versa)
+    assert _stat_matches(7, Decimal("7"))
+    assert _stat_matches(roundtrip(Decimal("7")), 7)
+    # strings never numerically match a numeric probe's repr... but a
+    # numeric-looking VARCHAR value colliding with a number only KEEPS
+    # a file (conservative), which is the safe direction
+    assert not _stat_matches("abc", Decimal("5"))
+
+
+def test_zonemap_prune_decimal_column(spark, tmp_path):
+    """End-to-end: DECIMAL zone maps prune correctly — a probe range
+    overlapping a file's [min, max] keeps it (string comparison would
+    have skipped it and silently dropped committed rows)."""
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.sources.txlog import (
+        live_files_zonemap_pruned,
+        txlog_read_zonemap,
+        txlog_write_zonemapped,
+    )
+
+    path = str(tmp_path / "zm_dec")
+    df = spark.range(0, 400).select(
+        F.col("id"),
+        (F.col("id") * F.lit("0.5").cast("decimal(10,2)"))
+        .cast("decimal(10,2)")
+        .alias("amt"),
+    )
+    # two range files: amt in [0, 99.5] and [100, 199.5]
+    txlog_write_zonemapped(df.repartitionByRange(2, "amt"), path, ["amt"])
+
+    # probe [99, 200]: overlaps BOTH files ('150' < '99' lexicographic
+    # would have dropped the upper file)
+    files, total = live_files_zonemap_pruned(
+        path, "amt", Decimal("99"), Decimal("200")
+    )
+    assert len(files) == total
+    got = (
+        txlog_read_zonemap(spark, path, "amt", Decimal("99"), Decimal("200"))
+        .where(F.col("amt").between(99, 200))
+        .count()
+    )
+    assert got == df.where(F.col("amt").between(99, 200)).count()
+
+    # probe strictly above the data: everything prunes
+    f2, _ = live_files_zonemap_pruned(path, "amt", Decimal("500"), Decimal("900"))
+    assert f2 == []
