@@ -151,7 +151,14 @@ def main() -> None:
         "spread": spread,
         "sf": sf,
     }
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as f:
+    # Detail path is env-overridable so harness runs (the contract
+    # test executes main() at sf0.001) can't clobber the round's
+    # sf0.1 artifact at the repo root.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     # compact line carries 2-decimal times (the 3-decimal precision
     # lives in BENCH_DETAIL.json) — at 62 queries the line sits ~100 B

@@ -26,10 +26,12 @@ def test_oracle_keys_subset_of_queries():
         assert "SELECT" in sql.upper(), name
 
 
-def test_bench_emits_one_json_line(monkeypatch, spark):
+def test_bench_emits_one_json_line(monkeypatch, spark, tmp_path):
     import bench
 
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    # keep the sf0.1 round artifact at the repo root intact
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(tmp_path / "detail.json"))
     buf = io.StringIO()
     with redirect_stdout(buf):
         bench.main()
