@@ -336,7 +336,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from serverless_datalake_spark.operators.similarity import (
         _as_double,
-        dot,
+        dot_arrow,
         ivf_assign_expr,
         ivf_centroids_refined,
         norm,
@@ -368,10 +368,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle-hash hint skips the per-partition sorts an SMJ would pay
     # on (id, 64-dim vector) rows — cluster populations are bounded by
     # construction, so the hash side always fits.
+    # pair scoring rides the Arrow dot (bit-identical fold order, see
+    # dot_arrow) — the quadratic Σ|cluster|² term is the hot path here
     dups = (
         a.join(b.hint("shuffle_hash"), "cluster_id")
         .where(F.col("id_a") < F.col("id_b"))
-        .where(dot(F.col("__ua"), F.col("__ub")) >= 0.3)
+        .where(dot_arrow(F.col("__ua"), F.col("__ub")) >= 0.3)
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
     )
