@@ -8,10 +8,18 @@ Three tiers:
 * IVF — corpus partitioned by nearest centroid, queries probe the
   nprobe closest centroid partitions.
 
-All dot products ride array HOFs (zip_with + aggregate, double
-precision, sequential fold → deterministic and oracle-matchable).
-At real scale the corpus side stays columnar and partitioned by
-bucket/centroid id so a probe is a partition-pruned scan.
+Dot products are deterministic sequential folds (double precision,
+fixed summation order → oracle-matchable) with TWO interchangeable
+implementations: array HOFs (zip_with + aggregate — zero Python, used
+on scan-shaped paths) and Arrow-vectorized pandas UDFs with the SAME
+fold order (dot_arrow / pq_reconstruct_arrow — used on the hot
+quadratic/encode paths, where interpreted HOF eval costs ~100× more
+per row than a vectorized batch; Spark never codegens higher-order
+functions). Both produce bit-identical doubles, so either side of an
+A/B stays oracle-green. At real scale the corpus side stays columnar
+and partitioned by bucket/centroid id so a probe is a partition-pruned
+scan, and the Arrow encode is the FAISS design point (SIMD ADC over
+code batches).
 """
 
 from __future__ import annotations
