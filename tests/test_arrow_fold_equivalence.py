@@ -17,6 +17,8 @@ from pyspark.sql import functions as F
 from serverless_datalake_spark.operators.similarity import (
     dot,
     dot_arrow,
+    ivf_assign_arrow,
+    ivf_assign_expr,
     pq_reconstruct_arrow,
     pq_reconstruct_expr,
 )
@@ -90,6 +92,32 @@ def test_pq_reconstruct_arrow_residual_base_readd(spark):
     a = {r["id"]: r["r"] for r in arrow_out.collect()}
     for k in e:
         assert e[k] == a[k], f"row {k}: residual expr != arrow"
+
+
+def test_ivf_assign_arrow_equals_expr(spark):
+    """Cell assignment: same cosine arithmetic, same earliest-id tie
+    rule. Centroid 5 duplicates centroid 2 exactly — rows nearest that
+    direction tie, and both paths must pick id 2."""
+    rng = random.Random(17)
+    cents = [
+        {"centroid_id": j, "centroid": _vec(rng, DIM)} for j in range(8)
+    ]
+    cents[5]["centroid"] = list(cents[2]["centroid"])
+    data = [(i, _vec(rng, DIM, scale=10.0 ** rng.randint(-3, 2))) for i in range(300)]
+    # rows exactly ON the duplicated centroid direction (scaled — the
+    # cosine is scale-invariant up to fp rounding, plus the exact vec)
+    data += [(300 + j, [x * 2.0 for x in cents[2]["centroid"]]) for j in range(5)]
+    data.append((310, list(cents[2]["centroid"])))
+    df = spark.createDataFrame(data, "id long, v array<double>")
+    both = df.select(
+        "id",
+        ivf_assign_expr(cents, "v").alias("e"),
+        ivf_assign_arrow(cents, "v").alias("a"),
+    ).collect()
+    for r in both:
+        assert r["e"] == r["a"], f"row {r['id']}: expr {r['e']} != arrow {r['a']}"
+    exact = {r["id"]: r["a"] for r in both if r["id"] >= 300}
+    assert set(exact.values()) == {2}, exact  # tie broken to smaller id
 
 
 def test_dot_arrow_bitwise_equals_fold(spark):
