@@ -135,3 +135,38 @@ def test_dot_arrow_bitwise_equals_fold(spark):
     for r in both:
         assert r["fold"] == r["arrow"], f"row {r['id']}: dot fold != arrow"
         assert not math.isnan(r["arrow"])
+
+
+def test_arrow_twins_batching_independent(spark):
+    """Forcing 7-row Arrow batches must not change a single double —
+    every kernel is row-local, so batch boundaries are invisible. This
+    pins the claim that the twins are safe at ANY executor batch size
+    (the production maxRecordsPerBatch is 10k; a regression that
+    accumulated state across rows inside a batch would pass the
+    single-batch tests above and corrupt results only at scale)."""
+    rng = random.Random(23)
+    cb = _codebook_rows(rng)
+    data = [(i, _vec(rng, DIM), _vec(rng, DIM)) for i in range(100)]
+    df = spark.createDataFrame(data, "id long, v array<double>, c array<double>")
+    cents = [{"centroid_id": j, "centroid": _vec(rng, DIM)} for j in range(6)]
+
+    def run():
+        out = df.select(
+            "id",
+            pq_reconstruct_arrow(cb, M, D, NCODES, "v", base="c").alias("r"),
+            dot_arrow("v", "c").alias("d"),
+            ivf_assign_arrow(cents, "v").alias("cell"),
+        ).collect()
+        return {r["id"]: (r["r"], r["d"], r["cell"]) for r in out}
+
+    base = run()
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+        small = run()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert base == small
