@@ -12,10 +12,12 @@ Usage: python scripts/driver_sim_all.py [sf_dir] [start:stop]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
 from tests.oracle_harness import compare, duckdb_conn  # noqa: E402
 

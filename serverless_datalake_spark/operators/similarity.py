@@ -25,6 +25,7 @@ code batches).
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -49,6 +50,22 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(da, db) / (norm(da) * norm(db))
 
 
+def _stack_valid(*series):
+    """Row-validity mask + stacked matrices for Arrow kernels: a NULL
+    array on any input marks the row invalid (the expression twins
+    return NULL for such rows; np.stack would crash on the None).
+    Returns (mask, [matrix_of_valid_rows, ...])."""
+    cols = [s.to_numpy() for s in series]
+    mask = np.array(
+        [all(v is not None for v in row) for row in zip(*cols)], dtype=bool
+    )
+    mats = [
+        np.stack([v for v, ok in zip(c, mask) if ok]) if mask.any() else None
+        for c in cols
+    ]
+    return mask, mats
+
+
 def dot_arrow(a: Column | str, b: Column | str) -> Column:
     """Arrow-vectorized twin of ``dot`` for HOT pair-scoring paths
     (quadratic candidate sets): bit-identical to the expression fold —
@@ -56,7 +73,17 @@ def dot_arrow(a: Column | str, b: Column | str) -> Column:
     exact left-fold summation order — but vectorized across the Arrow
     batch instead of interpreted per row (HOFs never enter whole-stage
     codegen; measured ~10 µs/pair at d=96 interpreted vs ~0.1 µs
-    vectorized). Inputs must already be array<double>."""
+    vectorized). Inputs must already be array<double>.
+
+    Degenerate inputs: a NULL array, or a NULL ELEMENT (Spark's
+    non-ANSI x/0, e.g. a zero-norm normalize upstream), yields NULL —
+    exactly the expression fold's NULL propagation. Arrow delivers
+    NULL elements to the kernel as NaN, so a NaN fold result maps to
+    NULL here; genuinely-NaN data elements (which the expression would
+    propagate as NaN, and which Spark predicates then treat as LARGER
+    than any threshold) therefore also land on NULL — the repo's
+    fixture/parquet data is NaN-free, so only the NULL source is
+    reachable, and NULL is the filter-safe answer for both."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import DoubleType
 
@@ -64,12 +91,16 @@ def dot_arrow(a: Column | str, b: Column | str) -> Column:
     def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
         if len(va) == 0:
             return pd.Series([], dtype=np.float64)
-        A = np.stack(va.to_numpy())
-        B = np.stack(vb.to_numpy())
-        acc = np.zeros(A.shape[0], dtype=np.float64)
-        for t in range(A.shape[1]):  # sequential over dims == fold order
-            acc += A[:, t] * B[:, t]
-        return pd.Series(acc)
+        mask, (A, B) = _stack_valid(va, vb)
+        out = [None] * len(mask)
+        if A is not None:
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for t in range(A.shape[1]):  # sequential over dims == fold order
+                acc += A[:, t] * B[:, t]
+            it = iter(acc)
+            out = [float(next(it)) if ok else None for ok in mask]
+            out = [None if (v is not None and math.isnan(v)) else v for v in out]
+        return pd.Series(out, dtype=object)
 
     return _dot(
         a if isinstance(a, Column) else F.col(a),
@@ -716,7 +747,15 @@ def ivf_assign_arrow(centroid_rows: list, vec: Column | str) -> Column:
     folds per row); interpreted HOF eval costs ~0.2 ms/row at k=16,
     d=96 — days of CPU per billion rows — while the Arrow batch runs
     the same arithmetic ~100× faster, still map-only, still one scan.
-    The input column must already be array<double>."""
+    The input column must already be array<double>.
+
+    Degenerate inputs replicate the expression fold exactly: a NULL
+    vector yields a NULL cell (the whole expression is NULL); a
+    zero-norm vector or zero-norm centroid makes the SQL score NULL
+    (non-ANSI x/0), and a NULL score can never displace the fold's
+    current best — so all-NULL rows land on the FIRST centroid id.
+    Here those undefined scores become -inf before argmax, which
+    reproduces both behaviors (an all--inf row argmaxes to index 0)."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 
@@ -734,19 +773,35 @@ def ivf_assign_arrow(centroid_rows: list, vec: Column | str) -> Column:
     @pandas_udf(IntegerType())
     def _assign(v: pd.Series) -> pd.Series:
         if len(v) == 0:
-            return pd.Series([], dtype=np.int32)
-        V = np.stack(v.to_numpy())
-        nv = np.zeros(V.shape[0], dtype=np.float64)
-        for t in range(d):
-            nv += V[:, t] * V[:, t]
-        nv = np.sqrt(nv)
-        scores = np.empty((V.shape[0], k), dtype=np.float64)
-        for j in range(k):
-            dotj = np.zeros(V.shape[0], dtype=np.float64)
-            for t in range(d):  # sequential over dims == fold order
-                dotj += V[:, t] * C[j, t]
-            scores[:, j] = dotj / (nv * cnorm[j])
-        return pd.Series(ids[np.argmax(scores, axis=1)])
+            return pd.Series([], dtype=object)
+        mask, (V,) = _stack_valid(v)
+        out = [None] * len(mask)
+        if V is not None:
+            nv = np.zeros(V.shape[0], dtype=np.float64)
+            for t in range(d):
+                nv += V[:, t] * V[:, t]
+            nv = np.sqrt(nv)
+            scores = np.empty((V.shape[0], k), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for j in range(k):
+                    dotj = np.zeros(V.shape[0], dtype=np.float64)
+                    for t in range(d):  # sequential over dims == fold order
+                        dotj += V[:, t] * C[j, t]
+                    scores[:, j] = dotj / (nv * cnorm[j])
+                    if cnorm[j] == 0.0:
+                        scores[:, j] = -np.inf  # SQL score is NULL
+            scores[np.isnan(scores)] = -np.inf  # 0/0 → NULL in SQL
+            scores[nv == 0.0, :] = -np.inf
+            best = ids[np.argmax(scores, axis=1)]
+            if cnorm[0] == 0.0:
+                # the SQL fold's current-best starts at centroid 0; a
+                # NULL score there is STICKY (every CASE WHEN compares
+                # against NULL → ELSE keeps it), so the expression
+                # returns the first id for every row
+                best = np.full_like(best, ids[0])
+            it = iter(best)
+            out = [int(next(it)) if ok else None for ok in mask]
+        return pd.Series(out, dtype=object)
 
     return _assign(vec if isinstance(vec, Column) else F.col(vec))
 
@@ -985,9 +1040,20 @@ def pq_reconstruct_arrow(
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import ArrayType, DoubleType
 
-    cb = np.empty((m, n_codes, d), dtype=np.float64)
+    cb = np.zeros((m, n_codes, d), dtype=np.float64)
+    seen = np.zeros((m, n_codes), dtype=bool)
     for r in codebook_rows:
         cb[r["s"], r["code_id"]] = list(r["code_vec"])
+        seen[r["s"], r["code_id"]] = True
+    if not seen.all():
+        # fail LOUD at plan-build time, like the expression twin's
+        # KeyError — a silent zero codebook entry would participate in
+        # argmin and return junk reconstructions with no error
+        missing = [tuple(map(int, ij)) for ij in np.argwhere(~seen)[:5]]
+        raise ValueError(
+            f"codebook_rows missing (s, code_id) entries, e.g. {missing}; "
+            f"expected {m}x{n_codes}"
+        )
 
     def _recon_block(V: np.ndarray) -> np.ndarray:
         out = np.empty_like(V)
@@ -1001,14 +1067,20 @@ def pq_reconstruct_arrow(
             out[:, s * d : (s + 1) * d] = cb[s][codes]
         return out
 
+    def _emit(mask, block):
+        it = iter(block) if block is not None else iter(())
+        return pd.Series(
+            [next(it) if ok else None for ok in mask], dtype=object
+        )
+
     if base is None:
 
         @pandas_udf(ArrayType(DoubleType()))
         def _pq_recon(v: pd.Series) -> pd.Series:
             if len(v) == 0:
                 return pd.Series([], dtype=object)
-            V = np.stack(v.to_numpy())
-            return pd.Series(list(_recon_block(V)))
+            mask, (V,) = _stack_valid(v)
+            return _emit(mask, _recon_block(V) if V is not None else None)
 
         return _pq_recon(vec if isinstance(vec, Column) else F.col(vec))
 
@@ -1016,9 +1088,8 @@ def pq_reconstruct_arrow(
     def _pq_recon_residual(v: pd.Series, c: pd.Series) -> pd.Series:
         if len(v) == 0:
             return pd.Series([], dtype=object)
-        V = np.stack(v.to_numpy())
-        C = np.stack(c.to_numpy())
-        return pd.Series(list(C + _recon_block(V - C)))
+        mask, (V, C) = _stack_valid(v, c)
+        return _emit(mask, C + _recon_block(V - C) if V is not None else None)
 
     return _pq_recon_residual(
         vec if isinstance(vec, Column) else F.col(vec),

@@ -113,6 +113,8 @@ def _ord_pair(stat, probe):
     probes (str/date/datetime/bytes) compare through _stat_repr, whose
     string forms are order-preserving within one type (ISO dates,
     fixed-width hex)."""
+    if isinstance(stat, bool) and isinstance(probe, bool):
+        return (stat, probe)  # False < True, same as the lexical order
     pn = _numview(probe)
     if pn is not None:
         sn = _numview(stat)
@@ -120,6 +122,11 @@ def _ord_pair(stat, probe):
             try:
                 sn = Decimal(stat)
             except InvalidOperation:
+                sn = None
+            # Decimal() parses 'nan'/'inf' WITHOUT raising; a NaN key
+            # would raise InvalidOperation at the < comparison — treat
+            # any non-finite parse as ambiguous (keep the file)
+            if sn is not None and not sn.is_finite():
                 sn = None
         return (sn, pn) if sn is not None else None
     pr = _stat_repr(probe)
@@ -144,6 +151,8 @@ def _stat_matches(stored, probe) -> bool:
             sn = Decimal(stored)
         except InvalidOperation:
             return False
+        if not sn.is_finite():
+            return False  # 'sNaN' == would raise; NaN never equals
     return sn is not None and sn == pn
 
 _LOG_DIR = "_txlog"

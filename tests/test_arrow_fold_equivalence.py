@@ -170,3 +170,71 @@ def test_arrow_twins_batching_independent(spark):
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert base == small
+
+
+def test_arrow_twins_degenerate_inputs(spark):
+    """Review-found edges: NULL vectors must yield NULL (not crash
+    np.stack); a zero-norm vector's normalized form has NULL elements
+    in SQL, so dot_arrow must yield NULL (never NaN — Spark predicates
+    treat NaN as larger than any threshold, which would flip a dedup
+    filter); a zero-norm FIRST centroid makes every SQL fold score
+    NULL-sticky, so assignment lands on the first id in both paths."""
+    rng = random.Random(29)
+    cb = _codebook_rows(rng)
+
+    # NULL arrays → NULL out, valid rows unaffected
+    data = [(0, _vec(rng, DIM), _vec(rng, DIM)), (1, None, _vec(rng, DIM)),
+            (2, _vec(rng, DIM), None), (3, None, None)]
+    df = spark.createDataFrame(data, "id long, a array<double>, b array<double>")
+    rows = {r["id"]: r for r in df.select(
+        "id",
+        dot_arrow("a", "b").alias("d"),
+        pq_reconstruct_arrow(cb, M, D, NCODES, "a").alias("r"),
+        pq_reconstruct_arrow(cb, M, D, NCODES, "a", base="b").alias("rb"),
+    ).collect()}
+    assert rows[0]["d"] is not None and rows[0]["r"] is not None
+    assert rows[1]["d"] is None and rows[1]["r"] is None and rows[1]["rb"] is None
+    assert rows[2]["d"] is None and rows[2]["rb"] is None
+    assert rows[3]["d"] is None
+
+    # NULL ELEMENTS inside the array (the session is ANSI, so x/0
+    # raises rather than producing these; NULL elements arrive from
+    # data or try_divide): expression dot folds to NULL, arrow dot
+    # must be NULL too (never NaN — NaN would pass a >= threshold)
+    z = spark.sql(
+        "SELECT array(CAST(NULL AS DOUBLE), 1.0D, 2.0D, 3.0D) AS u, "
+        "array(1.0D, 1.0D, 1.0D, 1.0D) AS w"
+    )
+    got = z.select(
+        dot(F.col("u"), F.col("w")).alias("e"), dot_arrow("u", "w").alias("a")
+    ).collect()[0]
+    assert got["e"] is None and got["a"] is None
+
+    # zero-norm centroids: under ANSI (the session default) the SQL
+    # expression RAISES on the 0 denominator — it can never produce a
+    # result to diverge from; with ANSI off its divide yields NULL and
+    # the fold is NULL-STICKY on the first centroid's score. The Arrow
+    # twin replicates the non-ANSI semantics (zero-norm FIRST centroid
+    # → every row lands on the first id; zero-norm later centroid →
+    # never chosen), so the twins agree whenever the expr returns.
+    import pytest
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    cents = [{"centroid_id": j, "centroid": _vec(rng, DIM)} for j in range(4)]
+    cents[0]["centroid"] = [0.0] * DIM
+    dfv = spark.createDataFrame(
+        [(i, _vec(rng, DIM)) for i in range(20)], "id long, v array<double>"
+    )
+    with pytest.raises(ArithmeticException):
+        dfv.select(ivf_assign_expr(cents, "v").alias("e")).collect()
+    got = dfv.select(ivf_assign_arrow(cents, "v").alias("a")).collect()
+    assert all(r["a"] == 0 for r in got)  # NULL-sticky first centroid
+
+    cents2 = [{"centroid_id": j, "centroid": _vec(rng, DIM)} for j in range(4)]
+    cents2[2]["centroid"] = [0.0] * DIM
+    got2 = dfv.select(ivf_assign_arrow(cents2, "v").alias("a")).collect()
+    assert all(r["a"] is not None and r["a"] != 2 for r in got2)
+
+    # incomplete codebook fails LOUD at build (the expr twin KeyErrors)
+    with pytest.raises(ValueError, match="missing"):
+        pq_reconstruct_arrow(cb[:-1], M, D, NCODES, "a")
