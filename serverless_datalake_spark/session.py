@@ -37,6 +37,20 @@ def get_spark(
     sp = shuffle_partitions or int(
         os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
     )
+    # Python workers must be able to import THIS package: pandas-UDF
+    # closures (similarity/udf/multimodal operators) unpickle against
+    # the module path. Workers spawn with the driver process env, NOT
+    # the driver's sys.path, so a driver launched from any cwd other
+    # than the repo root would hit ModuleNotFoundError in every UDF
+    # stage. Local mode: prepend the repo root to PYTHONPATH before
+    # the JVM forks workers. Cluster mode: ship a wheel / --py-files
+    # (this env edit is a no-op there; the conf below still forwards).
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if repo_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + pp if pp else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -64,6 +78,7 @@ def get_spark(
         # the fixtures store TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read as long and convert in tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.executorEnv.PYTHONPATH", os.environ["PYTHONPATH"])
     )
     if extra_conf:
         for k, v in extra_conf.items():
