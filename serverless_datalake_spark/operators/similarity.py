@@ -191,6 +191,43 @@ def lsh_bucket(vec: Column | str, n_planes: int, dim: int) -> Column:
     return F.aggregate(bits, F.lit(0), lambda a, x: a + x)
 
 
+def lsh_bucket_arrow(vec: Column | str, n_planes: int, dim: int) -> Column:
+    """Arrow-vectorized twin of ``lsh_bucket`` (the per-row signature
+    hot loop — n_planes × dim multiply-adds per vector). Bit-identical
+    by the module's fold-order rule: each plane's dot accumulates
+    sequentially over dims from 0.0 (±1 plane coefficients multiply
+    exactly; float→double widening is exact), the sign test is the
+    same strict ``> 0``, and bit j contributes 2^j via integer adds.
+    NULL vectors yield a NULL bucket (the whole expression is NULL);
+    a NULL ELEMENT zeroes that plane's bit in the expression (CASE
+    over a NULL dot → ELSE 0) — here the NaN dot fails ``> 0`` the
+    same way, so buckets agree."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import IntegerType
+
+    planes = np.array(_hyperplanes(n_planes, dim), dtype=np.float64)
+
+    @pandas_udf(IntegerType())
+    def _bucket(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        mask, (V,) = _stack_valid(v)
+        out = [None] * len(mask)
+        if V is not None:
+            V = V.astype(np.float64, copy=False)
+            code = np.zeros(V.shape[0], dtype=np.int64)
+            for j in range(n_planes):
+                dj = np.zeros(V.shape[0], dtype=np.float64)
+                for t in range(dim):  # sequential over dims == fold order
+                    dj += V[:, t] * planes[j, t]
+                code += (dj > 0).astype(np.int64) << j
+            it = iter(code)
+            out = [int(next(it)) if ok else None for ok in mask]
+        return pd.Series(out, dtype=object)
+
+    return _bucket(vec if isinstance(vec, Column) else F.col(vec))
+
+
 def topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -206,10 +243,12 @@ def topk_lsh(
     At scale, corpus is written partitionBy(bucket) → a query probes
     one partition instead of the whole corpus."""
     q = queries.select(
-        F.col(query_id), F.col(vec).alias("__qv"), lsh_bucket(vec, n_planes, dim).alias("bucket")
+        F.col(query_id), F.col(vec).alias("__qv"),
+        lsh_bucket_arrow(vec, n_planes, dim).alias("bucket"),
     )
     c = corpus.select(
-        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_bucket(vec, n_planes, dim).alias("bucket")
+        F.col(corpus_id), F.col(vec).alias("__cv"),
+        lsh_bucket_arrow(vec, n_planes, dim).alias("bucket"),
     )
     scored = c.join(F.broadcast(q), "bucket").select(
         query_id, corpus_id, cosine(F.col("__qv"), F.col("__cv")).alias("score")
@@ -241,7 +280,7 @@ def topk_lsh_multiprobe(
     q = queries.select(
         F.col(query_id),
         F.col(vec).alias("__qv"),
-        lsh_bucket(vec, n_planes, dim).alias("__b0"),
+        lsh_bucket_arrow(vec, n_planes, dim).alias("__b0"),
     )
     probes = q.select(
         query_id,
@@ -254,7 +293,8 @@ def topk_lsh_multiprobe(
         ).alias("bucket"),
     )
     c = corpus.select(
-        F.col(corpus_id), F.col(vec).alias("__cv"), lsh_bucket(vec, n_planes, dim).alias("bucket")
+        F.col(corpus_id), F.col(vec).alias("__cv"),
+        lsh_bucket_arrow(vec, n_planes, dim).alias("bucket"),
     )
     scored = c.join(F.broadcast(probes), "bucket").select(
         query_id, corpus_id, cosine(F.col("__qv"), F.col("__cv")).alias("score")

@@ -35,7 +35,7 @@ def build_ann_index(
     indexed = corpus.select(
         F.col(corpus_id),
         F.col(vec),
-        sim.lsh_bucket(vec, n_planes, dim).alias("bucket"),
+        sim.lsh_bucket_arrow(vec, n_planes, dim).alias("bucket"),
     )
     indexed.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
@@ -54,7 +54,7 @@ def probe_ann_index(
     bucket EQ predicate prunes at plan time — the index partition
     column does the work the full-corpus scan would."""
     q = queries.select(
-        F.col(query_id), F.col(vec).alias("__qv"), sim.lsh_bucket(vec, n_planes, dim).alias("bucket")
+        F.col(query_id), F.col(vec).alias("__qv"), sim.lsh_bucket_arrow(vec, n_planes, dim).alias("bucket")
     )
     c = spark.read.parquet(path)
     scored = c.join(F.broadcast(q), "bucket").select(

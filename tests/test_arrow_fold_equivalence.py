@@ -238,3 +238,49 @@ def test_arrow_twins_degenerate_inputs(spark):
     # incomplete codebook fails LOUD at build (the expr twin KeyErrors)
     with pytest.raises(ValueError, match="missing"):
         pq_reconstruct_arrow(cb[:-1], M, D, NCODES, "a")
+
+
+def test_lsh_bucket_arrow_equals_expr(spark):
+    """Signature twin: same sequential plane dots, same strict > 0
+    sign test, same 2^j packing. Includes vectors with an EXACT zero
+    dot against plane 0 (all-ones input against a ±1 plane with equal
+    +1/-1 counts sums to exactly 0.0 — the strict > keeps bit 0 off
+    in both paths), plus float32-typed input (the embeddings column
+    type; widening to double is exact)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from serverless_datalake_spark.operators.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+        lsh_bucket_arrow,
+    )
+
+    rng = random.Random(31)
+    P, DIMV = 6, 16
+    planes = _hyperplanes(P, DIMV)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(DIMV)]) for i in range(200)]
+    # exact-zero trap: ones vector dotted with a balanced ±1 plane
+    if sum(planes[0]) == 0:
+        rows.append((200, [1.0] * DIMV))
+    rows.append((201, [0.0] * DIMV))  # zero vector: all dots exactly 0
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("v", ArrayType(FloatType())),  # embeddings dtype
+        ]
+    )
+    df = spark.createDataFrame(rows, schema)
+    both = df.select(
+        "id",
+        lsh_bucket("v", P, DIMV).alias("e"),
+        lsh_bucket_arrow("v", P, DIMV).alias("a"),
+    ).collect()
+    for r in both:
+        assert r["e"] == r["a"], f"row {r['id']}: {r['e']} != {r['a']}"
+    assert [r["a"] for r in both if r["id"] == 201] == [0]
