@@ -106,6 +106,9 @@ HEADLINE = [
     "window_global_rank_distributed",
     "model_ridge_gram",
     "retrieval_query_likelihood_dirichlet",
+    # round-6 addition: the production ANN operating point (nprobe=8,
+    # shortlist=150, exact re-rank; mean recall@5 0.94/0.90 — RECALL.md)
+    "sim_topk_ivfpq_rerank_np8",
 ]
 
 

@@ -84,10 +84,14 @@ def token_sets_encoded(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
 
     Scale note: ids are assigned as (hash-bucket << 32) | rank-within-
     bucket — the window partitions by a 1024-way hash of the token, so
-    id assignment is partition-parallel at ANY vocabulary size (a
-    global rank window would serialize the whole vocabulary through
-    one task; downstream only needs an injective token→int map, not
-    dense ranks). The broadcast of the (token, id) vocabulary is
+    id assignment is partition-parallel (a global rank window would
+    serialize the whole vocabulary through one task; downstream only
+    needs an injective token→int map, not dense ranks). Injectivity
+    bound: the in-bucket rank occupies 32 bits, so the map stays
+    injective up to 2^32 distinct tokens PER bucket (~4.4e12 total
+    across the 1024 buckets) — beyond that two tokens could collide
+    and corrupt downstream Jaccard; widen the shift/bucket count if a
+    vocabulary ever approaches that. The broadcast of the (token, id) vocabulary is
     vocabulary-bounded — fine to ~10^7 distinct tokens (a few hundred
     MB); beyond that drop the broadcast hint (shuffle join) or keep a
     persisted vocab table.

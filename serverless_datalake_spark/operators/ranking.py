@@ -49,6 +49,7 @@ __all__ = [
     "with_global_order_analytics",
     "with_global_rank",
     "with_global_cumsum",
+    "with_global_cummax",
     "with_global_ntile",
 ]
 
@@ -192,6 +193,50 @@ def with_global_cumsum(
         rank_out=_RNK,
         num_partitions=num_partitions,
     ).drop(_RNK)
+
+
+def with_global_cummax(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out: str = "cummax",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """MAX(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING) over a
+    global total order — the streaming high-watermark shape — as
+    per-range running maxima + broadcast carry-in (the exclusive
+    prefix max of prior partitions' maxima). MAX is idempotent and
+    associative, so the decomposition is EXACT for every orderable
+    type (timestamps included), bit-identical to the single-partition
+    window; every sort and window runs partition-parallel."""
+    parted = _range_indexed(df, order_cols, num_partitions)
+    rows = parted.groupBy(_PID).agg(F.max(value_col).alias("m")).collect()
+    per_pid = {r[_PID]: r["m"] for r in rows}
+
+    # exclusive prefix max in pid order (None = no carry yet)
+    carry: dict = {}
+    acc = None
+    for pid in sorted(per_pid):
+        carry[pid] = acc
+        m = per_pid[pid]
+        if m is not None and (acc is None or m > acc):
+            acc = m
+
+    w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = F.max(value_col).over(w)
+    nn = {pid: v for pid, v in carry.items() if v is not None}
+    if nn:
+        # map values must be non-null in Spark; missing pids (no
+        # carry) fall out of element_at as NULL, which greatest skips
+        vt = dict(df.dtypes)[value_col]
+        pairs = [x for pid, v in nn.items() for x in (F.lit(pid), F.lit(v).cast(vt))]
+        carry_expr = F.element_at(F.create_map(*pairs), F.col(_PID))
+        result = F.greatest(local, carry_expr)
+    else:
+        result = local
+    return parted.withColumn(out, result).drop(_PID)
 
 
 def with_global_ntile(

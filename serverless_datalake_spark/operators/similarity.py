@@ -795,7 +795,17 @@ def ivf_assign_arrow(centroid_rows: list, vec: Column | str) -> Column:
     (non-ANSI x/0), and a NULL score can never displace the fold's
     current best — so all-NULL rows land on the FIRST centroid id.
     Here those undefined scores become -inf before argmax, which
-    reproduces both behaviors (an all--inf row argmaxes to index 0)."""
+    reproduces both behaviors (an all--inf row argmaxes to index 0).
+
+    ANSI caveat (round-6 advisor): under the session's ANSI default
+    the EXPRESSION twin raises ArithmeticException on a zero-norm
+    vector/centroid — loud — while this kernel silently assigns such
+    rows to the first centroid (the non-ANSI fold semantics above).
+    Callers on possibly-dirty corpora who want the fail-loud behavior
+    should pre-screen (``WHERE aggregate(v, 0D, (a,x)->a+x*x) > 0``,
+    one scan-side filter) or assert zero-norm counts before assigning;
+    every in-repo call site runs on fixture embeddings validated
+    non-degenerate at build (see embedding_quality_screen)."""
     from pyspark.sql.pandas.functions import pandas_udf
     from pyspark.sql.types import IntegerType
 

@@ -270,59 +270,59 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND 5 window: per WINDOWS.md (round-5 block, 50 entries).
-    # Rounds 6+ windows re-planned in WINDOWS.md so every window
-    # holds exactly <=50 entries and the union closes the backlog.
-    "sim_topk_truncated_dims",
-    "sim_centroid_drift",
-    "embedding_pca_power",
-    "sim_knn_graph_blocked",
-    "sample_hard_negatives",
-    "sample_coreset_kcenter",
-    "sim_recall_eval",
-    "sim_index_health",
-    "dedup_threshold_sweep",
-    "agg_histogram_equiwidth",
-    "agg_entropy_by_group",
-    "agg_gini_concentration",
-    "agg_weighted_median",
-    "sample_poisson_bootstrap",
-    "agg_time_hierarchy_rollup",
-    "agg_moments_shape",
-    "agg_benford_deviation",
-    "agg_bitmap_presence",
-    "agg_mad_robust",
-    "agg_kmv_distinct_union",
-    "agg_median_of_means",
-    "split_group_holdout",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "validate_referential_integrity",
-    "split_time_embargo",
-    "pipeline_dataset_card",
-    "privacy_generalize_enforce",
-    "sample_neyman_allocation",
-    "feature_target_encode",
-    "feature_quantile_bucketize",
-    "feature_onehot_topn",
-    "retention_cohorts",
-    "events_dau_stickiness",
-    "events_attribution_linear",
-    "events_bot_gap_regularity",
-    "retention_ltv_cumulative",
-    "funnel_window_bounded",
-    "fn_collation_join",
-    "fn_try_arithmetic",
-    "fn_inline_struct_array",
-    "fn_binary_codecs",
-    "fn_url_parse",
-    "fn_aes_roundtrip",
-    "fn_xml_parse",
-    "fn_array3",
-    "fn_datetime3",
-    "fn_map_hof",
-    "fn_surrogate_key_uuid",
-    "fn_json_struct_roundtrip",
+    # ROUND 6 window: per WINDOWS.md (round-6 block, 50 entries).
+    # Round-5 window came back 50/50 green (CORRECTNESS_r05); rounds
+    # 7–9 remain planned in WINDOWS.md so the union closes the backlog.
+    "graph_triangle_count",
+    "graph_jaccard_links",
+    "graph_bfs_levels",
+    "graph_assortativity",
+    "graph_modularity",
+    "join_fuzzy_blocked",
+    "pipeline_dq_quarantine",
+    "eval_ngram_novelty",
+    "text_gazetteer_tag",
+    "text_vocab_coverage",
+    "text_zipf_fit",
+    "text_burstiness",
+    "text_js_divergence",
+    "text_lang_confusion",
+    "tokenizer_bpe_train",
+    "text_keywords_tfidf",
+    "text_subsampling_word2vec",
+    "mm_modality_mix",
+    "mm_audio_chunk_plan",
+    "mm_image_tile_plan",
+    "pipeline_source_freshness",
+    "text_bm25_topk",
+    "sim_hybrid_rrf",
+    "sim_mmr_rerank",
+    "sim_maxsim_late_interaction",
+    "join_bloom_prefilter",
+    "scan_orc_roundtrip",
+    "scan_csv_roundtrip",
+    "scan_python_datasource",
+    "txlog_time_travel",
+    "matview_incremental_refresh",
+    "geo_grid_join",
+    "sql_ddl_insert_select",
+    "scan_observe_metrics",
+    "lake_schema_drift_report",
+    "scan_binary_files",
+    "set_intersect_all",
+    "set_except_all",
+    "sql_lateral_topn",
+    "sql_named_window",
+    "sql_pivot_syntax",
+    "sql_grouping_id",
+    "sql_unpivot_syntax",
+    "sql_parameterized_query",
+    "sql_filter_clause",
+    "sql_scalar_udf",
+    "sql_group_by_all",
+    "sql_lateral_alias",
+    "sql_join_hint_broadcast",
+    "agg_correlation_pinned",
 )
 
 

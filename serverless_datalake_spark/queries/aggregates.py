@@ -1296,13 +1296,14 @@ def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     show the estimate error honestly; groups under k fall back to the
     exact count exactly as production sketches do.
 
-    Scale shape: the hash relation partial-aggregates to DISTINCT
-    (type, user) pairs map-side; the k-th order statistic is a per-type
-    rank window over the deduplicated hash relation (group-sized, not
-    event-sized). At 100 TB each partition keeps its local k minima
-    (a bounded heap — the partial state is k values), and the merge is
-    associative; this query expresses the same algebra with the
-    rank-window formulation the oracle can check."""
+    Scale shape: KMV needs only the k SMALLEST hashes per group plus
+    an exact count — never a full ranking. The per-type leg ranks
+    with a `r <= k` filter so WindowGroupLimit keeps at most k rows
+    per group per partition BEFORE the shuffle (partial state = k
+    values, the sketch's own bound); the union leg is a distributed
+    `sort().limit(k)` (TakeOrderedAndProject: per-partition k-minima
+    heaps merged at the driver) crossed with a 1-row exact count —
+    no global window, no single-task sort anywhere."""
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
@@ -1313,39 +1314,44 @@ def agg_kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "user_id", h.alias("h")
     )
 
-    def est(df: DataFrame, part_cols: list[str]) -> DataFrame:
-        w = (
-            Window.partitionBy(*part_cols).orderBy("h", "user_id")
-            if part_cols
-            else Window.orderBy("h", "user_id")
-        )
-        wc = Window.partitionBy(*part_cols) if part_cols else Window.partitionBy()
-        ranked = df.select(
-            *part_cols,
-            "h",
-            "user_id",
-            F.row_number().over(w).alias("r"),
-            F.count(F.lit(1)).over(wc).alias("nd"),
-        )
-        grp = ranked.groupBy(*part_cols) if part_cols else ranked.groupBy()
-        return grp.agg(
-            F.max("nd").cast("long").alias("n_exact"),
-            F.round(
-                F.when(
-                    F.max("nd") < _KMV_K, F.max("nd").cast("double")
-                ).otherwise(
-                    F.lit(float(_KMV_K - 1))
-                    * F.lit(4294967296.0)
-                    / F.max(F.when(F.col("r") == _KMV_K, F.col("h"))).cast("double")
-                ),
-                4,
-            ).alias("kmv_estimate"),
-        )
+    def est_expr(n_col, kth_col):
+        return F.round(
+            F.when(n_col < _KMV_K, n_col.cast("double")).otherwise(
+                F.lit(float(_KMV_K - 1))
+                * F.lit(4294967296.0)
+                / kth_col.cast("double")
+            ),
+            4,
+        ).alias("kmv_estimate")
 
-    per_type = est(hashed, ["event_type"])
-    union_row = est(
-        hashed.select("user_id", "h").distinct(), []
-    ).select(F.lit("ALL").alias("event_type"), "n_exact", "kmv_estimate")
+    # per-type: rank-filter (r <= k) lets WindowGroupLimit bound every
+    # partition's state to k rows per group before the group shuffle
+    wk = Window.partitionBy("event_type").orderBy("h", "user_id")
+    topk = hashed.withColumn("r", F.row_number().over(wk)).where(
+        F.col("r") <= _KMV_K
+    )
+    kth = topk.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == _KMV_K, F.col("h"))).alias("kth_h")
+    )
+    counts = hashed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    per_type = counts.join(kth, "event_type").select(
+        "event_type", "n_exact", est_expr(F.col("n_exact"), F.col("kth_h"))
+    )
+
+    # union ("ALL"): global k-minima via sort().limit(k) — the k-th
+    # smallest hash is the max over those k rows; exact count is a
+    # plain aggregate; both are 1-row relations, crossed
+    guh = hashed.select("user_id", "h").distinct()
+    kmin = guh.orderBy("h", "user_id").limit(_KMV_K)
+    kth_all = kmin.agg(F.max("h").alias("kth_h"))
+    n_all = guh.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    union_row = n_all.crossJoin(kth_all).select(
+        F.lit("ALL").alias("event_type"),
+        "n_exact",
+        est_expr(F.col("n_exact"), F.col("kth_h")),
+    )
     return per_type.unionAll(union_row)
 
 
@@ -1524,9 +1530,12 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     divisions and one product are spelled identically both engines.
 
     Scale shape: membership partial-aggregates to user grain map-side;
-    the rank window runs on the deduplicated user relation (the same
-    bound as agg_kmv_distinct_union); partial state at 100 TB is k
-    (hash, flags) pairs per partition, merged associatively."""
+    the sketch touches only the k SMALLEST hashes, obtained by a
+    distributed `sort().limit(k)` (TakeOrderedAndProject — each
+    partition keeps a k-heap of (hash, flags), merged at the driver,
+    exactly the KMV partial state) crossed with the 1-row exact
+    aggregate; no rank window anywhere. `nd` in the estimator is the
+    union's exact count, which `exacts` already computes (n_union)."""
     ev = load_table(spark, sf_dir, "events")
     el = F.concat_ws(
         "|", F.col("user_id").cast("string"), F.col("ts").cast("date").cast("string")
@@ -1538,36 +1547,28 @@ def agg_kmv_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = membership.where((F.col("in_a") == 1) | (F.col("in_b") == 1)).withColumn(
         "h", F.conv(F.substring(F.md5(F.col("el")), 1, 8), 16, 10).cast("long")
     )
-    w = Window.orderBy("h", "el")
-    ranked = u.select(
-        "in_a",
-        "in_b",
-        "h",
-        F.row_number().over(w).alias("r"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nd"),
-    )
     exacts = u.agg(
         F.sum("in_a").cast("long").alias("n_a"),
         F.sum("in_b").cast("long").alias("n_b"),
         F.count(F.lit(1)).cast("long").alias("n_union"),
         F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("n_inter"),
     )
-    sketch = ranked.agg(
-        F.sum(
-            F.when(F.col("r") <= _KMVJ_K, F.col("in_a") * F.col("in_b")).otherwise(0)
-        )
-        .cast("long")
-        .alias("k_match"),
-        F.max(F.when(F.col("r") == _KMVJ_K, F.col("h"))).cast("long").alias("kth_h"),
-        F.max("nd").cast("long").alias("nd"),
+    # the k smallest union hashes (TakeOrderedAndProject); when the
+    # union is narrower than k the kth_h max is over fewer rows, but
+    # the estimator's nd<k branch never reads it then (same NULL/
+    # unused contract as the oracle's CASE WHEN r = k)
+    kmin = u.orderBy("h", "el").limit(_KMVJ_K)
+    sketch = kmin.agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("long").alias("k_match"),
+        F.max("h").cast("long").alias("kth_h"),
     )
     est = exacts.crossJoin(F.broadcast(sketch)).select(
         "*",
         (
             F.col("k_match").cast("double")
-            / F.least(F.col("nd"), F.lit(_KMVJ_K)).cast("double")
+            / F.least(F.col("n_union"), F.lit(_KMVJ_K)).cast("double")
         ).alias("j_raw"),
-        F.when(F.col("nd") < _KMVJ_K, F.col("nd").cast("double"))
+        F.when(F.col("n_union") < _KMVJ_K, F.col("n_union").cast("double"))
         .otherwise(
             F.lit(float(_KMVJ_K) - 1.0) * F.lit(4294967296.0) / F.col("kth_h").cast("double")
         )

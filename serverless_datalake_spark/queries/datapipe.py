@@ -1407,20 +1407,22 @@ def sample_systematic_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     FLOOR division is exact; copies are differences of exact integers
     (Σ copies = 200 invariant).
 
-    Scale shape: one cumulative window over the weight relation in
-    doc_id order; everything else is per-row arithmetic. At 100 TB
-    the cumulative sum runs per-partition with offset correction
-    (range-partitioned prefix sums) — the window is the only
-    non-embarrassingly-parallel step."""
+    Scale shape: the cumulative weight axis runs through
+    `with_global_cumsum` (operators/ranking.py) — range-partitioned
+    per-partition prefix sums + broadcast carry-in offsets, exact for
+    the integer weights, bit-identical to the global window — and the
+    exclusive prefix is recovered arithmetically (prev = c − wt, two
+    exact longs), so ONE distributed pass replaces both windows;
+    everything else is per-row arithmetic."""
+    from serverless_datalake_spark.operators.ranking import with_global_cumsum
+
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.col("n_chars").cast("long").alias("wt"))
-    win_c = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    win_p = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, -1)
-    cum = w.select(
+    cum = with_global_cumsum(w, [F.col("doc_id")], "wt", out="c").select(
         "doc_id",
         "wt",
-        F.sum("wt").over(win_c).cast("long").alias("c"),
-        F.coalesce(F.sum("wt").over(win_p), F.lit(0)).cast("long").alias("prev"),
+        "c",
+        (F.col("c") - F.col("wt")).cast("long").alias("prev"),
     )
     tot = w.agg(F.sum("wt").cast("long").alias("tw"))
 
@@ -1744,34 +1746,38 @@ def sample_curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 shuffle — curriculum across stages, decorrelated within, and
     bit-reproducible across runs/engines (no RNG state).
 
-    Scale shape at 100 TB: stage boundaries come from a quantile
-    sketch (one pass) instead of a global NTILE, making staging a
-    map-only projection; the emission order is then a range-partition
-    sort on (stage, md5) — exactly what Spark's orderBy plans, each
-    output partition writable independently. The fixture-scale NTILE/
-    ROW_NUMBER spelling keeps the assignment exactly
-    oracle-comparable; the plan property that matters (staging adds
-    no join, emission is one sort) holds in both spellings."""
+    Scale shape at 100 TB: both global orderings run through the
+    range-partitioned two-pass primitives (operators/ranking.py) —
+    `with_global_ntile` for the decile staging, `with_global_rank`
+    for the emission order — each a repartitionByRange + parallel
+    per-range windows + broadcast offsets, bit-identical to the
+    single-partition spelling the oracle checks. The plan property
+    that matters (staging adds no join, emission is one range sort,
+    each output partition writable independently) is now what the
+    shipped plan actually does, not a documented twin."""
+    from serverless_datalake_spark.operators.ranking import (
+        with_global_ntile,
+        with_global_rank,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    staged = d.select(
+    staged = with_global_ntile(
+        d.select("doc_id", "n_chars"),
+        [F.col("n_chars"), F.col("doc_id")],
+        10,
+        out="stage",
+    ).select(
         "doc_id",
         "n_chars",
-        F.ntile(10)
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .cast("long")
-        .alias("stage"),
+        F.col("stage").cast("long"),
         F.md5(F.concat(F.lit("cur|"), F.col("doc_id").cast("string"))).alias(
             "skey"
         ),
     )
-    return staged.select(
-        "doc_id",
-        "n_chars",
-        "stage",
-        F.row_number()
-        .over(Window.orderBy("stage", "skey", "doc_id"))
-        .cast("long")
-        .alias("emit_rank"),
+    return with_global_rank(
+        staged, [F.col("stage"), F.col("skey"), F.col("doc_id")], out="emit_rank"
+    ).select(
+        "doc_id", "n_chars", "stage", F.col("emit_rank").cast("long")
     )
 
 
@@ -2046,10 +2052,11 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: two bucket-grain aggregates (256-row outputs,
     broadcast back), one (doc, bucket) count shuffle, a per-doc fold
-    bounded by 256 — no corpus-sized state anywhere; the NTILE is one
-    rank pass over doc-grain rows (at 100 TB make the selection
-    threshold a quantile from agg_quantile_sketch instead of a global
-    window)."""
+    bounded by 256 — no corpus-sized state anywhere; the exact
+    NTILE(5) selection runs through `with_global_ntile`
+    (operators/ranking.py) — range-partitioned two-pass rank, no
+    single-task sort at doc grain, bit-identical to the global
+    window the oracle expresses."""
     from serverless_datalake_spark.operators.dedup import md5_key32
 
     d = load_table(spark, sf_dir, "documents")
@@ -2101,10 +2108,13 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("k").cast("long").alias("n_tokens"),
         F.round(folded, 6).alias("logw"),
     )
-    w = Window.orderBy(F.col("logw").desc(), "doc_id")
-    return scored.select(
+    from serverless_datalake_spark.operators.ranking import with_global_ntile
+
+    return with_global_ntile(
+        scored, [F.col("logw").desc(), F.col("doc_id")], 5, out="__q"
+    ).select(
         "doc_id", "lang", "n_tokens", "logw",
-        F.when(F.ntile(5).over(w) == 1, 1).otherwise(0).cast("long").alias("selected"),
+        F.when(F.col("__q") == 1, 1).otherwise(0).cast("long").alias("selected"),
     )
 
 

@@ -22,6 +22,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from serverless_datalake_spark.operators.ranking import (
+    with_global_ntile,
+    with_global_rank,
+)
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
 
@@ -157,17 +161,22 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_approx/quantile_cont, whose sketches and interpolation
     arithmetic differ across engines.
 
-    Scale note: the exact global sort exists for oracle parity; the
-    production twin computes the two bounds with approxQuantile (one
-    Greenwald–Khanna scan, no sort — the zorder_key_approx pattern)
-    and clips with the same expression."""
+    Scale note: the exact rank runs through `with_global_rank`
+    (operators/ranking.py) — range-partitioned two-pass, bit-identical
+    to the global window, no single-task sort over the FACT table —
+    and the row count is a broadcast 1-row aggregate. The production
+    twin (`winsorize_bounds_approx` below) still computes the two
+    bounds with approxQuantile (one Greenwald–Khanna scan, no rank at
+    all) when exactness is negotiable."""
     li = load_table(spark, sf_dir, "lineitem")
-    w = Window.orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-    ranked = li.select(
-        F.col("l_extendedprice").alias("v"),
-        F.row_number().over(w).alias("rn"),
-        F.count("*").over(Window.partitionBy()).alias("n"),
-    )
+    n_row = li.agg(F.count(F.lit(1)).alias("n"))
+    ranked = with_global_rank(
+        li.select(
+            F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+        ),
+        [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")],
+        out="rn",
+    ).crossJoin(F.broadcast(n_row)).select("v", "rn", "n")
 
     def bound(p: float):
         idx = F.floor(F.lit(p) * (F.col("n") - 1))
@@ -366,17 +375,23 @@ def feature_quantile_bucketize(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes NTILE's remainder distribution deterministic (both engines
     give the first buckets the extra rows).
 
-    Scale shape: at fixture scale this is one rank window; the exact
-    global NTILE is inherently a total order, so the 100 TB twin
-    computes bucket BOUNDARIES with approxQuantile (one pass, no sort)
-    and assigns map-side — the same exact-vs-approx split as
-    winsorize's documented production twin. Pinned here because the
-    oracle needs the exact semantics."""
+    Scale shape: the exact global NTILE runs through
+    `with_global_ntile` (operators/ranking.py): range-partition on
+    (c_acctbal, c_custkey), parallel per-range rank windows, broadcast
+    prefix-count offsets, then the ANSI remainder arithmetic on the
+    global rank — bit-identical to the single-partition NTILE
+    (including the ragged first-buckets-get-the-extra-row edge,
+    pinned by tests/test_ranking.py) with every sort partition-
+    parallel. The approxQuantile boundary twin remains the documented
+    option when exactness is negotiable; this query no longer needs
+    the trade."""
     c = load_table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return c.select(
-        "c_custkey", "c_acctbal", F.ntile(10).over(w).cast("long").alias("decile")
-    )
+    return with_global_ntile(
+        c.select("c_custkey", "c_acctbal"),
+        [F.col("c_acctbal"), F.col("c_custkey")],
+        10,
+        out="decile",
+    ).select("c_custkey", "c_acctbal", F.col("decile").cast("long"))
 
 
 @query(

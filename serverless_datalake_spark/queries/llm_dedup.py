@@ -351,7 +351,10 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # normalize ONCE per vector in the map stage so the quadratic pair
     # scoring is a single dot fold instead of dot + two norm folds per
-    # pair (3× less per-pair arithmetic; cosine(a,b) == dot(â,b̂))
+    # pair (3× less per-pair arithmetic; cosine(a,b) == dot(â,b̂)).
+    # ivf_assign_arrow silently sends zero-norm vectors to the first
+    # centroid where the ANSI expression twin would raise — fixture
+    # embeddings are validated non-degenerate (see its docstring)
     asg = (
         em.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
         .withColumn("cluster_id", ivf_assign_arrow(rows, "__v"))

@@ -1642,8 +1642,13 @@ def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     relation, the registry's rank-window discipline).
 
     Scale shape: one map-only bucket assignment + a bucket-grain
-    aggregate; everything after is ≤ 2^planes rows regardless of
-    corpus size — index health is free to monitor continuously."""
+    aggregate. The size relation is 2^planes rows for THIS index, but
+    bucket count is a config knob that grows with the corpus, so the
+    percentile ranking runs through `with_global_rank`
+    (operators/ranking.py) — range-partitioned two-pass rank, no
+    single-task sort — and the bucket count rides a broadcast 1-row
+    aggregate instead of an unpartitioned COUNT window."""
+    from serverless_datalake_spark.operators.ranking import with_global_rank
     from serverless_datalake_spark.operators.similarity import lsh_bucket
 
     em = load_table(spark, sf_dir, "embeddings")
@@ -1651,12 +1656,10 @@ def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = c.select(lsh_bucket(F.col("embedding"), 8, 64).alias("bucket")).groupBy(
         "bucket"
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("n", "bucket")
-    ranked = sizes.select(
-        "n",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("nb"),
-    )
+    nb_row = sizes.agg(F.count(F.lit(1)).alias("nb"))
+    ranked = with_global_rank(
+        sizes, [F.col("n"), F.col("bucket")], out="rn"
+    ).crossJoin(F.broadcast(nb_row)).select("n", "rn", "nb")
     pct = ranked.agg(
         F.max(
             F.when(F.col("rn") == F.ceil(F.col("nb") * 0.5).cast("long"), F.col("n"))
@@ -1870,20 +1873,21 @@ def embedding_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.sqrt(norm2) * 1000000000.0, 0).cast("long").alias("norm_nu"),
     )
-    w = Window.partitionBy()
+    # corpus moments as a broadcast 1-row aggregate (exact decimal
+    # sums), not an unpartitioned window at vector grain
     d38 = "decimal(38,0)"
-    stats = norms.select(
-        "vec_id",
-        "norm_nu",
+    mom = norms.agg(
         (
-            F.sum(F.col("norm_nu").cast(d38)).over(w).cast("double")
-            / F.count(F.lit(1)).over(w).cast("double")
+            F.sum(F.col("norm_nu").cast(d38)).cast("double")
+            / F.count(F.lit(1)).cast("double")
         ).alias("mean_nu"),
-        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("n"),
         F.sum((F.col("norm_nu") * F.col("norm_nu")).cast(d38))
-        .over(w)
         .cast("double")
         .alias("ss"),
+    )
+    stats = norms.crossJoin(F.broadcast(mom)).select(
+        "vec_id", "norm_nu", "mean_nu", "n", "ss"
     )
     scored = stats.select(
         "vec_id",

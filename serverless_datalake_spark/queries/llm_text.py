@@ -722,11 +722,14 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything uncovered becomes OOV/byte-fallback cost at training
     time.
 
-    Scale shape: one token-count shuffle (vocabulary-sized output),
-    then rank + running sum over the count relation — the global
-    window is vocabulary-bounded, never corpus-bounded (for a 1M-type
-    vocabulary the cumsum still fits one partition; beyond that,
-    two-phase range partitioning applies)."""
+    Scale shape: one token-count shuffle (vocabulary-sized output);
+    only the top-24 prefix of the coverage curve is reported, so the
+    rank is a `r <= 24` filter Spark rewrites to WindowGroupLimit
+    (every partition keeps 24 rows before the merge — vocabulary can
+    grow without the window growing), the running sum then operates
+    on the CONSTANT 24-row shortlist (a prefix of the global order,
+    so the prefix sums are identical), and the corpus total is a
+    broadcast 1-row aggregate instead of an unbounded SUM window."""
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
@@ -735,17 +738,16 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     w = Window.orderBy(F.col("c").desc(), "t")
-    ranked = cnt.select(
-        F.row_number().over(w).cast("long").alias("vocab_size"),
+    top = cnt.withColumn(
+        "vocab_size", F.row_number().over(w).cast("long")
+    ).where(F.col("vocab_size") <= 24)
+    tot = cnt.agg(F.sum("c").alias("total_tokens"))
+    ranked = top.select(
+        "vocab_size",
         F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias(
             "covered_tokens"
         ),
-        F.sum("c").over(
-            Window.partitionBy().rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("total_tokens"),
-    )
+    ).crossJoin(F.broadcast(tot))
     return ranked.where(F.col("vocab_size").isin(8, 16, 24)).select(
         "vocab_size",
         "covered_tokens",
@@ -809,17 +811,22 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     spelled identically in both engines.
 
     Scale shape: everything after the one token-count shuffle is
-    vocabulary-sized; the fit itself is four folds and a projection."""
-    from pyspark.sql import Window
+    vocabulary-sized — but vocabulary GROWS with the corpus, so the
+    frequency rank runs through `with_global_rank`
+    (operators/ranking.py, range-partitioned two-pass, bit-identical)
+    rather than a single-task window; the fit itself is four folds
+    and a projection."""
+    from serverless_datalake_spark.operators.ranking import with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
     )
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "t")
-    pts = cnt.select(
-        F.row_number().over(w).alias("rnk"),
+    pts = with_global_rank(
+        cnt, [F.col("c").desc(), F.col("t")], out="rnk"
+    ).select(
+        F.col("rnk"),
         F.col("c"),
     ).select(
         "rnk",

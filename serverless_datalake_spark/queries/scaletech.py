@@ -1022,7 +1022,7 @@ def lake_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
     2024-01-10 with a corrected recomputation (value doubled — a
     visible, verifiable change), reads the table back and aggregates;
     the oracle computes the expected post-backfill state from the
-    原始 parquet, so equality proves (a) only the target partition
+    original parquet, so equality proves (a) only the target partition
     changed and (b) it changed to exactly the recomputation.
 
     Scale shape: the overwrite's file I/O is bounded by the backfilled
@@ -1037,6 +1037,9 @@ def lake_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     path = _scratch(f"sdlspark_dpo_{_uuid.uuid4().hex[:12]}")
+    prior_mode = spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode", "static"
+    )
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         ev.write.partitionBy("day").mode("overwrite").parquet(path)
@@ -1045,7 +1048,9 @@ def lake_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         )
         corrected.write.partitionBy("day").mode("overwrite").parquet(path)
     finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        # restore whatever the session had before, not a hard-coded
+        # default (the round-6 advisor's finding)
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prior_mode)
     back = spark.read.parquet(path)
     return back.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),

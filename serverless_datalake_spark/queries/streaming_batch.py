@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from serverless_datalake_spark.operators.ranking import with_global_cummax
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
 
@@ -316,21 +317,22 @@ def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     order; lateness compares exact micro-resolution epoch doubles and
     floors to whole seconds.
 
-    Scale shape: one global arrival-ordered window — exactly the
-    sequential semantics a streaming engine's watermark tracker has;
-    at scale the audit runs per PARTITION (Spark's own watermark is
-    the min of per-partition maxima) with partition-local windows and
-    a tiny merge, the documented two-pass twin of every global-window
-    query here."""
+    Scale shape: the running max runs through `with_global_cummax`
+    (operators/ranking.py): range-partition on arrival order,
+    partition-local running maxima in parallel windows, then fold in
+    the broadcast carry (prefix max of prior partitions' maxima).
+    MAX is associative and idempotent, so the decomposition is exact
+    — bit-identical to the sequential watermark tracker the oracle
+    expresses — and no task ever sorts more than one arrival range.
+    (Spark's own streaming watermark is the same shape: per-partition
+    maxima merged at the driver.)"""
     ev = load_table(spark, sf_dir, "events")
-    aw = Window.orderBy("event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    arr = ev.select(
-        "event_type",
+    arr = with_global_cummax(
+        ev.select("event_type", "ts", "event_id"),
+        [F.col("event_id")],
         "ts",
-        F.max("ts").over(aw).alias("high_watermark"),
-    )
+        out="high_watermark",
+    ).select("event_type", "ts", "high_watermark")
     lateness = F.col("high_watermark").cast("double") - F.col("ts").cast("double")
     scored = arr.select(
         "event_type",

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from serverless_datalake_spark.operators.ranking import with_global_cumsum
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
 
@@ -1026,11 +1027,13 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: sessionization is one window partitioned by user
     (co-partitioned shuffle); the sweep relation is session-sized
-    (2 rows per session), orders of magnitude below events. Its global
-    cumulative sum is the textbook two-pass distributed prefix sum at
-    fleet scale (per-partition partials + broadcast carry-in offsets);
-    fixture-scale runs express it as one ordered window, the exact
-    semantics the oracle checks."""
+    (2 rows per session) — but session-grain still GROWS with the
+    data, so the prefix sum runs through `with_global_cumsum`
+    (operators/ranking.py): range-partition on the sweep order,
+    per-partition running sums in parallel windows, broadcast
+    carry-in offsets. Integer deltas make the decomposition exact,
+    bit-identical to the single-partition window the oracle
+    expresses — and no task ever holds more than one key range."""
     ev = load_table(spark, sf_dir, "events")
     uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
     lag_ts = F.lag(F.col("ts")).over(uw)
@@ -1056,12 +1059,12 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_no"
         )
     )
-    sweep_w = Window.orderBy(
-        "t", F.col("delta").desc(), "user_id", "session_no"
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    swept = deltas.select(
-        "t", "delta", F.sum("delta").over(sweep_w).alias("running")
-    )
+    swept = with_global_cumsum(
+        deltas,
+        [F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_no")],
+        "delta",
+        out="running",
+    ).select("t", "delta", "running")
     return swept.groupBy(F.date_trunc("hour", F.col("t")).alias("hour")).agg(
         F.max("running").cast("long").alias("peak_concurrent"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),

@@ -103,6 +103,26 @@ def _numview(v):
     return None
 
 
+_DATE_RE = re.compile(r"^\d{4}-\d{2}-\d{2}$")
+_DATETIME_RE = re.compile(r"^\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?$")
+
+
+def _temporal_key(s: str):
+    """Canonical sortable form for a temporal-SHAPED string, else
+    None. A bare ISO date extends to its midnight datetime so date and
+    datetime reprs share ONE format ('2024-01-02' vs
+    '2024-01-02 00:00:00' compare equal, not '>' lexicographically —
+    the round-6 advisor's mixed-format prune bug); 'T' separators
+    normalize to a space. Fractional seconds order correctly as a
+    suffix. Zone-aware reprs (offset suffix) deliberately do NOT
+    match — mixed aware/naive pairs fall back to ambiguous."""
+    if _DATE_RE.match(s):
+        return s + " 00:00:00"
+    if _DATETIME_RE.match(s):
+        return s.replace("T", " ")
+    return None
+
+
 def _ord_pair(stat, probe):
     """Comparable (stat_key, probe_key) for an ORDERED zone-map check,
     or None when the pair is ambiguous (ambiguity → the file is read;
@@ -111,8 +131,11 @@ def _ord_pair(stat, probe):
     canonical numeric STRING after the JSON round-trip, so it is
     re-parsed rather than compared lexicographically. Non-numeric
     probes (str/date/datetime/bytes) compare through _stat_repr, whose
-    string forms are order-preserving within one type (ISO dates,
-    fixed-width hex)."""
+    string forms are order-preserving within one type; temporal-shaped
+    strings are normalized to ONE canonical datetime format first
+    (date stats probed with datetime values, and vice versa, must not
+    compare across formats), and a temporal/non-temporal mix is
+    ambiguous — the file is read."""
     if isinstance(stat, bool) and isinstance(probe, bool):
         return (stat, probe)  # False < True, same as the lexical order
     pn = _numview(probe)
@@ -131,6 +154,11 @@ def _ord_pair(stat, probe):
         return (sn, pn) if sn is not None else None
     pr = _stat_repr(probe)
     if isinstance(stat, str) and isinstance(pr, str):
+        st, pt = _temporal_key(stat), _temporal_key(pr)
+        if (st is None) != (pt is None):
+            return None  # mixed temporal/plain formats — keep the file
+        if st is not None:
+            return (st, pt)
         return (stat, pr)
     return None
 

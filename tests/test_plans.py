@@ -627,3 +627,80 @@ def test_query_likelihood_topk_is_group_limited(spark, sf_dir):
     # global sort of the corpus
     assert "TakeOrderedAndProject" in plan or "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
+
+
+# --- round 6: entity-grain global-window eviction pins ------------------
+# Every global ordering over a relation that grows with the data now
+# runs through operators/ranking.py (range-partitioned two-pass) or a
+# WindowGroupLimit / TakeOrdered shape. Pin each rewritten query so a
+# refactor can't silently bring the single-partition window back.
+
+_PID_PARTITIONED = [
+    # (query, allowed partition keys any Window node may carry instead)
+    ("ts_concurrency_sweep", ("user_id",)),
+    ("stream_lateness_audit", ()),
+    ("feature_quantile_bucketize", ()),
+    ("feature_winsorize", ()),
+    ("sample_systematic_weighted", ()),
+    ("sample_curriculum_stages", ()),
+    ("sample_dsir_importance", ()),
+    ("text_zipf_fit", ()),
+    ("sim_index_health", ()),
+]
+
+
+@pytest.mark.parametrize("name,extra", _PID_PARTITIONED, ids=[n for n, _ in _PID_PARTITIONED])
+def test_entity_grain_windows_are_pid_partitioned(spark, sf_dir, name, extra):
+    """Every Window node in the plan carries a partition spec — either
+    the two-pass primitive's __pid range bucket or a legitimate
+    entity partition (e.g. the per-user sessionize window)."""
+    plan = plan_of(spark, sf_dir, name)
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : m.start() + 500]
+        ok = "__pid" in tail or any(k in tail for k in extra)
+        assert ok, f"{name}: unpartitioned window node: {tail}"
+
+
+def test_kmv_distinct_union_bounded_state(spark, sf_dir):
+    """agg_kmv_distinct_union: per-type k-th minima ride a rank filter
+    Spark rewrites to WindowGroupLimit (k rows per group per partition
+    before the shuffle); the union leg's k-minima are a distributed
+    sort().limit(k) (TakeOrderedAndProject), never a global window."""
+    plan = plan_of(spark, sf_dir, "agg_kmv_distinct_union")
+    assert "WindowGroupLimit" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    import re
+
+    for m in re.finditer(r"Window \[", plan):
+        tail = plan[m.start() : m.start() + 500]
+        assert "event_type" in tail, tail
+
+
+def test_kmv_jaccard_no_window_at_all(spark, sf_dir):
+    """agg_kmv_jaccard's sketch is sort().limit(k) + two 1-row
+    aggregates — the rank window is gone entirely."""
+    plan = plan_of(spark, sf_dir, "agg_kmv_jaccard")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_vocab_coverage_group_limited_shortlist(spark, sf_dir):
+    """text_vocab_coverage ranks only a top-24 shortlist: the rank
+    filter must bound per-partition state to 24 rows (Spark rewrites
+    it to TakeOrderedAndProject via LimitPushDownThroughWindow, or at
+    minimum WindowGroupLimit) and the corpus total must be a broadcast
+    aggregate, not an unbounded SUM window."""
+    plan = plan_of(spark, sf_dir, "text_vocab_coverage")
+    assert "TakeOrderedAndProject(limit=24" in plan or "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_quality_screen_moments_broadcast(spark, sf_dir):
+    """embedding_quality_screen computes corpus moments as a 1-row
+    broadcast aggregate; the only window is the top-10 outlier rank,
+    bounded per partition (TakeOrderedAndProject / WindowGroupLimit)."""
+    plan = plan_of(spark, sf_dir, "embedding_quality_screen")
+    assert "TakeOrderedAndProject(limit=10" in plan or "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan

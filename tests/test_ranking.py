@@ -9,6 +9,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators.ranking import (
+    with_global_cummax,
     with_global_cumsum,
     with_global_ntile,
     with_global_rank,
@@ -67,6 +68,47 @@ def test_global_cumsum_float_not_truncated(spark):
     w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ref = df.withColumn("c", F.sum("wf").over(w))
     assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_global_cummax_matches_window(spark):
+    """Running max (the streaming high-watermark shape) must be
+    bit-identical to the single-partition window — including a
+    timestamp value column, the stream_lateness_audit case."""
+    df = _toy(spark, 5000).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1704067200) + F.col("w") * 37)
+    )
+    order = [F.col("id")]
+    got = with_global_cummax(df, order, "ts", out="hw", num_partitions=6)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.withColumn("hw", F.max("ts").over(w))
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+
+
+def test_global_cummax_long_and_partitioned(spark):
+    """Integer running max matches, and every Window node in the plan
+    carries the __pid partition spec (no unpartitioned window)."""
+    df = _toy(spark, 3000)
+    order = [F.col("v"), F.col("id")]
+    got = with_global_cummax(df, order, "w", out="m", num_partitions=5)
+    w = Window.orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.withColumn("m", F.max("w").over(w))
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "__pid" in line, line
+
+
+def test_global_cummax_single_partition_input(spark):
+    """Degenerate shapes: one input partition (no carry anywhere) and
+    an empty relation both survive the offsets path."""
+    df = _toy(spark, 40)
+    got = with_global_cummax(df, [F.col("id")], "w", out="m", num_partitions=1)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.withColumn("m", F.max("w").over(w))
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    empty = df.where(F.lit(False))
+    assert with_global_cummax(empty, [F.col("id")], "w", out="m").count() == 0
 
 
 def test_global_order_analytics_combined(spark):

@@ -568,6 +568,38 @@ def test_zonemap_and_membership_ordering_is_type_aware():
     assert not _stat_matches("abc", Decimal("5"))
 
 
+def test_ord_pair_temporal_format_normalization():
+    """The round-6 advisor's zone-map bug: a timestamp stat
+    '2024-01-02 00:00:00' probed with a DATE value '2024-01-02'
+    compared lexicographically ('... 00:00:00' > '2024-01-02'), so a
+    file whose midnight rows satisfy the predicate was marked disjoint
+    and silently pruned. Temporal-shaped strings must normalize to one
+    canonical datetime format (equal here, not '>'), and a
+    temporal/plain-string mix must be ambiguous (file kept)."""
+    import datetime as dt
+
+    from serverless_datalake_spark.sources.txlog import _ord_pair, _stat_repr
+
+    # timestamp file_min vs date probe hi: midnight == midnight
+    p = _ord_pair("2024-01-02 00:00:00", _stat_repr(dt.date(2024, 1, 2)))
+    assert p is not None and not (p[0] > p[1]), p  # NOT disjoint
+    # date stat vs datetime probe, other direction
+    p2 = _ord_pair("2024-01-02", _stat_repr(dt.datetime(2024, 1, 2, 0, 0, 1)))
+    assert p2 is not None and p2[0] < p2[1]
+    # fractional seconds order as a suffix within the shared format
+    p3 = _ord_pair("2024-01-02 00:00:00.500000", "2024-01-02 00:00:01")
+    assert p3 is not None and p3[0] < p3[1]
+    # 'T'-separated ISO normalizes to the space form
+    p4 = _ord_pair("2024-01-02T12:00:00", "2024-01-02 11:59:59")
+    assert p4 is not None and p4[0] > p4[1]
+    # temporal vs plain string → ambiguous → keep the file
+    assert _ord_pair("2024-01-02", "banana") is None
+    assert _ord_pair("banana", "2024-01-02") is None
+    # zone-aware repr does not match the naive pattern → plain-string
+    # pair (both aware: consistent), mixed aware/naive → ambiguous
+    assert _ord_pair("2024-01-02 00:00:00+00:00", "2024-01-02") is None
+
+
 def test_zonemap_prune_decimal_column(spark, tmp_path):
     """End-to-end: DECIMAL zone maps prune correctly — a probe range
     overlapping a file's [min, max] keeps it (string comparison would
