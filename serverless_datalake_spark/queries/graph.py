@@ -1144,16 +1144,26 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     (edges,) = _retire_and_cache(("hits_edges", sf_dir), [e0])
     d38 = "decimal(38,0)"
-    w_all = Window.partitionBy()
+
+    def normed(df, key, score, extra=()):
+        # per-half-iteration max-normalization as a broadcast 1-row
+        # aggregate, NOT a MAX-over-() window at node grain (the
+        # round-6 audit: node relations grow with the graph; the
+        # window serialized them through one task). MAX is exact, so
+        # the division sees the identical denominator.
+        mx = df.agg(F.max("s").alias("__mx"))
+        return df.crossJoin(F.broadcast(mx)).select(
+            key,
+            *extra,
+            F.round(
+                F.col("s").cast("double") / F.col("__mx").cast("double"), 10
+            ).alias(score),
+        )
+
     a1r = edges.groupBy("supp").agg(
         F.sum((F.col("w") * u).cast(d38)).cast("long").alias("s")
     )
-    a1 = a1r.select(
-        "supp",
-        F.round(
-            F.col("s").cast("double") / F.max("s").over(w_all).cast("double"), 10
-        ).alias("a"),
-    )
+    a1 = normed(a1r, "supp", "a")
     h1r = (
         edges.join(a1, "supp")
         .groupBy("cust")
@@ -1165,12 +1175,7 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("s")
         )
     )
-    h1 = h1r.select(
-        "cust",
-        F.round(
-            F.col("s").cast("double") / F.max("s").over(w_all).cast("double"), 10
-        ).alias("h"),
-    )
+    h1 = normed(h1r, "cust", "h")
     a2r = (
         edges.join(h1, "cust")
         .groupBy("supp")
@@ -1183,12 +1188,9 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
         )
     )
-    return a2r.select(
-        F.col("supp").alias("supplier"),
-        "n_customers",
-        F.round(
-            F.col("s").cast("double") / F.max("s").over(w_all).cast("double"), 10
-        ).alias("authority"),
+    out = normed(a2r, "supp", "authority", extra=("n_customers",))
+    return out.select(
+        F.col("supp").alias("supplier"), "n_customers", "authority"
     )
 
 

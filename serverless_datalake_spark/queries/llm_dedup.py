@@ -1106,13 +1106,13 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         F.sum("sz").alias("n_docs"),
     )
-    return hist.select(
+    tot = hist.agg(F.sum("n_docs").alias("__tot"))
+    return hist.crossJoin(F.broadcast(tot)).select(
         F.col("sz").cast("long").alias("cluster_size"),
         F.col("n_clusters"),
         F.col("n_docs"),
         F.round(
-            F.col("n_docs").cast("double")
-            / F.sum("n_docs").over(Window.partitionBy()).cast("double"),
+            F.col("n_docs").cast("double") / F.col("__tot").cast("double"),
             6,
         ).alias("doc_share"),
     )
