@@ -60,6 +60,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Spark's default INT96 timestamps are a deprecated parquet
+        # type that carries NO column statistics: every row-group
+        # min/max skip and txlog zone map on an event-time column
+        # silently never fires (found by the round-6 timestamp
+        # zone-map test — zonemaps came back empty). TIMESTAMP_MICROS
+        # is INT64-physical with full stats and is what every modern
+        # writer (Delta, Iceberg, Trino) emits.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         # Long-lived sessions running hundreds of distinct queries fill

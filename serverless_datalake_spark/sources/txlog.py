@@ -56,6 +56,7 @@ asserts no 404).
 
 from __future__ import annotations
 
+import datetime
 import json
 import math
 import os
@@ -86,6 +87,15 @@ def _stat_repr(v):
         return v.hex()
     if isinstance(v, Decimal):
         return format(v.normalize(), "f") if v.is_finite() else str(v)
+    if isinstance(v, datetime.datetime) and v.tzinfo is not None:
+        # parquet TIMESTAMP(isAdjustedToUTC=true) stats come back
+        # tz-AWARE from pyarrow while probe values are naive
+        # session-UTC (the session pins spark.sql.session.timeZone to
+        # UTC) — normalize to naive UTC wall time so both sides share
+        # _temporal_key's canonical format; an offset suffix would
+        # make every temporal zone-map compare ambiguous (file never
+        # pruned)
+        v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
     return str(v)
 
 

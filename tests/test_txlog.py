@@ -640,3 +640,61 @@ def test_zonemap_prune_decimal_column(spark, tmp_path):
     # probe strictly above the data: everything prunes
     f2, _ = live_files_zonemap_pruned(path, "amt", Decimal("500"), Decimal("900"))
     assert f2 == []
+
+
+def test_zonemap_prune_timestamp_column_date_probe(spark, tmp_path):
+    """End-to-end twin of the round-6 advisor's finding: a TIMESTAMP
+    column's zone maps probed with DATE values must keep every file
+    whose midnight rows satisfy the range (mixed-format lexicographic
+    comparison marked '2024-01-02 00:00:00' > probe hi '2024-01-02'
+    and silently pruned committed rows), and must still prune files
+    genuinely outside the range."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from serverless_datalake_spark.sources.txlog import (
+        live_files_zonemap_pruned,
+        txlog_read_zonemap,
+        txlog_write_zonemapped,
+    )
+
+    path = str(tmp_path / "zm_ts")
+    # 8 hourly rows per day across 4 days, one range file per 2 days
+    df = spark.range(0, 32).select(
+        F.col("id"),
+        F.timestamp_seconds(
+            F.lit(int(dt.datetime(2024, 1, 1).timestamp()))
+            + (F.col("id") / 8).cast("long") * 86400
+            + F.pmod(F.col("id"), F.lit(8)) * 3600
+        ).alias("ts"),
+    )
+    txlog_write_zonemapped(df.repartitionByRange(2, "ts"), path, ["ts"])
+
+    # date probe [2024-01-03, 2024-01-04]: day 3 rows START at
+    # midnight, which is exactly the second file's min — the mixed-
+    # format compare called it disjoint
+    lo, hi = dt.date(2024, 1, 3), dt.date(2024, 1, 4)
+    files, total = live_files_zonemap_pruned(path, "ts", lo, hi)
+    assert files, "date probe must keep the file holding day-3 rows"
+    got = (
+        txlog_read_zonemap(spark, path, "ts", lo, hi)
+        .where(F.col("ts") >= F.lit("2024-01-03").cast("timestamp"))
+        .where(F.col("ts") < F.lit("2024-01-05").cast("timestamp"))
+        .count()
+    )
+    assert got == 16  # days 3 and 4, 8 rows each — nothing dropped
+
+    # datetime probes prune on the same-format fast path: a range
+    # strictly BELOW all data (the files' min is 2024-01-01 00:00:00)
+    # drops every file, so normalization kept ordering exact
+    f2, _ = live_files_zonemap_pruned(
+        path, "ts", dt.datetime(2023, 12, 1, 0, 0), dt.datetime(2023, 12, 31, 23, 0)
+    )
+    assert f2 == []
+    # genuinely-above DATE probe prunes everything too (date lo
+    # normalized to midnight still exceeds every file max)
+    f3, _ = live_files_zonemap_pruned(
+        path, "ts", dt.date(2025, 1, 1), dt.date(2025, 2, 1)
+    )
+    assert f3 == []
