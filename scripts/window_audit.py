@@ -81,6 +81,9 @@ ALLOWLIST: dict[str, str] = {
     "ts_rolling_ols_slope": "hour grid (time-bounded)",
     "ts_backtest_snaive": "hour grid (time-bounded)",
     "mixture_caps_floors": "language domain rows",
+    "stream_lateness_audit": "with_global_cummax carry: exclusive "
+                             "prefix max over the num_partitions-row "
+                             "per-pid maxima (constant grain)",
     "model_naive_bayes_langid": "language-prior rows (domain)",
     "pipeline_dedup_impact": "language domain rows",
     "split_leakage_free": "3 split rows",
@@ -99,7 +102,11 @@ def main() -> None:
             df = q.fn(spark, sf_dir)
             nodes = json.loads(df._jdf.queryExecution().sparkPlan().toJSON())
         except Exception as exc:  # noqa: BLE001
+            # an unauditable query is a FAILED audit, not a skipped one
+            # (the round-6 reviewer: a query that starts raising would
+            # otherwise silently pass the gate)
             report[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+            violations.append(name)
             continue
         unp = [
             n
@@ -133,7 +140,10 @@ def main() -> None:
     out = {
         "sf_dir": sf_dir,
         "n_queries": len(reg),
-        "n_with_unpartitioned_windows": len(report),
+        "n_with_unpartitioned_windows": sum(
+            1 for v in report.values() if "n_unpartitioned" in v
+        ),
+        "n_errors": sum(1 for v in report.values() if "error" in v),
         "violations": violations,
         "queries": report,
         "sec": round(time.time() - t0, 1),

@@ -124,6 +124,7 @@ def with_global_order_analytics(
     rank_out: str = "rank",
     ntile_out: str = "ntile",
     cum_out: str = "cum",
+    n_out: str | None = None,
     num_partitions: int = 32,
 ) -> DataFrame:
     """row_number() [+ NTILE(k)] [+ SUM(value_col) ROWS UNBOUNDED
@@ -131,6 +132,10 @@ def with_global_order_analytics(
     `order_cols` must be a total order (append a unique tiebreaker).
     Integer running sums are exact (offset addition is associative);
     float ones match the global window up to summation-order effects.
+    `n_out` attaches the TOTAL row count as a literal column — pass 1
+    already computes it, so callers that need COUNT(*) OVER () (the
+    winsorize/percentile shape) get it for free instead of paying a
+    second full scan of the input (the round-6 reviewer's finding).
     """
     parted = _range_indexed(df, order_cols, num_partitions)
     aggs = [F.count(F.lit(1)).alias("n")]
@@ -143,6 +148,8 @@ def with_global_order_analytics(
     out = parted.withColumn(
         rank_out, (F.row_number().over(w) + _offset_expr(count_off)).cast("long")
     )
+    if n_out is not None:
+        out = out.withColumn(n_out, F.lit(n_total).cast("long"))
     if value_col is not None:
         sum_off, _ = _prefix_offsets({r[_PID]: r["s"] for r in rows})
         wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -164,12 +171,14 @@ def with_global_rank(
     df: DataFrame,
     order_cols: list[Column],
     out: str = "rank",
+    n_out: str | None = None,
     num_partitions: int = 32,
 ) -> DataFrame:
     """row_number() over a GLOBAL total order, computed with parallel
-    per-range windows + broadcast offsets."""
+    per-range windows + broadcast offsets. `n_out` optionally attaches
+    the total row count (already known from pass 1) as a column."""
     return with_global_order_analytics(
-        df, order_cols, rank_out=out, num_partitions=num_partitions
+        df, order_cols, rank_out=out, n_out=n_out, num_partitions=num_partitions
     )
 
 
@@ -204,39 +213,41 @@ def with_global_cummax(
 ) -> DataFrame:
     """MAX(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING) over a
     global total order — the streaming high-watermark shape — as
-    per-range running maxima + broadcast carry-in (the exclusive
-    prefix max of prior partitions' maxima). MAX is idempotent and
-    associative, so the decomposition is EXACT for every orderable
-    type (timestamps included), bit-identical to the single-partition
-    window; every sort and window runs partition-parallel."""
+    per-range running maxima + carry-in (the exclusive prefix max of
+    prior partitions' maxima). MAX is idempotent and associative, so
+    the decomposition is EXACT for every orderable type (timestamps
+    included), bit-identical to the single-partition window; every
+    sort and window runs partition-parallel.
+
+    The carry stays entirely JVM-SIDE: per-pid maxima (a
+    num_partitions-row relation, constant grain) get their exclusive
+    prefix max from a window over that tiny relation, broadcast-joined
+    back. Collecting the maxima through the driver was the round-6
+    reviewer's double finding: Python's `>` treats a NaN maximum as
+    never-greater where Spark's MAX orders NaN above every double,
+    and timestamps round-tripped through driver-local naive datetimes
+    (wrong order / ±1 h around DST when the driver OS timezone is not
+    UTC). Spark's own MAX/window semantics apply to both passes now,
+    so neither divergence can occur."""
     parted = _range_indexed(df, order_cols, num_partitions)
-    rows = parted.groupBy(_PID).agg(F.max(value_col).alias("m")).collect()
-    per_pid = {r[_PID]: r["m"] for r in rows}
-
-    # exclusive prefix max in pid order (None = no carry yet)
-    carry: dict = {}
-    acc = None
-    for pid in sorted(per_pid):
-        carry[pid] = acc
-        m = per_pid[pid]
-        if m is not None and (acc is None or m > acc):
-            acc = m
-
+    per_pid = parted.groupBy(_PID).agg(F.max(value_col).alias("__m"))
+    # exclusive prefix max in pid order — a window over a relation
+    # bounded by num_partitions (constant grain, allowed by the
+    # unpartitioned-window rule) on the SAME engine ordering/NaN
+    # semantics as the per-partition pass
+    cw = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    carry = per_pid.select(
+        F.col(_PID), F.max("__m").over(cw).alias("__carry")
+    )
     w = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     local = F.max(value_col).over(w)
-    nn = {pid: v for pid, v in carry.items() if v is not None}
-    if nn:
-        # map values must be non-null in Spark; missing pids (no
-        # carry) fall out of element_at as NULL, which greatest skips
-        vt = dict(df.dtypes)[value_col]
-        pairs = [x for pid, v in nn.items() for x in (F.lit(pid), F.lit(v).cast(vt))]
-        carry_expr = F.element_at(F.create_map(*pairs), F.col(_PID))
-        result = F.greatest(local, carry_expr)
-    else:
-        result = local
-    return parted.withColumn(out, result).drop(_PID)
+    return (
+        parted.join(F.broadcast(carry), _PID)
+        .withColumn(out, F.greatest(local, F.col("__carry")))
+        .drop(_PID, "__carry")
+    )
 
 
 def with_global_ntile(

@@ -164,19 +164,21 @@ def feature_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale note: the exact rank runs through `with_global_rank`
     (operators/ranking.py) — range-partitioned two-pass, bit-identical
     to the global window, no single-task sort over the FACT table —
-    and the row count is a broadcast 1-row aggregate. The production
+    and the row count rides out of the rank's own pass-1 stats as a
+    literal (one fact scan total, not two). The production
     twin (`winsorize_bounds_approx` below) still computes the two
     bounds with approxQuantile (one Greenwald–Khanna scan, no rank at
     all) when exactness is negotiable."""
     li = load_table(spark, sf_dir, "lineitem")
-    n_row = li.agg(F.count(F.lit(1)).alias("n"))
+    # n rides out of the rank's own pass-1 stats — no second fact scan
     ranked = with_global_rank(
         li.select(
             F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
         ),
         [F.col("v"), F.col("l_orderkey"), F.col("l_linenumber")],
         out="rn",
-    ).crossJoin(F.broadcast(n_row)).select("v", "rn", "n")
+        n_out="n",
+    ).select("v", "rn", "n")
 
     def bound(p: float):
         idx = F.floor(F.lit(p) * (F.col("n") - 1))

@@ -1646,8 +1646,8 @@ def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket count is a config knob that grows with the corpus, so the
     percentile ranking runs through `with_global_rank`
     (operators/ranking.py) — range-partitioned two-pass rank, no
-    single-task sort — and the bucket count rides a broadcast 1-row
-    aggregate instead of an unpartitioned COUNT window."""
+    single-task sort — and the bucket count rides out of the rank's
+    own pass-1 stats as a literal (no extra scan, no COUNT window)."""
     from serverless_datalake_spark.operators.ranking import with_global_rank
     from serverless_datalake_spark.operators.similarity import lsh_bucket
 
@@ -1656,10 +1656,11 @@ def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = c.select(lsh_bucket(F.col("embedding"), 8, 64).alias("bucket")).groupBy(
         "bucket"
     ).agg(F.count(F.lit(1)).alias("n"))
-    nb_row = sizes.agg(F.count(F.lit(1)).alias("nb"))
+    # bucket count rides out of the rank's pass-1 stats — no second
+    # corpus-wide bucket-assignment scan
     ranked = with_global_rank(
-        sizes, [F.col("n"), F.col("bucket")], out="rn"
-    ).crossJoin(F.broadcast(nb_row)).select("n", "rn", "nb")
+        sizes, [F.col("n"), F.col("bucket")], out="rn", n_out="nb"
+    ).select("n", "rn", "nb")
     pct = ranked.agg(
         F.max(
             F.when(F.col("rn") == F.ceil(F.col("nb") * 0.5).cast("long"), F.col("n"))

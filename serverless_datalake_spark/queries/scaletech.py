@@ -73,6 +73,11 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("c_mktsegment") == "BUILDING")
         .select("c_custkey")
     )
+    # NOT pinned: the qualifying-orders subtree feeds both the bitset
+    # build and the final broadcast join, but Spark already shares the
+    # work via ReusedExchange — an explicit localCheckpoint was
+    # measured SLOWER at sf0.1 (2.58 vs 2.32 s min-of-3: the
+    # materialization write exceeds the saved rescan)
     qorders = (
         load_table(spark, sf_dir, "orders")
         .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))

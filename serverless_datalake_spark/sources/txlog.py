@@ -177,9 +177,20 @@ def _stat_matches(stored, probe) -> bool:
     """Equality for a membership prune: exact canonical-repr match,
     plus numeric-domain equality so int/float/Decimal flavors of the
     same value can never cause a false MISS (a false miss silently
-    drops committed data; a false match only reads one extra file)."""
-    if stored == _stat_repr(probe):
+    drops committed data; a false match only reads one extra file).
+    Temporal-shaped strings compare through _temporal_key's canonical
+    datetime form — a DATE probe against a datetime-repr stat (or
+    vice versa) must match its midnight value, and a temporal/plain
+    format mix is ambiguous → treated as a match (file read)."""
+    pr = _stat_repr(probe)
+    if stored == pr:
         return True
+    if isinstance(stored, str) and isinstance(pr, str):
+        st, pt = _temporal_key(stored), _temporal_key(pr)
+        if st is not None and pt is not None:
+            return st == pt
+        if (st is None) != (pt is None):
+            return True  # mixed formats: ambiguous — keep the file
     pn = _numview(probe)
     if pn is None:
         return False

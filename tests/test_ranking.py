@@ -99,6 +99,29 @@ def test_global_cummax_long_and_partitioned(spark):
             assert "__pid" in line, line
 
 
+def test_global_cummax_nan_propagates_like_spark_max(spark):
+    """Spark MAX orders NaN above every double; a driver-side Python
+    fold would drop a NaN maximum (`nan > acc` is False — the round-6
+    reviewer's finding). The carry is JVM-side now, so a NaN in an
+    early range must stick for every later row, exactly like the
+    single-partition window."""
+    df = spark.range(0, 300, 1, 4).select(
+        F.col("id"),
+        F.when(F.col("id") == 7, F.lit(float("nan")))
+        .otherwise(F.col("id").cast("double") / 3.0)
+        .alias("x"),
+    )
+    got = with_global_cummax(df, [F.col("id")], "x", out="m", num_partitions=5)
+    w = Window.orderBy("id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ref = df.withColumn("m", F.max("x").over(w))
+    assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
+    # every row from id >= 7 carries the NaN watermark
+    import math
+
+    tail = got.where(F.col("id") >= 7).select("m").collect()
+    assert tail and all(math.isnan(r["m"]) for r in tail)
+
+
 def test_global_cummax_single_partition_input(spark):
     """Degenerate shapes: one input partition (no carry anywhere) and
     an empty relation both survive the offsets path."""
