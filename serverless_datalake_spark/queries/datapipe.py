@@ -2104,10 +2104,14 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded = F.aggregate(
         F.transform(arr, lambda x: x["kw"]), F.lit(0.0), lambda a, x: a + x
     )
+    # input pinned: with_global_ntile's repartitionByRange samples its
+    # child, which would re-run the (doc, bucket) contribution join +
+    # ordered fold a second time without the pin (the
+    # ts_concurrency_sweep measurement)
     scored = contrib.groupBy("doc_id", "lang").agg(
         F.sum("k").cast("long").alias("n_tokens"),
         F.round(folded, 6).alias("logw"),
-    )
+    ).localCheckpoint(eager=False)
     from serverless_datalake_spark.operators.ranking import with_global_ntile
 
     return with_global_ntile(

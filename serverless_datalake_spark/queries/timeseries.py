@@ -1058,7 +1058,11 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         intervals.select(
             F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_no"
         )
-    )
+    ).localCheckpoint(eager=False)
+    # input pinned: repartitionByRange SAMPLES its child to pick
+    # bounds, so an un-pinned delta relation would run the two
+    # sessionize windows twice (sample + shuffle) — measured 1.59 vs
+    # 1.24 s at sf0.1 with the pin
     swept = with_global_cumsum(
         deltas,
         [F.col("t"), F.col("delta").desc(), F.col("user_id"), F.col("session_no")],
