@@ -1653,9 +1653,12 @@ def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     em = load_table(spark, sf_dir, "embeddings")
     c = em.where(F.col("vec_id") >= 10)
+    # pinned: with_global_rank's range sampling would otherwise re-run
+    # the corpus-wide lsh_bucket fold + aggregate a second time; the
+    # pinned relation is <= 2^planes rows
     sizes = c.select(lsh_bucket(F.col("embedding"), 8, 64).alias("bucket")).groupBy(
         "bucket"
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     # bucket count rides out of the rank's pass-1 stats — no second
     # corpus-wide bucket-assignment scan
     ranked = with_global_rank(

@@ -822,7 +822,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t")
     )
-    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    # pinned: the rank's range sampling would re-run the token-count
+    # shuffle over the corpus scan; the pinned relation is vocab-grain
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
+        eager=False
+    )
     pts = with_global_rank(
         cnt, [F.col("c").desc(), F.col("t")], out="rnk"
     ).select(
