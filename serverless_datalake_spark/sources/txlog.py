@@ -123,13 +123,22 @@ def _temporal_key(s: str):
     datetime reprs share ONE format ('2024-01-02' vs
     '2024-01-02 00:00:00' compare equal, not '>' lexicographically —
     the round-6 advisor's mixed-format prune bug); 'T' separators
-    normalize to a space. Fractional seconds order correctly as a
-    suffix. Zone-aware reprs (offset suffix) deliberately do NOT
-    match — mixed aware/naive pairs fall back to ambiguous."""
+    normalize to a space; trailing-zero fractional seconds are
+    stripped ('.500000' → '.5', '.000000' → '') so numerically equal
+    instants share one repr — lexicographic comparison of the
+    stripped fractions then matches numeric order (digit-by-digit,
+    shorter prefix sorts first, exactly decimal-fraction order).
+    Zone-aware reprs (offset suffix) deliberately do NOT match —
+    mixed aware/naive pairs fall back to ambiguous."""
     if _DATE_RE.match(s):
         return s + " 00:00:00"
     if _DATETIME_RE.match(s):
-        return s.replace("T", " ")
+        s = s.replace("T", " ")
+        if "." in s:
+            base, frac = s.split(".")
+            frac = frac.rstrip("0")
+            s = base + ("." + frac if frac else "")
+        return s
     return None
 
 
@@ -224,8 +233,16 @@ def _entries(path: str) -> list[dict]:
     out = []
     for name in sorted(os.listdir(d)):
         if _COMMITTED.fullmatch(name):
-            with open(os.path.join(d, name)) as f:
-                out.append(json.load(f))
+            try:
+                with open(os.path.join(d, name)) as f:
+                    out.append(json.load(f))
+            except FileNotFoundError:
+                # a concurrent vacuum unlinked this pre-horizon entry
+                # between our listdir and open; its checkpoint (>= this
+                # version, already visible or about to be read next)
+                # is replay-equivalent, so skipping is safe — crashing
+                # here broke the documented mid-vacuum reader guarantee
+                continue
     return out
 
 
@@ -262,10 +279,15 @@ def _commit(
         os.unlink(tmp)
 
 
-def live_files(path: str, version: int | None = None) -> list[str]:
-    """Replay the log to `version` (default: head) → current file set."""
+def live_files(
+    path: str, version: int | None = None, entries: list[dict] | None = None
+) -> list[str]:
+    """Replay the log to `version` (default: head) → current file set.
+    Pass `entries` to replay an already-loaded log instead of
+    re-reading and re-parsing every entry file (the commit path calls
+    _entries for the version anyway)."""
     files: set[str] = set()
-    for e in _entries(path):
+    for e in _entries(path) if entries is None else entries:
         if version is not None and e["version"] > version:
             break
         files.difference_update(e["removes"])
@@ -273,8 +295,22 @@ def live_files(path: str, version: int | None = None) -> list[str]:
     return sorted(files)
 
 
+def _list_parquet(batch_dir: str) -> list[str]:
+    """The adds of one written batch: the dir's *.parquet files (one
+    contract, shared by every write path)."""
+    return sorted(
+        os.path.join(batch_dir, n)
+        for n in os.listdir(batch_dir)
+        if n.endswith(".parquet")
+    )
+
+
 def txlog_write(
-    df: DataFrame, path: str, mode: str = "append", extra: dict | None = None
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+    extra: dict | None = None,
+    expected_head: int | None = None,
 ) -> int:
     """Commit df to the table atomically; returns the new version.
 
@@ -282,19 +318,28 @@ def txlog_write(
     replaying the log sees the whole batch or none of it, regardless
     of how many data files the write produced. `overwrite` removes
     every prior live file in the same entry (atomic replace). `extra`
-    fields land in that same entry (see _commit)."""
+    fields land in that same entry (see _commit).
+
+    `expected_head` makes the commit CONDITIONAL on the log head a
+    read-modify-write caller observed (-1 = expect an empty log):
+    the new entry claims exactly expected_head+1, so a commit that
+    landed in between surfaces as the concurrent-commit error instead
+    of silently absorbing (and overwrite-removing) the interloper's
+    rows — the lost-update hole the round-6 review found in upsert/
+    delete. Blind appends/overwrites keep expected_head=None."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode {mode!r}")
     prior = _entries(path)
-    version = prior[-1]["version"] + 1 if prior else 0
+    head = prior[-1]["version"] if prior else -1
+    if expected_head is not None and head != expected_head:
+        raise RuntimeError(
+            f"concurrent commit: expected head {expected_head}, found {head}; retry"
+        )
+    version = head + 1
     batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(batch_dir)
-    adds = sorted(
-        os.path.join(batch_dir, n)
-        for n in os.listdir(batch_dir)
-        if n.endswith(".parquet")
-    )
-    removes = live_files(path) if mode == "overwrite" else []
+    adds = _list_parquet(batch_dir)
+    removes = live_files(path, entries=prior) if mode == "overwrite" else []
     _commit(path, version, adds, removes, extra=extra)
     return version
 
@@ -326,6 +371,10 @@ def txlog_read(
     default because the footer-union pass costs one extra metadata
     read per file set."""
     files = live_files(path, version)
+    # NOTE: an empty snapshot raises (below) rather than returning an
+    # empty DataFrame — with zero live files there is no schema source
+    # to build one from; callers distinguishing empty-table from
+    # missing-table should check live_files()/_entries() directly.
     if not files:
         raise FileNotFoundError(f"no committed files in {path} at version {version}")
     reader = spark.read
@@ -340,17 +389,17 @@ def txlog_compact(spark: SparkSession, path: str, target_files: int = 1) -> int:
     the prior version still resolves the old files — compaction never
     disturbs in-flight reads; old files are only logically removed
     (physical GC = delete files no live version references)."""
-    old = live_files(path)
+    entries = _entries(path)
+    old = live_files(path, entries=entries)
+    if not entries or not old:
+        # empty log / delete-all snapshot: same error txlog_read uses,
+        # not an IndexError or a pathless AnalysisException
+        raise FileNotFoundError(f"no committed files in {path}")
     snap = spark.read.parquet(*old).coalesce(target_files)
-    version = _entries(path)[-1]["version"] + 1
+    version = entries[-1]["version"] + 1
     batch_dir = os.path.join(path, "data", f"v{version}-compact-{uuid.uuid4().hex[:8]}")
     snap.write.mode("error").parquet(batch_dir)
-    adds = sorted(
-        os.path.join(batch_dir, n)
-        for n in os.listdir(batch_dir)
-        if n.endswith(".parquet")
-    )
-    _commit(path, version, adds, removes=old)
+    _commit(path, version, _list_parquet(batch_dir), removes=old)
     return version
 
 
@@ -364,13 +413,23 @@ def txlog_upsert(
     one atomic overwrite commit (readers see pre- or post-merge, never
     a mix). At scale the rewrite would be restricted to files whose
     min/max key ranges overlap the update keys; with a z-ordered or
-    sorted layout that's a small fraction of the table."""
-    if not _entries(path):  # first commit: MERGE into empty == append
-        return txlog_write(updates, path, extra=extra)
-    current = txlog_read(spark, path)
+    sorted layout that's a small fraction of the table.
+
+    The commit is CONDITIONED on the head version this merge read
+    (expected_head): a writer that lands in between makes this commit
+    raise the concurrent-commit error so the caller re-merges against
+    the new head — without the condition, the interloper's rows would
+    be overwrite-removed without having been merged (lost update)."""
+    entries = _entries(path)
+    if not entries:  # first commit: MERGE into empty == append
+        return txlog_write(updates, path, extra=extra, expected_head=-1)
+    head = entries[-1]["version"]
+    current = txlog_read(spark, path, version=head)
     kept = current.join(updates.select(key).distinct(), on=key, how="left_anti")
     merged = kept.unionByName(updates)
-    return txlog_write(merged, path, mode="overwrite", extra=extra)
+    return txlog_write(
+        merged, path, mode="overwrite", extra=extra, expected_head=head
+    )
 
 
 def txlog_changes(
@@ -394,10 +453,16 @@ def txlog_delete(spark: SparkSession, path: str, keys: DataFrame, key: str) -> i
     the snapshot without matching keys as one atomic overwrite. Note
     deleted rows remain physically present in old versions until
     txlog_vacuum retires them — retention policy is the vacuum
-    horizon, exactly as in Delta."""
-    current = txlog_read(spark, path)
+    horizon, exactly as in Delta. Conditioned on the read head, like
+    txlog_upsert: a concurrent commit raises instead of being
+    silently overwritten away."""
+    entries = _entries(path)
+    if not entries:
+        raise FileNotFoundError(f"no committed files in {path}")
+    head = entries[-1]["version"]
+    current = txlog_read(spark, path, version=head)
     kept = current.join(keys.select(key).distinct(), on=key, how="left_anti")
-    return txlog_write(kept, path, mode="overwrite")
+    return txlog_write(kept, path, mode="overwrite", expected_head=head)
 
 
 def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
@@ -405,6 +470,11 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     than the last `keep_versions` commits, and truncate their log
     entries. Time travel works back to the retention horizon
     afterwards; earlier versions are gone. Returns deleted paths."""
+    if keep_versions < 1:
+        # keep_versions=0 would retain NOTHING: retained=∅ and doomed
+        # = every file including the live snapshot, while the written
+        # checkpoint still references them — an irrecoverable table
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     entries = _entries(path)
     if len(entries) <= keep_versions:
         return []
@@ -435,13 +505,33 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
         | {b for e in squashed for b in e.get("batch_ids", [])},
         key=str,
     )
+    # per-file pruning metadata must survive the squash too: replay
+    # the squashed entries' stats/zonemaps and carry forward those of
+    # files the checkpoint keeps alive — dropping them silently
+    # disabled membership/zone-map skipping for every surviving file
+    # forever after (round-6 review finding)
+    stats_acc: dict[str, dict] = {}
+    zm_acc: dict[str, dict] = {}
+    for e in squashed:
+        for r in e["removes"]:
+            stats_acc.pop(r, None)
+            zm_acc.pop(r, None)
+        stats_acc.update(e.get("stats") or {})
+        zm_acc.update(e.get("zonemaps") or {})
+    base_set = set(base)
     ck = {
         "version": horizon,
         "adds": base,
-        "removes": sorted(pre_adds - set(base)),
+        "removes": sorted(pre_adds - base_set),
         "checkpoint": True,
         "batch_ids": batch_ids,
     }
+    kept_stats = {f: s for f, s in stats_acc.items() if f in base_set}
+    kept_zm = {f: s for f, s in zm_acc.items() if f in base_set}
+    if kept_stats:
+        ck["stats"] = kept_stats
+    if kept_zm:
+        ck["zonemaps"] = kept_zm
     p0 = os.path.join(_log_path(path), f"{horizon:08d}.json")
     tmp = os.path.join(_log_path(path), f".tmp-ck-{uuid.uuid4().hex}.json")
     with open(tmp, "w") as f:
@@ -471,7 +561,10 @@ def txlog_optimize(
     get the clustered layout."""
     from serverless_datalake_spark.sources.zorder import zorder_key_approx
 
-    old = live_files(path)
+    entries = _entries(path)
+    old = live_files(path, entries=entries)
+    if not entries or not old:
+        raise FileNotFoundError(f"no committed files in {path}")
     snap = spark.read.parquet(*old)
     clustered = (
         zorder_key_approx(snap, col_a, col_b)
@@ -479,15 +572,10 @@ def txlog_optimize(
         .sortWithinPartitions("__zkey")
         .drop("__zkey")
     )
-    version = _entries(path)[-1]["version"] + 1
+    version = entries[-1]["version"] + 1
     batch_dir = os.path.join(path, "data", f"v{version}-optimize-{uuid.uuid4().hex[:8]}")
     clustered.write.mode("error").parquet(batch_dir)
-    adds = sorted(
-        os.path.join(batch_dir, n)
-        for n in os.listdir(batch_dir)
-        if n.endswith(".parquet")
-    )
-    _commit(path, version, adds, removes=old)
+    _commit(path, version, _list_parquet(batch_dir), removes=old)
     return version
 
 
@@ -534,6 +622,8 @@ def txlog_write_partitioned(
     prior = _entries(path)
     version = prior[-1]["version"] + 1 if prior else 0
     values = [r[0] for r in df.select(part_col).distinct().collect()]
+    # (adds listed per value-dir below — the _list_parquet contract,
+    # inlined because stats are attached file-by-file)
     adds: list[str] = []
     stats: dict[str, dict] = {}
     batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
@@ -548,7 +638,7 @@ def txlog_write_partitioned(
                 fp = os.path.join(vdir, n)
                 adds.append(fp)
                 stats[fp] = {part_col: _stat_repr(v)}
-    removes = live_files(path) if mode == "overwrite" else []
+    removes = live_files(path, entries=prior) if mode == "overwrite" else []
     _commit(path, version, sorted(adds), removes, extra={"stats": stats})
     return version
 
@@ -653,12 +743,21 @@ def txlog_write_zonemapped(
         fp = os.path.join(batch_dir, n)
         adds.append(fp)
         md = pq.read_metadata(fp)
-        names = md.schema.to_arrow_schema().names
+        # index by parquet LEAF path, not Arrow top-level field index:
+        # a struct/array column preceding the stat column makes the two
+        # numbering schemes diverge, and row_group().column(ci) indexes
+        # leaves — the wrong column's min/max would be logged and later
+        # prune files that DO contain matching rows (round-6 review).
+        # Top-level scalar columns have path_in_schema == their name;
+        # nested stat columns simply find no leaf and stay unstatted.
+        leaf_index = {
+            md.schema.column(i).path: i for i in range(md.num_columns)
+        }
         fstats: dict[str, list] = {}
         for col in stat_cols:
-            if col not in names:
+            ci = leaf_index.get(col)
+            if ci is None:
                 continue
-            ci = names.index(col)
             lo = hi = None
             for rg in range(md.num_row_groups):
                 st = md.row_group(rg).column(ci).statistics
@@ -675,7 +774,7 @@ def txlog_write_zonemapped(
                 fstats[col] = [_stat_repr(lo), _stat_repr(hi)]
         if fstats:
             stats[fp] = fstats
-    removes = live_files(path) if mode == "overwrite" else []
+    removes = live_files(path, entries=prior) if mode == "overwrite" else []
     _commit(path, version, sorted(adds), removes, extra={"zonemaps": stats})
     return version
 

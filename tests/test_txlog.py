@@ -698,3 +698,125 @@ def test_zonemap_prune_timestamp_column_date_probe(spark, tmp_path):
         path, "ts", dt.date(2025, 1, 1), dt.date(2025, 2, 1)
     )
     assert f3 == []
+
+
+def test_conditional_commit_blocks_lost_updates(spark, tmp_path):
+    """Read-modify-write commits carry expected_head: a commit that
+    landed after the snapshot read makes the overwrite RAISE instead
+    of silently overwrite-removing the interloper's rows (the lost-
+    update hole: upsert/delete used to absorb concurrent appends)."""
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path)   # v0
+    txlog.txlog_write(_df(spark, 5, 8), path)   # v1 — the interloper
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        txlog.txlog_write(
+            _df(spark, 100, 103), path, mode="overwrite", expected_head=0
+        )
+    # nothing was lost: both committed versions still read back
+    assert txlog.txlog_read(spark, path).count() == 8
+    # expecting the TRUE head commits fine
+    v = txlog.txlog_write(
+        _df(spark, 100, 103), path, mode="overwrite", expected_head=1
+    )
+    assert v == 2 and txlog.txlog_read(spark, path).count() == 3
+    # upsert into an empty table expects emptiness (-1): a racer's v0
+    # would make the append raise rather than skip the merge
+    p2 = str(tmp_path / "t2")
+    txlog.txlog_write(_df(spark, 0, 3), p2)
+    with pytest.raises(RuntimeError, match="concurrent commit"):
+        txlog.txlog_write(_df(spark, 3, 6), p2, expected_head=-1)
+
+
+def test_vacuum_rejects_keep_nothing(spark, tmp_path):
+    """keep_versions < 1 would delete the live snapshot while writing
+    a checkpoint that references it — refuse loudly."""
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path)
+    with pytest.raises(ValueError, match="keep_versions"):
+        txlog.txlog_vacuum(path, keep_versions=0)
+    assert txlog.txlog_read(spark, path).count() == 5  # untouched
+
+
+def test_vacuum_checkpoint_preserves_pruning_stats(spark, tmp_path):
+    """Squashing history must carry surviving files' stats/zonemaps
+    into the checkpoint — otherwise every file that outlives a vacuum
+    silently loses membership/zone-map skipping forever."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 40).select(
+        F.col("id"), (F.pmod(F.col("id"), F.lit(2))).cast("string").alias("p")
+    )
+    txlog.txlog_write_partitioned(df, path, "p")            # v0 (stats)
+    txlog.txlog_write(_df(spark, 100, 103), path)           # v1
+    txlog.txlog_write(_df(spark, 103, 106), path)           # v2
+    pruned_before, total_before = txlog.live_files_pruned(path, "p", ["0"])
+    assert len(pruned_before) < total_before  # stats prune something
+    txlog.txlog_vacuum(path, keep_versions=1)
+    pruned_after, total_after = txlog.live_files_pruned(path, "p", ["0"])
+    # same skipping power after the squash: v0's statted files that
+    # survive still prune, not "every file unstatted"
+    assert len(pruned_after) < total_after
+    assert txlog.txlog_read(spark, path).count() == 46
+
+
+def test_zonemap_leaf_index_with_struct_column(spark, tmp_path):
+    """Zone maps must index parquet LEAF paths: a struct column
+    preceding the stat column used to shift the index so the WRONG
+    column's min/max was logged (then pruned files holding matching
+    rows)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.struct(
+            (F.col("id") * 1000).alias("a"), (F.col("id") * 2000).alias("b")
+        ).alias("s"),
+        F.col("id").alias("x"),
+    )
+    txlog.txlog_write_zonemapped(df.repartitionByRange(2, "x"), path, ["x"])
+    # probe x in [60, 80]: only the upper range file may match; the
+    # old arrow-index bug logged s.b's range (0..198000) for x and
+    # the probe then pruned NOTHING or the wrong file
+    files, total = txlog.live_files_zonemap_pruned(path, "x", 60, 80)
+    assert total == 2 and len(files) == 1
+    got = txlog.txlog_read_zonemap(spark, path, "x", 60, 80).where(
+        (F.col("x") >= 60) & (F.col("x") <= 80)
+    )
+    assert got.count() == 21
+    # nested stat columns simply stay unstatted (never pruned)
+    f2, t2 = txlog.live_files_zonemap_pruned(path, "s", 0, 1)
+    assert len(f2) == t2
+
+
+def test_temporal_fractional_zeros_canonicalize():
+    """'.000000' / trailing-zero fractions are the temporal twin of
+    the Decimal trailing-zero rule: numerically equal instants must
+    match the membership prune and order equal in the zone map."""
+    from serverless_datalake_spark.sources.txlog import (
+        _ord_pair,
+        _stat_matches,
+    )
+
+    assert _stat_matches("2024-01-05 00:00:00", "2024-01-05 00:00:00.000000")
+    assert _stat_matches("2024-01-05 00:00:00.500000", "2024-01-05 00:00:00.5")
+    p = _ord_pair("2024-01-05 00:00:00", "2024-01-05 00:00:00.000000")
+    assert p is not None and p[0] == p[1]
+    p2 = _ord_pair("2024-01-05 00:00:00.250000", "2024-01-05 00:00:00.5")
+    assert p2 is not None and p2[0] < p2[1]
+
+
+def test_compact_and_optimize_on_degenerate_tables(spark, tmp_path):
+    """Empty log or delete-all snapshot: the maintenance commands must
+    raise the same FileNotFoundError txlog_read uses, not IndexError
+    or a pathless AnalysisException."""
+    empty = str(tmp_path / "missing")
+    with pytest.raises(FileNotFoundError):
+        txlog.txlog_compact(spark, empty)
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path)
+    # delete-all: overwrite with zero rows leaves a live-empty table
+    txlog.txlog_delete(spark, path, _df(spark, 0, 5), "id")
+    if not txlog.live_files(path):
+        with pytest.raises(FileNotFoundError):
+            txlog.txlog_compact(spark, path)
