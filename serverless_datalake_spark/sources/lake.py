@@ -16,6 +16,10 @@ The reference stores gzip JSON blobs under one S3 prefix per source
 
 from __future__ import annotations
 
+import json as _json
+
+import pandas as pd  # module-level: pandas-UDF hints resolve from module globals
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -90,20 +94,48 @@ def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
 
 def parse_concatenated_json(spark: SparkSession, path: str, schema: str = EVENTS_JSON_SCHEMA) -> DataFrame:
-    """Sound reader for the reference's at-rest format: GZIP blobs of
+    """SOUND reader for the reference's at-rest format: GZIP blobs of
     *concatenated* JSON objects (no delimiter — Firehose behavior,
-    SURVEY.md §1.3). Splits on `}{` boundaries only at brace-nesting
-    depth 0 outside strings is what a sound parser needs; for the
-    flat-object events payload (no nested objects in fixtures) the
-    from_json over a regex split is exact, and unlike the reference it
-    never corrupts string values containing '}{' because we re-parse
-    with a schema and drop rows that fail (permissive null check)."""
+    SURVEY.md §1.3). Object boundaries are found by an actual JSON
+    scan (json.JSONDecoder.raw_decode in an Arrow-batched pandas UDF,
+    one linear pass per blob), never a regex on '}{': the previous
+    regex split fragmented any record whose STRING VALUE contained
+    '}{' (e.g. serialized-JSON props) and the null filter then
+    silently DROPPED both fragments — the reference's replace()
+    corruption traded for silent data loss. Now such records parse
+    intact. A malformed tail (truncated blob) surfaces as one
+    unparseable fragment that from_json nulls out — still dropped by
+    the guard filter, but only genuinely undecodable bytes are.
+
+    Scale shape: the decode is per-blob-line, Arrow-batched, map-only
+    — the one-pass ingest cost every JSON reader pays; no shuffle."""
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _split_objs(vals: pd.Series) -> pd.Series:
+        dec = _json.JSONDecoder()
+        out = []
+        for s in vals:
+            objs: list[str] = []
+            if s:
+                i, n = 0, len(s)
+                while i < n:
+                    while i < n and s[i].isspace():
+                        i += 1
+                    if i >= n:
+                        break
+                    try:
+                        _, j = dec.raw_decode(s, i)
+                    except ValueError:
+                        objs.append(s[i:])  # undecodable tail → one fragment
+                        break
+                    objs.append(s[i:j])
+                    i = j
+            out.append(objs)
+        return pd.Series(out)
+
     raw = spark.read.text(path)
-    objs = raw.select(
-        F.explode(
-            F.split(F.regexp_replace(F.col("value"), r"\}\s*\{", "}\x00{"), "\x00")
-        ).alias("obj")
-    )
+    objs = raw.select(F.explode(_split_objs(F.col("value"))).alias("obj"))
     parsed = objs.select(F.from_json("obj", schema).alias("r")).select("r.*")
     return parsed.where(F.col("event_id").isNotNull())
 
@@ -137,10 +169,15 @@ def write_day_partitioned(
     the (source-EQ, ts-BETWEEN) idea rotated onto the time axis.
     At 100 TB daily partitions keep file counts sane where hourly
     would explode the metadata; the sort makes hours skippable
-    anyway."""
+    anyway. The shuffle is repartitionByRange(day, ts) — NOT
+    repartition("day"), which hashes each day onto a SINGLE task
+    (one straggler core writing ~a day of data, one giant file per
+    day); range partitioning spreads a day across tasks in contiguous
+    ts slices, so every output file still covers a tight, skippable
+    ts range inside its day directory."""
     (
         df.withColumn("day", F.to_date(F.col(ts_col)))
-        .repartition("day")
+        .repartitionByRange(32, F.col("day"), F.col(ts_col))
         .sortWithinPartitions("day", ts_col)
         .write.mode(mode)
         .partitionBy("day")

@@ -356,6 +356,26 @@ def committed_batch_ids(path: str) -> set:
     return ids
 
 
+def committed_txn_markers(path: str) -> set:
+    """(txn_app, batch_id) replay markers — the Delta
+    (txnAppId, txnVersion) pattern. Spark's batch ids restart from 0
+    on a checkpoint reset and collide across independent queries
+    writing one table, so a bare batch_id guard silently skips REAL
+    data in those cases; scoping the marker to a writer-chosen app id
+    disambiguates. Entries without a txn_app read back as app None
+    (the single-writer legacy form); vacuum checkpoints carry both
+    forms forward (`batch_ids` / `txn_markers`)."""
+    out: set = set()
+    for e in _entries(path):
+        if "batch_id" in e:
+            out.add((e.get("txn_app"), e["batch_id"]))
+        for b in e.get("batch_ids", []):
+            out.add((None, b))
+        for app, b in e.get("txn_markers", []):
+            out.add((app, b))
+    return out
+
+
 def txlog_read(
     spark: SparkSession,
     path: str,
@@ -501,8 +521,18 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # streaming replay-dedup markers must survive the squash (a dropped
     # batch_id would let a restarted query re-commit that batch)
     batch_ids = sorted(
-        {e["batch_id"] for e in squashed if "batch_id" in e}
+        {e["batch_id"] for e in squashed if "batch_id" in e and "txn_app" not in e}
         | {b for e in squashed for b in e.get("batch_ids", [])},
+        key=str,
+    )
+    # app-scoped markers survive separately (committed_txn_markers)
+    txn_markers = sorted(
+        {
+            (e["txn_app"], e["batch_id"])
+            for e in squashed
+            if "batch_id" in e and "txn_app" in e
+        }
+        | {tuple(m) for e in squashed for m in e.get("txn_markers", [])},
         key=str,
     )
     # per-file pruning metadata must survive the squash too: replay
@@ -526,6 +556,8 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
         "checkpoint": True,
         "batch_ids": batch_ids,
     }
+    if txn_markers:
+        ck["txn_markers"] = [list(m) for m in txn_markers]
     kept_stats = {f: s for f, s in stats_acc.items() if f in base_set}
     kept_zm = {f: s for f, s in zm_acc.items() if f in base_set}
     if kept_stats:

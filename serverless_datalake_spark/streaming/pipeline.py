@@ -70,30 +70,41 @@ def start_ingest_query(
         # batch after a failure. Every sink partitions by batch_id and
         # writes with DYNAMIC partition overwrite, so a replayed batch
         # REPLACES its own partitions instead of appending duplicates;
-        # other batches' partitions are untouched.
+        # other batches' partitions are untouched. The overwrite mode
+        # is a PER-WRITE option, not a session conf mutation — two
+        # queries sharing one SparkSession raced on the set/restore
+        # (and an interleaving could leave the session on 'static',
+        # where a replayed batch's overwrite TRUNCATES the whole lake).
+        # Known replay caveat: catalog ingest_ts is the commit-attempt
+        # wall clock, so a crash-replay rewrites its partition with a
+        # later timestamp (same rows otherwise) — ingest-time as-of
+        # reads with a cutoff inside that window can shift; version-
+        # exact time travel is the txlog sink's job.
         bid = f"b{batch_id:012d}"
         batch = batch.withColumn("batch_id", F.lit(bid))
-        spark = batch.sparkSession
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        try:
+        (
+            batch.repartition("source")
+            .sortWithinPartitions("source", "ts")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source", "batch_id")
+            .parquet(lake_path)
+        )
+        entries = build_catalog_entries(batch, bid)
+        (
+            entries.withColumn("batch_id", F.lit(bid))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("source", "batch_id")
+            .parquet(catalog_path)
+        )
+        if delivery_root:
             (
-                batch.repartition("source")
-                .sortWithinPartitions("source", "ts")
-                .write.mode("overwrite")
+                batch.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("source", "batch_id")
-                .parquet(lake_path)
+                .parquet(delivery_root)
             )
-            entries = build_catalog_entries(batch, bid)
-            entries.withColumn("batch_id", F.lit(bid)).write.mode("overwrite").partitionBy(
-                "source", "batch_id"
-            ).parquet(catalog_path)
-            if delivery_root:
-                batch.write.mode("overwrite").partitionBy("source", "batch_id").parquet(
-                    delivery_root
-                )
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
     trigger = trigger or {"processingTime": "60 seconds"}  # R2 flush interval
     return (
@@ -178,11 +189,62 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id"
     )
 
 
+def _replay_guard(table_path: str, txn_app: str | None):
+    """Shared batch-replay guard for the txlog-sink queries:
+    (already_committed(batch_id), marker_extra(batch_id)).
+
+    The marker is (txn_app, batch_id) — the Delta (txnAppId,
+    txnVersion) pattern. Spark batch ids restart at 0 on checkpoint
+    reset and collide across independent queries writing one table;
+    an app-scoped marker only dedups replays of THIS logical pipeline
+    (pass a stable txn_app per pipeline when a table has, or may ever
+    have, more than one writer). txn_app=None keeps the legacy
+    single-writer form, where ANY marker with that batch id skips.
+
+    Markers load from the log ONCE per query and are maintained in
+    the closure afterwards — the previous per-batch
+    committed_batch_ids() call re-read and re-parsed every log entry
+    every micro-batch, O(versions²) over a stream's lifetime. Safe
+    because txlog tables are single-writer per (table, txn_app): a
+    marker this query didn't write can only belong to another app."""
+    from serverless_datalake_spark.sources import txlog
+
+    seen: set | None = None
+
+    def already_committed(batch_id: int) -> bool:
+        nonlocal seen
+        if seen is None:
+            seen = txlog.committed_txn_markers(table_path)
+        return (txn_app, batch_id) in seen or (
+            txn_app is None and any(m[1] == batch_id for m in seen)
+        )
+
+    def marker_extra(batch_id: int) -> dict:
+        # pure — the cache is updated by commit() only AFTER the
+        # txlog publication returns (recording before success would
+        # make a retried batch skip itself after a transient failure)
+        extra = {"batch_id": batch_id}
+        if txn_app is not None:
+            extra["txn_app"] = txn_app
+        return extra
+
+    def commit(write_fn, batch_id: int) -> None:
+        """Run the commit callable, then record the marker in the
+        cache; on failure nothing is recorded and Spark's batch retry
+        re-enters already_committed with the cache unchanged."""
+        write_fn(marker_extra(batch_id))
+        if seen is not None:
+            seen.add((txn_app, batch_id))
+
+    return already_committed, commit
+
+
 def start_txlog_ingest_query(
     stream: DataFrame,
     table_path: str,
     checkpoint_path: str,
     trigger: dict | None = None,
+    txn_app: str | None = None,
 ) -> StreamingQuery:
     """Ingest with an ACID sink: each micro-batch commits through the
     transaction log (sources/txlog.py), so a batch's files become
@@ -192,18 +254,24 @@ def start_txlog_ingest_query(
     batch that already committed would re-commit — so the batch id
     rides INSIDE the atomic log-entry publication (txlog_write extra=;
     a crash can never separate the commit from its marker), and the
-    guard below skips batches whose id is already in the log
-    (committed_batch_ids also reads markers that vacuum checkpoints
-    carried forward)."""
+    replay guard skips batches whose (txn_app, id) marker is already
+    in the log (vacuum checkpoints carry markers forward). Pass a
+    stable txn_app when more than one pipeline may ever write this
+    table — see _replay_guard."""
     from serverless_datalake_spark.sources import txlog
 
+    already_committed, commit = _replay_guard(table_path, txn_app)
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch_id in txlog.committed_batch_ids(table_path):
+        if already_committed(batch_id):
             return  # replay of an already-committed batch
-        txlog.txlog_write(
-            batch.withColumn("batch_id", F.lit(batch_id)),
-            table_path,
-            extra={"batch_id": batch_id},
+        commit(
+            lambda extra: txlog.txlog_write(
+                batch.withColumn("batch_id", F.lit(batch_id)),
+                table_path,
+                extra=extra,
+            ),
+            batch_id,
         )
 
     trigger = trigger or {"availableNow": True}
@@ -236,16 +304,21 @@ def start_windowed_topk_query(
     agg = windowed_counts_stream(stream, window)
 
     def emit_topk(batch_df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window as W
-
-        w = W.partitionBy("ws").orderBy(F.col("n").desc(), "source")
+        # exactly-once under checkpoint replay: rows land in a
+        # batch_id partition with dynamic overwrite, so a re-run batch
+        # REPLACES its own output — a bare append duplicated every
+        # (ws, rank) row of a batch replayed after a crash
+        w = Window.partitionBy("ws").orderBy(F.col("n").desc(), "source")
         (
             batch_df.select(
                 "source", F.col("window.start").alias("ws"), "n"
             )
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
-            .write.mode("append")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
             .parquet(out_path)
         )
 
@@ -265,12 +338,16 @@ def start_txlog_upsert_query(
     key: str = "event_id",
     order_col: str = "ts",
     trigger: dict | None = None,
+    txn_app: str | None = None,
 ) -> StreamingQuery:
     """Streaming CDC upsert: each micro-batch MERGEs into the txlog
     table by key — the mutable-table sink for change streams
     (cdc_latest_by_key's semantics made durable). Within a batch,
-    latest-wins per key on (order_col, key) so a batch carrying
-    several versions of one key commits exactly one row; across
+    latest-wins per key on (order_col DESC, full-row hash) — the key
+    itself is constant within its window partition, so it cannot
+    tiebreak; the row hash makes equal-timestamp versions resolve
+    DETERMINISTICALLY (identical rows are interchangeable; distinct
+    rows order by hash, stable across runs and replays). Across
     batches, the copy-on-write MERGE replaces matched keys atomically.
     Exactly-once: the batch id rides inside the MERGE's atomic commit
     entry, and replayed batches are skipped — MERGE is NOT idempotent
@@ -278,25 +355,26 @@ def start_txlog_upsert_query(
 
     At scale the rewrite narrows to files whose key ranges overlap the
     batch (txlog_upsert docstring); the guard and marker mechanics are
-    identical to start_txlog_ingest_query's."""
-    from pyspark.sql import Window as W
-
+    identical to start_txlog_ingest_query's (shared _replay_guard)."""
     from serverless_datalake_spark.sources import txlog
 
+    already_committed, commit = _replay_guard(table_path, txn_app)
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch_id in txlog.committed_batch_ids(table_path):
+        if already_committed(batch_id):
             return  # replay of an already-committed batch
-        w = W.partitionBy(key).orderBy(
-            F.col(order_col).desc(), F.col(key).desc()
-        )
+        tiebreak = F.xxhash64(*[F.col(c) for c in batch.columns])
+        w = Window.partitionBy(key).orderBy(F.col(order_col).desc(), tiebreak)
         latest = (
             batch.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        txlog.txlog_upsert(
-            batch.sparkSession, table_path, latest, key,
-            extra={"batch_id": batch_id},
+        commit(
+            lambda extra: txlog.txlog_upsert(
+                batch.sparkSession, table_path, latest, key, extra=extra
+            ),
+            batch_id,
         )
 
     trigger = trigger or {"availableNow": True}
@@ -315,6 +393,7 @@ def start_dedup_admission_query(
     text_col: str = "text",
     id_col: str = "doc_id",
     trigger: dict | None = None,
+    txn_app: str | None = None,
 ) -> StreamingQuery:
     """Streaming INCREMENTAL DEDUP ADMISSION: each micro-batch admits
     only documents whose normalized-content fingerprint has never been
@@ -338,8 +417,10 @@ def start_dedup_admission_query(
     the exact anti-join — same two-stage shape, same guarantees."""
     from serverless_datalake_spark.sources import txlog
 
+    already_committed, commit = _replay_guard(table_path, txn_app)
+
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        if batch_id in txlog.committed_batch_ids(table_path):
+        if already_committed(batch_id):
             return
         spark = batch.sparkSession
         fp = F.md5(F.lower(F.trim(F.col(text_col))))
@@ -361,7 +442,10 @@ def start_dedup_admission_query(
             fresh = in_batch  # first batch: nothing admitted yet
         # commit even when empty: the batch id must be recorded so a
         # replay of an all-duplicate batch stays a no-op
-        txlog.txlog_write(fresh, table_path, extra={"batch_id": batch_id})
+        commit(
+            lambda extra: txlog.txlog_write(fresh, table_path, extra=extra),
+            batch_id,
+        )
 
     trigger = trigger or {"availableNow": True}
     return (

@@ -159,7 +159,8 @@ def test_replay_selects_exact_range_and_does_not_recatalog(spark, paths):
 def test_concatenated_json_parse_is_sound(spark, tmp_path):
     # the reference's at-rest format: concatenated objects, no delimiter
     # (SURVEY.md §1.3) — including a '}{' inside a string value, which
-    # the reference's replace()-rewrite would corrupt
+    # the reference's replace()-rewrite would corrupt and the old regex
+    # split silently DROPPED; the raw_decode scanner parses it intact
     evs = _mk_events(3)
     evs[1]["props"] = json.dumps({"k": "}{tricky"})
     blob = "".join(json.dumps(e) for e in evs)
@@ -167,8 +168,21 @@ def test_concatenated_json_parse_is_sound(spark, tmp_path):
     with gzip.open(p, "wt") as f:
         f.write(blob)
     parsed = lake.parse_concatenated_json(spark, str(p))
-    got = sorted(r["event_id"] for r in parsed.collect())
-    assert got == [0, 2]  # the tricky row is dropped (null), never corrupted
+    rows = {r["event_id"]: r for r in parsed.collect()}
+    assert sorted(rows) == [0, 1, 2]  # nothing dropped, nothing corrupted
+    assert json.loads(rows[1]["props"]) == {"k": "}{tricky"}
+    # whitespace-separated objects and a truncated tail: valid prefix
+    # records survive, only the undecodable tail is discarded
+    blob2 = (
+        json.dumps(evs[0]) + "  " + json.dumps(evs[2]) + '{"event_id": 99, "trunc'
+    )
+    p3 = tmp_path / "concat2.json.gz"
+    with gzip.open(p3, "wt") as f:
+        f.write(blob2)
+    got2 = sorted(
+        r["event_id"] for r in lake.parse_concatenated_json(spark, str(p3)).collect()
+    )
+    assert got2 == [0, 2]
     # JSON-lines path parses everything including the tricky value
     p2 = tmp_path / "lines"
     _write_staging(str(p2), evs)

@@ -511,3 +511,63 @@ def test_stream_stream_left_outer_join_null_pads_after_watermark(spark, tmp_path
     matched = got - null_padded
     assert null_padded, "unmatched events must surface NULL-padded"
     assert matched, "matched events must keep their enrichment"
+
+
+def test_txn_app_scoped_markers_do_not_cross_skip(spark, tmp_path):
+    """Bare batch-id markers collide across independent queries (both
+    number batches 0,1,2...) — an app-scoped marker must only dedup
+    replays of ITS OWN pipeline, so a second pipeline's batch 0 is
+    not silently dropped."""
+    import gzip
+    import json as _json
+    import os
+
+    from serverless_datalake_spark.sources import txlog
+    from serverless_datalake_spark.streaming import pipeline as sp
+
+    table = str(tmp_path / "table")
+
+    def _stage(dirname: str, lo: int) -> str:
+        d = str(tmp_path / dirname)
+        os.makedirs(d)
+        with gzip.open(os.path.join(d, "a.json.gz"), "wt") as f:
+            for i in range(lo, lo + 10):
+                f.write(_json.dumps({
+                    "event_id": i, "ts": f"2024-01-01T0{i % 6}:00:00.000",
+                    "user_id": i % 4, "event_type": "clicks", "value": 1.0,
+                    "props": "{}",
+                }) + "\n")
+        return d
+
+    s1 = _stage("st1", 0)
+    q1 = sp.start_txlog_ingest_query(
+        sp.read_event_stream(spark, s1, dedup=False),
+        table, str(tmp_path / "ck1"), txn_app="pipeline-a",
+    )
+    q1.awaitTermination()
+    assert txlog.txlog_read(spark, table).count() == 10
+
+    # second INDEPENDENT pipeline, fresh checkpoint → its batch ids
+    # also start at 0; with app-scoped markers its data must land
+    s2 = _stage("st2", 100)
+    q2 = sp.start_txlog_ingest_query(
+        sp.read_event_stream(spark, s2, dedup=False),
+        table, str(tmp_path / "ck2"), txn_app="pipeline-b",
+    )
+    q2.awaitTermination()
+    assert txlog.txlog_read(spark, table).count() == 20
+
+    # replay of pipeline-a against its own (drained) source + ckpt
+    # still commits nothing new
+    head = len(txlog._entries(table))
+    q3 = sp.start_txlog_ingest_query(
+        sp.read_event_stream(spark, s1, dedup=False),
+        table, str(tmp_path / "ck1"), txn_app="pipeline-a",
+    )
+    q3.awaitTermination()
+    assert len(txlog._entries(table)) == head
+
+    # markers survive vacuum, per app
+    txlog.txlog_vacuum(table, keep_versions=1)
+    markers = txlog.committed_txn_markers(table)
+    assert ("pipeline-a", 0) in markers and ("pipeline-b", 0) in markers
