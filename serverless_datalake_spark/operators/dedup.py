@@ -125,16 +125,27 @@ def token_sets_encoded(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
     )
 
 
-def jaccard_on_pairs(pairs: DataFrame, toks: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for given (doc_a, doc_b) pairs."""
+def jaccard_on_pairs(
+    pairs: DataFrame, toks: DataFrame, toks_b: DataFrame | None = None
+) -> DataFrame:
+    """Exact token-set Jaccard for given (doc_a, doc_b) pairs.
+    `toks_b` supplies the b-side token sets when the two sides come
+    from different relations (the index-probe shape); default is the
+    one-relation self form. Two EMPTY sets score 1.0 — they are
+    identical documents — instead of evaluating 0/0, which RAISES
+    under the session's ANSI default (two whitespace-only docs used
+    to kill the whole job)."""
     a = toks.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a"))
-    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b"))
+    b = (toks_b if toks_b is not None else toks).select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
+    )
     inter = F.size(F.array_intersect("toks_a", "toks_b")).cast("double")
     union = (F.size("toks_a") + F.size("toks_b")).cast("double") - inter
+    jac = F.when(union > 0, F.round(inter / union, 4)).otherwise(F.lit(1.0))
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
-        .select("doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
     )
 
 
@@ -186,6 +197,12 @@ def minhash_signatures(
             F.col(id_col).alias("doc_id"),
             textops.tokens(F.col(text_col)).alias("__toks"),
         )
+        # drop empty/whitespace docs at TOKEN grain: shingles_of_tokens'
+        # n<k fallback gives a zero-token doc the [''] shingle, so the
+        # __keys filter below never fired for them and every blank doc
+        # shared one signature — a full candidate clique across all
+        # bands (quadratic in the blank count) scored 0/0 downstream
+        .where(F.size("__toks") > 0)
         .select(
             "doc_id",
             F.transform(
@@ -207,6 +224,14 @@ def banded_membership(
     loop lives inside a transform lambda over a tiny sequence, so the
     expression tree stays a handful of nodes instead of unrolling
     bands × rows_per_band element_at literals per call site."""
+    if bands < 1 or num_hashes % bands != 0:
+        # r = num_hashes // bands = 0 would make every band_hash the
+        # empty string (ALL docs in one bucket — the O(n²) blowup this
+        # module exists to avoid, silently); a non-dividing bands
+        # silently drops the tail hashes and changes the S-curve
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} with rows>=1"
+        )
     r = num_hashes // bands
     bb = F.explode(
         F.transform(
@@ -333,8 +358,21 @@ def minhash_dedup_components(
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
     membership = banded_membership(sigs, bands, num_hashes).distinct().cache()
     labels = membership.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    # convergence statistic: integral ids sum EXACTLY in decimal(38,0)
+    # (a plain long SUM can overflow under ANSI on large hash-derived
+    # ids); other id types (strings etc., which F.min handles fine)
+    # use an xxhash64 surrogate — its sum-equality is probabilistic
+    # (~2^-64 per round false stop), documented rather than hidden
+    ltype = dict(labels.dtypes)["label"]
+    if ltype in ("tinyint", "smallint", "int", "bigint") or ltype.startswith(
+        "decimal"
+    ):
+        _stat = F.sum(F.col("label").cast("decimal(38,0)"))
+    else:
+        _stat = F.sum(F.xxhash64(F.col("label").cast("string")).cast("decimal(38,0)"))
     prev_sum = None
     n_iters = 0
+    converged = False
     for it in range(max_iters):
         bucket_min = (
             membership.join(labels, "doc_id")
@@ -358,7 +396,7 @@ def minhash_dedup_components(
             new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage
         else:
             new_labels = new_labels.cache()
-        new_sum = new_labels.agg(F.sum("label")).collect()[0][0]
+        new_sum = new_labels.agg(_stat).collect()[0][0]
         # drop the superseded iteration's CACHED frame eagerly; a
         # superseded localCheckpoint's blocks are not in the cache
         # manager (is_cached is False for them) — they are reclaimed by
@@ -370,9 +408,21 @@ def minhash_dedup_components(
         labels = new_labels
         n_iters = it + 1
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
-    _LOG.info("minhash_components converged after %d iterations", n_iters)
+    if converged:
+        _LOG.info("minhash_components converged after %d iterations", n_iters)
+    else:
+        # exhausted max_iters with the labels still moving: chained
+        # components may be split into several clusters — say so
+        # instead of claiming convergence (callers should raise
+        # max_iters; O(log diameter) rounds normally suffice)
+        _LOG.warning(
+            "minhash_components did NOT converge after %d iterations; "
+            "labels may split long chain components — raise max_iters",
+            n_iters,
+        )
     membership.unpersist()
     return labels.select(
         "doc_id",

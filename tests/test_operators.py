@@ -329,3 +329,101 @@ def test_split_kfold_balanced_and_stable(spark, sf_dir):
     for f in range(5):
         share = folds.count(f) / n
         assert 0.1 <= share <= 0.3, f"fold {f} share {share}"
+
+
+def test_blank_docs_neither_crash_nor_clique(spark):
+    """Empty/whitespace docs: minhash_signatures drops them at token
+    grain (the n<k shingle fallback used to give every blank doc the
+    [''] shingle — one shared signature, a full candidate clique
+    across all bands), and the brute-force Jaccard baseline scores a
+    blank-vs-blank pair 1.0 instead of raising ANSI DIVIDE_BY_ZERO."""
+    from serverless_datalake_spark.operators import dedup
+
+    rows = [
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma delta"),
+        (2, ""),
+        (3, "   "),
+        (4, "epsilon zeta"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    assert {r["doc_id"] for r in sigs.collect()} == {0, 1, 4}
+    # the LSH path still finds the real duplicate pair and nothing blank
+    surv = dedup.minhash_dedup_survivors(
+        docs.where("doc_id < 2"), "doc_id", "text"
+    ).collect()
+    assert {r["cluster_rep"] for r in surv} == {0}
+    assert sum(r["is_survivor"] for r in surv) == 1
+    # brute-force baseline on a corpus INCLUDING blanks must not raise;
+    # blank-vs-blank pairs are identical docs -> jaccard 1.0
+    pairs = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.99)
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+    assert (0, 1) in got and (2, 3) in got
+
+
+def test_banded_membership_rejects_non_dividing_bands(spark):
+    """bands must divide num_hashes: r=0 would silently put EVERY doc
+    in one bucket (the O(n^2) blowup), a remainder silently drops the
+    tail hashes."""
+    import pytest as _pytest
+
+    from serverless_datalake_spark.operators import dedup
+
+    docs = spark.createDataFrame([(0, "a b c d e")], "doc_id long, text string")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text", num_hashes=64)
+    with _pytest.raises(ValueError, match="must divide"):
+        dedup.banded_membership(sigs, bands=100, num_hashes=64)
+    with _pytest.raises(ValueError, match="must divide"):
+        dedup.banded_membership(sigs, bands=24, num_hashes=64)
+
+
+def test_index_params_sidecar_rejects_mismatched_probe(spark, tmp_path):
+    """Probing an index with different hash parameters than the build
+    returns zero candidates SILENTLY (every duplicate admitted) — the
+    sidecar makes it loud."""
+    import pytest as _pytest
+
+    from serverless_datalake_spark.sources import indexes
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "ix")
+    indexes.build_dedup_index(docs, path, k=1)
+    with _pytest.raises(ValueError, match="different parameters"):
+        indexes.probe_dedup_index(spark, path, docs, k=3)
+    # matching probe works
+    assert indexes.probe_dedup_index(spark, path, docs, k=1) is not None
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0, 0.5, -0.25] * 16) for i in range(30)],
+        "corpus_id long, embedding array<double>",
+    )
+    apath = str(tmp_path / "ann")
+    indexes.build_ann_index(emb, apath)
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.5, 0.25, -0.125] * 16)],
+        "query_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="different parameters"):
+        indexes.probe_ann_index(spark, apath, q, n_planes=4)
+
+
+def test_components_converge_with_string_ids(spark):
+    """minhash_dedup_components' convergence statistic must work for
+    any orderable id type (the old SUM(label) failed analysis or ANSI
+    casts on string ids that F.min handles fine)."""
+    from serverless_datalake_spark.operators import dedup
+
+    rows = [
+        ("doc-a", "one two three four five"),
+        ("doc-b", "one two three four five"),
+        ("doc-c", "totally different words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    comp = dedup.minhash_dedup_components(docs, "doc_id", "text", k=1)
+    by_doc = {r["doc_id"]: r["cluster_rep"] for r in comp.collect()}
+    assert by_doc["doc-a"] == by_doc["doc-b"] == "doc-a"
+    assert by_doc["doc-c"] == "doc-c"
