@@ -32,7 +32,20 @@ class TopicRegistry:
         self.overrides = dict(overrides or {})
 
     def resolve(self, source: str) -> str:
-        return self.overrides.get(source, os.path.join(self.default_root, source))
+        if source in self.overrides:
+            return self.overrides[source]
+        # source values come straight from event DATA; reject anything
+        # that would escape the topics root (path traversal / absolute
+        # paths — os.path.join discards the root for an absolute second
+        # argument) instead of writing to a data-controlled location
+        if (
+            not source
+            or os.path.isabs(source)
+            or ".." in source.split("/")
+            or "\\" in source
+        ):
+            raise ValueError(f"unsafe topic source name: {source!r}")
+        return os.path.join(self.default_root, source)
 
     def register(self, source: str, path: str) -> None:
         self.overrides[source] = path
@@ -45,12 +58,25 @@ def deliver(
 ) -> dict[str, str]:
     """R11 fan-out: every record lands in its source's topic sink.
     Returns {source: delivered_path}."""
-    sources = [r[0] for r in events.select(source_col).distinct().collect()]
-    delivered = {}
-    for s in sorted(sources):
-        path = registry.resolve(s)
-        events.where(F.col(source_col) == s).write.mode("append").parquet(path)
-        delivered[s] = path
+    # one materialization serves the distinct-collect AND every
+    # per-topic write (unpersisted, Spark recomputed the batch S+1
+    # times — micro-batch latency multiplied by the topic count)
+    events = events.persist()
+    try:
+        sources = [r[0] for r in events.select(source_col).distinct().collect()]
+        delivered = {}
+        for s in sorted(sources, key=str):
+            # null source: route to an explicit quarantine topic with a
+            # null-safe match (equality never matches NULL rows — they
+            # would silently reach no topic, breaking conservation)
+            topic = s if s is not None else "__unknown__"
+            path = registry.resolve(topic)
+            events.where(F.col(source_col).eqNullSafe(F.lit(s))).write.mode(
+                "append"
+            ).parquet(path)
+            delivered[topic] = path
+    finally:
+        events.unpersist()
     return delivered
 
 

@@ -15,8 +15,6 @@ partition pruning + min/max skipping.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -54,7 +52,13 @@ def fan_out(events: DataFrame, delivery_root: str) -> list[str]:
     every record to its source's directory — subscribers read their
     own partition. Returns the source list delivered."""
     events.write.mode("append").partitionBy("source").parquet(delivery_root)
-    return sorted(r["source"] for r in events.select("source").distinct().collect())
+    # key=str survives a non-string source column; nulls are
+    # normalized to __unknown__ upstream (ingest_batch) so no None
+    # reaches the sort — but don't crash if a caller skipped that
+    return sorted(
+        (r["source"] for r in events.select("source").distinct().collect()),
+        key=str,
+    )
 
 
 def ingest_batch(
@@ -69,14 +73,28 @@ def ingest_batch(
     """E1 end-to-end: read staging JSON, land in the lake partitioned
     by source, append catalog entries, fan out. Returns counts."""
     raw = lake.read_json_events(spark, staging_path)
-    events = raw.withColumn("source", F.col(source_col)).withColumn(
-        "batch_id", F.lit(batch_id)
-    )
-    lake.write_partitioned(events, lake_path)
-    entries = build_catalog_entries(events, batch_id)
-    append_catalog(entries, catalog_path)
-    delivered: list[str] = []
-    if delivery_root:
-        delivered = fan_out(events, delivery_root)
-    n = events.count()
+    # null source (missing event_type) routes to an explicit quarantine
+    # partition: a NULL partition value would land under Hive's default
+    # dir and then crash the post-write source listing (None < str),
+    # reporting failure AFTER the writes committed — a retry would
+    # duplicate the batch
+    events = raw.withColumn(
+        "source", F.coalesce(F.col(source_col).cast("string"), F.lit("__unknown__"))
+    ).withColumn("batch_id", F.lit(batch_id))
+    # ONE materialization feeds the lake write, the catalog aggregate,
+    # the fan-out, and the count: unpersisted, each action re-read and
+    # re-parsed the staging JSON (~5x the scan cost), and a file
+    # landing in staging between actions made lake/catalog/count
+    # mutually inconsistent
+    events = events.persist()
+    try:
+        lake.write_partitioned(events, lake_path)
+        entries = build_catalog_entries(events, batch_id)
+        append_catalog(entries, catalog_path)
+        delivered: list[str] = []
+        if delivery_root:
+            delivered = fan_out(events, delivery_root)
+        n = events.count()
+    finally:
+        events.unpersist()
     return {"n_events": n, "n_sources": len(delivered), "batch_id": batch_id}  # type: ignore[dict-item]

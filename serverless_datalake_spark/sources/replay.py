@@ -61,10 +61,15 @@ def read_lake_as_of(
 def _batch_id_keys(catalog_rows: DataFrame) -> DataFrame:
     """file_key ('{source}/{batch}.parquet') → distinct batch_id keys,
     derived engine-side so no key list ever lands on the driver."""
+    # the batch id is the LAST path segment: splitting on the FIRST
+    # '/' broke any source value containing '/' (file_key
+    # 'ads/click/b0.parquet' yielded 'click/b0' — matched nothing, so
+    # replay silently selected zero events and as-of reads dropped
+    # those batches)
     return (
         catalog_rows.select(
             F.regexp_replace(
-                F.expr("substring(file_key, instr(file_key, '/') + 1)"),
+                F.substring_index(F.col("file_key"), "/", -1),
                 r"\.parquet$",
                 "",
             ).alias("batch_id")
@@ -93,10 +98,21 @@ def replay(
     n_batches = keys.count()
 
     events = spark.read.parquet(lake_path).where(F.col("source") == source)
-    if "batch_id" in events.columns:
-        # distributed key selection (see read_lake_as_of for rationale)
-        events = events.join(
-            F.broadcast(_batch_id_keys(keys)), on="batch_id", how="left_semi"
+    if "batch_id" not in events.columns:
+        # a lake without batch ids cannot honor the interval: silently
+        # skipping the selection re-delivered the source's ENTIRE
+        # history while n_batches still reported the small window
+        raise ValueError(
+            f"lake at {lake_path} has no batch_id column; replay cannot "
+            "select the requested interval"
         )
-    events.write.mode("append").partitionBy("source").parquet(delivery_root)
-    return {"n_batches": n_batches, "n_events": events.count()}
+    # distributed key selection (see read_lake_as_of for rationale)
+    events = events.join(
+        F.broadcast(_batch_id_keys(keys)), on="batch_id", how="left_semi"
+    ).persist()  # one materialization feeds the write AND the count
+    try:
+        events.write.mode("append").partitionBy("source").parquet(delivery_root)
+        n_events = events.count()
+    finally:
+        events.unpersist()
+    return {"n_batches": n_batches, "n_events": n_events}

@@ -324,3 +324,101 @@ def test_streaming_ingest_dedup_and_catalog(spark, paths):
         paths["checkpoint"],
     )
     assert spark.read.parquet(paths["lake"]).count() == 100
+
+
+def test_null_source_routes_to_quarantine_not_crash(spark, tmp_path):
+    """A record missing event_type (null source) must land in an
+    explicit __unknown__ partition/topic — not a NULL Hive partition
+    followed by a TypeError AFTER the writes committed (a retry would
+    then duplicate the whole batch), and not a row no topic equality
+    can ever match."""
+    from serverless_datalake_spark.sources import distribution, ingest
+
+    evs = _mk_events(6)
+    evs[2]["event_type"] = None
+    staging = str(tmp_path / "staging")
+    _write_staging(staging, evs)
+    out = ingest.ingest_batch(
+        spark,
+        staging,
+        str(tmp_path / "lake"),
+        str(tmp_path / "cat"),
+        str(tmp_path / "deliv"),
+        "b0",
+    )
+    assert out["n_events"] == 6
+    lakedf = spark.read.parquet(str(tmp_path / "lake"))
+    assert lakedf.where(F.col("source") == "__unknown__").count() == 1
+    assert lakedf.count() == 6  # conservation incl. the null-source row
+
+    # streaming-style topic delivery: null source reaches a quarantine
+    # topic via a null-safe match, totals conserved
+    reg = distribution.TopicRegistry(str(tmp_path / "topics"))
+    batch = spark.createDataFrame(
+        [(1, "clicks", 1.0), (2, None, 2.0)], "event_id long, source string, value double"
+    )
+    delivered = distribution.deliver(batch, reg)
+    assert "__unknown__" in delivered
+    assert spark.read.parquet(delivered["__unknown__"]).count() == 1
+
+
+def test_topic_registry_rejects_unsafe_source_names(tmp_path):
+    """Topic names come from event DATA: traversal/absolute paths must
+    not resolve to a write location outside the topics root."""
+    import pytest as _pytest
+
+    from serverless_datalake_spark.sources.distribution import TopicRegistry
+
+    reg = TopicRegistry(str(tmp_path / "topics"))
+    for bad in ("../../tmp/evil", "/etc/cron.d/x", "a/../../b", ""):
+        with _pytest.raises(ValueError, match="unsafe topic source"):
+            reg.resolve(bad)
+    # explicit overrides are operator-configured, not data — allowed
+    reg.register("weird", "/elsewhere/ok")
+    assert reg.resolve("weird") == "/elsewhere/ok"
+    assert reg.resolve("clicks").endswith("topics/clicks")
+
+
+def test_replay_batch_keys_survive_slash_in_source(spark):
+    """file_key is '{source}/{batch}.parquet'; the batch id is the
+    LAST segment — splitting on the first '/' broke sources containing
+    '/' (selected nothing, silently)."""
+    from serverless_datalake_spark.sources.replay import _batch_id_keys
+
+    rows = spark.createDataFrame(
+        [("ads/click/b0.parquet",), ("tweets/b1.parquet",)], "file_key string"
+    )
+    got = sorted(r["batch_id"] for r in _batch_id_keys(rows).collect())
+    assert got == ["b0", "b1"]
+
+
+def test_replay_requires_batch_ids(spark, tmp_path):
+    """A lake without batch_id cannot honor a replay interval — raise
+    instead of silently re-delivering the source's entire history."""
+    import datetime as dt
+
+    import pytest as _pytest
+
+    from serverless_datalake_spark.sources import replay as rp
+
+    # a lake written WITHOUT batch ids
+    df = spark.createDataFrame(
+        [(1, "clicks", "2024-01-01 01:00:00")], "event_id long, source string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.write.partitionBy("source").parquet(str(tmp_path / "lake"))
+    # a catalog selecting one batch
+    cat = spark.createDataFrame(
+        [("clicks", "2024-01-01 00:30:00", "clicks/b0.parquet", 1)],
+        "source string, ingest_ts string, file_key string, n_records long",
+    ).withColumn("ingest_ts", F.col("ingest_ts").cast("timestamp"))
+    cat.write.partitionBy("source").parquet(str(tmp_path / "cat"))
+    with _pytest.raises(ValueError, match="no batch_id"):
+        rp.replay(
+            spark,
+            str(tmp_path / "cat"),
+            str(tmp_path / "lake"),
+            str(tmp_path / "deliv"),
+            "clicks",
+            dt.datetime(2024, 1, 1),
+            dt.datetime(2024, 1, 2),
+        )
