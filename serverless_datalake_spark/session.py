@@ -34,8 +34,10 @@ def get_spark(
     spark-submit and this factory only contributes SQL conf.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    sp = shuffle_partitions or int(
-        os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+    sp = (
+        shuffle_partitions
+        if shuffle_partitions is not None
+        else int(os.environ.get("SPARK_SQL_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
     )
     # Python workers must be able to import THIS package: pandas-UDF
     # closures (similarity/udf/multimodal operators) unpickle against

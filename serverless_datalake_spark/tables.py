@@ -82,7 +82,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if col in ("ts",):
             if dtype == "bigint":
-                df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+                # FLOOR ns->us, integer-exact: bare `div` truncates
+                # toward zero, converting a pre-1970 ns value with
+                # sub-us residue 1 us too HIGH (DuckDB floors) — the
+                # pmod form floors for both signs with no double math
+                df = df.withColumn(
+                    col,
+                    F.expr(f"timestamp_micros(({col} - pmod({col}, 1000)) div 1000)"),
+                )
             elif dtype == "timestamp_ntz":
                 df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
@@ -102,19 +109,36 @@ def load_events_pushdown(
 
     ensure_session_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") != "bigint":  # plain-timestamp layout
+    dtypes = dict(df.dtypes)
+    if dtypes.get("ts") != "bigint":  # plain-timestamp layout
         if ts_between:
             df = df.where(F.col("ts").between(*ts_between))
-        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+        if dtypes.get("ts") == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     if ts_between:
-        lo, hi = (
-            int(dt.datetime.fromisoformat(b).replace(tzinfo=dt.timezone.utc).timestamp() * 1e9)
-            for b in ts_between
-        )
+
+        def _to_ns(b: str) -> int:
+            d = dt.datetime.fromisoformat(b)
+            # naive bounds mean session-UTC; offset-AWARE bounds keep
+            # their offset (blindly .replace-ing tzinfo shifted them,
+            # diverging from the plain-timestamp branch where Spark's
+            # cast honors the offset)
+            if d.tzinfo is None:
+                d = d.replace(tzinfo=dt.timezone.utc)
+            # integer-exact ns: timestamp() is a double whose ~1e-7 s
+            # granularity at 2024 epochs truncated fractional-second
+            # bounds ~100 ns low (excluding rows AT an inclusive hi);
+            # whole seconds are exactly representable, microseconds
+            # ride separately
+            whole = d.replace(microsecond=0)
+            return int(whole.timestamp()) * 10**9 + d.microsecond * 1000
+
+        lo, hi = (_to_ns(b) for b in ts_between)
         df = df.where(F.col("ts").between(lo, hi))
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df.withColumn(
+        "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
@@ -127,7 +151,7 @@ def register_views(
     """Register fixture tables as temp views (for spark.sql). Pass
     ``only`` to register just the tables a query touches — each
     registration costs a parquet-footer read."""
-    names = only or TABLES
+    names = TABLES if only is None else only
     dfs = {t: load_table(spark, sf_dir, t) for t in names}
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
