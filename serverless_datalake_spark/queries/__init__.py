@@ -270,59 +270,59 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND 6 window: per WINDOWS.md (round-6 block, 50 entries).
-    # Round-5 window came back 50/50 green (CORRECTNESS_r05); rounds
-    # 7–9 remain planned in WINDOWS.md so the union closes the backlog.
-    "graph_triangle_count",
-    "graph_jaccard_links",
-    "graph_bfs_levels",
-    "graph_assortativity",
-    "graph_modularity",
-    "join_fuzzy_blocked",
-    "pipeline_dq_quarantine",
-    "eval_ngram_novelty",
-    "text_gazetteer_tag",
-    "text_vocab_coverage",
-    "text_zipf_fit",
-    "text_burstiness",
-    "text_js_divergence",
-    "text_lang_confusion",
-    "tokenizer_bpe_train",
-    "text_keywords_tfidf",
-    "text_subsampling_word2vec",
-    "mm_modality_mix",
-    "mm_audio_chunk_plan",
-    "mm_image_tile_plan",
-    "pipeline_source_freshness",
-    "text_bm25_topk",
-    "sim_hybrid_rrf",
-    "sim_mmr_rerank",
-    "sim_maxsim_late_interaction",
-    "join_bloom_prefilter",
-    "scan_orc_roundtrip",
-    "scan_csv_roundtrip",
-    "scan_python_datasource",
-    "txlog_time_travel",
-    "matview_incremental_refresh",
-    "geo_grid_join",
-    "sql_ddl_insert_select",
-    "scan_observe_metrics",
-    "lake_schema_drift_report",
-    "scan_binary_files",
-    "set_intersect_all",
-    "set_except_all",
-    "sql_lateral_topn",
-    "sql_named_window",
-    "sql_pivot_syntax",
-    "sql_grouping_id",
-    "sql_unpivot_syntax",
-    "sql_parameterized_query",
-    "sql_filter_clause",
-    "sql_scalar_udf",
-    "sql_group_by_all",
-    "sql_lateral_alias",
-    "sql_join_hint_broadcast",
-    "agg_correlation_pinned",
+    # ROUND 7 window: per WINDOWS.md (round-7 block, 50 entries).
+    # Round-6 window came back 50/50 green (CORRECTNESS_r06); rounds
+    # 8–9 remain planned in WINDOWS.md so the union closes the backlog.
+    "agg_linear_regression",
+    "ts_theil_sen",
+    "stats_ks_two_sample",
+    "stats_chi_square",
+    "events_diff_in_diff",
+    "agg_trimmed_mean",
+    "eval_calibration_ece",
+    "stats_ratio_delta_ci",
+    "stats_survival_km",
+    "stats_mann_whitney_u",
+    "stream_sliding_distinct_users",
+    "stream_lateness_audit",
+    "ts_cross_correlation",
+    "ts_changepoint_meanshift",
+    "ts_seasonal_strength",
+    "ts_rolling_quantile",
+    "ts_period_over_period",
+    "ts_mann_kendall",
+    "ts_concurrency_sweep",
+    "ts_rolling_ols_slope",
+    "ts_backtest_snaive",
+    "udtf_ngram_generator",
+    "udf_map_in_arrow",
+    "udtf_dynamic_schema",
+    "udf_grouped_ols_fit",
+    "scd2_dimension_build",
+    "scd2_point_in_time",
+    "events_transition_matrix",
+    "orders_rfm_segmentation",
+    "orders_abc_classification",
+    "events_new_users_cumulative",
+    "events_session_path_topk",
+    "privacy_pseudonymize_consistent",
+    "validate_cross_table_totals",
+    "agg_share_of_parent",
+    "orders_xyz_classification",
+    "window_pareto_share",
+    "window_longest_streak",
+    "session_duration_histogram",
+    "window_running_distinct",
+    "eval_pass_at_k",
+    "stats_cohens_kappa",
+    "eval_rouge1_pairs",
+    "pref_bradley_terry",
+    "sim_topk_hamming",
+    "privacy_dp_noisy_counts",
+    "eval_ndcg_at_5",
+    "dedup_ngram_spans",
+    "agg_kmv_jaccard",
+    "eval_auc_roc",
 )
 
 

@@ -1005,7 +1005,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ROWS UNBOUNDED PRECEDING) AS running
       FROM deltas
     )
-    SELECT date_trunc('hour', t) AS hour,
+    SELECT strftime(date_trunc('hour', t), '%Y-%m-%d %H:%M:%S') AS hour,
            CAST(MAX(running) AS BIGINT) AS peak_concurrent,
            CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
     FROM swept GROUP BY 1
@@ -1069,7 +1069,15 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "delta",
         out="running",
     ).select("t", "delta", "running")
-    return swept.groupBy(F.date_trunc("hour", F.col("t")).alias("hour")).agg(
+    # hour is emitted as a STRING, not a timestamp: PySpark collect()
+    # converts TimestampType through the DRIVER OS timezone
+    # (datetime.fromtimestamp), so a raw timestamp output shifts under
+    # a non-UTC host even though the session tz is pinned UTC — found
+    # by the round-7 hostile-timezone pre-sim. date_format evaluates
+    # JVM-side in the session tz, tz-stable end to end.
+    return swept.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("t")), "yyyy-MM-dd HH:mm:ss").alias("hour")
+    ).agg(
         F.max("running").cast("long").alias("peak_concurrent"),
         F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),
     )
