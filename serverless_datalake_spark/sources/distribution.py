@@ -64,17 +64,37 @@ def deliver(
     events = events.persist()
     try:
         sources = [r[0] for r in events.select(source_col).distinct().collect()]
-        delivered = {}
+        # resolve EVERY topic before the first write: a ValueError
+        # raised mid-loop would leave earlier topics already appended,
+        # so a retried batch duplicates them (append mode has no batch
+        # partitioning to overwrite). Unsafe source names are data, not
+        # caller bugs — route them to the quarantine topic like nulls,
+        # so only a genuine registry failure aborts, and it aborts
+        # before any row lands.
+        resolved: list[tuple[object, str, str]] = []  # (match value, topic, path)
+        quarantined: list[str] = []
         for s in sorted(sources, key=str):
             # null source: route to an explicit quarantine topic with a
             # null-safe match (equality never matches NULL rows — they
             # would silently reach no topic, breaking conservation)
             topic = s if s is not None else "__unknown__"
-            path = registry.resolve(topic)
+            try:
+                resolved.append((s, topic, registry.resolve(topic)))
+            except ValueError:
+                quarantined.append(s)
+        delivered = {}
+        for s, topic, path in resolved:
             events.where(F.col(source_col).eqNullSafe(F.lit(s))).write.mode(
                 "append"
             ).parquet(path)
             delivered[topic] = path
+        if quarantined:
+            qpath = registry.resolve("__unknown__")
+            events.where(F.col(source_col).isin(quarantined)).write.mode(
+                "append"
+            ).parquet(qpath)
+            for s in quarantined:
+                delivered[s] = qpath
     finally:
         events.unpersist()
     return delivered

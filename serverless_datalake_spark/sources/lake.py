@@ -103,9 +103,13 @@ def parse_concatenated_json(spark: SparkSession, path: str, schema: str = EVENTS
     '}{' (e.g. serialized-JSON props) and the null filter then
     silently DROPPED both fragments — the reference's replace()
     corruption traded for silent data loss. Now such records parse
-    intact. A malformed tail (truncated blob) surfaces as one
-    unparseable fragment that from_json nulls out — still dropped by
-    the guard filter, but only genuinely undecodable bytes are.
+    intact. A malformed region RESYNCS: on a decode error the scan
+    skips to the next '{' and retries, so valid objects AFTER a
+    corruption point are still recovered (the previous behavior lumped
+    the whole remaining line into one dropped fragment). Only the
+    genuinely undecodable bytes between the error and the next
+    successful decode surface as fragments that from_json nulls out
+    and the guard filter drops.
 
     Scale shape: the decode is per-blob-line, Arrow-batched, map-only
     — the one-pass ingest cost every JSON reader pays; no shuffle."""
@@ -127,8 +131,18 @@ def parse_concatenated_json(spark: SparkSession, path: str, schema: str = EVENTS
                     try:
                         _, j = dec.raw_decode(s, i)
                     except ValueError:
-                        objs.append(s[i:])  # undecodable tail → one fragment
-                        break
+                        # resync: emit the corrupt span as one fragment
+                        # (nulled by from_json downstream), then retry
+                        # at the next '{' — strictly advancing, so no
+                        # infinite loop, and objects after the
+                        # corruption point still parse
+                        nxt = s.find("{", i + 1)
+                        if nxt == -1:
+                            objs.append(s[i:])
+                            break
+                        objs.append(s[i:nxt])
+                        i = nxt
+                        continue
                     objs.append(s[i:j])
                     i = j
             out.append(objs)

@@ -345,14 +345,20 @@ def txlog_write(
 
 
 def committed_batch_ids(path: str) -> set:
-    """Streaming batch-id markers present in the log: per-entry
-    ``batch_id`` fields plus ``batch_ids`` lists carried forward by
-    vacuum checkpoints (so replay dedup survives history squashing)."""
+    """EVERY streaming batch id with a committed marker, regardless of
+    app scoping: per-entry ``batch_id`` fields plus the ``batch_ids``
+    AND ``txn_markers`` lists carried forward by vacuum checkpoints.
+    App-scoped markers are folded in because a vacuum moves them from
+    live entries into ``txn_markers`` only — a caller of this legacy
+    unscoped guard would otherwise see those batches flip to
+    "uncommitted" after a vacuum and re-commit them. Prefer
+    committed_txn_markers for anything multi-writer."""
     ids: set = set()
     for e in _entries(path):
         if "batch_id" in e:
             ids.add(e["batch_id"])
         ids.update(e.get("batch_ids", []))
+        ids.update(m[1] for m in e.get("txn_markers", []))
     return ids
 
 
@@ -502,7 +508,10 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     horizon = head_version - keep_versions + 1
     retained: set[str] = set()
     for v in range(horizon, head_version + 1):
-        retained.update(live_files(path, v))
+        # entries= reuses the already-parsed log: without it each
+        # iteration re-read and re-parsed EVERY entry file (O(V*K)
+        # file reads for K kept versions)
+        retained.update(live_files(path, v, entries=entries))
     all_files: set[str] = set()
     for e in entries:
         all_files.update(e["adds"])
@@ -513,7 +522,7 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     # whose horizon entry lacks the base adds. The checkpoint is
     # replay-equivalent even while older entries still exist: it
     # removes every pre-horizon add that is not in the base set.
-    base = live_files(path, horizon)
+    base = live_files(path, horizon, entries=entries)
     squashed = [e for e in entries if e["version"] <= horizon]
     pre_adds: set[str] = set()
     for e in squashed:

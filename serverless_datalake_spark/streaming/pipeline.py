@@ -215,9 +215,20 @@ def _replay_guard(table_path: str, txn_app: str | None):
         nonlocal seen
         if seen is None:
             seen = txlog.committed_txn_markers(table_path)
-        return (txn_app, batch_id) in seen or (
-            txn_app is None and any(m[1] == batch_id for m in seen)
-        )
+        if (txn_app, batch_id) in seen:
+            return True
+        if txn_app is None:
+            return any(m[1] == batch_id for m in seen)
+        # Upgrade path: a pipeline that committed batches in the legacy
+        # single-writer form (txn_app=None → (None, batch_id) markers)
+        # and was then restarted with txn_app set must still recognize
+        # its own pre-upgrade batches, or a checkpoint replay straddling
+        # the upgrade re-commits them (duplicate rows). Legacy markers
+        # predate app-scoping, so by definition they belong to the
+        # single-writer era — honoring them cannot skip another app's
+        # batch unless that app ALSO ran unscoped, which the docstring
+        # forbids for shared tables.
+        return (None, batch_id) in seen
 
     def marker_extra(batch_id: int) -> dict:
         # pure — the cache is updated by commit() only AFTER the

@@ -362,6 +362,54 @@ def test_null_source_routes_to_quarantine_not_crash(spark, tmp_path):
     assert spark.read.parquet(delivered["__unknown__"]).count() == 1
 
 
+def test_deliver_quarantines_unsafe_source_names_atomically(spark, tmp_path):
+    """deliver() used to validate topic names INSIDE the write loop: an
+    unsafe name raised after earlier topics were appended, so a retried
+    batch duplicated them. Now every topic resolves before the first
+    write and unsafe names route to the quarantine topic like nulls —
+    rows conserved, no exception, nothing half-delivered."""
+    from serverless_datalake_spark.sources import distribution
+
+    reg = distribution.TopicRegistry(str(tmp_path / "topics"))
+    batch = spark.createDataFrame(
+        [(1, "clicks", 1.0), (2, "../../tmp/evil", 2.0), (3, None, 3.0)],
+        "event_id long, source string, value double",
+    )
+    delivered = distribution.deliver(batch, reg)
+    assert spark.read.parquet(delivered["clicks"]).count() == 1
+    # unsafe + null rows both land in quarantine (2 rows), keyed so the
+    # caller can see which raw names were quarantined
+    assert delivered["../../tmp/evil"] == delivered["__unknown__"]
+    q = spark.read.parquet(delivered["__unknown__"])
+    assert q.count() == 2
+    assert {r["event_id"] for r in q.collect()} == {2, 3}
+    # idempotence of the conservation property: total rows out == in
+    total = sum(
+        spark.read.parquet(p).count() for p in sorted(set(delivered.values()))
+    )
+    assert total == 3
+
+
+def test_concatenated_json_resyncs_after_midline_corruption(spark, tmp_path):
+    """A decode error mid-line must not drop the valid objects after
+    it: the scanner skips to the next '{' and retries, losing only the
+    genuinely undecodable bytes (the round-6 advisor's finding)."""
+    evs = _mk_events(3)
+    blob = (
+        json.dumps(evs[0])
+        + '{"event_id": 98, "broken'  # corrupt object, no closing brace
+        + json.dumps(evs[1])
+        + json.dumps(evs[2])
+    )
+    p = tmp_path / "corrupt-mid.json.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(blob)
+    got = sorted(
+        r["event_id"] for r in lake.parse_concatenated_json(spark, str(p)).collect()
+    )
+    assert got == [0, 1, 2]
+
+
 def test_topic_registry_rejects_unsafe_source_names(tmp_path):
     """Topic names come from event DATA: traversal/absolute paths must
     not resolve to a write location outside the topics root."""

@@ -157,6 +157,40 @@ def test_vacuum_preserves_streaming_batch_markers(spark, tmp_path):
     assert txlog.committed_batch_ids(path) == {0, 1, 2}
 
 
+def test_committed_batch_ids_sees_app_scoped_markers_after_vacuum(spark, tmp_path):
+    """A vacuum moves app-scoped markers into the checkpoint's
+    txn_markers list; the legacy unscoped guard must fold those in, or
+    an external caller would treat the batches as uncommitted and
+    re-commit them (the round-6 advisor's finding)."""
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path, extra={"batch_id": 0, "txn_app": "p1"})
+    txlog.txlog_write(_df(spark, 5, 9), path, extra={"batch_id": 1, "txn_app": "p1"})
+    txlog.txlog_write(_df(spark, 9, 12), path, extra={"batch_id": 2})  # legacy
+    assert txlog.committed_batch_ids(path) == {0, 1, 2}
+    txlog.txlog_vacuum(path, keep_versions=1)
+    assert txlog.committed_batch_ids(path) == {0, 1, 2}
+    # and the scoped view still distinguishes apps
+    assert ("p1", 0) in txlog.committed_txn_markers(path)
+
+
+def test_replay_guard_recognizes_legacy_markers_after_txn_app_upgrade(spark, tmp_path):
+    """A pipeline that committed batches in the legacy single-writer
+    form (txn_app=None) and restarts with txn_app set must still skip
+    those batches — a checkpoint replay straddling the upgrade used to
+    re-commit them (duplicate rows)."""
+    from serverless_datalake_spark.streaming.pipeline import _replay_guard
+
+    path = str(tmp_path / "t")
+    txlog.txlog_write(_df(spark, 0, 5), path, extra={"batch_id": 0})  # pre-upgrade
+    already, commit = _replay_guard(path, txn_app="p1")
+    assert already(0) is True  # legacy marker honored under the new app id
+    assert already(1) is False
+    # scoping still isolates OTHER apps' scoped markers
+    txlog.txlog_write(_df(spark, 5, 9), path, extra={"batch_id": 7, "txn_app": "other"})
+    already2, _ = _replay_guard(path, txn_app="p1")
+    assert already2(7) is False
+
+
 def test_txlog_ingest_survives_checkpoint_loss_and_vacuum(spark, tmp_path):
     """Exactly-once even when BOTH the streaming checkpoint is lost
     (batch ids renumber from 0) and vacuum has squashed the log: the
