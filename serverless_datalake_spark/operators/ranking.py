@@ -60,12 +60,30 @@ _RNK = "__gor_rank"
 _INTEGRAL = {"tinyint", "smallint", "int", "bigint", "long"}
 
 
-def _range_indexed(df: DataFrame, order_cols: list[Column], num_partitions: int) -> DataFrame:
+def _fanout(df: DataFrame, num_partitions: int | None) -> int:
+    """Resolve the range-pass fan-out: an explicit caller value wins;
+    the default derives from ``spark.sql.shuffle.partitions`` (floored
+    at 32) so the primitives scale with the session's configured
+    parallelism instead of a constant — at 100x data each range
+    partition sorts its share in one task, and that share must shrink
+    as the cluster grows, not stay pinned to 32 ranges."""
+    if num_partitions is not None:
+        return num_partitions
+    try:
+        sp = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        sp = 32
+    return max(sp, 32)
+
+
+def _range_indexed(
+    df: DataFrame, order_cols: list[Column], num_partitions: int | None
+) -> DataFrame:
     """Range-partition df by the total order, materialize the partition
     id, and pin the result (lazy localCheckpoint — materialized by the
     pass-1 stats job, reclaimed on GC; see module docstring)."""
     return (
-        df.repartitionByRange(num_partitions, *order_cols)
+        df.repartitionByRange(_fanout(df, num_partitions), *order_cols)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=False)
     )
@@ -125,7 +143,7 @@ def with_global_order_analytics(
     ntile_out: str = "ntile",
     cum_out: str = "cum",
     n_out: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """row_number() [+ NTILE(k)] [+ SUM(value_col) ROWS UNBOUNDED
     PRECEDING] over ONE global total order in a single range pass.
@@ -172,7 +190,7 @@ def with_global_rank(
     order_cols: list[Column],
     out: str = "rank",
     n_out: str | None = None,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """row_number() over a GLOBAL total order, computed with parallel
     per-range windows + broadcast offsets. `n_out` optionally attaches
@@ -187,7 +205,7 @@ def with_global_cumsum(
     order_cols: list[Column],
     value_col: str,
     out: str = "cum",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """SUM(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING) over a
     global total order, as per-range running sums + broadcast prior-
@@ -209,7 +227,7 @@ def with_global_cummax(
     order_cols: list[Column],
     value_col: str,
     out: str = "cummax",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """MAX(value) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING) over a
     global total order — the streaming high-watermark shape — as
@@ -255,7 +273,7 @@ def with_global_ntile(
     order_cols: list[Column],
     k: int,
     out: str = "ntile",
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """NTILE(k) over a global total order via the distributed rank,
     reproducing Spark/ANSI NTILE bucket sizing exactly."""

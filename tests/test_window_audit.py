@@ -1,0 +1,39 @@
+"""Full-registry unpartitioned-window gate (the round-6 verdict's
+"script, not a test" gap): rebuild every registry query's physical
+plan and fail if any non-allowlisted query carries an unpartitioned
+WindowExec — the pattern that serializes a growing relation through
+one task at scale. Allowlist changes require editing the checked-in
+list in serverless_datalake_spark/plans/window_audit.py with a
+bounded-grain justification.
+
+Marked `audit` (slow, ~2.5 min: 408 plan builds, no execution); runs
+in the default `pytest tests/` pass and can be scoped with
+`-m audit`."""
+
+from __future__ import annotations
+
+import pytest
+
+from serverless_datalake_spark.plans.window_audit import ALLOWLIST, audit_registry
+from serverless_datalake_spark.queries import load_registry
+
+
+@pytest.mark.audit
+def test_registry_has_no_unallowlisted_global_windows(spark, sf_dir):
+    out = audit_registry(spark, sf_dir, reg=load_registry())
+    assert out["n_errors"] == 0, {
+        n: v for n, v in out["queries"].items() if "error" in v
+    }
+    assert out["violations"] == [], {
+        n: out["queries"][n] for n in out["violations"]
+    }
+
+
+@pytest.mark.audit
+def test_allowlist_has_no_stale_entries():
+    """Every allowlisted name must still exist in the registry — a
+    renamed/deleted query leaving a stale allowlist row would let a
+    NEW query reuse the name and inherit the exemption unreviewed."""
+    reg = load_registry()
+    stale = sorted(n for n in ALLOWLIST if n not in reg)
+    assert stale == [], stale
