@@ -1074,12 +1074,21 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (datetime.fromtimestamp), so a raw timestamp output shifts under
     # a non-UTC host even though the session tz is pinned UTC — found
     # by the round-7 hostile-timezone pre-sim. date_format evaluates
-    # JVM-side in the session tz, tz-stable end to end.
-    return swept.groupBy(
-        F.date_format(F.date_trunc("hour", F.col("t")), "yyyy-MM-dd HH:mm:ss").alias("hour")
-    ).agg(
-        F.max("running").cast("long").alias("peak_concurrent"),
-        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).cast("long").alias("n_starts"),
+    # JVM-side in the session tz (tz-stable end to end), applied AFTER
+    # the aggregation so only hour-grain rows pay the formatting.
+    return (
+        swept.groupBy(F.date_trunc("hour", F.col("t")).alias("hour_ts"))
+        .agg(
+            F.max("running").cast("long").alias("peak_concurrent"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_starts"),
+        )
+        .select(
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "peak_concurrent",
+            "n_starts",
+        )
     )
 
 

@@ -270,7 +270,9 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "cdc_latest_by_key",
     oracle="""
-    SELECT user_id, event_id, ts, event_type, value
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+           event_type, value
     FROM (
       SELECT user_id, event_id, ts, event_type, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -295,10 +297,21 @@ def cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").desc(), F.col("event_id").desc()
     )
+    # ts returns as a microsecond string: a raw TimestampType output
+    # goes through the DRIVER OS timezone in PySpark collect()
+    # (datetime.fromtimestamp) and shifts on a non-UTC host — the
+    # round-7 full-registry hostile-timezone sim caught exactly this
+    # query; date_format evaluates JVM-side in the pinned session tz.
     return (
         e.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .select("user_id", "event_id", "ts", "event_type", "value")
+        .select(
+            "user_id",
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+            "value",
+        )
     )
 
 
