@@ -662,6 +662,41 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sample_reservoir_hash",
+    oracle="""
+    SELECT doc_id, lang, source,
+           md5(CAST(doc_id AS VARCHAR) || ':reservoir') AS sample_key
+    FROM documents
+    ORDER BY sample_key, doc_id
+    LIMIT 100
+    """,
+    tags=("llm", "datapipe", "sampling", "reservoir"),
+)
+def sample_reservoir_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic uniform k-reservoir: the k documents with the
+    smallest md5(doc_id || salt) — the stable replacement for
+    reservoir sampling in a distributed pipeline. Unlike a sequential
+    reservoir (order-dependent state) or engine RNG (not reproducible
+    across runs/engines), the hash key makes the sample a pure
+    function of the ids: re-runs, retries, shard re-splits, and
+    incremental appends all agree on membership, and two shards'
+    samples MERGE by just re-taking the k smallest keys — the
+    mergeability that matters when 1000 executors each sample their
+    partition. Changing the salt draws an independent sample.
+
+    Scale shape: sort().limit(k) plans as TakeOrderedAndProject — a
+    per-partition k-row heap then a k·P-row driver merge, never a
+    global sort; no window, no shuffle of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":reservoir")))
+    return (
+        docs.select("doc_id", "lang", "source", key.alias("sample_key"))
+        .orderBy("sample_key", "doc_id")
+        .limit(100)
+    )
+
+
+@query(
     "dedup_keep_longest",
     oracle=f"""
     SELECT doc_id, fingerprint, n_chars

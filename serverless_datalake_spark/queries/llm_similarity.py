@@ -1022,6 +1022,135 @@ def sim_topk_truncated_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq8_rerank_oracle(shortlist: int = 12, k: int = 5) -> str:
+    """SQ8 serving twin: corpus-side per-dim grid, identical
+    dequantize arithmetic to _sq8_oracle, approx-cosine shortlist,
+    exact-cosine re-rank."""
+    return f"""
+    WITH {_SPLIT_SQL},
+    dims AS (
+      SELECT u.i AS dim, MIN(c.emb[u.i]) AS lo, MAX(c.emb[u.i]) AS hi
+      FROM c, (SELECT unnest(range(1, 65)) AS i) u
+      GROUP BY 1
+    ), grid AS (
+      SELECT list(lo ORDER BY dim) AS los, list(hi ORDER BY dim) AS his FROM dims
+    ), crec AS (
+      SELECT c.corpus_id,
+             list_transform(range(1, 65), i ->
+               CASE WHEN grid.his[i] = grid.los[i] THEN grid.los[i]
+                    ELSE grid.los[i]
+                         + (ROUND((c.emb[i] - grid.los[i])
+                                  / (grid.his[i] - grid.los[i]) * 254.0, 0) / 254.0)
+                           * (grid.his[i] - grid.los[i])
+               END) AS rec
+      FROM c CROSS JOIN grid
+    ), approx AS (
+      SELECT q.query_id, crec.corpus_id, {_cos_sql("q.emb", "crec.rec")} AS ascore
+      FROM q CROSS JOIN crec
+    ), shortlist AS (
+      SELECT query_id, corpus_id FROM (
+        SELECT query_id, corpus_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ascore DESC, corpus_id) AS arn
+        FROM approx
+      ) WHERE arn <= {shortlist}
+    ), exact AS (
+      SELECT s.query_id, s.corpus_id, {_cos_sql("q.emb", "c.emb")} AS score
+      FROM shortlist s
+      JOIN q ON s.query_id = q.query_id
+      JOIN c ON s.corpus_id = c.corpus_id
+    ), ranked AS (
+      SELECT query_id, corpus_id, score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, corpus_id) AS rank
+      FROM exact
+    )
+    SELECT query_id, corpus_id, ROUND(score, 6) AS score, rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query(
+    "sim_topk_sq8_rerank",
+    oracle=_sq8_rerank_oracle(),
+    tags=("llm", "similarity", "quantization", "rerank"),
+)
+def sim_topk_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 SERVING leg (the 4x tier below PQ): score queries against
+    the int8-DEQUANTIZED corpus (embedding_quantize_int8's exact grid
+    arithmetic — per-dim corpus [lo, hi], 255 levels), shortlist the
+    top 12 per query by approximate cosine, then re-rank the shortlist
+    with exact full-precision cosine and emit the final top 5. The
+    standard memory-bandwidth trade for a serving index whose recall
+    loss PQ would double: 4x less scan per comparison, exactness
+    restored on the 12-deep cut.
+
+    Scale shape: the grid is one explode + 64-row aggregate broadcast
+    back (constant); dequantize + approx score is the map-only corpus
+    scan every brute-force leg pays (at rest the int8 codes are the
+    stored column, so the scan reads 1/4 the bytes); both rank windows
+    are per-query WindowGroupLimit top-k; the exact re-rank re-reads
+    only shortlist ids (broadcast semi-join point-reads), carrying
+    (ids, score) — never payloads — through the windows."""
+    from serverless_datalake_spark.operators.similarity import _as_double, cosine
+
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    c = em.where(F.col("vec_id") >= 10).select(
+        F.col("vec_id").alias("corpus_id"), _as_double(F.col("embedding")).alias("cv")
+    )
+    dims = c.select(F.posexplode(F.col("cv")).alias("p", "x")).groupBy("p").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    grid = dims.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("p", "lo", "hi"))).alias("g")
+    ).select(
+        F.transform("g", lambda s: s["lo"]).alias("los"),
+        F.transform("g", lambda s: s["hi"]).alias("his"),
+    )
+    lo = lambda i: F.element_at("los", i)  # noqa: E731
+    hi = lambda i: F.element_at("his", i)  # noqa: E731
+    x = lambda i: F.element_at("cv", i)  # noqa: E731
+    rec = F.transform(
+        F.sequence(F.lit(1), F.lit(64)),
+        lambda i: F.when(hi(i) == lo(i), lo(i)).otherwise(
+            lo(i)
+            + (F.round((x(i) - lo(i)) / (hi(i) - lo(i)) * 254.0, 0) / 254.0)
+            * (hi(i) - lo(i))
+        ),
+    )
+    crec = c.crossJoin(F.broadcast(grid)).select("corpus_id", rec.alias("rec"))
+    approx = crec.crossJoin(F.broadcast(q)).select(
+        "query_id", "corpus_id", cosine(F.col("qv"), F.col("rec")).alias("ascore")
+    )
+    aw = Window.partitionBy("query_id").orderBy(
+        F.col("ascore").desc(), F.col("corpus_id")
+    )
+    shortlist = (
+        approx.withColumn("arn", F.row_number().over(aw))
+        .where(F.col("arn") <= 12)
+        .select("query_id", "corpus_id")
+    )
+    exact = (
+        c.join(F.broadcast(shortlist), "corpus_id")
+        .join(F.broadcast(q), "query_id")
+        .select("query_id", "corpus_id", cosine(F.col("qv"), F.col("cv")).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("corpus_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "corpus_id",
+            F.round("score", 6).alias("score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
 @query(
     "sim_centroid_drift",
     oracle="""

@@ -704,3 +704,24 @@ def test_quality_screen_moments_broadcast(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "embedding_quality_screen")
     assert "TakeOrderedAndProject(limit=10" in plan or "WindowGroupLimit" in plan, plan
     assert "BroadcastExchange" in plan, plan
+
+
+def test_reservoir_hash_is_take_ordered(spark, sf_dir):
+    """sample_reservoir_hash must plan as TakeOrderedAndProject —
+    per-partition k-row heaps merged on the driver, never a global
+    sort or an unpartitioned rank window (round-7 addition)."""
+    plan = plan_of(spark, sf_dir, "sample_reservoir_hash")
+    assert "TakeOrderedAndProject(limit=100" in plan, plan
+    assert "windowspecdefinition" not in plan, plan
+
+
+def test_sq8_rerank_bounded_windows_and_broadcasts(spark, sf_dir):
+    """sim_topk_sq8_rerank: both rank windows are per-query
+    (WindowGroupLimit-bounded), the dequantize grid and the shortlist
+    re-read ride broadcasts, and no window is unpartitioned."""
+    plan = plan_of(spark, sf_dir, "sim_topk_sq8_rerank")
+    assert "WindowGroupLimit" in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "query_id" in ln, ln
