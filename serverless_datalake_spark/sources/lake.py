@@ -37,9 +37,19 @@ def write_partitioned(
     mode: str = "append",
     compression: str = "snappy",
 ) -> None:
-    """Partitioned, sorted, compressed append — R3+R4 in one writer."""
+    """Partitioned, sorted, compressed append — R3+R4 in one writer.
+
+    repartitionByRange(partition_col, order_col), NOT
+    repartition(partition_col): hash-repartitioning on the partition
+    column alone funnels each source's entire batch through ONE task
+    (a hot source serializes the write — the straggler anti-pattern
+    write_day_partitioned's docstring calls out; round-7 review
+    finding). Range partitioning on (source, ts) spreads a hot source
+    over several tasks in contiguous ts slices at the same shuffle
+    cost, and the within-partition sort keeps each output file's ts
+    min/max tight for row-group skipping."""
     (
-        df.repartition(partition_col)
+        df.repartitionByRange(partition_col, order_col)
         .sortWithinPartitions(partition_col, order_col)
         .write.mode(mode)
         .option("compression", compression)
@@ -151,7 +161,19 @@ def parse_concatenated_json(spark: SparkSession, path: str, schema: str = EVENTS
     raw = spark.read.text(path)
     objs = raw.select(F.explode(_split_objs(F.col("value"))).alias("obj"))
     parsed = objs.select(F.from_json("obj", schema).alias("r")).select("r.*")
-    return parsed.where(F.col("event_id").isNotNull())
+    # guard filter: drop only fragments from_json could parse NOTHING
+    # from (every schema field null — the corrupt-span shape). The
+    # previous event_id.isNotNull() guard also silently discarded
+    # structurally VALID objects that merely lack event_id (round-7
+    # review finding) — those now survive with event_id null, the
+    # same contract the JSON-lines reader gives them.
+    import functools
+    import operator
+
+    any_field = functools.reduce(
+        operator.or_, [F.col(c).isNotNull() for c in parsed.columns]
+    )
+    return parsed.where(any_field)
 
 
 def write_orc(df: DataFrame, path: str, partition_col: str | None = None) -> None:

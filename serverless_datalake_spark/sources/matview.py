@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from serverless_datalake_spark.sources.txlog import (
     _entries,
     live_files,
+    txlog_commit_metadata,
     txlog_read,
     txlog_write,
 )
@@ -52,9 +53,29 @@ def txlog_file_changes(
     """(added_files, removed_files) between two versions — the
     file-level change feed. Pure log arithmetic: no data files are
     opened, so planning a refresh is O(log), and an append-only
-    history yields removed == []."""
-    before = set(live_files(path, from_version)) if from_version >= 0 else set()
-    after = set(live_files(path, to_version))
+    history yields removed == [].
+
+    Raises when a requested version predates the log's earliest
+    replayable entry (a vacuum checkpoint): replaying to such a
+    version silently yields an EMPTY file set, which here would turn
+    into 'everything was added' and a consumer double-counting the
+    whole table (round-7 review finding). An unreplayable delta must
+    be an error, never a wrong answer."""
+    entries = _entries(path)
+    floor = entries[0]["version"] if entries else 0
+    for v in (from_version, to_version):
+        if v is not None and 0 <= v < floor:
+            raise ValueError(
+                f"version {v} predates the earliest replayable entry "
+                f"{floor} of {path} (vacuumed); incremental delta "
+                f"unavailable — rebuild the consumer (mv_build)"
+            )
+    before = (
+        set(live_files(path, from_version, entries=entries))
+        if from_version >= 0
+        else set()
+    )
+    after = set(live_files(path, to_version, entries=entries))
     return sorted(after - before), sorted(before - after)
 
 
@@ -105,11 +126,21 @@ def mv_refresh(
     stamped source version, aggregate it with ±1 weights, merge into
     the view, drop emptied groups, and commit with the new stamp.
     Idempotent when nothing changed (returns the current view
-    version without writing)."""
+    version without writing).
+
+    Concurrency: both commits are CONDITIONED on the view head that
+    the stamp was read from (txlog expected_head) — two overlapping
+    refreshes would otherwise apply the same delta twice, with the
+    loser silently overwriting the winner's merge (the lost-update
+    shape txlog_upsert was fixed against in round 6). The loser now
+    raises and can simply re-run. A source vacuumed past the stamp
+    raises in txlog_file_changes (never a silent double-count);
+    recover with mv_build."""
+    mv_head = current_version(mv_path)
     last = mv_source_version(mv_path)
     head = current_version(source_path)
     if head == last:
-        return current_version(mv_path)
+        return mv_head
     added, removed = txlog_file_changes(source_path, last, head)
     parts = []
     if added:
@@ -118,12 +149,12 @@ def mv_refresh(
         parts.append(_aggregate(spark.read.parquet(*removed), keys, unit, -1))
     if not parts:
         # version advanced with no file changes (e.g. metadata-only
-        # commits): just restamp so the next refresh's delta is short
-        return txlog_write(
-            txlog_read(spark, mv_path),
-            mv_path,
-            mode="overwrite",
-            extra={MV_SOURCE_VERSION: head},
+        # commits): advance the stamp with a METADATA-ONLY commit —
+        # the previous restamp physically rewrote every view row
+        # (O(view) data for an O(1) bookkeeping step, round-7 review
+        # finding)
+        return txlog_commit_metadata(
+            mv_path, {MV_SOURCE_VERSION: head}, expected_head=mv_head
         )
     delta = parts[0]
     for p in parts[1:]:
@@ -139,5 +170,9 @@ def mv_refresh(
         .where(F.col("n_rows") > 0)
     )
     return txlog_write(
-        merged, mv_path, mode="overwrite", extra={MV_SOURCE_VERSION: head}
+        merged,
+        mv_path,
+        mode="overwrite",
+        extra={MV_SOURCE_VERSION: head},
+        expected_head=mv_head,
     )

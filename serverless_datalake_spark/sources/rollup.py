@@ -28,8 +28,36 @@ def rollup_hourly(events: DataFrame) -> DataFrame:
     )
 
 
-def append_rollup(events: DataFrame, rollup_path: str) -> None:
-    rollup_hourly(events).write.mode("append").partitionBy("source").parquet(rollup_path)
+def append_rollup(events: DataFrame, rollup_path: str, batch_id: int | str) -> None:
+    """Materialize one batch's hourly partials, idempotently per
+    batch_id: the partials land under a batch_id=… partition via
+    DYNAMIC partition overwrite, so a foreachBatch retry (the normal
+    streaming failure mode) REPLACES its own prior contribution
+    instead of appending a duplicate — which a blind append would
+    silently double-count in every downstream re-aggregation (round-7
+    review finding; the module docstring promised this contract but
+    the writer didn't implement it). Other batches' partitions are
+    untouched."""
+    spark = events.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:  # noqa: BLE001 - unset conf
+        prev = None
+    spark.conf.set(key, "dynamic")
+    try:
+        (
+            rollup_hourly(events)
+            .withColumn("batch_id", F.lit(str(batch_id)))
+            .write.mode("overwrite")
+            .partitionBy("batch_id", "source")
+            .parquet(rollup_path)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def read_rollup_daily(spark: SparkSession, rollup_path: str) -> DataFrame:

@@ -344,6 +344,25 @@ def txlog_write(
     return version
 
 
+def txlog_commit_metadata(
+    path: str, extra: dict, expected_head: int | None = None
+) -> int:
+    """Publish a METADATA-ONLY commit: a log entry with no file adds
+    or removes, carrying `extra` (e.g. a materialized view advancing
+    its source-version stamp). O(1) — no data is read or written;
+    readers replaying the log see an unchanged file set. Conditioned
+    on `expected_head` like txlog_write."""
+    prior = _entries(path)
+    head = prior[-1]["version"] if prior else -1
+    if expected_head is not None and head != expected_head:
+        raise RuntimeError(
+            f"concurrent commit: expected head {expected_head}, found {head}; retry"
+        )
+    version = head + 1
+    _commit(path, version, [], [], extra=extra)
+    return version
+
+
 def committed_batch_ids(path: str) -> set:
     """EVERY streaming batch id with a committed marker, regardless of
     app scoping: per-entry ``batch_id`` fields plus the ``batch_ids``
@@ -567,6 +586,20 @@ def txlog_vacuum(path: str, keep_versions: int = 1) -> list[str]:
     }
     if txn_markers:
         ck["txn_markers"] = [list(m) for m in txn_markers]
+    # application extras (e.g. matview's mv_source_version stamp) must
+    # survive the squash: for every non-structural field, carry the
+    # LATEST squashed value forward — dropping them permanently broke
+    # any reader of a stamped field after its entry fell past the
+    # horizon (round-7 review finding: a vacuumed view could never
+    # refresh again)
+    _structural = {
+        "version", "adds", "removes", "checkpoint", "batch_id",
+        "batch_ids", "txn_app", "txn_markers", "stats", "zonemaps",
+    }
+    for e in squashed:  # ascending version order: later wins
+        for k, v in e.items():
+            if k not in _structural:
+                ck[k] = v
     kept_stats = {f: s for f, s in stats_acc.items() if f in base_set}
     kept_zm = {f: s for f, s in zm_acc.items() if f in base_set}
     if kept_stats:
@@ -662,23 +695,34 @@ def txlog_write_partitioned(
         raise ValueError(f"mode {mode!r}")
     prior = _entries(path)
     version = prior[-1]["version"] + 1 if prior else 0
-    values = [r[0] for r in df.select(part_col).distinct().collect()]
-    # (adds listed per value-dir below — the _list_parquet contract,
-    # inlined because stats are attached file-by-file)
-    adds: list[str] = []
-    stats: dict[str, dict] = {}
-    batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
-    for v in sorted(values, key=str):
-        vdir = os.path.join(batch_dir, f"pv-{uuid.uuid4().hex[:8]}")
-        # eqNullSafe so a NULL partition value becomes its own file
-        # with an explicit null stat (Delta/Iceberg route NULLs to a
-        # default partition; dropping them would be silent data loss).
-        df.where(df[part_col].eqNullSafe(F.lit(v))).write.mode("error").parquet(vdir)
-        for n in os.listdir(vdir):
-            if n.endswith(".parquet"):
-                fp = os.path.join(vdir, n)
-                adds.append(fp)
-                stats[fp] = {part_col: _stat_repr(v)}
+    # PIN the batch across the distinct-collect and the per-value
+    # writes: an unpersisted df is recomputed per pass, so a
+    # non-deterministic or moving source (a staging dir receiving
+    # files mid-commit) could surface values the distinct pass never
+    # saw — rows silently absent from every slice and therefore from
+    # the committed entry (round-7 review finding; deliver() and
+    # ingest_batch already persist for exactly this reason)
+    df = df.persist()
+    try:
+        values = [r[0] for r in df.select(part_col).distinct().collect()]
+        # (adds listed per value-dir below — the _list_parquet contract,
+        # inlined because stats are attached file-by-file)
+        adds: list[str] = []
+        stats: dict[str, dict] = {}
+        batch_dir = os.path.join(path, "data", f"v{version}-{uuid.uuid4().hex[:8]}")
+        for v in sorted(values, key=str):
+            vdir = os.path.join(batch_dir, f"pv-{uuid.uuid4().hex[:8]}")
+            # eqNullSafe so a NULL partition value becomes its own file
+            # with an explicit null stat (Delta/Iceberg route NULLs to a
+            # default partition; dropping them would be silent data loss).
+            df.where(df[part_col].eqNullSafe(F.lit(v))).write.mode("error").parquet(vdir)
+            for n in os.listdir(vdir):
+                if n.endswith(".parquet"):
+                    fp = os.path.join(vdir, n)
+                    adds.append(fp)
+                    stats[fp] = {part_col: _stat_repr(v)}
+    finally:
+        df.unpersist()
     removes = live_files(path, entries=prior) if mode == "overwrite" else []
     _commit(path, version, sorted(adds), removes, extra={"stats": stats})
     return version

@@ -90,15 +90,38 @@ def zorder_key_approx(
     global sort/window) instead of percent_rank. 2^bits buckets per
     dimension is plenty — skipping benefits saturate once per-file
     spans are a few buckets wide. Bucket lookup is a counting filter
-    over the boundary array (codegen-able, no UDF)."""
+    over the boundary array (codegen-able, no UDF).
+
+    Temporal columns get an order-preserving numeric surrogate (epoch
+    seconds) before the sketch: approxQuantile supports NUMERIC
+    columns only, so the canonical ZORDER BY (ts, id) call used to
+    raise outright (round-7 review finding). Strings have no
+    order-preserving numeric surrogate — they raise with a pointer to
+    method='exact' instead of silently clustering on garbage."""
     n = 1 << bits
+    dtypes = dict(df.dtypes)
+
+    def _as_numeric(c: str) -> Column:
+        dt = dtypes[c]
+        if dt in ("timestamp", "timestamp_ntz", "date"):
+            return F.col(c).cast("timestamp").cast("double")
+        if dt in ("tinyint", "smallint", "int", "bigint", "float", "double") or (
+            dt.startswith("decimal")
+        ):
+            return F.col(c).cast("double")
+        raise ValueError(
+            f"zorder method='approx' needs a numeric/timestamp/date column; "
+            f"{c} is {dt} — use method='exact' (small data) or supply an "
+            f"order-preserving numeric projection"
+        )
 
     def bucketize(c: str) -> Column:
-        qs = df.stat.approxQuantile(c, [i / n for i in range(1, n)], rel_err)
-        bounds = F.array(*[F.lit(float(q)) for q in qs])
-        return F.size(F.filter(bounds, lambda b: b <= F.col(c).cast("double"))).cast(
-            "long"
+        num = _as_numeric(c)
+        qs = df.select(num.alias("__zq")).stat.approxQuantile(
+            "__zq", [i / n for i in range(1, n)], rel_err
         )
+        bounds = F.array(*[F.lit(float(q)) for q in qs])
+        return F.size(F.filter(bounds, lambda b: b <= num)).cast("long")
 
     a, b = bucketize(col_a), bucketize(col_b)
     out = F.lit(0).cast("long")

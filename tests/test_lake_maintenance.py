@@ -244,3 +244,116 @@ def test_day_partitioned_layout_prunes_date_range(spark, sf_dir, tmp_path):
         (F.to_date("ts") >= "2024-01-02") & (F.to_date("ts") <= "2024-01-03")
     ).count()
     assert r.count() == expected
+
+
+def test_compaction_preserves_concurrent_append(spark, tmp_path):
+    """A micro-batch file appended to the partition after compaction
+    captured its input set must SURVIVE — the previous dynamic
+    partition overwrite replaced the whole partition with the captured
+    snapshot and silently deleted it (round-7 review finding). Also
+    pins the crash-recovery manifest replay: a leftover doomed-list is
+    finished by the next compaction."""
+    import json as _json
+
+    lake_path = str(tmp_path / "lake")
+    df1 = spark.createDataFrame(
+        [(i, "clicks", float(i)) for i in range(40)],
+        "event_id long, source string, value double",
+    )
+    for _ in range(3):  # several small files
+        df1.coalesce(2).write.mode("append").partitionBy("source").parquet(lake_path)
+
+    # simulate the concurrent append landing between capture and commit:
+    # capture happens inside compact_partition, so patch the capture to
+    # ALSO drop a new file right after listing
+    from serverless_datalake_spark.sources import maintenance as mnt
+
+    real_capture = mnt._partition_files
+    state = {"appended": False}
+
+    def capture_then_append(lp, src):
+        files = real_capture(lp, src)
+        if not state["appended"]:
+            state["appended"] = True
+            spark.createDataFrame(
+                [(9999, "clicks", 1.0)], "event_id long, source string, value double"
+            ).write.mode("append").partitionBy("source").parquet(lp)
+        return files
+
+    mnt._partition_files = capture_then_append
+    try:
+        stats = mnt.compact_partition(spark, lake_path, "clicks", order_col="event_id")
+    finally:
+        mnt._partition_files = real_capture
+    assert stats["files_before"] >= 3
+    got = {r["event_id"] for r in spark.read.parquet(lake_path).collect()}
+    assert 9999 in got  # the concurrent append survived
+    assert got == set(range(40)) | {9999}
+
+    # crash-recovery: a manifest left between append and delete is
+    # replayed (survivors deleted, manifest removed, rows conserved)
+    pdir = os.path.join(lake_path, "source=clicks")
+    victims = sorted(
+        f for f in glob.glob(os.path.join(pdir, "*.parquet"))
+    )[:1]
+    # baseline BEFORE the simulated crash: victims' content counted once
+    rows_before = sorted(
+        r["event_id"] for r in spark.read.parquet(lake_path).collect()
+    )
+    # duplicate the victim's content as a committed compacted copy
+    # would be, then list the original as doomed (= crashed between
+    # append and delete)
+    spark.read.option("basePath", lake_path).parquet(*victims).write.mode(
+        "append"
+    ).partitionBy("source").parquet(lake_path)
+    manifest = os.path.join(pdir, "_compact-test.doomed.json")
+    with open(manifest, "w") as f:
+        _json.dump(victims, f)
+    mnt.compact_partition(spark, lake_path, "clicks", order_col="event_id")
+    assert not os.path.exists(manifest)
+    assert all(not os.path.exists(v) for v in victims)
+    rows_after = sorted(
+        r["event_id"] for r in spark.read.parquet(lake_path).collect()
+    )
+    assert rows_after == rows_before
+
+
+def test_zorder_approx_supports_timestamp_columns(spark, sf_dir, tmp_path):
+    """The canonical ZORDER BY (time, id) call must work on the
+    default approx path: approxQuantile only accepts numeric columns,
+    so temporal ones get an epoch-seconds surrogate (round-7 review
+    finding — txlog_optimize(spark, path, 'ts', 'user_id') used to
+    raise). Strings still raise with a clear pointer."""
+    import pytest
+
+    from serverless_datalake_spark.sources import zorder
+    from serverless_datalake_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("ts", "user_id", "event_type")
+    out = str(tmp_path / "z")
+    zorder.write_zordered(e, out, "ts", "user_id", files=4, method="approx")
+    assert spark.read.parquet(out).count() == e.count()
+    with pytest.raises(ValueError, match="method='exact'"):
+        zorder.zorder_key_approx(e, "event_type", "user_id")
+
+
+def test_concatenated_json_keeps_objects_missing_event_id(spark, tmp_path):
+    """A structurally valid object lacking event_id must survive the
+    parse with event_id null — the old guard filter discarded it
+    indistinguishably from corruption (round-7 review finding)."""
+    from serverless_datalake_spark.sources import lake
+
+    blob = (
+        '{"event_id": 1, "ts": "2024-01-01T00:00:00.000", "user_id": 7,'
+        ' "event_type": "click", "value": 1.0, "props": "{}"}'
+        '{"ts": "2024-01-01T01:00:00.000", "user_id": 8,'
+        ' "event_type": "view", "value": 2.0, "props": "{}"}'
+        '{"event_id": 93, "broken'
+    )
+    p = tmp_path / "blob.json.gz"
+    with gzip.open(p, "wt") as f:
+        f.write(blob)
+    rows = lake.parse_concatenated_json(spark, str(p)).collect()
+    types = sorted(r["event_type"] for r in rows if r["event_type"] is not None)
+    assert types == ["click", "view"]  # the id-less object survived
+    assert sum(1 for r in rows if r["event_id"] is None and r["event_type"] == "view") == 1

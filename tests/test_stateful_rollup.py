@@ -79,8 +79,12 @@ def test_rollup_daily_matches_direct_aggregation(spark, sf_dir):
     with tempfile.TemporaryDirectory() as tmp:
         path = os.path.join(tmp, "rollup")
         # two incremental appends (split by event_id parity → disjoint)
-        rollup.append_rollup(e.where(F.col("event_id") % 2 == 0), path)
-        rollup.append_rollup(e.where(F.col("event_id") % 2 == 1), path)
+        rollup.append_rollup(e.where(F.col("event_id") % 2 == 0), path, batch_id=0)
+        rollup.append_rollup(e.where(F.col("event_id") % 2 == 1), path, batch_id=1)
+        # batch RETRY (the normal streaming failure mode) must REPLACE
+        # batch 1's contribution, not double-count it — the documented
+        # per-batch idempotence contract (round-7 review finding)
+        rollup.append_rollup(e.where(F.col("event_id") % 2 == 1), path, batch_id=1)
 
         daily = rollup.read_rollup_daily(spark, path)
         truth = e.groupBy(
