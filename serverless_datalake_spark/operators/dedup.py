@@ -482,6 +482,18 @@ def simhash_near_dups(
     max_hamming ≤ chunks-1 bit flips collides on at least one of the
     `chunks` signature chunks → bucket-join on chunks, verify exact
     Hamming distance with bit_count(xor)."""
+    if max_hamming > chunks - 1:
+        # the pigeonhole guarantee needs one UNTOUCHED chunk: with
+        # max_hamming >= chunks a pair can flip one bit per chunk and
+        # collide in no bucket — the result would be silently missing
+        # true near-dups, not erroring (round-7 review finding;
+        # banded_membership raises for the analogous misuse)
+        raise ValueError(
+            f"max_hamming={max_hamming} needs chunks >= max_hamming + 1 "
+            f"(got chunks={chunks}): recall is no longer guaranteed"
+        )
+    if bits % chunks != 0:
+        raise ValueError(f"bits={bits} not divisible by chunks={chunks}")
     sigs = simhash_signatures(docs, id_col, text_col, bits)
     w = bits // chunks
     mask = (1 << w) - 1

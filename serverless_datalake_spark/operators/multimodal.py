@@ -104,7 +104,14 @@ def sample_frames(media: DataFrame, every_n: int = 10, max_frames: int = 8) -> D
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = {"media_id": [], "frame_index": [], "frame_payload": [], "frame_sha256": []}
-            for mid, mt, payload, _n, _sha in pdf.itertuples(index=False):
+            # iterate BY NAME: a positional unpack hard-codes the frame's
+            # column count and order, so a reordered projection silently
+            # binds media_type to the payload (zero frames out) and any
+            # extra upstream column raises mid-stream (round-7 review
+            # finding; decode_features already accesses by name)
+            for mid, mt, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
                 if mt != "video":
                     continue
                 data = bytes(payload)

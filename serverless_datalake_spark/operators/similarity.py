@@ -531,15 +531,20 @@ def topk_ivf(
     query to its nprobe nearest centroids, brute-force only there.
     Scan cost drops by ~n_centroids/nprobe; partition the corpus by
     centroid_id at rest to make the probe partition-pruned."""
+    # localCheckpoint, NOT cache(): a cached centroid frame sits in the
+    # CacheManager for the life of the session — one leaked entry per
+    # query in a bench/sweep loop (round-7 review finding; the same
+    # leak ranking.py's round-5 fix documents). Checkpoint blocks are
+    # GC-reclaimed with the frame.
     if centroid_rows is not None:
         cents = corpus.sparkSession.createDataFrame(
             centroid_rows, "centroid_id int, centroid array<double>"
-        ).cache()
+        ).localCheckpoint(eager=False)
     else:
         cents = (
             centroids if centroids is not None
             else ivf_centroids(corpus, corpus_id, vec, by, mode=centroid_mode)
-        ).cache()
+        ).localCheckpoint(eager=False)
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
@@ -757,7 +762,11 @@ def ivf_assign_expr(centroid_rows: list, vec_sql: str) -> Column:
         f"aggregate(zip_with(v, c, (x, y) -> x * y), 0.0D, (a, x) -> a + x) / "
         f"(nv * SQRT(aggregate(transform(c, x -> x * x), 0.0D, (a, x) -> a + x))))"
     )
-    argmax = (
+    # n == 1: sequence(1, 0) runs DESCENDING in Spark ([1, 0] — the
+    # known sequence gotcha), so the fold would probe cs[2] past the
+    # end of a 1-element array and die under ANSI; a single centroid
+    # needs no argmax at all (round-7 review finding)
+    argmax = "1" if n == 1 else (
         f"aggregate(sequence(1, {n - 1}), 1, (bi, j) -> "
         f"CASE WHEN element_at(cs, j + 1) > element_at(cs, bi) THEN j + 1 ELSE bi END)"
     )
@@ -871,7 +880,11 @@ def ivf_centroid_vec_expr(centroid_rows: list, vec_sql: str) -> Column:
         f"aggregate(zip_with(v, c, (x, y) -> x * y), 0.0D, (a, x) -> a + x) / "
         f"(nv * SQRT(aggregate(transform(c, x -> x * x), 0.0D, (a, x) -> a + x))))"
     )
-    argmax = (
+    # n == 1: sequence(1, 0) runs DESCENDING in Spark ([1, 0] — the
+    # known sequence gotcha), so the fold would probe cs[2] past the
+    # end of a 1-element array and die under ANSI; a single centroid
+    # needs no argmax at all (round-7 review finding)
+    argmax = "1" if n == 1 else (
         f"aggregate(sequence(1, {n - 1}), 1, (bi, j) -> "
         f"CASE WHEN element_at(cs, j + 1) > element_at(cs, bi) THEN j + 1 ELSE bi END)"
     )
@@ -957,9 +970,10 @@ def topk_ivfpq_residual(
     better reconstruction accuracy for the same 8-byte code budget."""
     if centroid_rows is None or codebook_rows is None:
         raise ValueError("topk_ivfpq_residual requires trained literal rows")
+    # localCheckpoint, not cache() — see topk_ivf (CacheManager leak)
     cents = corpus.sparkSession.createDataFrame(
         centroid_rows, "centroid_id int, centroid array<double>"
-    ).cache()
+    ).localCheckpoint(eager=False)
 
     q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
     scored_q = q.crossJoin(F.broadcast(cents)).select(
@@ -1043,7 +1057,9 @@ def pq_reconstruct_expr(
         f"aggregate(zip_with(slice({vec_sql}, s * {d} + 1, {d}), cv, "
         f"(x, y) -> (x - y) * (x - y)), 0.0D, (a, x) -> a + x))"
     )
-    argmin = (
+    # n_codes == 1: same descending-sequence/ANSI hazard as the argmax
+    # folds above — a 1-entry codebook needs no argmin
+    argmin = "1" if n_codes == 1 else (
         f"aggregate(sequence(1, {n_codes - 1}), 1, (bi, j) -> "
         f"CASE WHEN element_at(ds, j + 1) < element_at(ds, bi) THEN j + 1 ELSE bi END)"
     )
@@ -1265,15 +1281,16 @@ def topk_ivfpq(
     ``codebook_rows`` (the trained codebook collected to the driver)
     collapses encode+reconstruct into one shuffle-free projection —
     see pq_reconstruct_expr."""
+    # localCheckpoint, not cache() — see topk_ivf (CacheManager leak)
     if centroid_rows is not None:
         cents = corpus.sparkSession.createDataFrame(
             centroid_rows, "centroid_id int, centroid array<double>"
-        ).cache()
+        ).localCheckpoint(eager=False)
     else:
         cents = (
             centroids if centroids is not None
             else ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
-        ).cache()
+        ).localCheckpoint(eager=False)
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(

@@ -60,8 +60,13 @@ def quality_score(text: Column) -> Column:
 
 
 def lang_guess(text: Column) -> Column:
-    """Heuristic language-ID: highest marker-hit count wins, ties and
-    zero-hits fall back to 'und'."""
+    """Heuristic language-ID: highest marker-hit count wins; zero hits
+    fall back to 'und'. A nonzero TIE breaks to the lexicographically
+    first language (the sorted fold below — deterministic, and what
+    every oracle and driver-green parity row pins; an earlier
+    docstring claimed ties also fell to 'und', which the code never
+    did — round-7 review finding, doc corrected rather than semantics
+    changed under frozen oracles)."""
     toks = tokens(text)
     best = F.lit("und")
     best_score = F.lit(0)

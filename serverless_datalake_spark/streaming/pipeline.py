@@ -81,30 +81,38 @@ def start_ingest_query(
         # reads with a cutoff inside that window can shift; version-
         # exact time travel is the txlog sink's job.
         bid = f"b{batch_id:012d}"
-        batch = batch.withColumn("batch_id", F.lit(bid))
-        (
-            batch.repartition("source")
-            .sortWithinPartitions("source", "ts")
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("source", "batch_id")
-            .parquet(lake_path)
-        )
-        entries = build_catalog_entries(batch, bid)
-        (
-            entries.withColumn("batch_id", F.lit(bid))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("source", "batch_id")
-            .parquet(catalog_path)
-        )
-        if delivery_root:
+        # pin the micro-batch across the 2-3 sinks: unpersisted, each
+        # write re-ran the whole batch plan — JSON scan + the stateful
+        # dedup — so the steady ingest cost was up to 3x for nothing
+        # (round-7 review finding; the multi-sink persist is the
+        # documented foreachBatch pattern)
+        batch = batch.withColumn("batch_id", F.lit(bid)).persist()
+        try:
             (
-                batch.write.mode("overwrite")
+                batch.repartition("source")
+                .sortWithinPartitions("source", "ts")
+                .write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("source", "batch_id")
-                .parquet(delivery_root)
+                .parquet(lake_path)
             )
+            entries = build_catalog_entries(batch, bid)
+            (
+                entries.withColumn("batch_id", F.lit(bid))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("source", "batch_id")
+                .parquet(catalog_path)
+            )
+            if delivery_root:
+                (
+                    batch.write.mode("overwrite")
+                    .option("partitionOverwriteMode", "dynamic")
+                    .partitionBy("source", "batch_id")
+                    .parquet(delivery_root)
+                )
+        finally:
+            batch.unpersist()
 
     trigger = trigger or {"processingTime": "60 seconds"}  # R2 flush interval
     return (
@@ -434,7 +442,14 @@ def start_dedup_admission_query(
         if already_committed(batch_id):
             return
         spark = batch.sparkSession
-        fp = F.md5(F.lower(F.trim(F.col(text_col))))
+        # the CANONICAL fingerprint — shared with batch dedup
+        # (exact_dedup_survivors) and the SQL oracles; an inline copy
+        # here would silently desynchronize streaming admission from
+        # batch dedup if the normalization ever changes (round-7
+        # review finding)
+        from serverless_datalake_spark.operators.textops import fingerprint_md5
+
+        fp = fingerprint_md5(F.col(text_col))
         w = Window.partitionBy("__fp").orderBy(F.col(id_col))
         in_batch = (
             batch.withColumn("__fp", fp)

@@ -84,14 +84,25 @@ def run_profile_available_now(spark, staging_path: str, out_path: str, checkpoin
     from serverless_datalake_spark.streaming.pipeline import read_event_stream
 
     stream = read_event_stream(spark, staging_path, dedup=False, watermark="1 minute")
+    def _sink(batch: DataFrame, bid: int) -> None:
+        # batch_id-partitioned DYNAMIC overwrite, not a bare append: a
+        # checkpoint-replayed batch must REPLACE its own partition, or
+        # every profile row it emitted is duplicated with an identical
+        # batch_id that no downstream filter can dedup (round-7 review
+        # finding — the exact non-idempotence pipeline.py's ingest sink
+        # documents and fixes). Per-write option, no session mutation.
+        (
+            batch.withColumn("batch_id", F.lit(f"b{bid:012d}"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+
     q = (
         user_profile_stream(stream)
         .writeStream.outputMode("update")
-        .foreachBatch(
-            lambda batch, bid: batch.withColumn("batch_id", F.lit(bid))
-            .write.mode("append")
-            .parquet(out_path)
-        )
+        .foreachBatch(_sink)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()

@@ -284,3 +284,37 @@ def test_lsh_bucket_arrow_equals_expr(spark):
     for r in both:
         assert r["e"] == r["a"], f"row {r['id']}: {r['e']} != {r['a']}"
     assert [r["a"] for r in both if r["id"] == 201] == [0]
+
+
+def test_single_centroid_and_single_code_do_not_crash(spark):
+    """n == 1 degenerate shapes: sequence(1, 0) runs DESCENDING in
+    Spark, so the argmax/argmin folds used to probe index 2 of a
+    1-element score array and die under ANSI (round-7 review finding).
+    One centroid must assign everything to it; a 1-entry codebook must
+    reconstruct every segment from its only code."""
+    import random as _random
+
+    from serverless_datalake_spark.operators.similarity import (
+        ivf_centroid_vec_expr,
+    )
+
+    rng = _random.Random(5)
+    cents = [{"centroid_id": 3, "centroid": _vec(rng, DIM)}]
+    df = spark.createDataFrame(
+        [(i, _vec(rng, DIM)) for i in range(20)], "id long, v array<double>"
+    )
+    got = df.select(
+        "id",
+        ivf_assign_expr(cents, "v").alias("cid"),
+        ivf_centroid_vec_expr(cents, "v").alias("cv"),
+    ).collect()
+    assert all(r["cid"] == 3 for r in got)
+    assert all(r["cv"] == cents[0]["centroid"] for r in got)
+    # 1-code codebook: every segment reconstructs to that code
+    m, d = 4, DIM // 4
+    cb = [
+        {"s": s, "code_id": 0, "code_vec": [float(s)] * d} for s in range(m)
+    ]
+    rec = df.select(pq_reconstruct_expr(cb, m, d, 1, "v").alias("r")).collect()
+    want = [x for s in range(m) for x in [float(s)] * d]
+    assert all(r["r"] == want for r in rec)

@@ -427,3 +427,33 @@ def test_components_converge_with_string_ids(spark):
     by_doc = {r["doc_id"]: r["cluster_rep"] for r in comp.collect()}
     assert by_doc["doc-a"] == by_doc["doc-b"] == "doc-a"
     assert by_doc["doc-c"] == "doc-c"
+
+
+def test_simhash_rejects_pigeonhole_violation(spark, sf_dir):
+    """max_hamming > chunks-1 voids the pigeonhole recall guarantee:
+    the operator must raise, not silently return an incomplete pair
+    set (round-7 review finding)."""
+    import pytest
+
+    d = load_table(spark, sf_dir, "documents").limit(5)
+    with pytest.raises(ValueError, match="max_hamming"):
+        dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=4, chunks=4)
+    with pytest.raises(ValueError, match="divisible"):
+        dedup.simhash_near_dups(d, "doc_id", "text", max_hamming=2, chunks=5)
+
+
+def test_frame_sampling_survives_reordered_projection(spark, sf_dir):
+    """sample_frames must bind media columns BY NAME: a reordered or
+    widened projection used to bind media_type to the payload bytes
+    (zero frames out, silently) or crash the positional unpack
+    (round-7 review finding)."""
+    d = load_table(spark, sf_dir, "documents").limit(30)
+    media = multimodal.attach_binary_payload(d, "doc_id", "text")
+    reordered = media.select(
+        "payload", "media_type", "media_id", "n_bytes", "sha256",
+        F.lit("extra").alias("lineage"),
+    )
+    frames = multimodal.sample_frames(reordered, every_n=10, max_frames=2)
+    rows = frames.collect()
+    assert rows, "reordered projection must still yield video frames"
+    assert all(r["media_id"] % 3 == 2 for r in rows)
