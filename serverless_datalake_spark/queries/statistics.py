@@ -1677,3 +1677,111 @@ def stats_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw, 4).alias("ss_within"),
         F.round((ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd)), 6).alias("f_stat"),
     )
+
+
+@query(
+    "stats_spearman_rank",
+    oracle="""
+    WITH xc AS (
+      SELECT l_extendedprice AS xv, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), xr AS (
+      SELECT xv,
+             2 * (SUM(c) OVER (ORDER BY xv ROWS UNBOUNDED PRECEDING) - c)
+               + c + 1 AS rx2
+      FROM xc
+    ), yc AS (
+      SELECT l_quantity AS yv, CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1
+    ), yr AS (
+      SELECT yv,
+             2 * (SUM(c) OVER (ORDER BY yv ROWS UNBOUNDED PRECEDING) - c)
+               + c + 1 AS ry2
+      FROM yc
+    ), j AS (
+      SELECT xr.rx2, yr.ry2
+      FROM lineitem l
+      JOIN xr ON l.l_extendedprice = xr.xv
+      JOIN yr ON l.l_quantity = yr.yv
+    ), s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(rx2 AS HUGEINT)) AS sx,
+             SUM(CAST(ry2 AS HUGEINT)) AS sy,
+             SUM(CAST(rx2 AS HUGEINT) * CAST(rx2 AS HUGEINT)) AS sxx,
+             SUM(CAST(ry2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS syy,
+             SUM(CAST(rx2 AS HUGEINT) * CAST(ry2 AS HUGEINT)) AS sxy
+      FROM j
+    )
+    SELECT n AS n_rows,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM s
+    """,
+    tags=("statistics", "rank", "correlation"),
+)
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of (l_extendedprice, l_quantity) with
+    PROPER tie-averaged (fractional) ranks — the robust monotone-
+    association twin of agg_correlation_pinned's Pearson. Ranks are
+    never materialized per row by a global sort: each variable reduces
+    to its VALUE-GRAIN count relation, the average rank per value
+    comes from a running count ((2·cum_prev + c + 1) / 2, doubled to
+    stay integral), and rows join their rank by value. Pearson on the
+    doubled ranks equals Pearson on the ranks (scale-invariant), so
+    every sufficient statistic is an exact integer sum in
+    DECIMAL(38,0) — order-independent, map-side combinable, matching
+    DuckDB's HUGEINT sums bit-for-bit; both engines convert each
+    exact sum to double once and evaluate one identical expression.
+
+    Scale shape: two value-grain aggregations; the quantity side is a
+    50-row relation, the price side is value-grain (~distinct prices)
+    and its running count rides `with_global_cumsum`
+    (operators/ranking.py) — range-partitioned two-pass, no
+    single-task window. The rank maps join back by value (AQE picks
+    broadcast when small); the final pass is ONE partial-agg shuffle
+    of six integer sums. No per-row rank window anywhere."""
+    from serverless_datalake_spark.operators.ranking import with_global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+
+    def rank2_map(col: str, out: str) -> DataFrame:
+        cnt = li.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        r = with_global_cumsum(cnt, [F.col(col)], "c", out="cum")
+        return r.select(
+            F.col(col),
+            (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).cast("long").alias(out),
+        )
+
+    j = li.join(rank2_map("l_extendedprice", "rx2"), "l_extendedprice").join(
+        rank2_map("l_quantity", "ry2"), "l_quantity"
+    )
+    dx = F.col("rx2").cast("decimal(19,0)")
+    dy = F.col("ry2").cast("decimal(19,0)")
+    s = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(dx).alias("sx"),
+        F.sum(dy).alias("sy"),
+        F.sum(dx * dx).alias("sxx"),
+        F.sum(dy * dy).alias("syy"),
+        F.sum(dx * dy).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy, sxy = (
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+        F.col("sxy").cast("double"),
+    )
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("spearman_rho"),
+    )

@@ -725,3 +725,13 @@ def test_sq8_rerank_bounded_windows_and_broadcasts(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition(" in ln:
             assert "query_id" in ln, ln
+
+
+def test_spearman_windows_all_pid_partitioned(spark, sf_dir):
+    """stats_spearman_rank: fractional tie-ranks come from value-grain
+    counts + the two-pass cumsum — every window is __pid-partitioned,
+    no per-row global rank anywhere (round-7 addition)."""
+    plan = plan_of(spark, sf_dir, "stats_spearman_rank")
+    for ln in plan.splitlines():
+        if "windowspecdefinition(" in ln:
+            assert "__pid" in ln, ln
