@@ -161,8 +161,6 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
     )
-    with open(detail_path, "w") as f:
-        json.dump(detail, f, indent=1)
     # compact line carries 2-decimal times (the 3-decimal precision
     # lives in BENCH_DETAIL.json) — at 62 queries the line sits ~100 B
     # under the ~1.9 kB tail-capture budget; 2 decimals buys ~60 B of
@@ -178,9 +176,13 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    # Print FIRST, warn after: an oversized line must degrade (possible
-    # tail truncation) rather than discard the whole measured run.
+    # Print FIRST, write the detail file after: a detail-write failure
+    # (bad SPARK_GRAFT_BENCH_DETAIL dir, full disk) must not discard
+    # the whole multi-minute measured run (round-7 review finding) —
+    # same reason the oversize warning comes after the line.
     print(line, flush=True)
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
     if len(line) >= 1900:
         print(
             f"WARNING: bench JSON line {len(line)}B risks driver tail-capture truncation",

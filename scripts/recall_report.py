@@ -9,6 +9,12 @@ plans green but silently halves recall shows up here.
 Each system's candidate set is its registry query's own output
 (query_id, corpus_id shortlists, ≤5 rows per query), so the numbers
 measure exactly what the driver-verified queries ship.
+
+The brute-force ground truth — the deliberately-quadratic cross-join,
+the most expensive query in the registry — is computed ONCE per
+sf_dir and pinned (localCheckpoint); it used to be re-executed for
+every one of the ~16 scored systems per sf_dir (round-7 review
+finding).
 """
 
 from __future__ import annotations
@@ -37,24 +43,29 @@ SYSTEMS = [
     "sim_topk_ivfpq_rerank_np4",
     "sim_topk_ivfpq_rerank_np8",
     "sim_topk_hamming",
+    "sim_topk_sq8_rerank",
 ]
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
 
-def recall_at_5(spark, reg, sf_dir: str, system: str) -> tuple[int, float, float]:
-    bf = (
+def ground_truth(spark, reg, sf_dir: str):
+    """Exact top-5 pairs, computed once per sf_dir and pinned."""
+    return (
         reg["sim_topk_bruteforce"]
         .fn(spark, sf_dir)
         .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
+        .localCheckpoint(eager=True)
     )
-    cand = (
-        reg[system]
-        .fn(spark, sf_dir)
-        .select(F.col("query_id").alias("lq"), F.col("corpus_id").alias("lc"))
-    )
+
+
+def recall_df(bf, cand) -> tuple[int, float, float]:
+    """(n_queries, mean recall@5, worst per-query recall) of a
+    candidate (query_id, corpus_id) DataFrame vs the pinned truth —
+    the ONE hit-counting definition every section shares."""
+    c = cand.select(F.col("query_id").alias("lq"), F.col("corpus_id").alias("lc"))
     hits = (
-        bf.join(cand, (F.col("lq") == F.col("bq")) & (F.col("lc") == F.col("bc")), "left")
+        bf.join(c, (F.col("lq") == F.col("bq")) & (F.col("lc") == F.col("bc")), "left")
         .groupBy("bq")
         .agg(F.count("lc").alias("n_hits"))
         .agg(
@@ -64,29 +75,11 @@ def recall_at_5(spark, reg, sf_dir: str, system: str) -> tuple[int, float, float
         )
         .collect()[0]
     )
-    nq, total, worst = int(hits["nq"]), int(hits["hits"]), int(hits["worst"])
-    return nq, total / (5.0 * nq), worst / 5.0
+    nq = int(hits["nq"])
+    return nq, int(hits["hits"]) / (5.0 * nq), int(hits["worst"]) / 5.0
 
 
-def ab_recall_df(spark, reg, sf_dir: str, cand) -> tuple[float, float]:
-    """recall@5 of an ad-hoc candidate DataFrame vs brute force."""
-    bf = (
-        reg["sim_topk_bruteforce"]
-        .fn(spark, sf_dir)
-        .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
-    )
-    c = cand.select(F.col("query_id").alias("lq"), F.col("corpus_id").alias("lc"))
-    hits = (
-        bf.join(c, (F.col("lq") == F.col("bq")) & (F.col("lc") == F.col("bc")), "left")
-        .groupBy("bq")
-        .agg(F.count("lc").alias("n_hits"))
-        .agg(F.count(F.lit(1)).alias("nq"), F.sum("n_hits").alias("hits"), F.min("n_hits").alias("worst"))
-        .collect()[0]
-    )
-    return int(hits["hits"]) / (5.0 * int(hits["nq"])), int(hits["worst"]) / 5.0
-
-
-def residual_vs_plain_ab(spark, sf_dir: str) -> list[str]:
+def residual_vs_plain_ab(spark, sf_dir: str, bf) -> list[str]:
     """Knob-matched A/B: residual-PQ vs plain-PQ ADC at IDENTICAL
     routing (same refined centroids, same nprobe, same 8x32 code
     budget). The registry rows compare shipping operating points
@@ -98,10 +91,8 @@ def residual_vs_plain_ab(spark, sf_dir: str) -> list[str]:
     from serverless_datalake_spark.queries.llm_similarity import (
         _centroid_rows, _codebook_rows, _residual_codebook_rows, _split,
     )
-    from serverless_datalake_spark.queries import load_registry
     from serverless_datalake_spark.tables import load_table
 
-    reg = load_registry()
     queries, corpus = _split(spark, sf_dir)
     em = load_table(spark, sf_dir, "embeddings")
     corpus_lab = em.where(F.col("vec_id") >= 10).select(
@@ -118,8 +109,8 @@ def residual_vs_plain_ab(spark, sf_dir: str) -> list[str]:
         resid = similarity.topk_ivfpq_residual(
             queries, corpus, k=5, nprobe=nprobe, centroid_rows=cents, codebook_rows=rcb
         )
-        pm, _ = ab_recall_df(spark, reg, sf_dir, plain)
-        rm, _ = ab_recall_df(spark, reg, sf_dir, resid)
+        _, pm, _ = recall_df(bf, plain)
+        _, rm, _ = recall_df(bf, resid)
         rows.append(f"| nprobe={nprobe} | {pm:.4f} | {rm:.4f} | {'residual' if rm > pm else ('tie' if rm == pm else 'plain')} |")
         print(f"{os.path.basename(sf_dir)} A/B nprobe={nprobe}: plain={pm:.4f} residual={rm:.4f}", flush=True)
     return rows
@@ -142,9 +133,10 @@ def main() -> None:
     ]
     for sf_dir in SF_DIRS:
         tag = os.path.basename(sf_dir)
+        bf = ground_truth(spark, reg, sf_dir)
         lines += [f"## {tag}", "", "| system | n_queries | mean recall@5 | worst |", "|---|---|---|---|"]
         for system in SYSTEMS:
-            nq, mean, worst = recall_at_5(spark, reg, sf_dir, system)
+            nq, mean, worst = recall_df(bf, reg[system].fn(spark, sf_dir))
             lines.append(f"| {system} | {nq} | {mean:.4f} | {worst:.2f} |")
             print(f"{tag} {system}: mean={mean:.4f} worst={worst:.2f}", flush=True)
         lines += [
@@ -159,7 +151,7 @@ def main() -> None:
             "",
             "| routing | plain-PQ mean recall@5 | residual-PQ mean recall@5 | winner |",
             "|---|---|---|---|",
-            *residual_vs_plain_ab(spark, sf_dir),
+            *residual_vs_plain_ab(spark, sf_dir, bf),
             "",
         ]
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md")

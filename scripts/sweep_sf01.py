@@ -52,8 +52,10 @@ for name in names:
     try:
         reg[name].fn(spark, {sf_dir!r}).write.format("noop").mode("overwrite").save()
     except Exception as ex:
+        # errs only — a time-to-failure in `times` would inflate
+        # total_sec and could list a BROKEN query in over_5s as if it
+        # were a slow success (round-7 review finding)
         errs[name] = repr(ex)[:300]
-        times[name] = round(time.time() - t0, 3)
         continue
     t1 = time.time() - t0
     if t1 > 5.0:
@@ -127,6 +129,13 @@ def main() -> None:
                 res = json.loads(out_l[0][len("CHUNK_RESULT ") :])
                 base_times.update(res["times"])
                 errs.update(res["errs"])
+            else:
+                # a silently-dead baseline chunk (OOM, import error)
+                # must surface as errors, not as baselines-never-ran
+                # (round-7 review finding; mirrors the main loop)
+                tail = (proc.stderr or "")[-200:]
+                for n in baselines:
+                    errs[n] = f"baseline chunk died rc={proc.returncode}: {tail}"
         except subprocess.TimeoutExpired:
             for n in baselines:
                 errs[n] = "baseline chunk timed out at 1800s"

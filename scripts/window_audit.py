@@ -28,7 +28,8 @@ def main() -> None:
     with open(os.path.join(REPO, "WINDOW_AUDIT.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(
-        f"{len(out['queries'])} queries with unpartitioned windows, "
+        f"{out['n_with_unpartitioned_windows']} queries with unpartitioned "
+        f"windows, {out['n_errors']} plan-build errors, "
         f"{len(out['violations'])} violations, {out['sec']}s -> WINDOW_AUDIT.json"
     )
     if out["violations"]:

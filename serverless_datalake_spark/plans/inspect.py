@@ -12,15 +12,21 @@ from pyspark.sql import DataFrame
 def executed_plan(df: DataFrame, finalize: bool = False) -> str:
     """The physical plan string. With finalize=True the query is
     executed first so AQE's final (runtime-adapted) plan is returned.
-    NB: must execute via collect() — a write.save() wraps the plan in
-    a NEW QueryExecution and the DataFrame's own plan never finalizes.
+    NB: must execute the DataFrame's OWN QueryExecution — a
+    write.save() wraps the plan in a NEW QueryExecution and the
+    DataFrame's own plan never finalizes. The drain rides
+    toLocalIterator (one partition of driver memory at a time), not
+    collect(): a full-result collect of every headline query at the
+    bench SF materialized whole corpora driver-side just to read a
+    plan string (round-7 review finding).
     Plan metadata truncation is lifted so PushedFilters parse fully."""
     spark = df.sparkSession
     prev = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
     spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
     try:
         if finalize:
-            df.collect()
+            for _ in df.toLocalIterator():
+                pass
         return df._jdf.queryExecution().executedPlan().toString()
     finally:
         spark.conf.set("spark.sql.maxMetadataStringLength", prev)
@@ -58,8 +64,11 @@ def plan_report(df: DataFrame, finalize: bool = False) -> PlanReport:
     if "== Initial Plan ==" in plan:
         plan = plan.split("== Initial Plan ==")[0]
     r = PlanReport()
+    # greedy to end-of-line: In(col, [v1,v2]) pushdowns contain nested
+    # ']' that a lazy [^\]]* capture truncated, silently dropping any
+    # filters after them (round-7 review finding)
     r.pushed_filters = [
-        m for m in re.findall(r"PushedFilters: \[([^\]]*)\]", plan) if m.strip()
+        m for m in re.findall(r"PushedFilters: \[(.*)\]", plan) if m.strip()
     ]
     r.partition_filters = [
         m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m.strip()

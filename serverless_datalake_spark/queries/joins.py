@@ -4,7 +4,7 @@ as-of (SURVEY.md §2b). All north-star extensions over the reference
 
 Scale notes: the fact-to-fact joins shuffle on their keys and rely on
 AQE for skew; dimension joins broadcast (nation/region are constant
-size, ~O(10..100) rows at any SF — see tables.BROADCAST_DIMS).
+size, ~O(10..100) rows at any SF).
 """
 
 from __future__ import annotations

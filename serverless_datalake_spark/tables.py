@@ -27,14 +27,6 @@ TABLES = (
     "embeddings",
 )
 
-# Dimension tables small enough to broadcast at any realistic scale
-# (TPC-H nation/region are constant-size; part/supplier/customer grow
-# with SF but stay ≪ fact tables — broadcast decision is left to AQE
-# for those, forced only for the constant-size dims).
-BROADCAST_DIMS = frozenset({"region", "nation"})
-
-DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-
 # Confs the engine's queries depend on, applied defensively because a
 # caller (e.g. the verify driver) may hand us a SparkSession built
 # without session.get_spark():
@@ -111,10 +103,17 @@ def load_events_pushdown(
     df = spark.read.parquet(table_path(sf_dir, "events"))
     dtypes = dict(df.dtypes)
     if dtypes.get("ts") != "bigint":  # plain-timestamp layout
-        if ts_between:
-            df = df.where(F.col("ts").between(*ts_between))
+        # NTZ cast BEFORE the filter: comparing a string bound against
+        # a timestamp_ntz column coerces the bound to NTZ by DROPPING
+        # its UTC offset (empirically: '13:00:00+02:00' becomes a
+        # naive 13:00 instead of 11:00 UTC), silently diverging from
+        # the bigint branch, which honors offsets (round-7 review
+        # finding). Casting to the session (UTC) timestamp first makes
+        # the string comparison offset-aware.
         if dtypes.get("ts") == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        if ts_between:
+            df = df.where(F.col("ts").between(*ts_between))
         return df
     if ts_between:
 
@@ -139,10 +138,6 @@ def load_events_pushdown(
     return df.withColumn(
         "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
     )
-
-
-def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
 
 def register_views(
