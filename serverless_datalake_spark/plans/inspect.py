@@ -57,6 +57,18 @@ class PlanReport:
         )
 
 
+# Bounded bracket capture for FileScan filter sections: lazy up to a
+# ']' that is followed by the next "Key: " section or end-of-line.
+# Survives BOTH failure modes seen in review: nested ']' inside
+# In(col, [v1,v2]) (a lazy [^\]]* truncated there, dropping any filters
+# after it — round-7 finding) AND a later bracketed segment on the same
+# line such as DSv2 "RuntimeFilters: [...]" (a greedy (.*)\] swallowed
+# it into pushed_filters — round-8 ADVICE finding). "], IsNotNull(..."
+# after a nested list does not terminate the capture because filter
+# names are followed by '(' not ': '.
+FILTER_SECTION_RE = r"\[(.*?)\](?=, [A-Z]\w+: |$)"
+
+
 def plan_report(df: DataFrame, finalize: bool = False) -> PlanReport:
     plan = executed_plan(df, finalize=finalize)
     # a finalized AdaptiveSparkPlan prints Final AND Initial sections —
@@ -64,14 +76,15 @@ def plan_report(df: DataFrame, finalize: bool = False) -> PlanReport:
     if "== Initial Plan ==" in plan:
         plan = plan.split("== Initial Plan ==")[0]
     r = PlanReport()
-    # greedy to end-of-line: In(col, [v1,v2]) pushdowns contain nested
-    # ']' that a lazy [^\]]* capture truncated, silently dropping any
-    # filters after them (round-7 review finding)
     r.pushed_filters = [
-        m for m in re.findall(r"PushedFilters: \[(.*)\]", plan) if m.strip()
+        m
+        for m in re.findall(r"PushedFilters: " + FILTER_SECTION_RE, plan, re.M)
+        if m.strip()
     ]
     r.partition_filters = [
-        m for m in re.findall(r"PartitionFilters: \[([^\]]*)\]", plan) if m.strip()
+        m
+        for m in re.findall(r"PartitionFilters: " + FILTER_SECTION_RE, plan, re.M)
+        if m.strip()
     ]
     r.read_schemas = re.findall(r"ReadSchema: (\S+)", plan)
     r.broadcast_joins = plan.count("BroadcastHashJoin") + plan.count(

@@ -270,59 +270,60 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND 7 window: per WINDOWS.md (round-7 block, 50 entries).
-    # Round-6 window came back 50/50 green (CORRECTNESS_r06); rounds
-    # 8–9 remain planned in WINDOWS.md so the union closes the backlog.
-    "agg_linear_regression",
-    "ts_theil_sen",
-    "stats_ks_two_sample",
-    "stats_chi_square",
-    "events_diff_in_diff",
-    "agg_trimmed_mean",
-    "eval_calibration_ece",
-    "stats_ratio_delta_ci",
-    "stats_survival_km",
-    "stats_mann_whitney_u",
-    "stream_sliding_distinct_users",
-    "stream_lateness_audit",
-    "ts_cross_correlation",
-    "ts_changepoint_meanshift",
-    "ts_seasonal_strength",
-    "ts_rolling_quantile",
-    "ts_period_over_period",
-    "ts_mann_kendall",
-    "ts_concurrency_sweep",
-    "ts_rolling_ols_slope",
-    "ts_backtest_snaive",
-    "udtf_ngram_generator",
-    "udf_map_in_arrow",
-    "udtf_dynamic_schema",
-    "udf_grouped_ols_fit",
-    "scd2_dimension_build",
-    "scd2_point_in_time",
-    "events_transition_matrix",
-    "orders_rfm_segmentation",
-    "orders_abc_classification",
-    "events_new_users_cumulative",
-    "events_session_path_topk",
-    "privacy_pseudonymize_consistent",
-    "validate_cross_table_totals",
-    "agg_share_of_parent",
-    "orders_xyz_classification",
-    "window_pareto_share",
-    "window_longest_streak",
-    "session_duration_histogram",
-    "window_running_distinct",
-    "eval_pass_at_k",
-    "stats_cohens_kappa",
-    "eval_rouge1_pairs",
-    "pref_bradley_terry",
-    "sim_topk_hamming",
-    "privacy_dp_noisy_counts",
-    "eval_ndcg_at_5",
-    "dedup_ngram_spans",
-    "agg_kmv_jaccard",
-    "eval_auc_roc",
+    # ROUND 8 window: per WINDOWS.md (round-8 block, 50 entries).
+    # Round-7 window came back 50/50 green (CORRECTNESS_r07); round 9
+    # (21 entries) remains planned in WINDOWS.md so the union covers
+    # the full 411-query registry.
+    "eval_confusion_prf",
+    "graph_k_core",
+    "sample_systematic_weighted",
+    "tokenizer_bpe_encode",
+    "mixture_doremi_excess",
+    "audit_partition_skew",
+    "events_markov_stationary",
+    "eval_brier_decomposition",
+    "eval_cost_threshold",
+    "txlog_partition_prune",
+    "text_token_regex_gpt",
+    "pipeline_curation4_weighted",
+    "graph_jaccard_links_truncated",
+    "stats_permutation_test",
+    "model_logreg_quality_fit",
+    "model_logreg_quality_serve",
+    "sim_topk_ivf_nprobe4",
+    "events_attribution_position",
+    "stats_fdr_bh",
+    "stats_welch_tstat",
+    "dedup_cluster_report",
+    "agg_histogram_log2",
+    "sample_curriculum_stages",
+    "mixture_caps_floors",
+    "events_next_event_examples",
+    "embedding_quality_screen",
+    "sql_pipe_syntax",
+    "sql_session_variable",
+    "sql_identifier_dynamic",
+    "model_decision_stump_fit",
+    "eval_mcnemar_paired",
+    "graph_hits_bipartite",
+    "scan_xml_roundtrip",
+    "dedup_minhash_pr_eval",
+    "join_dpp_runtime_prune",
+    "sim_topk_ivfpq_rerank_np4",
+    "udf_cogrouped_reconcile",
+    "ts_cusum_drift",
+    "stats_eb_shrinkage",
+    "agg_sketch_error_audit",
+    "orders_fulfillment_cycle",
+    "pipeline_dedup_impact",
+    "text_ppl_buckets",
+    "dedup_span_removal",
+    "dedup_boilerplate_grams",
+    "sample_dsir_importance",
+    "split_leakage_free",
+    "model_naive_bayes_langid",
+    "eval_bleu_pairs",
+    "eval_distinct_n",
 )
 
 

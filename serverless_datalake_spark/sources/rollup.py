@@ -37,27 +37,29 @@ def append_rollup(events: DataFrame, rollup_path: str, batch_id: int | str) -> N
     silently double-count in every downstream re-aggregation (round-7
     review finding; the module docstring promised this contract but
     the writer didn't implement it). Other batches' partitions are
-    untouched."""
-    spark = events.sparkSession
-    key = "spark.sql.sources.partitionOverwriteMode"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:  # noqa: BLE001 - unset conf
-        prev = None
-    spark.conf.set(key, "dynamic")
-    try:
-        (
-            rollup_hourly(events)
-            .withColumn("batch_id", F.lit(str(batch_id)))
-            .write.mode("overwrite")
-            .partitionBy("batch_id", "source")
-            .parquet(rollup_path)
-        )
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    untouched.
+
+    Partitioned by batch_id ONLY: an overwrite partitioned by
+    (batch_id, source) replaces just the partitions PRESENT in the
+    retry, so a replayed batch that yields fewer sources than the
+    original attempt (source-level filter change, corrupt-span skip)
+    left the missing source's stale partials behind — double-counted
+    downstream forever (round-7 ADVICE finding). With batch_id as the
+    sole partition key a retry replaces the batch's entire
+    contribution; source stays a sorted data column, so per-source
+    reads still skip row groups on min/max stats. The overwrite mode
+    rides the WRITE (option), not the session conf — a set/restore of
+    the session key races with concurrent queries on the same session
+    (see start_ingest_query's contract note)."""
+    (
+        rollup_hourly(events)
+        .withColumn("batch_id", F.lit(str(batch_id)))
+        .sortWithinPartitions("source", "bucket")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(rollup_path)
+    )
 
 
 def read_rollup_daily(spark: SparkSession, rollup_path: str) -> DataFrame:

@@ -197,7 +197,9 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id"
     )
 
 
-def _replay_guard(table_path: str, txn_app: str | None):
+def _replay_guard(
+    table_path: str, txn_app: str | None, honor_legacy_markers: bool = False
+):
     """Shared batch-replay guard for the txlog-sink queries:
     (already_committed(batch_id), marker_extra(batch_id)).
 
@@ -227,16 +229,19 @@ def _replay_guard(table_path: str, txn_app: str | None):
             return True
         if txn_app is None:
             return any(m[1] == batch_id for m in seen)
-        # Upgrade path: a pipeline that committed batches in the legacy
-        # single-writer form (txn_app=None → (None, batch_id) markers)
-        # and was then restarted with txn_app set must still recognize
-        # its own pre-upgrade batches, or a checkpoint replay straddling
-        # the upgrade re-commits them (duplicate rows). Legacy markers
-        # predate app-scoping, so by definition they belong to the
-        # single-writer era — honoring them cannot skip another app's
-        # batch unless that app ALSO ran unscoped, which the docstring
-        # forbids for shared tables.
-        return (None, batch_id) in seen
+        # Upgrade path, OPT-IN ONLY: a pipeline that committed batches
+        # in the legacy single-writer form (txn_app=None →
+        # (None, batch_id) markers) and was then restarted with txn_app
+        # set must still recognize its own pre-upgrade batches, or a
+        # checkpoint replay straddling the upgrade re-commits them
+        # (duplicate rows). Honoring legacy markers is safe only when
+        # THIS pipeline was the table's sole unscoped writer — if two
+        # pipelines both ran unscoped before being given distinct
+        # txn_apps, each would silently skip (drop) batches whose ids
+        # collide with the other's legacy markers (round-7 ADVICE
+        # finding) — so it must be asserted explicitly by the operator
+        # doing the upgrade, never applied by default.
+        return honor_legacy_markers and (None, batch_id) in seen
 
     def marker_extra(batch_id: int) -> dict:
         # pure — the cache is updated by commit() only AFTER the
@@ -264,6 +269,7 @@ def start_txlog_ingest_query(
     checkpoint_path: str,
     trigger: dict | None = None,
     txn_app: str | None = None,
+    honor_legacy_markers: bool = False,
 ) -> StreamingQuery:
     """Ingest with an ACID sink: each micro-batch commits through the
     transaction log (sources/txlog.py), so a batch's files become
@@ -279,7 +285,9 @@ def start_txlog_ingest_query(
     table — see _replay_guard."""
     from serverless_datalake_spark.sources import txlog
 
-    already_committed, commit = _replay_guard(table_path, txn_app)
+    already_committed, commit = _replay_guard(
+        table_path, txn_app, honor_legacy_markers
+    )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if already_committed(batch_id):
@@ -358,6 +366,7 @@ def start_txlog_upsert_query(
     order_col: str = "ts",
     trigger: dict | None = None,
     txn_app: str | None = None,
+    honor_legacy_markers: bool = False,
 ) -> StreamingQuery:
     """Streaming CDC upsert: each micro-batch MERGEs into the txlog
     table by key — the mutable-table sink for change streams
@@ -377,7 +386,9 @@ def start_txlog_upsert_query(
     identical to start_txlog_ingest_query's (shared _replay_guard)."""
     from serverless_datalake_spark.sources import txlog
 
-    already_committed, commit = _replay_guard(table_path, txn_app)
+    already_committed, commit = _replay_guard(
+        table_path, txn_app, honor_legacy_markers
+    )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if already_committed(batch_id):
@@ -413,6 +424,7 @@ def start_dedup_admission_query(
     id_col: str = "doc_id",
     trigger: dict | None = None,
     txn_app: str | None = None,
+    honor_legacy_markers: bool = False,
 ) -> StreamingQuery:
     """Streaming INCREMENTAL DEDUP ADMISSION: each micro-batch admits
     only documents whose normalized-content fingerprint has never been
@@ -436,7 +448,9 @@ def start_dedup_admission_query(
     the exact anti-join — same two-stage shape, same guarantees."""
     from serverless_datalake_spark.sources import txlog
 
-    already_committed, commit = _replay_guard(table_path, txn_app)
+    already_committed, commit = _replay_guard(
+        table_path, txn_app, honor_legacy_markers
+    )
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         if already_committed(batch_id):

@@ -357,3 +357,75 @@ def test_concatenated_json_keeps_objects_missing_event_id(spark, tmp_path):
     types = sorted(r["event_type"] for r in rows if r["event_type"] is not None)
     assert types == ["click", "view"]  # the id-less object survived
     assert sum(1 for r in rows if r["event_id"] is None and r["event_type"] == "view") == 1
+
+
+def test_compaction_crash_heals_both_directions(spark, tmp_path):
+    """The round-8 two-phase protocol closes the round-7 ADVICE window
+    (crash after append, before manifest → permanent silent doubling).
+    Both crash states must heal to exactly-once data:
+
+    * staging dir still present (crash mid-write/mid-move) → ROLLBACK:
+      prefixed compacted copies removed, originals intact;
+    * staging dir gone (crash after commit, before deletes) → ROLL
+      FORWARD: originals removed, compacted copies kept.
+    """
+    import shutil as _shutil
+
+    lake_path = str(tmp_path / "lake")
+    df = spark.createDataFrame(
+        [(i, "clicks", float(i)) for i in range(30)],
+        "event_id long, source string, value double",
+    )
+    for _ in range(2):
+        df.coalesce(2).write.mode("append").partitionBy("source").parquet(lake_path)
+    pdir = os.path.join(lake_path, "source=clicks")
+    baseline = sorted(
+        r["event_id"] for r in spark.read.parquet(lake_path).collect()
+    )
+
+    # --- CASE 1: crash mid-move (staging present) → rollback ---
+    victims = sorted(glob.glob(os.path.join(pdir, "*.parquet")))[:1]
+    staging = os.path.join(pdir, "_compact-deadbeef.staging")
+    os.makedirs(staging)
+    marker = os.path.join(pdir, "_compact-deadbeef.intent.json")
+    with open(marker, "w") as f:
+        json.dump(
+            {"doomed": victims, "staging": staging, "prefix": "compact-deadbeef-"},
+            f,
+        )
+    # one compacted copy already moved into place, one still staged
+    moved = os.path.join(pdir, "compact-deadbeef-" + os.path.basename(victims[0]))
+    _shutil.copy(victims[0], moved)
+    _shutil.copy(victims[0], os.path.join(staging, "part-staged.parquet"))
+    maintenance._replay_intent_markers(lake_path, "clicks")
+    assert not os.path.exists(moved) and not os.path.isdir(staging)
+    assert not os.path.exists(marker)
+    assert all(os.path.exists(v) for v in victims)  # originals untouched
+    got = sorted(r["event_id"] for r in spark.read.parquet(lake_path).collect())
+    assert got == baseline  # no duplication, no loss
+
+    # --- CASE 2: crash after commit point (staging gone) → roll forward
+    moved = os.path.join(pdir, "compact-cafef00d-" + os.path.basename(victims[0]))
+    _shutil.copy(victims[0], moved)  # the committed compacted copy
+    marker = os.path.join(pdir, "_compact-cafef00d.intent.json")
+    with open(marker, "w") as f:
+        json.dump(
+            {
+                "doomed": victims,
+                "staging": os.path.join(pdir, "_compact-cafef00d.staging"),
+                "prefix": "compact-cafef00d-",
+            },
+            f,
+        )
+    maintenance._replay_intent_markers(lake_path, "clicks")
+    assert all(not os.path.exists(v) for v in victims)  # originals gone
+    assert os.path.exists(moved)
+    assert not os.path.exists(marker)
+    got = sorted(r["event_id"] for r in spark.read.parquet(lake_path).collect())
+    assert got == baseline  # exactly-once either way
+
+    # an orphan staging dir with no marker is garbage-collected
+    orphan = os.path.join(pdir, "_compact-00000000.staging")
+    os.makedirs(orphan)
+    maintenance._replay_intent_markers(lake_path, "clicks")
+    assert not os.path.isdir(orphan)

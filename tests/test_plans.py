@@ -735,3 +735,38 @@ def test_spearman_windows_all_pid_partitioned(spark, sf_dir):
     for ln in plan.splitlines():
         if "windowspecdefinition(" in ln:
             assert "__pid" in ln, ln
+
+
+def test_plan_report_regex_bounded_capture():
+    """The PushedFilters/PartitionFilters capture must survive BOTH
+    failure modes found in review: nested ']' inside In(col, [v1,v2])
+    (round-7: a lazy [^\\]]* truncated there, dropping later filters)
+    and a later bracketed segment on the same line such as DSv2
+    RuntimeFilters (round-8 ADVICE: a greedy (.*)\\] swallowed it into
+    pushed_filters). Tests the module's OWN pattern, not a copy."""
+    import re as _re
+
+    from serverless_datalake_spark.plans.inspect import FILTER_SECTION_RE
+
+    plan = (
+        "FileScan parquet [a,b] Batched: true, "
+        "PushedFilters: [IsNotNull(a), In(a, [1,2,3]), GreaterThan(b,4)], "
+        "RuntimeFilters: [dynamicpruning#123], "
+        "ReadSchema: struct<a:int,b:int>\n"
+        "Scan parquet PartitionFilters: [isnotnull(day#1), "
+        "day#1 IN (2024-01-01,2024-01-02)], PushedFilters: [], "
+        "ReadSchema: struct<c:int>"
+    )
+    pushed = [
+        m
+        for m in _re.findall(r"PushedFilters: " + FILTER_SECTION_RE, plan, _re.M)
+        if m.strip()
+    ]
+    part = [
+        m
+        for m in _re.findall(r"PartitionFilters: " + FILTER_SECTION_RE, plan, _re.M)
+        if m.strip()
+    ]
+    # nested In-list survives AND RuntimeFilters is NOT swallowed
+    assert pushed == ["IsNotNull(a), In(a, [1,2,3]), GreaterThan(b,4)"]
+    assert part == ["isnotnull(day#1), day#1 IN (2024-01-01,2024-01-02)"]

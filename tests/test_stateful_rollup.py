@@ -85,6 +85,25 @@ def test_rollup_daily_matches_direct_aggregation(spark, sf_dir):
         # batch 1's contribution, not double-count it — the documented
         # per-batch idempotence contract (round-7 review finding)
         rollup.append_rollup(e.where(F.col("event_id") % 2 == 1), path, batch_id=1)
+        # a retry that yields FEWER sources must still replace the
+        # batch's ENTIRE contribution: under a (batch_id, source)
+        # partitioning the missing source's stale partials survived
+        # the dynamic overwrite and double-counted downstream forever
+        # (round-7 ADVICE finding) — so first shrink batch 0 to one
+        # source, then retry it at full width to restore the data
+        one_source = e.select("source").orderBy("source").limit(1).collect()[0][0]
+        rollup.append_rollup(
+            e.where((F.col("event_id") % 2 == 0) & (F.col("source") == one_source)),
+            path,
+            batch_id=0,
+        )
+        assert (
+            spark.read.parquet(path)
+            .where((F.col("batch_id") == "0") & (F.col("source") != one_source))
+            .count()
+            == 0
+        ), "narrow retry left stale sources from the wide attempt behind"
+        rollup.append_rollup(e.where(F.col("event_id") % 2 == 0), path, batch_id=0)
 
         daily = rollup.read_rollup_daily(spark, path)
         truth = e.groupBy(

@@ -177,18 +177,28 @@ def test_replay_guard_recognizes_legacy_markers_after_txn_app_upgrade(spark, tmp
     """A pipeline that committed batches in the legacy single-writer
     form (txn_app=None) and restarts with txn_app set must still skip
     those batches — a checkpoint replay straddling the upgrade used to
-    re-commit them (duplicate rows)."""
+    re-commit them (duplicate rows). The fallback is OPT-IN
+    (honor_legacy_markers=True): if two pipelines both ran unscoped
+    before being given distinct txn_apps, an unconditional fallback
+    would make each silently skip (drop) batches whose ids collide
+    with the other's legacy markers (round-7 ADVICE finding), so by
+    default an app-scoped guard ignores legacy markers entirely."""
     from serverless_datalake_spark.streaming.pipeline import _replay_guard
 
     path = str(tmp_path / "t")
     txlog.txlog_write(_df(spark, 0, 5), path, extra={"batch_id": 0})  # pre-upgrade
-    already, commit = _replay_guard(path, txn_app="p1")
+    already, commit = _replay_guard(path, txn_app="p1", honor_legacy_markers=True)
     assert already(0) is True  # legacy marker honored under the new app id
     assert already(1) is False
     # scoping still isolates OTHER apps' scoped markers
     txlog.txlog_write(_df(spark, 5, 9), path, extra={"batch_id": 7, "txn_app": "other"})
-    already2, _ = _replay_guard(path, txn_app="p1")
+    already2, _ = _replay_guard(path, txn_app="p1", honor_legacy_markers=True)
     assert already2(7) is False
+    # DEFAULT: legacy markers are another (possibly different)
+    # pipeline's history — a scoped guard must not skip on them
+    already3, _ = _replay_guard(path, txn_app="p1")
+    assert already3(0) is False
+    assert already3(7) is False
 
 
 def test_txlog_ingest_survives_checkpoint_loss_and_vacuum(spark, tmp_path):

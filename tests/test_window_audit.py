@@ -37,3 +37,38 @@ def test_allowlist_has_no_stale_entries():
     reg = load_registry()
     stale = sorted(n for n in ALLOWLIST if n not in reg)
     assert stale == [], stale
+
+
+def test_windows_plan_covers_backlog():
+    """WINDOWS.md rounds 8+9 must enumerate EXACTLY the registry
+    queries that have no driver CORRECTNESS row yet (union of
+    CORRECTNESS_r01..r07) — the round-7 verdict caught the header
+    math lagging the registry (three round-7 additions were easy to
+    lose from round 9's list). A set mismatch either direction means
+    a query would never get its driver row, or a window wastes a slot
+    on an already-verified name."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for f in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r0*.json"))):
+        with open(f) as fh:
+            seen |= set(json.load(fh).keys())
+    reg = set(load_registry())
+    backlog = reg - seen
+    text = open(os.path.join(repo, "WINDOWS.md")).read()
+    planned: set[str] = set()
+    for block in re.findall(
+        r"## round [89] \(.*?\)\n\n((?:- .+\n)+)", text
+    ):
+        planned |= {
+            line[2:].split(" ")[0].strip()
+            for line in block.strip().splitlines()
+        }
+    assert planned == backlog, {
+        "planned_but_not_backlog": sorted(planned - backlog),
+        "backlog_but_not_planned": sorted(backlog - planned),
+    }
