@@ -160,7 +160,12 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the oracle recomputes the same algorithm rather than checking
     # recall: same buckets, same candidates, same scores (_bucket_sql).
     oracle=_lsh_oracle(multiprobe=False),
-    tags=("llm", "similarity", "ann"),
+    # baseline-only: 1-table single-probe LSH ships 0.00 recall@5 at
+    # sf0.001 (RECALL.md) — it exists as the motivating baseline for
+    # multiprobe/IVF/rerank, NOT as a serving leg; consumers should
+    # use sim_topk_ivfpq_rerank_np8 or sim_topk_sq8_rerank (same
+    # convention as graph_jaccard_links' exact-baseline demotion).
+    tags=("llm", "similarity", "ann", "baseline-only"),
 )
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: 8 deterministic hyperplanes →
@@ -191,7 +196,10 @@ def sim_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket assignment is computed (materialized at rest vs on the
     # fly) — so the same oracle applies.
     oracle=_lsh_oracle(multiprobe=False),
-    tags=("llm", "similarity", "ann", "index"),
+    # baseline-only: same 0.00-recall single-probe leg as sim_topk_lsh
+    # (the index changes WHERE bucketing happens, not recall) — kept
+    # for the partition-pruning plan shape it demonstrates.
+    tags=("llm", "similarity", "ann", "index", "baseline-only"),
 )
 def sim_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN probe: the corpus is materialized ONCE
