@@ -63,6 +63,7 @@ ALLOWLIST: dict[str, str] = {
     "agg_histogram_log2": "<=64 log2 buckets",
     "agg_share_of_parent": "25 (region, nation) rows",
     "stats_ks_two_sample": "distinct rounded price values (domain)",
+    "stats_kruskal_wallis": "distinct quantity values (domain, <=50)",
     "stats_mann_whitney_u": "distinct rounded values (domain)",
     "stats_survival_km": "duration-day grid (time-bounded)",
     "stats_fdr_bh": "25 nations",

@@ -2464,3 +2464,95 @@ def eval_ppi_mean_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ppi_mean"),
     )
+
+
+@query(
+    "eval_fleiss_kappa",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), votes AS (
+      SELECT (CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END)
+             + (CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN len(toks) >= 30
+                      AND len(list_distinct(toks)) * 2 >= len(toks)
+                THEN 1 ELSE 0 END) AS n1
+      FROM t
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(n1) AS BIGINT) AS s1,
+             CAST(SUM(CAST(n1 AS HUGEINT) * CAST(n1 AS HUGEINT)
+                      + CAST(3 - n1 AS HUGEINT) * CAST(3 - n1 AS HUGEINT))
+                  AS BIGINT) AS ssq
+      FROM votes
+    )
+    SELECT n_items,
+           ROUND((CAST(ssq AS DOUBLE) - 3.0 * CAST(n_items AS DOUBLE))
+                 / (6.0 * CAST(n_items AS DOUBLE)), 6) AS p_bar,
+           ROUND(POW(CAST(s1 AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)), 2)
+                 + POW(1.0 - CAST(s1 AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)),
+                       2), 6) AS p_e,
+           ROUND(((CAST(ssq AS DOUBLE) - 3.0 * CAST(n_items AS DOUBLE))
+                  / (6.0 * CAST(n_items AS DOUBLE))
+                  - (POW(CAST(s1 AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)), 2)
+                     + POW(1.0 - CAST(s1 AS DOUBLE)
+                           / (3.0 * CAST(n_items AS DOUBLE)), 2)))
+                 / (1.0
+                    - (POW(CAST(s1 AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)), 2)
+                       + POW(1.0 - CAST(s1 AS DOUBLE)
+                             / (3.0 * CAST(n_items AS DOUBLE)), 2))), 6) AS kappa
+    FROM sums
+    """,
+    tags=("evaluation", "agreement", "fleiss-kappa"),
+)
+def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa across THREE deterministic quality raters per
+    document (length gate ≥30 tokens; diversity gate 2·distinct ≥
+    total; their conjunction) — the multi-rater agreement statistic a
+    labeling pipeline runs before trusting majority-vote labels, and
+    the n-rater generalization of stats_cohens_kappa (which compares
+    exactly two). The third rater is deliberately correlated with both
+    gates, the realistic ensemble case.
+
+    Formula: per item Pᵢ = (Σⱼ nᵢⱼ² − n)/(n(n−1)) with n=3 raters and
+    binary categories, P̄ = mean Pᵢ; chance agreement P_e = Σⱼ p̄ⱼ²
+    from the pooled category shares; κ = (P̄ − P_e)/(1 − P_e).
+
+    Exactness: vote counts are integers; Σn₁ and Σ(n₁² + n₀²) are
+    exact integer aggregates, so P̄, P_e and κ are fixed double
+    expressions over two exact integers — no ordering anywhere.
+
+    Scale shape: one scan with per-row token-array work, one global
+    partial aggregate to a single row — the cheapest possible shape;
+    at 100 TB the token pass dominates and is embarrassingly
+    parallel."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    ra = F.when(n >= 30, 1).otherwise(0)
+    rb = F.when(nd * 2 >= n, 1).otherwise(0)
+    rc = F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0)
+    d38 = "decimal(38,0)"
+    votes = d.select((ra + rb + rc).alias("n1"))
+    n1d38 = F.col("n1").cast(d38)
+    n0d38 = (F.lit(3) - F.col("n1")).cast(d38)
+    sums = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n1").cast("long").alias("s1"),
+        F.sum(n1d38 * n1d38 + n0d38 * n0d38).cast("long").alias("ssq"),
+    )
+    nI = F.col("n_items").cast("double")
+    p_bar = (F.col("ssq").cast("double") - F.lit(3.0) * nI) / (F.lit(6.0) * nI)
+    p1 = F.col("s1").cast("double") / (F.lit(3.0) * nI)
+    p_e = F.pow(p1, 2) + F.pow(F.lit(1.0) - p1, 2)
+    return sums.select(
+        "n_items",
+        F.round(p_bar, 6).alias("p_bar"),
+        F.round(p_e, 6).alias("p_e"),
+        F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
+    )

@@ -1785,3 +1785,428 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-group tests (round 8): Kruskal-Wallis, Brown-Forsythe, Tukey HSD —
+# the post-ANOVA toolkit a data-quality monitor runs across k cohorts.
+
+_KW_H = """(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * srn
+                  - 3.0 * CAST(n + 1 AS DOUBLE))
+                 / (1.0 - CAST(t3 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(n AS DOUBLE)))"""
+
+# chi-square 5% critical values for dof 1..4 (k-group tests never see
+# more groups here; the sentinel never rejects beyond the table)
+_CHI2_CRIT = "CASE k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 ELSE 1e308 END"
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH units AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem
+    ), vg AS (
+      SELECT v, grp, CAST(COUNT(*) AS BIGINT) AS cg FROM units GROUP BY 1, 2
+    ), vc AS (
+      SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM vg GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prev
+      FROM vc
+    ), rnk AS (
+      SELECT v, 2 * prev + c + 1 AS r2 FROM cum
+    ), grp_r AS (
+      SELECT vg.grp,
+             SUM(CAST(vg.cg AS HUGEINT) * CAST(rnk.r2 AS HUGEINT)) AS rr2,
+             CAST(SUM(vg.cg) AS BIGINT) AS ng
+      FROM vg JOIN rnk ON vg.v = rnk.v GROUP BY 1
+    ), ties AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                 - CAST(c AS HUGEINT)) AS t3
+      FROM vc
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             list_reduce(
+               list_prepend([0.0],
+                 list([CAST(rr2 AS DOUBLE) * CAST(rr2 AS DOUBLE)
+                       / (4.0 * CAST(ng AS DOUBLE))] ORDER BY grp)),
+               (a, x) -> [a[1] + x[1]]
+             )[1] AS srn
+      FROM grp_r
+    )
+    SELECT k, n, k - 1 AS dof,
+           ROUND({_KW_H}, 6) AS h_stat,
+           CAST(CASE WHEN {_KW_H} > {_CHI2_CRIT} THEN 1 ELSE 0 END AS BIGINT)
+             AS reject_05
+    FROM folded CROSS JOIN ties
+    """,
+    tags=("stats", "rank-test", "kruskal-wallis"),
+)
+def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the three return-flag cohorts' quantity
+    distributions — the k-group extension of stats_mann_whitney_u
+    (does ANY cohort's location differ?), with the exact tie
+    correction 1 − Σ(t³−t)/(N³−N); rejects against the chi-square
+    (k−1) 5% critical value.
+
+    Exactness: the mid-rank machinery is stats_mann_whitney_u's —
+    doubled ranks (avg_rank·2 = 2·prev + c + 1) stay integral; per-
+    group doubled rank sums and the tie term are exact 128-bit
+    aggregates; Σ R_j²/n_j runs as ONE ordered fold over the
+    group-sorted 3-row list (the stats_anova_oneway discipline), so
+    both engines add identical doubles in identical order.
+
+    Scale shape: quantity has a ≤50-value DOMAIN, so the unpartitioned
+    cumulative window runs over a domain-bounded relation (allowlisted
+    like stats_ks_two_sample); everything downstream is group-grain.
+    Fact rows are touched ONCE: the (v, grp) hash aggregate is pinned
+    (lazy localCheckpoint, the ranking.py discipline) because four
+    relations branch off it — unpinned, Spark re-derived it per branch
+    and the physical plan scanned the fact table five times."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    units = li.select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("long").alias("v")
+    )
+    vg = (
+        units.groupBy("v", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+        .localCheckpoint(eager=False)
+    )
+    vc = vg.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rnk = vc.select(
+        "v",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+            + F.col("c")
+            + 1
+        ).alias("r2"),
+    )
+    grp_r = vg.join(rnk, "v").groupBy("grp").agg(
+        F.sum(F.col("cg").cast(d38) * F.col("r2").cast(d38)).alias("rr2"),
+        F.sum("cg").cast("long").alias("ng"),
+    )
+    cd = F.col("c").cast(d38)
+    ties = vc.agg(
+        F.sum("c").cast("long").alias("n"), F.sum(cd * cd * cd - cd).alias("t3")
+    )
+    term = (
+        F.col("rr2").cast("double")
+        * F.col("rr2").cast("double")
+        / (F.lit(4.0) * F.col("ng").cast("double"))
+    )
+    folded = grp_r.select("grp", term.alias("term")).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("grp", "term"))),
+            F.array(F.lit(0.0)),
+            lambda a, x: F.array(a[0] + x["term"]),
+        )[0].alias("srn"),
+    )
+    nd = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (nd * (F.col("n") + 1).cast("double")) * F.col("srn")
+        - F.lit(3.0) * (F.col("n") + 1).cast("double")
+    ) / (F.lit(1.0) - F.col("t3").cast("double") / (nd * nd * nd - nd))
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 5.991)
+        .when(F.col("k") - 1 == 3, 7.815)
+        .when(F.col("k") - 1 == 4, 9.488)
+        .otherwise(F.lit(1e308))
+    )
+    return folded.crossJoin(F.broadcast(ties)).select(
+        "k",
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(h, 6).alias("h_stat"),
+        F.when(h > crit, 1).otherwise(0).cast("long").alias("reject_05"),
+    )
+
+
+@query(
+    "stats_levene_bf",
+    oracle="""
+    WITH units AS (
+      SELECT l_returnflag AS grp,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS x
+      FROM lineitem
+    ), vg AS (
+      SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS c FROM units GROUP BY 1, 2
+    ), gt AS (
+      SELECT grp, CAST(SUM(c) AS BIGINT) AS ng FROM vg GROUP BY 1
+    ), cum AS (
+      SELECT vg.grp, vg.x, vg.c,
+             CAST(COALESCE(SUM(vg.c) OVER (PARTITION BY vg.grp ORDER BY vg.x
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prev
+      FROM vg
+    ), med AS (
+      SELECT cum.grp,
+             CAST(SUM(
+               CASE WHEN cum.prev < CAST(FLOOR((gt.ng + 1) / 2.0) AS BIGINT)
+                     AND CAST(FLOOR((gt.ng + 1) / 2.0) AS BIGINT) <= cum.prev + cum.c
+                    THEN cum.x ELSE 0 END
+               + CASE WHEN cum.prev < CAST(FLOOR(gt.ng / 2.0) AS BIGINT) + 1
+                       AND CAST(FLOOR(gt.ng / 2.0) AS BIGINT) + 1 <= cum.prev + cum.c
+                      THEN cum.x ELSE 0 END) AS BIGINT) AS med2
+      FROM cum JOIN gt ON cum.grp = gt.grp
+      GROUP BY 1
+    ), zstats AS (
+      SELECT vg.grp,
+             CAST(SUM(vg.c) AS BIGINT) AS ng,
+             CAST(SUM(CAST(vg.c AS HUGEINT)
+                      * CAST(ABS(2 * vg.x - med.med2) AS HUGEINT)) AS DOUBLE) AS sz,
+             CAST(SUM(CAST(vg.c AS HUGEINT)
+                      * CAST(ABS(2 * vg.x - med.med2) AS HUGEINT)
+                      * CAST(ABS(2 * vg.x - med.med2) AS HUGEINT)) AS DOUBLE) AS szz
+      FROM vg JOIN med ON vg.grp = med.grp
+      GROUP BY 1
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             list_reduce(
+               list_prepend([0.0, 0.0, 0.0],
+                 list([sz * sz / CAST(ng AS DOUBLE), sz, szz] ORDER BY grp)),
+               (a, r) -> [a[1] + r[1], a[2] + r[2], a[3] + r[3]]
+             ) AS acc
+      FROM zstats
+    )
+    SELECT k, n,
+           ROUND(((acc[1] - acc[2] * acc[2] / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((acc[3] - acc[1]) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE))),
+                 6) AS f_bf,
+           CAST(CASE WHEN ((acc[1] - acc[2] * acc[2] / CAST(n AS DOUBLE))
+                  / (CAST(k AS DOUBLE) - 1.0))
+                 / ((acc[3] - acc[1]) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                 > (CASE k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 2.996
+                    WHEN 3 THEN 2.605 WHEN 4 THEN 2.372 ELSE 1e308 END)
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM folded
+    """,
+    tags=("stats", "variance-test", "levene"),
+)
+def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) variance-homogeneity
+    test across the return-flag cohorts' price distributions: one-way
+    ANOVA F on z = |x − median_g| — the robust pre-flight check before
+    trusting pooled-variance tests (Welch's motivation quantified).
+    Rejects against F(k−1, ∞) at 5% (= chi²_{k−1}/(k−1): 2.996 for
+    k=3) — exact dof critical values differ in the 4th decimal at
+    these n.
+
+    Exactness: group medians come from the per-group cumulative count
+    relation DOUBLED (med·2 = lower + upper middle value — integral in
+    cents, no float averaging); z·2 = |2x − med2| stays integral, and
+    F is scale-invariant so the doubling cancels. Σz, Σz² are exact
+    128-bit integer aggregates; the cross-group reduction is the
+    stats_anova_oneway ordered 3-row fold.
+
+    Scale shape: one (grp, cents)-grain hash aggregate (map-side
+    partials absorb duplicate prices), a PARTITIONED cumulative window
+    (3 group partitions — never global), a 3-row broadcast of medians
+    back onto the value-grain relation, one moment reduce. Fact rows
+    are touched ONCE — the value-grain aggregate is pinned (lazy
+    localCheckpoint) because three relations branch off it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    units = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("x"),
+    )
+    vg = (
+        units.groupBy("grp", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    gt = vg.groupBy("grp").agg(F.sum("c").cast("long").alias("ng"))
+    w = (
+        Window.partitionBy("grp")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = vg.select(
+        "grp",
+        "x",
+        "c",
+        F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long").alias("prev"),
+    )
+    pos_lo = F.floor((F.col("ng") + 1) / 2.0).cast("long")
+    pos_hi = (F.floor(F.col("ng") / 2.0) + 1).cast("long")
+    hit = lambda p: F.when(  # noqa: E731
+        (F.col("prev") < p) & (p <= F.col("prev") + F.col("c")), F.col("x")
+    ).otherwise(F.lit(0))
+    med = (
+        cum.join(F.broadcast(gt), "grp")
+        .groupBy("grp")
+        .agg(F.sum(hit(pos_lo) + hit(pos_hi)).cast("long").alias("med2"))
+    )
+    z2 = F.abs(F.lit(2) * F.col("x") - F.col("med2")).cast(d38)
+    zstats = (
+        vg.join(F.broadcast(med), "grp")
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("ng"),
+            F.sum(F.col("c").cast(d38) * z2).cast("double").alias("sz"),
+            F.sum(F.col("c").cast(d38) * z2 * z2).cast("double").alias("szz"),
+        )
+    )
+    folded = zstats.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("grp", "sz", "ng", "szz"))
+            ),
+            F.array(F.lit(0.0), F.lit(0.0), F.lit(0.0)),
+            lambda a, r: F.array(
+                a[0] + r["sz"] * r["sz"] / r["ng"].cast("double"),
+                a[1] + r["sz"],
+                a[2] + r["szz"],
+            ),
+        ).alias("acc"),
+    )
+    kd = F.col("k").cast("double")
+    nd = F.col("n").cast("double")
+    ssb = F.col("acc")[0] - F.col("acc")[1] * F.col("acc")[1] / nd
+    ssw = F.col("acc")[2] - F.col("acc")[0]
+    f_bf = (ssb / (kd - F.lit(1.0))) / (ssw / (nd - kd))
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 2.996)
+        .when(F.col("k") - 1 == 3, 2.605)
+        .when(F.col("k") - 1 == 4, 2.372)
+        .otherwise(F.lit(1e308))
+    )
+    return folded.select(
+        "k",
+        "n",
+        F.round(f_bf, 6).alias("f_bf"),
+        F.when(f_bf > crit, 1).otherwise(0).cast("long").alias("reject_05"),
+    )
+
+
+@query(
+    "stats_tukey_hsd",
+    oracle="""
+    WITH units AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem
+    ), per_group AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(x AS HUGEINT)) AS DOUBLE) AS sg,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS DOUBLE) AS ssg
+      FROM units GROUP BY 1
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(ng) AS BIGINT) AS n,
+             list_reduce(
+               list_prepend([0.0, 0.0],
+                 list([sg * sg / CAST(ng AS DOUBLE), ssg] ORDER BY grp)),
+               (a, r) -> [a[1] + r[1], a[2] + r[2]]
+             ) AS acc
+      FROM per_group
+    ), mse AS (
+      SELECT k, n,
+             (acc[2] - acc[1]) / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)) AS mse
+      FROM folded
+    )
+    SELECT a.grp AS g1, b.grp AS g2,
+           ROUND(ABS(a.sg / CAST(a.ng AS DOUBLE) - b.sg / CAST(b.ng AS DOUBLE)),
+                 6) AS mean_diff,
+           ROUND(ABS(a.sg / CAST(a.ng AS DOUBLE) - b.sg / CAST(b.ng AS DOUBLE))
+                 / SQRT(m.mse / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+                                       + 1.0 / CAST(b.ng AS DOUBLE))), 6)
+             AS q_stat,
+           CAST(CASE WHEN ABS(a.sg / CAST(a.ng AS DOUBLE)
+                              - b.sg / CAST(b.ng AS DOUBLE))
+                 / SQRT(m.mse / 2.0 * (1.0 / CAST(a.ng AS DOUBLE)
+                                       + 1.0 / CAST(b.ng AS DOUBLE))) > 3.314
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM per_group a JOIN per_group b ON a.grp < b.grp CROSS JOIN mse m
+    """,
+    tags=("stats", "post-hoc", "tukey"),
+)
+def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey HSD post-hoc pairwise comparison after a one-way ANOVA on
+    quantity by return flag: studentized-range q per unordered cohort
+    pair (Tukey-Kramer unequal-n form q = |m̄ᵢ−m̄ⱼ| / √(MSE/2·(1/nᵢ +
+    1/nⱼ))), rejecting against q₀.₀₅(k=3, df=∞) = 3.314 — the
+    "WHICH cohorts differ" follow-up stats_anova_oneway can't answer
+    without inflating the family-wise error the way k pairwise t-tests
+    would.
+
+    Exactness: per-group n, Σx, Σx² are exact 128-bit integer
+    aggregates; MSE's cross-group reduction is the stats_anova_oneway
+    ordered fold; each pair's mean difference and q are fixed double
+    expressions over exact inputs, identical in both engines.
+
+    Scale shape: one partial-agg shuffle to group grain, a k-row
+    self-join (k pairs, broadcast-trivial), a 1-row MSE broadcast —
+    constant-size everything after the first aggregate, which is
+    pinned (lazy localCheckpoint) so its three consumers (both sides
+    of the pair join + the MSE fold) cost one fact scan, not three."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    units = li.select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("long").alias("x")
+    )
+    per_group = (
+        units.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(F.col("x").cast(d38)).cast("double").alias("sg"),
+            F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("ssg"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    folded = per_group.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("grp", "sg", "ng", "ssg"))),
+            F.array(F.lit(0.0), F.lit(0.0)),
+            lambda a, r: F.array(
+                a[0] + r["sg"] * r["sg"] / r["ng"].cast("double"),
+                a[1] + r["ssg"],
+            ),
+        ).alias("acc"),
+    )
+    mse = folded.select(
+        (
+            (F.col("acc")[1] - F.col("acc")[0])
+            / (F.col("n").cast("double") - F.col("k").cast("double"))
+        ).alias("mse")
+    )
+    a = per_group.alias("a")
+    b = per_group.alias("b")
+    mean = lambda s: F.col(f"{s}.sg") / F.col(f"{s}.ng").cast("double")  # noqa: E731
+    diff = F.abs(mean("a") - mean("b"))
+    q = diff / F.sqrt(
+        F.col("mse")
+        / 2.0
+        * (
+            F.lit(1.0) / F.col("a.ng").cast("double")
+            + F.lit(1.0) / F.col("b.ng").cast("double")
+        )
+    )
+    return (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(mse))
+        .select(
+            F.col("a.grp").alias("g1"),
+            F.col("b.grp").alias("g2"),
+            F.round(diff, 6).alias("mean_diff"),
+            F.round(q, 6).alias("q_stat"),
+            F.when(q > 3.314, 1).otherwise(0).cast("long").alias("reject_05"),
+        )
+    )
