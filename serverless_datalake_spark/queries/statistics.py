@@ -2210,3 +2210,131 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(q > 3.314, 1).otherwise(0).cast("long").alias("reject_05"),
         )
     )
+
+
+@query(
+    "stats_dunn_posthoc",
+    oracle="""
+    WITH units AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
+      FROM lineitem
+    ), vg AS (
+      SELECT v, grp, CAST(COUNT(*) AS BIGINT) AS cg FROM units GROUP BY 1, 2
+    ), vc AS (
+      SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM vg GROUP BY 1
+    ), cum AS (
+      SELECT v, c,
+             CAST(COALESCE(SUM(c) OVER (ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS prev
+      FROM vc
+    ), rnk AS (
+      SELECT v, 2 * prev + c + 1 AS r2 FROM cum
+    ), grp_r AS (
+      SELECT vg.grp,
+             SUM(CAST(vg.cg AS HUGEINT) * CAST(rnk.r2 AS HUGEINT)) AS rr2,
+             CAST(SUM(vg.cg) AS BIGINT) AS ng
+      FROM vg JOIN rnk ON vg.v = rnk.v GROUP BY 1
+    ), ties AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n,
+             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                 - CAST(c AS HUGEINT)) AS t3
+      FROM vc
+    )
+    SELECT a.grp AS g1, b.grp AS g2,
+           ROUND(ABS(CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.ng AS DOUBLE))
+                     - CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.ng AS DOUBLE))),
+                 6) AS rank_diff,
+           ROUND(ABS(CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.ng AS DOUBLE))
+                     - CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.ng AS DOUBLE)))
+                 / SQRT((CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE) / 12.0
+                         - CAST(t.t3 AS DOUBLE)
+                           / (12.0 * CAST(t.n - 1 AS DOUBLE)))
+                        * (1.0 / CAST(a.ng AS DOUBLE)
+                           + 1.0 / CAST(b.ng AS DOUBLE))), 6) AS z_stat,
+           CAST(CASE WHEN ABS(CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.ng AS DOUBLE))
+                     - CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.ng AS DOUBLE)))
+                 / SQRT((CAST(t.n AS DOUBLE) * CAST(t.n + 1 AS DOUBLE) / 12.0
+                         - CAST(t.t3 AS DOUBLE)
+                           / (12.0 * CAST(t.n - 1 AS DOUBLE)))
+                        * (1.0 / CAST(a.ng AS DOUBLE)
+                           + 1.0 / CAST(b.ng AS DOUBLE))) > 2.394
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM grp_r a JOIN grp_r b ON a.grp < b.grp CROSS JOIN ties t
+    """,
+    tags=("stats", "post-hoc", "rank-test", "dunn"),
+)
+def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunn's (1964) post-hoc pairwise rank test after
+    stats_kruskal_wallis — WHICH cohorts' quantity distributions
+    differ: z = |R̄ᵢ − R̄ⱼ| / √((N(N+1)/12 − Σ(t³−t)/(12(N−1)))·(1/nᵢ +
+    1/nⱼ)) with the tie-corrected variance, rejected against the
+    Bonferroni-adjusted two-sided normal critical value for k=3 pairs
+    (z₀.₀₅/₆ = 2.394) — Tukey's rank-land counterpart.
+
+    Exactness: the mean ranks come from the stats_kruskal_wallis
+    doubled-rank sums (R̄ = RR2/(2n), exact integers until the single
+    division); the tie term is the same exact 128-bit aggregate; each
+    pair's z is a fixed double expression over exact inputs.
+
+    Scale shape: identical to stats_kruskal_wallis up to group grain
+    (pinned value-grain aggregate, one fact scan), then a k-row
+    self-join and a 1-row tie-term broadcast — constant-size."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    units = li.select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("long").alias("v")
+    )
+    vg = (
+        units.groupBy("v", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+        .localCheckpoint(eager=False)
+    )
+    vc = vg.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rnk = vc.select(
+        "v",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+            + F.col("c")
+            + 1
+        ).alias("r2"),
+    )
+    grp_r = (
+        vg.join(rnk, "v")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("cg").cast(d38) * F.col("r2").cast(d38)).alias("rr2"),
+            F.sum("cg").cast("long").alias("ng"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    cd = F.col("c").cast(d38)
+    ties = vc.agg(
+        F.sum("c").cast("long").alias("n"), F.sum(cd * cd * cd - cd).alias("t3")
+    )
+    a, b = grp_r.alias("a"), grp_r.alias("b")
+    mean_rank = lambda s: F.col(f"{s}.rr2").cast("double") / (  # noqa: E731
+        F.lit(2.0) * F.col(f"{s}.ng").cast("double")
+    )
+    diff = F.abs(mean_rank("a") - mean_rank("b"))
+    nd = F.col("n").cast("double")
+    var = (
+        nd * (F.col("n") + 1).cast("double") / F.lit(12.0)
+        - F.col("t3").cast("double") / (F.lit(12.0) * (F.col("n") - 1).cast("double"))
+    ) * (
+        F.lit(1.0) / F.col("a.ng").cast("double")
+        + F.lit(1.0) / F.col("b.ng").cast("double")
+    )
+    z = diff / F.sqrt(var)
+    return (
+        a.join(b, F.col("a.grp") < F.col("b.grp"))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            F.col("a.grp").alias("g1"),
+            F.col("b.grp").alias("g2"),
+            F.round(diff, 6).alias("rank_diff"),
+            F.round(z, 6).alias("z_stat"),
+            F.when(z > 2.394, 1).otherwise(0).cast("long").alias("reject_05"),
+        )
+    )
