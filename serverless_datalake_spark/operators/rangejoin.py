@@ -46,7 +46,13 @@ def point_in_interval_join(
     def bin_of(c: Column) -> Column:
         return F.floor(c / F.lit(bin_width)).cast("long")
 
-    iv = intervals.withColumn(
+    # An INVERTED interval (end < start) can match nothing under the
+    # BETWEEN residual, but Spark's sequence(a, b) runs DESCENDING when
+    # b < a (it never returns empty) — one malformed row would explode
+    # |span|/width garbage bins and join them all before the filter
+    # discards the pairs. Drop such rows up front: semantics-identical,
+    # cost-bounded (round-8 review finding).
+    iv = intervals.where(F.col(start_col) <= F.col(end_col)).withColumn(
         _BIN,
         F.explode(
             F.sequence(bin_of(F.col(start_col)), bin_of(F.col(end_col)))
@@ -79,10 +85,14 @@ def interval_overlap_join(
     def bin_of(c: Column) -> Column:
         return F.floor(c / F.lit(bin_width)).cast("long")
 
-    lb = left.withColumn(
+    # same inverted-interval guard as point_in_interval_join: an
+    # end < start row explodes a DESCENDING bin sequence (never empty)
+    # and pays |span|/width joins for pairs the overlap filter then
+    # discards
+    lb = left.where(F.col(l_start) <= F.col(l_end)).withColumn(
         _BIN, F.explode(F.sequence(bin_of(F.col(l_start)), bin_of(F.col(l_end))))
     )
-    rb = right.withColumn(
+    rb = right.where(F.col(r_start) <= F.col(r_end)).withColumn(
         _BIN, F.explode(F.sequence(bin_of(F.col(r_start)), bin_of(F.col(r_end))))
     )
     overlap = (F.col(l_start) <= F.col(r_end)) & (F.col(r_start) <= F.col(l_end))

@@ -89,3 +89,29 @@ def test_interval_overlap_equals_naive(spark, lv, rv, bin_width):
         if s1 <= s2 + n2 and s2 <= s1 + n1
     )
     assert got == want  # exact pair multiset: no dup from shared bins, no miss
+
+
+def test_inverted_intervals_are_dropped_not_exploded(spark):
+    """An end < start interval can match nothing (BETWEEN fails), but
+    Spark's sequence(a, b) runs DESCENDING when b < a — unguarded, one
+    malformed row exploded |span|/width garbage bins before the
+    residual filter discarded the pairs (round-8 review finding). The
+    guard must drop the row without changing any valid match."""
+    from serverless_datalake_spark.operators import rangejoin
+
+    pts = spark.createDataFrame([(1, 5.0), (2, 15.0)], "pid int, p double")
+    ivs = spark.createDataFrame(
+        [(10, 0.0, 10.0), (11, 1000000.0, -1000000.0)],  # second is inverted
+        "iid int, s double, e double",
+    )
+    out = rangejoin.point_in_interval_join(pts, ivs, "p", "s", "e", bin_width=10)
+    rows = {(r["pid"], r["iid"]) for r in out.collect()}
+    assert rows == {(1, 10)}
+    lo = spark.createDataFrame(
+        [(1, 0.0, 10.0), (2, 50.0, 40.0)], "lid int, ls double, le double"
+    )
+    ro = spark.createDataFrame(
+        [(7, 5.0, 6.0), (8, 45.0, -45.0)], "rid int, rs double, re double"
+    )
+    out2 = rangejoin.interval_overlap_join(lo, ro, "ls", "le", "rs", "re", 10)
+    assert {(r["lid"], r["rid"]) for r in out2.collect()} == {(1, 7)}
