@@ -130,6 +130,13 @@ def main() -> None:
         "shortlist missed all 5 true neighbors — expected for the 1-table",
         "LSH leg, which exists to motivate multiprobe).",
         "",
+        "`sim_topk_lsh` and `sim_topk_lsh_indexed` are tagged",
+        "**baseline-only** in the registry (round 8, same convention as",
+        "`graph_jaccard_links`'s exact-baseline demotion): they are the",
+        "motivating 0.00-recall single-probe baselines, NOT serving legs —",
+        "consumers should use `sim_topk_ivfpq_rerank_np8` (0.94 mean",
+        "recall@5) or `sim_topk_sq8_rerank` (1.00).",
+        "",
     ]
     for sf_dir in SF_DIRS:
         tag = os.path.basename(sf_dir)
