@@ -584,11 +584,19 @@ def eval_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: each leg is the registry query's own plan (≤5 rows
     per query); scoring joins shortlist-sized relations and reduces to
     one row per system. Ground truth comes from a sampled exact leg in
-    production, as in sim_recall_eval."""
+    production, as in sim_recall_eval. The brute-force relation is
+    PINNED (lazy localCheckpoint): it feeds four consumers (the
+    query-id spine and the truth join, per leg), and unpinned each
+    consumer re-ran the full exact-cosine pass — 5.8 s steady at sf0.1
+    for a metric whose components sum to ~3 s (the round-8
+    branch-point lesson; see stats_kruskal_wallis)."""
     from serverless_datalake_spark.queries import REGISTRY
 
-    bf = REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).select(
-        F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc")
+    bf = (
+        REGISTRY["sim_topk_bruteforce"]
+        .fn(spark, sf_dir)
+        .select(F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc"))
+        .localCheckpoint(eager=False)
     )
     disc_map = F.create_map(
         *[x for r, d in enumerate(_NDCG_DISC_E9) for x in (F.lit(r + 1), F.lit(d))]

@@ -1697,8 +1697,14 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus."""
     from serverless_datalake_spark.queries import REGISTRY
 
-    bf = REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).select(
-        F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc")
+    # pinned: the exact leg feeds one join per scored system, and
+    # unpinned each consumer re-ran the full brute-force pass (the
+    # round-8 branch-point lesson — see eval_ndcg_at_5)
+    bf = (
+        REGISTRY["sim_topk_bruteforce"]
+        .fn(spark, sf_dir)
+        .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
+        .localCheckpoint(eager=False)
     )
     legs = {
         "lsh_1table": "sim_topk_lsh",
