@@ -7,7 +7,30 @@ Python is genuinely needed (similarity, minhash).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """Lazy localCheckpoint — the branch-point pin (materialize once,
+    serve every downstream consumer; see ranking.py's module docstring
+    for why lazy-checkpoint beats persist() here).
+
+    ALL lazy pins must go through this helper, because a checkpoint
+    truncates the visible plan to a LogicalRDD scan and therefore
+    HIDES everything upstream of it from the registry-wide
+    unpartitioned-window audit — a query could park a global window
+    behind a pin and pass the gate vacuously (round-8 review finding:
+    stats_dunn_posthoc's value-grain window was invisible while its
+    structurally identical sibling stats_kruskal_wallis, pinned BELOW
+    the window, was audited and allowlisted). The audit sets
+    SPARK_GRAFT_NO_PIN=1 while building plans, making every pin a
+    no-op so the full lineage stays auditable; execution paths never
+    set it."""
+    if os.environ.get("SPARK_GRAFT_NO_PIN") == "1":
+        return df
+    return df.localCheckpoint(eager=False)
 
 
 def spread_for_compute(df: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -18,6 +18,8 @@ import hashlib
 import logging
 
 from pyspark.sql import Column, DataFrame
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import spread_for_compute, textops
@@ -121,7 +123,7 @@ def token_sets_encoded(docs: DataFrame, id_col: str, text_col: str) -> DataFrame
         ex.join(F.broadcast(vocab), "tok")
         .groupBy("doc_id")
         .agg(F.array_sort(F.collect_list("tid")).alias("toks"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
 
 

@@ -75,6 +75,17 @@ def interval_overlap_join(
     """Inner-join interval pairs that overlap (l_start ≤ r_end AND
     r_start ≤ l_end), via the same binning as point_in_interval_join.
 
+    INVERTED rows (end < start) are treated as EMPTY intervals and
+    match nothing — dropped before the explode. This is a deliberate
+    semantics choice, not just the cost guard: the raw two-inequality
+    predicate is the overlap test for WELL-FORMED intervals and can
+    hold for an inverted row nested inside a long one ([0,10] vs the
+    inverted [5,3] satisfies 0≤3 ∧ 5≤10), but an interval whose end
+    precedes its start contains no points, and "overlaps" with a
+    point-free set is false under the set-intersection meaning every
+    consumer here wants (round-8 review: the pre-guard code DID emit
+    such pairs — that was the bug, not the baseline).
+
     Unlike the point case, an overlapping pair shares EVERY bin their
     intersection covers — so the join would duplicate pairs. The
     standard fix: keep a pair only in the first bin of its

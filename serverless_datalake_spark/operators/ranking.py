@@ -43,6 +43,8 @@ node). The narrow wrappers below share that implementation.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -85,7 +87,7 @@ def _range_indexed(
     return (
         df.repartitionByRange(_fanout(df, num_partitions), *order_cols)
         .withColumn(_PID, F.spark_partition_id())
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
 
 

@@ -30,6 +30,8 @@ import math
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 
@@ -539,12 +541,12 @@ def topk_ivf(
     if centroid_rows is not None:
         cents = corpus.sparkSession.createDataFrame(
             centroid_rows, "centroid_id int, centroid array<double>"
-        ).localCheckpoint(eager=False)
+        ).transform(_pin)
     else:
         cents = (
             centroids if centroids is not None
             else ivf_centroids(corpus, corpus_id, vec, by, mode=centroid_mode)
-        ).localCheckpoint(eager=False)
+        ).transform(_pin)
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(
@@ -973,7 +975,7 @@ def topk_ivfpq_residual(
     # localCheckpoint, not cache() — see topk_ivf (CacheManager leak)
     cents = corpus.sparkSession.createDataFrame(
         centroid_rows, "centroid_id int, centroid array<double>"
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
 
     q = queries.select(F.col(query_id), _as_double(F.col(vec)).alias("__qv"))
     scored_q = q.crossJoin(F.broadcast(cents)).select(
@@ -1285,12 +1287,12 @@ def topk_ivfpq(
     if centroid_rows is not None:
         cents = corpus.sparkSession.createDataFrame(
             centroid_rows, "centroid_id int, centroid array<double>"
-        ).localCheckpoint(eager=False)
+        ).transform(_pin)
     else:
         cents = (
             centroids if centroids is not None
             else ivf_centroids(corpus, corpus_id, vec, by, mode="medoid")
-        ).localCheckpoint(eager=False)
+        ).transform(_pin)
 
     def assign(df: DataFrame, id_col: str, keep_vec: str, topn: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).select(

@@ -25,6 +25,7 @@ test" gap).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 # Queries ALLOWED to keep an unpartitioned WindowExec, each with the
@@ -64,6 +65,7 @@ ALLOWLIST: dict[str, str] = {
     "agg_share_of_parent": "25 (region, nation) rows",
     "stats_ks_two_sample": "distinct rounded price values (domain)",
     "stats_kruskal_wallis": "distinct quantity values (domain, <=50)",
+    "stats_dunn_posthoc": "distinct quantity values (domain, <=50)",
     "stats_mann_whitney_u": "distinct rounded values (domain)",
     "stats_survival_km": "duration-day grid (time-bounded)",
     "stats_fdr_bh": "25 nations",
@@ -94,7 +96,18 @@ def audit_registry(spark, sf_dir: str, reg: dict | None = None) -> dict:
     unpartitioned WindowExec nodes against ALLOWLIST. Returns the
     WINDOW_AUDIT.json payload: an unauditable query (plan build raises)
     is a FAILED audit, not a skipped one — a query that starts raising
-    would otherwise silently pass the gate."""
+    would otherwise silently pass the gate.
+
+    Plans are built with SPARK_GRAFT_NO_PIN=1 so every lazy
+    branch-point pin (operators.pin) becomes a no-op: a localCheckpoint
+    truncates the visible plan to a LogicalRDD scan, and a global
+    window parked behind one passed this gate VACUOUSLY (round-8
+    review finding — stats_dunn_posthoc's value-grain window was
+    invisible while its structurally identical sibling
+    stats_kruskal_wallis, pinned below the window, was audited). With
+    pins disabled the full lineage is visible, so evasion-by-pinning
+    is impossible. Plan BUILD only — nothing executes here, so the
+    recompute the pins exist to prevent never happens."""
     if reg is None:
         from serverless_datalake_spark.queries import load_registry
 
@@ -102,38 +115,46 @@ def audit_registry(spark, sf_dir: str, reg: dict | None = None) -> dict:
     report: dict[str, dict] = {}
     violations: list[str] = []
     t0 = time.time()
-    for name, q in reg.items():
-        try:
-            df = q.fn(spark, sf_dir)
-            nodes = json.loads(df._jdf.queryExecution().sparkPlan().toJSON())
-        except Exception as exc:  # noqa: BLE001
-            report[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
-            violations.append(name)
-            continue
-        unp = [
-            n
-            for n in nodes
-            if n["class"].rsplit(".", 1)[-1] == "WindowExec"
-            and not n.get("partitionSpec")
-        ]
-        if not unp:
-            continue
-        markers = sorted(
-            {
-                n["class"].rsplit(".", 1)[-1]
+    prev_no_pin = os.environ.get("SPARK_GRAFT_NO_PIN")
+    os.environ["SPARK_GRAFT_NO_PIN"] = "1"
+    try:
+        for name, q in reg.items():
+            try:
+                df = q.fn(spark, sf_dir)
+                nodes = json.loads(df._jdf.queryExecution().sparkPlan().toJSON())
+            except Exception as exc:  # noqa: BLE001
+                report[name] = {"error": f"{type(exc).__name__}: {exc}"[:200]}
+                violations.append(name)
+                continue
+            unp = [
+                n
                 for n in nodes
-                if n["class"].rsplit(".", 1)[-1] in _MARKER_NODES
+                if n["class"].rsplit(".", 1)[-1] == "WindowExec"
+                and not n.get("partitionSpec")
+            ]
+            if not unp:
+                continue
+            markers = sorted(
+                {
+                    n["class"].rsplit(".", 1)[-1]
+                    for n in nodes
+                    if n["class"].rsplit(".", 1)[-1] in _MARKER_NODES
+                }
+            )
+            ok = name in ALLOWLIST
+            report[name] = {
+                "n_unpartitioned": len(unp),
+                "bounded_markers": markers,
+                "allowlisted": ok,
+                "why": ALLOWLIST.get(name, "NOT ALLOWLISTED"),
             }
-        )
-        ok = name in ALLOWLIST
-        report[name] = {
-            "n_unpartitioned": len(unp),
-            "bounded_markers": markers,
-            "allowlisted": ok,
-            "why": ALLOWLIST.get(name, "NOT ALLOWLISTED"),
-        }
-        if not ok:
-            violations.append(name)
+            if not ok:
+                violations.append(name)
+    finally:
+        if prev_no_pin is None:
+            os.environ.pop("SPARK_GRAFT_NO_PIN", None)
+        else:
+            os.environ["SPARK_GRAFT_NO_PIN"] = prev_no_pin
     return {
         "sf_dir": sf_dir,
         "n_queries": len(reg),

@@ -271,9 +271,13 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
     # ROUND 8 window: per WINDOWS.md (round-8 block, 50 entries).
-    # Round-7 window came back 50/50 green (CORRECTNESS_r07); round 9
-    # (21 entries) remains planned in WINDOWS.md so the union covers
-    # the full 411-query registry.
+    # Round-7 window came back 50/50 green (CORRECTNESS_r07); rounds 9
+    # (21 entries) and 10 (the five round-8 additions) remain planned in
+    # WINDOWS.md so the union covers the full 416-query registry —
+    # tests/test_window_audit.py::test_windows_plan_covers_backlog
+    # set-checks this ledger against the registry every suite run, so
+    # this comment can no longer silently lag the count (round-8
+    # review finding).
     "eval_confusion_prf",
     "graph_k_core",
     "sample_systematic_weighted",

@@ -19,6 +19,8 @@ doubles (one division) are bit-identical across engines too.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -510,7 +512,7 @@ def split_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exploded gram relation feeds BOTH the train-side distinct
     # and the test-side probe — pin one materialization so the
     # tokenize+shingle explode runs once, not per branch
-    g = _contamination_grams(d).localCheckpoint(eager=False)
+    g = _contamination_grams(d).transform(_pin)
     train_grams = (
         g.where(F.col("split") == "train").select(F.col("gram").alias("tgram")).distinct()
     )
@@ -2146,7 +2148,7 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = contrib.groupBy("doc_id", "lang").agg(
         F.sum("k").cast("long").alias("n_tokens"),
         F.round(folded, 6).alias("logw"),
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     from serverless_datalake_spark.operators.ranking import with_global_ntile
 
     return with_global_ntile(

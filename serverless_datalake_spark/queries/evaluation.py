@@ -21,6 +21,8 @@ same doubles in the same order — bit-identical without rounding slack.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -596,7 +598,7 @@ def eval_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
         REGISTRY["sim_topk_bruteforce"]
         .fn(spark, sf_dir)
         .select(F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     disc_map = F.create_map(
         *[x for r, d in enumerate(_NDCG_DISC_E9) for x in (F.lit(r + 1), F.lit(d))]

@@ -5,6 +5,8 @@ IVF approximate variants (rows-only; recall asserted in tests)."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators import similarity
@@ -1704,7 +1706,7 @@ def sim_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         REGISTRY["sim_topk_bruteforce"]
         .fn(spark, sf_dir)
         .select(F.col("query_id").alias("bq"), F.col("corpus_id").alias("bc"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     legs = {
         "lsh_1table": "sim_topk_lsh",
@@ -1801,7 +1803,7 @@ def sim_index_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pinned relation is <= 2^planes rows
     sizes = c.select(lsh_bucket(F.col("embedding"), 8, 64).alias("bucket")).groupBy(
         "bucket"
-    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("n")).transform(_pin)
     # bucket count rides out of the rank's pass-1 stats — no second
     # corpus-wide bucket-assignment scan
     ranked = with_global_rank(

@@ -18,6 +18,8 @@ accumulators exact to ~1e38 — far past 100 TB row counts.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
@@ -1791,21 +1793,13 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # k-group tests (round 8): Kruskal-Wallis, Brown-Forsythe, Tukey HSD —
 # the post-ANOVA toolkit a data-quality monitor runs across k cohorts.
 
-_KW_H = """(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * srn
-                  - 3.0 * CAST(n + 1 AS DOUBLE))
-                 / (1.0 - CAST(t3 AS DOUBLE)
-                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                       - CAST(n AS DOUBLE)))"""
-
-# chi-square 5% critical values for dof 1..4 (k-group tests never see
-# more groups here; the sentinel never rejects beyond the table)
-_CHI2_CRIT = "CASE k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 ELSE 1e308 END"
-
-
-@query(
-    "stats_kruskal_wallis",
-    oracle=f"""
-    WITH units AS (
+# Shared doubled-mid-rank machinery for the rank-based k-group tests
+# (Kruskal-Wallis and Dunn's post hoc): ONE definition of the
+# units/vg/vc/cum/rnk/grp_r/ties pipeline in each language, so a fix
+# to the mid-rank formula or the 128-bit casts lands everywhere at
+# once (round-8 review: the two queries initially carried verbatim
+# copies — four places to patch per change).
+_RANK_CTES = """units AS (
       SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
       FROM lineitem
     ), vg AS (
@@ -1830,7 +1824,60 @@ _CHI2_CRIT = "CASE k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 W
              SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
                  - CAST(c AS HUGEINT)) AS t3
       FROM vc
-    ), folded AS (
+    )"""
+
+
+def _doubled_rank_group_stats(spark, sf_dir):
+    """(grp_r, ties) for quantity-by-returnflag: grp_r = per-group
+    doubled rank sum (rr2) + size (ng); ties = total n + Σ(t³−t).
+    The (v, grp) aggregate is pinned (four relations branch off it —
+    unpinned, each consumer re-scanned the fact table)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    d38 = "decimal(38,0)"
+    units = li.select(
+        F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("long").alias("v")
+    )
+    vg = (
+        units.groupBy("v", "grp")
+        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
+        .transform(_pin)
+    )
+    vc = vg.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    rnk = vc.select(
+        "v",
+        (
+            F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
+            + F.col("c")
+            + 1
+        ).alias("r2"),
+    )
+    grp_r = vg.join(rnk, "v").groupBy("grp").agg(
+        F.sum(F.col("cg").cast(d38) * F.col("r2").cast(d38)).alias("rr2"),
+        F.sum("cg").cast("long").alias("ng"),
+    )
+    cd = F.col("c").cast(d38)
+    ties = vc.agg(
+        F.sum("c").cast("long").alias("n"), F.sum(cd * cd * cd - cd).alias("t3")
+    )
+    return grp_r, ties
+
+
+_KW_H = """(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) * srn
+                  - 3.0 * CAST(n + 1 AS DOUBLE))
+                 / (1.0 - CAST(t3 AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(n AS DOUBLE)))"""
+
+# chi-square 5% critical values for dof 1..4 (k-group tests never see
+# more groups here; the sentinel never rejects beyond the table)
+_CHI2_CRIT = "CASE k - 1 WHEN 1 THEN 3.841 WHEN 2 THEN 5.991 WHEN 3 THEN 7.815 WHEN 4 THEN 9.488 ELSE 1e308 END"
+
+
+@query(
+    "stats_kruskal_wallis",
+    oracle=f"""
+    WITH {_RANK_CTES}, folded AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS k,
              list_reduce(
                list_prepend([0.0],
@@ -1869,34 +1916,7 @@ def stats_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lazy localCheckpoint, the ranking.py discipline) because four
     relations branch off it — unpinned, Spark re-derived it per branch
     and the physical plan scanned the fact table five times."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d38 = "decimal(38,0)"
-    units = li.select(
-        F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("long").alias("v")
-    )
-    vg = (
-        units.groupBy("v", "grp")
-        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
-        .localCheckpoint(eager=False)
-    )
-    vc = vg.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    rnk = vc.select(
-        "v",
-        (
-            F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
-            + F.col("c")
-            + 1
-        ).alias("r2"),
-    )
-    grp_r = vg.join(rnk, "v").groupBy("grp").agg(
-        F.sum(F.col("cg").cast(d38) * F.col("r2").cast(d38)).alias("rr2"),
-        F.sum("cg").cast("long").alias("ng"),
-    )
-    cd = F.col("c").cast(d38)
-    ties = vc.agg(
-        F.sum("c").cast("long").alias("n"), F.sum(cd * cd * cd - cd).alias("t3")
-    )
+    grp_r, ties = _doubled_rank_group_stats(spark, sf_dir)
     term = (
         F.col("rr2").cast("double")
         * F.col("rr2").cast("double")
@@ -2025,7 +2045,7 @@ def stats_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     vg = (
         units.groupBy("grp", "x")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     gt = vg.groupBy("grp").agg(F.sum("c").cast("long").alias("ng"))
     w = (
@@ -2167,7 +2187,7 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("x").cast(d38)).cast("double").alias("sg"),
             F.sum((F.col("x") * F.col("x")).cast(d38)).cast("double").alias("ssg"),
         )
-        .localCheckpoint(eager=False)
+        .transform(_pin)
     )
     folded = per_group.agg(
         F.count(F.lit(1)).cast("long").alias("k"),
@@ -2214,33 +2234,8 @@ def stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stats_dunn_posthoc",
-    oracle="""
-    WITH units AS (
-      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS v
-      FROM lineitem
-    ), vg AS (
-      SELECT v, grp, CAST(COUNT(*) AS BIGINT) AS cg FROM units GROUP BY 1, 2
-    ), vc AS (
-      SELECT v, CAST(SUM(cg) AS BIGINT) AS c FROM vg GROUP BY 1
-    ), cum AS (
-      SELECT v, c,
-             CAST(COALESCE(SUM(c) OVER (ORDER BY v
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-               AS prev
-      FROM vc
-    ), rnk AS (
-      SELECT v, 2 * prev + c + 1 AS r2 FROM cum
-    ), grp_r AS (
-      SELECT vg.grp,
-             SUM(CAST(vg.cg AS HUGEINT) * CAST(rnk.r2 AS HUGEINT)) AS rr2,
-             CAST(SUM(vg.cg) AS BIGINT) AS ng
-      FROM vg JOIN rnk ON vg.v = rnk.v GROUP BY 1
-    ), ties AS (
-      SELECT CAST(SUM(c) AS BIGINT) AS n,
-             SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
-                 - CAST(c AS HUGEINT)) AS t3
-      FROM vc
-    )
+    oracle=f"""
+    WITH {_RANK_CTES}
     SELECT a.grp AS g1, b.grp AS g2,
            ROUND(ABS(CAST(a.rr2 AS DOUBLE) / (2.0 * CAST(a.ng AS DOUBLE))
                      - CAST(b.rr2 AS DOUBLE) / (2.0 * CAST(b.ng AS DOUBLE))),
@@ -2280,39 +2275,8 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to stats_kruskal_wallis up to group grain
     (pinned value-grain aggregate, one fact scan), then a k-row
     self-join and a 1-row tie-term broadcast — constant-size."""
-    li = load_table(spark, sf_dir, "lineitem")
-    d38 = "decimal(38,0)"
-    units = li.select(
-        F.col("l_returnflag").alias("grp"), F.col("l_quantity").cast("long").alias("v")
-    )
-    vg = (
-        units.groupBy("v", "grp")
-        .agg(F.count(F.lit(1)).cast("long").alias("cg"))
-        .localCheckpoint(eager=False)
-    )
-    vc = vg.groupBy("v").agg(F.sum("cg").cast("long").alias("c"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    rnk = vc.select(
-        "v",
-        (
-            F.lit(2) * F.coalesce(F.sum("c").over(w), F.lit(0)).cast("long")
-            + F.col("c")
-            + 1
-        ).alias("r2"),
-    )
-    grp_r = (
-        vg.join(rnk, "v")
-        .groupBy("grp")
-        .agg(
-            F.sum(F.col("cg").cast(d38) * F.col("r2").cast(d38)).alias("rr2"),
-            F.sum("cg").cast("long").alias("ng"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    cd = F.col("c").cast(d38)
-    ties = vc.agg(
-        F.sum("c").cast("long").alias("n"), F.sum(cd * cd * cd - cd).alias("t3")
-    )
+    grp_r, ties = _doubled_rank_group_stats(spark, sf_dir)
+    grp_r = grp_r.transform(_pin)  # consumed by both sides of the pair join
     a, b = grp_r.alias("a"), grp_r.alias("b")
     mean_rank = lambda s: F.col(f"{s}.rr2").cast("double") / (  # noqa: E731
         F.lit(2.0) * F.col(f"{s}.ng").cast("double")

@@ -13,6 +13,8 @@ doubles — bit-portable with no further rounding care needed.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
+
+from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.operators.ranking import with_global_cumsum
@@ -1058,7 +1060,7 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         intervals.select(
             F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id", "session_no"
         )
-    ).localCheckpoint(eager=False)
+    ).transform(_pin)
     # input pinned: repartitionByRange SAMPLES its child to pick
     # bounds, so an un-pinned delta relation would run the two
     # sessionize windows twice (sample + shuffle) — measured 1.59 vs

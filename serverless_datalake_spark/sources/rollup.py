@@ -12,6 +12,10 @@ compose).
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,16 +54,44 @@ def append_rollup(events: DataFrame, rollup_path: str, batch_id: int | str) -> N
     reads still skip row groups on min/max stats. The overwrite mode
     rides the WRITE (option), not the session conf — a set/restore of
     the session key races with concurrent queries on the same session
-    (see start_ingest_query's contract note)."""
-    (
-        rollup_hourly(events)
-        .withColumn("batch_id", F.lit(str(batch_id)))
-        .sortWithinPartitions("source", "bucket")
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("batch_id")
-        .parquet(rollup_path)
-    )
+    (see start_ingest_query's contract note).
+
+    Two closures from the round-8 review of that fix:
+    * A table written under the OLD (batch_id, source) layout cannot
+      silently mix with the new depth — Spark's partition discovery
+      would fail on every read with "conflicting directory
+      structures". Detected up front and raised with a migration
+      pointer (a rollup is derived state: rebuild it).
+    * A retry that yields ZERO rows would dynamic-overwrite nothing
+      and leave the original attempt's whole contribution behind —
+      the same stale-partial class at batch grain. An empty batch now
+      explicitly removes its own partition directory instead.
+    """
+    legacy = glob.glob(os.path.join(rollup_path, "batch_id=*", "source=*"))
+    if legacy:
+        raise ValueError(
+            f"rollup at {rollup_path} uses the legacy (batch_id, source) "
+            "partition layout; mixing layouts breaks partition discovery "
+            "on every read — rebuild the rollup (it is derived state: "
+            "delete the directory and replay append_rollup per batch)"
+        )
+    agg = rollup_hourly(events).withColumn("batch_id", F.lit(str(batch_id)))
+    agg = agg.persist()
+    try:
+        if agg.count() == 0:
+            stale = os.path.join(rollup_path, f"batch_id={batch_id}")
+            if os.path.isdir(stale):
+                shutil.rmtree(stale)
+            return
+        (
+            agg.sortWithinPartitions("source", "bucket")
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(rollup_path)
+        )
+    finally:
+        agg.unpersist()
 
 
 def read_rollup_daily(spark: SparkSession, rollup_path: str) -> DataFrame:

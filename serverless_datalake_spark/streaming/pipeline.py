@@ -225,6 +225,29 @@ def _replay_guard(
         nonlocal seen
         if seen is None:
             seen = txlog.committed_txn_markers(table_path)
+            if (
+                txn_app is not None
+                and not honor_legacy_markers
+                and any(m[0] is None for m in seen)
+            ):
+                # The opt-in default protects two-formerly-unscoped
+                # pipelines from skipping each other's batch ids, but
+                # it also means a SINGLE-writer pipeline upgraded from
+                # the unscoped era re-commits its pre-upgrade batches
+                # on a straddling replay unless the operator passes
+                # honor_legacy_markers=True. Neither case is decidable
+                # from the log alone, so be LOUD when the ambiguous
+                # state is actually present (round-8 review finding).
+                import warnings
+
+                warnings.warn(
+                    f"txlog table {table_path!r} carries legacy unscoped "
+                    f"(txn_app=None) markers that guard {txn_app!r} will "
+                    "IGNORE; if this pipeline wrote them (single-writer "
+                    "upgrade), pass honor_legacy_markers=True or a "
+                    "straddling replay will re-commit those batches",
+                    stacklevel=3,
+                )
         if (txn_app, batch_id) in seen:
             return True
         if txn_app is None:

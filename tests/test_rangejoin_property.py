@@ -111,7 +111,12 @@ def test_inverted_intervals_are_dropped_not_exploded(spark):
         [(1, 0.0, 10.0), (2, 50.0, 40.0)], "lid int, ls double, le double"
     )
     ro = spark.createDataFrame(
-        [(7, 5.0, 6.0), (8, 45.0, -45.0)], "rid int, rs double, re double"
+        # rid=8 is inverted AND nested inside lid=1's span: the raw
+        # two-inequality predicate holds (0<=3 and 5<=10) but an
+        # end-before-start interval is EMPTY, so it must match nothing
+        # (documented semantics choice; the pre-guard code emitted it)
+        [(7, 5.0, 6.0), (8, 5.0, 3.0), (9, 45.0, -45.0)],
+        "rid int, rs double, re double",
     )
     out2 = rangejoin.interval_overlap_join(lo, ro, "ls", "le", "rs", "re", 10)
     assert {(r["lid"], r["rid"]) for r in out2.collect()} == {(1, 7)}

@@ -105,6 +105,16 @@ def test_rollup_daily_matches_direct_aggregation(spark, sf_dir):
         ), "narrow retry left stale sources from the wide attempt behind"
         rollup.append_rollup(e.where(F.col("event_id") % 2 == 0), path, batch_id=0)
 
+        # a ZERO-row retry must clear the batch's entire contribution
+        # (a dynamic overwrite with no partitions replaces nothing and
+        # would leave the stale partials behind — round-8 review):
+        # retry batch 1 empty, verify it vanishes, then restore it
+        rollup.append_rollup(e.where(F.lit(False)), path, batch_id=1)
+        assert (
+            spark.read.parquet(path).where(F.col("batch_id") == "1").count() == 0
+        ), "zero-row retry left the prior attempt's partials behind"
+        rollup.append_rollup(e.where(F.col("event_id") % 2 == 1), path, batch_id=1)
+
         daily = rollup.read_rollup_daily(spark, path)
         truth = e.groupBy(
             "source", F.date_trunc("day", F.col("ts")).alias("day")
@@ -123,3 +133,20 @@ def test_rollup_daily_matches_direct_aggregation(spark, sf_dir):
             # differently-ordered sum → tolerance
             assert got[k][:4] == want[k][:4], k
             assert abs(got[k][4] - want[k][4]) < 1e-3, k
+
+
+def test_rollup_rejects_legacy_two_level_layout(spark, tmp_path):
+    """A pre-existing (batch_id, source) layout mixed with the new
+    batch_id-only depth breaks Spark partition discovery on EVERY
+    read ("conflicting directory structures") — append_rollup must
+    refuse up front with a migration pointer instead of corrupting
+    the table (round-8 review finding)."""
+    import pytest
+
+    path = str(tmp_path / "rollup")
+    os.makedirs(os.path.join(path, "batch_id=0", "source=clicks"))
+    e = spark.createDataFrame(
+        [(1, "clicks", 1.0)], "event_id long, source string, value double"
+    ).withColumn("ts", F.current_timestamp())
+    with pytest.raises(ValueError, match="legacy"):
+        rollup.append_rollup(e, path, batch_id=1)

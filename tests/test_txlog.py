@@ -195,9 +195,16 @@ def test_replay_guard_recognizes_legacy_markers_after_txn_app_upgrade(spark, tmp
     already2, _ = _replay_guard(path, txn_app="p1", honor_legacy_markers=True)
     assert already2(7) is False
     # DEFAULT: legacy markers are another (possibly different)
-    # pipeline's history — a scoped guard must not skip on them
+    # pipeline's history — a scoped guard must not skip on them, but
+    # the ambiguous state must be LOUD (a single-writer upgrade that
+    # forgets the flag would re-commit pre-upgrade batches silently)
+    import warnings as _warnings
+
     already3, _ = _replay_guard(path, txn_app="p1")
-    assert already3(0) is False
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        assert already3(0) is False
+    assert any("legacy unscoped" in str(w.message) for w in caught)
     assert already3(7) is False
 
 
