@@ -31,26 +31,63 @@ _ITERS = 5
 # one generation of cached relations per (caller, fixture dir):
 # repeat calls against the SAME immutable fixture reuse the pinned
 # relations (bench's min-of-3 stops re-materializing the edge build);
-# a different key retires the previous generation, so long-lived
-# sessions hold at most one generation of cached graph state per
-# caller (the _CB_CACHE rationale from llm_similarity applied to
-# cached DataFrames)
+# a REPLACED key retires only its own previous generation — the
+# round-8 review caught the original clearing EVERY caller's
+# generation on any miss, so interleaved graph queries (a sweep
+# running pagerank, triangles, pagerank) re-materialized each edge
+# build every call and the documented reuse existed only for
+# back-to-back repeats of one query. Long-lived sessions therefore
+# hold at most one LIVE generation per caller key (the _CB_CACHE
+# rationale from llm_similarity applied to cached DataFrames).
 _CACHE_GEN: dict = {}
 
 
 def _retire_and_cache(key, dfs):
     prev = _CACHE_GEN.get(key)
     if prev is not None and len(prev) == len(dfs):
-        return prev
-    for gen in _CACHE_GEN.values():
-        for old in gen:
+        # a handle persisted under a SparkSession that has since been
+        # stopped replays against a dead context (round-8 review
+        # finding) — validate liveness before serving the hit
+        try:
+            sess = prev[0].sparkSession
+            if not sess._sc._jsc.sc().isStopped():
+                return prev
+        except Exception:
+            pass
+        _CACHE_GEN.pop(key, None)
+        prev = None
+    old_gen = _CACHE_GEN.pop(key, None)
+    if old_gen:
+        for old in old_gen:
             try:
                 old.unpersist()
             except Exception:
                 pass
-    _CACHE_GEN.clear()
     _CACHE_GEN[key] = [d.persist() for d in dfs]
     return _CACHE_GEN[key]
+
+
+def _copurchase_edges(li):
+    """(e0, und): the distinct co-purchase pair relation (src < dst)
+    and its undirected doubling — nodes are parts, an edge joins two
+    parts that appeared in the same order. ONE definition for the nine
+    graph queries (round-8 review: each re-spelled this three-relation
+    build with gratuitous variations, so a fix to the edge definition
+    needed nine patches); callers keep their own cache/repartition
+    decisions, which genuinely differ per algorithm."""
+    pl = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = pl.select("o", F.col("p").alias("src"))
+    b = pl.select("o", F.col("p").alias("dst"))
+    e0 = (
+        a.join(b, "o")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return e0, und
 
 
 def _pagerank_oracle(iters: int = _ITERS) -> str:
@@ -122,24 +159,11 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     static. localCheckpoint every few iterations would truncate
     lineage for deeper runs (components operator does this)."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pl.select(F.col("o"), F.col("p").alias("src"))
-    b = pl.select(F.col("o"), F.col("p").alias("dst"))
-    e0 = (
-        a.join(b, "o")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
     # edges/deg are static across iterations — persist them so the 5
     # unrolled iterations reuse one materialization instead of
     # re-deriving the self-join lineage each round (at cluster scale:
     # the bucketed-by-src at-rest layout plays this role).
-    edges0 = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    _, edges0 = _copurchase_edges(li)
     deg = edges0.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
@@ -375,13 +399,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket the oriented edges AND the adjacency relation by u/v so
     both probe joins co-locate)."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pl.select("o", F.col("p").alias("src"))
-    b = pl.select("o", F.col("p").alias("dst"))
-    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
-    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0, und = _copurchase_edges(li)
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     da = F.broadcast(deg.select(F.col("node").alias("__na"), F.col("d").alias("da")))
     db = F.broadcast(deg.select(F.col("node").alias("__nb"), F.col("d").alias("db")))
@@ -500,13 +518,7 @@ def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pl.select("o", F.col("p").alias("src"))
-    b = pl.select("o", F.col("p").alias("dst"))
-    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
-    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0, und = _copurchase_edges(li)
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     (und, deg, e0) = _retire_and_cache(("jaccard", sf_dir), [und, deg, e0])
     # The wedge relation is ~Σd²/2 rows (149M at sf0.1, 101M distinct
@@ -618,13 +630,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout). Levels are unrolled to a fixed depth like pagerank's
     iterations, keeping the plan static."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pl.select("o", F.col("p").alias("src"))
-    b = pl.select("o", F.col("p").alias("dst"))
-    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
-    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0, und = _copurchase_edges(li)
     (und,) = _retire_and_cache(("bfs", sf_dir), [und])
     und.count()  # one materialization feeds all three expansions
 
@@ -713,13 +719,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the moment reduce is one map-side-combinable aggregate over the
     edge relation. Nothing is node-quadratic."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pl.select("o", F.col("p").alias("src"))
-    b = pl.select("o", F.col("p").alias("dst"))
-    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
-    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0, und = _copurchase_edges(li)
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     da = F.broadcast(deg.select(F.col("node").alias("__na"), F.col("d").alias("x")))
     db = F.broadcast(deg.select(F.col("node").alias("__nb"), F.col("d").alias("y")))
@@ -799,13 +799,7 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     community-grain aggregate; the 1-row 2m total is a broadcast.
     Nothing scales with community count except the output."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pl.select("o", F.col("p").alias("src"))
-    b = pl.select("o", F.col("p").alias("dst"))
-    e0 = a.join(b, "o").where(F.col("src") < F.col("dst")).select("src", "dst").distinct()
-    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0, und = _copurchase_edges(li)
     labeled = und.select(
         (F.col("src") % 4).alias("cs"), (F.col("dst") % 4).alias("cd")
     )
@@ -898,15 +892,7 @@ def graph_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor relation; at 100 TB the edge relation is bucketed by src
     (the pagerank layout note) and each round's joins co-locate."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = pl.select(F.col("o"), F.col("p").alias("src"))
-    b = pl.select(F.col("o").alias("o2"), F.col("p").alias("dst"))
-    e0 = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") < F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-    )
-    edges = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0, edges = _copurchase_edges(li)
     # the edge relation feeds every peel round twice — pin one
     # materialization (the pagerank/triangles cache discipline)
     (edges,) = _retire_and_cache(("kcore", sf_dir), [edges])
@@ -1014,15 +1000,7 @@ def graph_jaccard_links_truncated(spark: SparkSession, sf_dir: str) -> DataFrame
     capped wedge join, one pair aggregate — the O(n²) tail is gone by
     construction."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a = pl.select(F.col("o"), F.col("p").alias("src"))
-    b = pl.select(F.col("o").alias("o2"), F.col("p").alias("dst"))
-    e0 = (
-        a.join(b, (F.col("o") == F.col("o2")) & (F.col("src") < F.col("dst")))
-        .select("src", "dst")
-        .distinct()
-    )
-    und = e0.unionAll(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e0, und = _copurchase_edges(li)
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("d")
     )
@@ -1263,20 +1241,8 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     polled: the plan stays static and sync-LPA's oscillation risk is
     bounded by construction."""
     li = load_table(spark, sf_dir, "lineitem")
-    pl = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = pl.select(F.col("o"), F.col("p").alias("src"))
-    b = pl.select(F.col("o"), F.col("p").alias("dst"))
-    e0 = (
-        a.join(b, "o")
-        .where(F.col("src") < F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
-    edges = e0.unionAll(
-        e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).repartition(F.col("dst"))
+    e0, edges = _copurchase_edges(li)
+    edges = edges.repartition(F.col("dst"))
     (edges,) = _retire_and_cache(("lpa", sf_dir), [edges])
     labels = (
         edges.select(F.col("src").alias("node"))

@@ -22,6 +22,28 @@ from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
 
 
+
+def _hourly_obs(e: DataFrame) -> DataFrame:
+    """(event_type, h, v): the module's canonical hourly rollup —
+    hour = CAST(ts AS LONG) DIV 3600 (floor semantics identical in
+    both engines), v = round(sum(value), 2). The exact spelling is
+    LOAD-BEARING for cross-engine bit-identity (the round-2
+    discipline), so it lives in ONE place; the round-8 review counted
+    ten verbatim copies that a precision fix would each have needed."""
+    return e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+
+
+def _series_arr(obs: DataFrame) -> DataFrame:
+    """(event_type, arr): each type's (h, v) series as ONE sorted
+    array — the collect-then-fold shape the ordered-fold queries
+    (ewma, holt, autocorr, …) share."""
+    return obs.groupBy("event_type").agg(
+        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
+    )
+
+
 @query(
     "ts_resample_interpolate",
     oracle="""
@@ -198,9 +220,7 @@ def ts_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation down to (type, hour), then per-type windows over the
     tiny grid."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    obs = _hourly_obs(e)
     w = (
         Window.partitionBy("event_type")
         .orderBy("h")
@@ -265,12 +285,8 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     event volume; the raw events collapse to the grid in one
     partial-agg shuffle first."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
-    ser = obs.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
-    )
+    obs = _hourly_obs(e)
+    ser = _series_arr(obs)
     vs = F.transform(F.col("arr"), lambda x: x["v"])
     hs = F.transform(F.col("arr"), lambda x: x["h"])
     ewmas = F.transform(
@@ -347,12 +363,8 @@ def ts_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     series length (hours per type), never event volume; series fold
     independently — per-key parallelism."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
-    ser = obs.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
-    )
+    obs = _hourly_obs(e)
+    ser = _series_arr(obs)
     hs = F.transform(F.col("arr"), lambda x: x["h"])
     # state vector [v, l, b] as a plain double array: DuckDB's
     # list_reduce updates a STRUCT accumulator field-by-field in
@@ -441,12 +453,8 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, hour) grid, per-type arrays bounded by grid length (hours,
     not events), series processed independently."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
-    ser = obs.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
-    )
+    obs = _hourly_obs(e)
+    ser = _series_arr(obs)
     vs = F.transform(F.col("arr"), lambda x: x["v"])
     stats = ser.select(
         "event_type",
@@ -540,9 +548,7 @@ def ts_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hour-keyed self-join, pair fan-out bounded by #types² per hour),
     never on raw events; per-pair fold length is common-grid-bounded."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    obs = _hourly_obs(e)
     a = obs.select(F.col("event_type").alias("type_a"), "h", F.col("v").alias("va"))
     b = obs.select(F.col("event_type").alias("type_b"), "h", F.col("v").alias("vb"))
     paired = a.join(b, "h").where(F.col("type_a") < F.col("type_b"))
@@ -625,9 +631,7 @@ def ts_changepoint_meanshift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (type, hour) grid; the O(n²) fold cost is bounded by series
     length (hours), never events, and series parallelize per key."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    obs = _hourly_obs(e)
     ser = obs.groupBy("event_type").agg(
         F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr"),
         F.count(F.lit(1)).alias("n"),
@@ -733,9 +737,7 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile per type joined back (broadcast-sized), and per-type
     variance folds bounded by grid length."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    obs = _hourly_obs(e)
     hod = obs.select("event_type", (F.col("h") % 24).alias("hour_of_day"), "h", "v")
     parr = F.array_sort(F.collect_list(F.struct("h", "v")))
     prof = hod.groupBy("event_type", "hour_of_day").agg(
@@ -815,9 +817,7 @@ def ts_rolling_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    obs = _hourly_obs(e)
     w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-23, 0)
     wv = F.sort_array(F.collect_list("v").over(w))
     return obs.select(
@@ -981,7 +981,7 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ts_concurrency_sweep",
     oracle="""
     WITH ordered AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL THEN 1
                   WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id
@@ -990,8 +990,12 @@ def ts_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                   ELSE 0 END AS new_s
       FROM events
     ), sess AS (
+      -- (ts, event_id) tie-break like the LAG above: with ORDER BY ts
+      -- alone, a duplicate (user_id, ts) at a session boundary joins
+      -- the previous or the new session depending on engine tie order
+      -- (round-8 review finding) — the module's total-order discipline
       SELECT user_id, ts,
-             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS UNBOUNDED PRECEDING) AS session_no
       FROM ordered
     ), intervals AS (
@@ -1042,12 +1046,17 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(lag_ts.isNull(), 1)
         .when(F.col("ts").cast("double") - lag_ts.cast("double") > 1800.0, 1)
         .otherwise(0)
         .alias("new_s"),
     )
-    sw = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # (ts, event_id) tie-break like the LAG window: with ts alone, a
+    # duplicate (user_id, ts) at a session boundary joins the previous
+    # or the new session depending on shuffle tie order (round-8
+    # review finding)
+    sw = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     sess = ordered.select("user_id", "ts", F.sum("new_s").over(sw).alias("session_no"))
@@ -1111,7 +1120,11 @@ def ts_concurrency_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(t * t) OVER w AS BIGINT) AS stt,
              CAST(SUM(t * y) OVER w AS BIGINT) AS sty
       FROM grid
-      WINDOW w AS (ORDER BY t ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+      -- RANGE on the hour INDEX, not ROWS over observed buckets: on a
+      -- gappy grid a 24-ROW window reaches back more than 24 wall-clock
+      -- hours, which is not the 'trailing 24-hour' statistic promised
+      -- (round-8 review finding); WHERE n = 24 keeps full windows only
+      WINDOW w AS (ORDER BY t RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)
     )
     SELECT t AS hour_idx, n,
            ROUND(CAST(n * sty - st * sy AS DOUBLE)
@@ -1146,7 +1159,9 @@ def ts_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).cast("long").alias("y")
     )
-    w = Window.orderBy("t").rowsBetween(-23, Window.currentRow)
+    # RANGE frame on the hour index (not ROWS over observed buckets):
+    # see the oracle note — a gappy grid must not stretch the window
+    w = Window.orderBy("t").rangeBetween(-23, Window.currentRow)
     rolled = grid.select(
         "t",
         F.count(F.lit(1)).over(w).alias("n"),
@@ -1175,8 +1190,12 @@ def ts_rolling_ols_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(SUM(CAST(ROUND(value * 100.0, 0) AS BIGINT)) AS BIGINT) AS y
       FROM events GROUP BY 1
     ), with_pred AS (
-      SELECT h, y, LAG(y, 24) OVER (ORDER BY h) AS yhat
-      FROM grid
+      -- the forecast joins the value exactly 24 HOURS earlier, not 24
+      -- observed rows back: LAG(y, 24) over a gappy grid reached past
+      -- 24 wall-clock hours and compared a different hour-of-day —
+      -- not the seasonal-naive statistic promised (round-8 review)
+      SELECT g.h, g.y, p.y AS yhat
+      FROM grid g JOIN grid p ON p.h = g.h - 24
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_backtest,
            ROUND(CAST(SUM(ABS(y - yhat)) AS DOUBLE)
@@ -1210,10 +1229,11 @@ def ts_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.sum(F.round(F.col("value") * 100.0, 0).cast("long")).cast("long").alias("y")
     )
-    w = Window.orderBy("h")
-    wp = grid.select("h", "y", F.lag("y", 24).over(w).alias("yhat")).where(
-        F.col("yhat").isNotNull()
-    )
+    # self-join on h-24 (see the oracle note): the forecast must be the
+    # value exactly 24 HOURS earlier, which a 24-ROW lag only equals on
+    # a gap-free grid
+    pred = grid.select((F.col("h") + 24).alias("h"), F.col("y").alias("yhat"))
+    wp = grid.join(pred, "h")
     err = F.abs(F.col("y") - F.col("yhat"))
     return wp.agg(
         F.count(F.lit(1)).alias("n_backtest"),
@@ -1286,12 +1306,8 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     elements — the O(n²) prefix spelling stays sub-second; the
     streaming twin carries S as one scalar of state per key."""
     e = load_table(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
-    ).agg(F.round(F.sum("value"), 2).alias("v"))
-    ser = obs.groupBy("event_type").agg(
-        F.array_sort(F.collect_list(F.struct("h", "v"))).alias("arr")
-    )
+    obs = _hourly_obs(e)
+    ser = _series_arr(obs)
     vs = F.transform(F.col("arr"), lambda x: x["v"])
     hs = F.transform(F.col("arr"), lambda x: x["h"])
     n = F.size(F.col("__vs"))

@@ -31,6 +31,26 @@ from pyspark.sql import functions as F
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
 
+def _sessionize_30min(e: DataFrame) -> DataFrame:
+    """(user_id, ts, event_id, event_type, brk, sid): 30-minute-gap
+    sessionization with the module's (ts, event_id) total tie-break —
+    ONE definition for the session-path and pattern-match queries
+    (round-8 review: the block was duplicated verbatim, and a third
+    hand-rolled copy in timeseries.py had already dropped the
+    tie-break). One shuffle on user_id; both windows share it."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    brk = F.when(
+        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTE")), 1
+    ).otherwise(0)
+    return e.select(
+        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
+    ).withColumn(
+        "sid",
+        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+
+
 # Shared CTE: compress each user's event stream to attribute-change
 # versions (SCD2 merge semantics: a new version opens only when the
 # tracked attribute actually changes), then derive validity intervals.
@@ -454,17 +474,7 @@ def events_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation, and the final top-5 is a TakeOrdered, not a
     global sort."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    brk = F.when(
-        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTE")), 1
-    ).otherwise(0)
-    sess = e.select(
-        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
-    ).withColumn(
-        "sid",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sess = _sessionize_30min(e)
     paths = (
         sess.groupBy("user_id", "sid")
         .agg(
@@ -682,7 +692,7 @@ def agg_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH monthly AS (
       SELECT l.l_partkey AS part,
              CAST(date_trunc('month', o.o_orderdate) AS DATE) AS m,
-             CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+             CAST(SUM(CAST(ROUND(l.l_quantity, 0) AS BIGINT)) AS BIGINT) AS q
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
       GROUP BY 1, 2
     ), stats AS (
@@ -731,7 +741,11 @@ def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("part"),
             F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("m"),
         )
-        .agg(F.sum(F.col("l_quantity").cast("long")).cast("long").alias("q"))
+        # ROUND before the integer cast: Spark cast(double as long) TRUNCATES
+        # while DuckDB CAST(double AS BIGINT) rounds — equivalent only on
+        # the fixture's integer-valued quantities; the explicit round makes
+        # the two expressions equal on ANY data (round-8 review finding)
+        .agg(F.sum(F.round(F.col("l_quantity"), 0).cast("long")).cast("long").alias("q"))
     )
     stats = (
         monthly.groupBy("part")
@@ -867,6 +881,13 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(m)
         for j in range(m)
     ]
+    if m == 0:
+        # no user has two consecutive events → no transitions: the
+        # oracle's relation is empty, so return an empty frame instead
+        # of dividing by zero in the power iteration (round-8 review)
+        return spark.createDataFrame(
+            [], "event_type string, n_transitions_out long, stationary_prob double"
+        )
     p = [1.0 / float(m)] * m
     for _ in range(_STAT_ITERS):
         praw = []
@@ -1068,17 +1089,7 @@ def events_pattern_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     4 rows. Session strings are session-length — bound them with the
     same cap real funnel systems use if sessions can run unbounded."""
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    prev = F.lag("ts").over(w)
-    brk = F.when(
-        prev.isNull() | (F.col("ts") - prev > F.expr("INTERVAL 30 MINUTE")), 1
-    ).otherwise(0)
-    sess = e.select(
-        "user_id", "ts", "event_id", "event_type", brk.alias("brk")
-    ).withColumn(
-        "sid",
-        F.sum("brk").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
-    )
+    sess = _sessionize_30min(e)
     paths = sess.groupBy("user_id", "sid").agg(
         F.array_join(
             F.transform(
