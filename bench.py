@@ -112,6 +112,41 @@ HEADLINE = [
 ]
 
 
+def calibration_run(spark) -> float:
+    """Box-speed constant: a fixed, deterministic, CPU-bound Spark job
+    (no I/O, no fixtures, no Python workers) — in-memory range →
+    arithmetic projection → hash agg → fixed-size sort. Its time
+    tracks the host's effective throughput, so cross-round per-query
+    comparisons divide by it instead of needing a manual host-vs-code
+    adjudication (round 8's 1.46x "regression" was proven to be a ~40%
+    box slowdown by a same-box commit A/B — see SCALE.md, round-9
+    protocol). Min of three, same as the query protocol."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.time()
+        (
+            spark.range(0, 100_000_000, 1, 32)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                (F.col("id") * 2654435761 % 2**31).alias("h"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("h").alias("s"),
+                F.count("*").alias("c"),
+                F.avg(F.col("h") * F.col("h")).alias("m2"),
+            )
+            .orderBy("k")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return time.time() - t0
+
+    return min(once() for _ in range(3))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -136,6 +171,7 @@ def main() -> None:
         return lo, (max(samples) - lo) / lo if lo else 0.0
 
     run_once("scan_project")  # warmup: JVM + codegen + parquet footer cache
+    calibration = round(calibration_run(spark), 3)
     measured = {name: run(name) for name in HEADLINE}
     times = {name: round(lo, 3) for name, (lo, _) in measured.items()}
     spread = {name: round(sp, 2) for name, (_, sp) in measured.items()}
@@ -152,6 +188,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spread,
+        "calibration_sec": calibration,
         "sf": sf,
     }
     # Detail path is env-overridable so harness runs (the contract
@@ -172,6 +209,7 @@ def main() -> None:
             "unit": "sec",
             "queries": {n: round(t, 2) for n, t in times.items()},
             "spread_max": max(spread.values()) if spread else 0.0,
+            "calibration_sec": round(calibration, 2),
             "sf": sf,
         },
         separators=(",", ":"),

@@ -270,64 +270,68 @@ def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
 #     re-confirmations. (More than 50 candidates now exist; round 4
 #     fronts the first 50 by this ledger order, round 5 the rest.)
 DRIVER_WINDOW: tuple[str, ...] = (
-    # ROUND 8 window: per WINDOWS.md (round-8 block, 50 entries).
-    # Round-7 window came back 50/50 green (CORRECTNESS_r07); rounds 9
-    # (21 entries) and 10 (the five round-8 additions) remain planned in
-    # WINDOWS.md so the union covers the full 416-query registry —
-    # tests/test_window_audit.py::test_windows_plan_covers_backlog
-    # set-checks this ledger against the registry every suite run, so
-    # this comment can no longer silently lag the count (round-8
-    # review finding).
-    "eval_confusion_prf",
-    "graph_k_core",
-    "sample_systematic_weighted",
-    "tokenizer_bpe_encode",
-    "mixture_doremi_excess",
-    "audit_partition_skew",
-    "events_markov_stationary",
-    "eval_brier_decomposition",
-    "eval_cost_threshold",
-    "txlog_partition_prune",
-    "text_token_regex_gpt",
-    "pipeline_curation4_weighted",
-    "graph_jaccard_links_truncated",
-    "stats_permutation_test",
-    "model_logreg_quality_fit",
-    "model_logreg_quality_serve",
-    "sim_topk_ivf_nprobe4",
-    "events_attribution_position",
-    "stats_fdr_bh",
-    "stats_welch_tstat",
-    "dedup_cluster_report",
-    "agg_histogram_log2",
-    "sample_curriculum_stages",
-    "mixture_caps_floors",
-    "events_next_event_examples",
-    "embedding_quality_screen",
-    "sql_pipe_syntax",
-    "sql_session_variable",
-    "sql_identifier_dynamic",
-    "model_decision_stump_fit",
-    "eval_mcnemar_paired",
-    "graph_hits_bipartite",
-    "scan_xml_roundtrip",
-    "dedup_minhash_pr_eval",
-    "join_dpp_runtime_prune",
-    "sim_topk_ivfpq_rerank_np4",
-    "udf_cogrouped_reconcile",
-    "ts_cusum_drift",
-    "stats_eb_shrinkage",
-    "agg_sketch_error_audit",
-    "orders_fulfillment_cycle",
-    "pipeline_dedup_impact",
-    "text_ppl_buckets",
-    "dedup_span_removal",
-    "dedup_boilerplate_grams",
-    "sample_dsir_importance",
-    "split_leakage_free",
-    "model_naive_bayes_langid",
-    "eval_bleu_pairs",
-    "eval_distinct_n",
+    # ROUND 9 window: per WINDOWS.md (round-9 block — the MERGED
+    # rounds 9+10 backlog, collapsed per the round-8 verdict). Round-8
+    # window came back 50/50 green (CORRECTNESS_r08); the 26 names
+    # below are EXACTLY the registry queries with no driver row across
+    # rounds 1–8 (set-checked by
+    # tests/test_window_audit.py::test_windows_plan_covers_backlog),
+    # so a green round 9 closes the registry at 416/416
+    # driver-verified. The remaining 24 slots re-confirm flagship /
+    # headline production paths (all already driver-green).
+    "events_pattern_match_regex",
+    "eval_chrf_pairs",
+    "window_global_rank_distributed",
+    "stats_cuped_adjusted",
+    "privacy_t_closeness",
+    "retrieval_query_likelihood_dirichlet",
+    "feature_woe_binned",
+    "model_ridge_gram",
+    "eval_ppi_mean_estimate",
+    "sql_select_star_except_replace",
+    "agg_sketch_set_algebra",
+    "txlog_zonemap_prune",
+    "stats_anova_oneway",
+    "ts_decompose_classical",
+    "fn_hof_exists_forall_indexed",
+    "graph_label_propagation",
+    "lake_dynamic_partition_overwrite",
+    "sim_topk_ivfpq_rerank_np8",
+    "sample_reservoir_hash",
+    "sim_topk_sq8_rerank",
+    "stats_spearman_rank",
+    "stats_kruskal_wallis",
+    "stats_levene_bf",
+    "stats_tukey_hsd",
+    "eval_fleiss_kappa",
+    "stats_dunn_posthoc",
+    # --- re-confirmation slots (already driver-green; fills the
+    # 50-entry window with the production paths we most want
+    # re-checked on current fixtures) ---
+    "replay_range",
+    "agg_pricing_summary",
+    "join_inner",
+    "join_broadcast_dims",
+    "join_asof",
+    "window_ranking",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_lsh",
+    "sim_topk_ivfpq",
+    "text_quality",
+    "text_tfidf",
+    "sql_cte_multijoin",
+    "reshape_pivot",
+    "tpch_q9_product_profit",
+    "tpch_q18_large_volume",
+    "text_gopher_rules",
+    "split_contamination",
+    "pack_greedy_bins",
+    "pipeline_guarded_curation",
+    "pii_redact",
+    "dedup_url_canonical",
+    "udf_scalar_pandas",
 )
 
 
