@@ -48,6 +48,20 @@ SYSTEMS = [
 
 SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
 
+# sf0.1 (2000-vector corpus, 4x sf0.01) scores the SHIPPING legs only
+# (round-8 verdict ask: the operating-point claims were measured at
+# sf0.001/sf0.01; a 10x corpus is the cheapest test of whether
+# nprobe=8 / shortlist=150 holds or needs rescaling). The baseline
+# legs stay off: their 0.0-recall motivation doesn't need a 4M-pair
+# brute-force ground truth re-proven every round.
+SF01_DIR = "/root/testdata/sf0.1"
+SHIPPING = [
+    "sim_topk_ivf_nprobe4",
+    "sim_topk_ivfpq_rerank_np4",
+    "sim_topk_ivfpq_rerank_np8",
+    "sim_topk_sq8_rerank",
+]
+
 
 def ground_truth(spark, reg, sf_dir: str):
     """Exact top-5 pairs, computed once per sf_dir and pinned."""

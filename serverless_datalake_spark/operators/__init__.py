@@ -27,7 +27,24 @@ def pin(df: DataFrame) -> DataFrame:
     the window, was audited and allowlisted). The audit sets
     SPARK_GRAFT_NO_PIN=1 while building plans, making every pin a
     no-op so the full lineage stays auditable; execution paths never
-    set it."""
+    set it.
+
+    Sanctioned exceptions — EAGER iteration-boundary lineage cuts,
+    which are a different mechanism from the lazy branch pin and stay
+    outside the NO_PIN contract on purpose: operators/dedup.py's
+    components fixpoint (``new_labels.localCheckpoint(eager=True)``
+    every few pointer-jump rounds) and queries/graph.py's iterative
+    frontiers (BFS levels, k-core peeling). These cut an O(iterations)
+    lineage chain INSIDE a driver-side loop whose intermediate plans
+    are never registry-auditable (the audit sees only the final
+    returned DataFrame, whose own lineage starts at the last cut — by
+    then the loop has already executed), so they cannot hide a window
+    from the gate the way a lazy pin could; disabling them under
+    NO_PIN would make plan BUILD itself exponentially slow or
+    stack-overflow. tests/test_window_audit.py::test_no_raw_lazy_pins
+    enforces the split mechanically: the ONLY ``eager=False``
+    checkpoint in the package is this helper, and every other
+    ``localCheckpoint`` call site is eager and enumerated there."""
     if os.environ.get("SPARK_GRAFT_NO_PIN") == "1":
         return df
     return df.localCheckpoint(eager=False)

@@ -106,8 +106,24 @@ def audit_registry(spark, sf_dir: str, reg: dict | None = None) -> dict:
     invisible while its structurally identical sibling
     stats_kruskal_wallis, pinned below the window, was audited). With
     pins disabled the full lineage is visible, so evasion-by-pinning
-    is impossible. Plan BUILD only — nothing executes here, so the
-    recompute the pins exist to prevent never happens."""
+    is impossible. This is plan BUILD, so registry queries' own
+    DataFrames never execute under NO_PIN — but a few builders DO run
+    small jobs while constructing their plan (graph queries count /
+    eagerly checkpoint their iterative state), so "nothing executes"
+    is not literally true; those eager iteration-boundary cuts are
+    pin-exempt by design (see operators.pin) and unaffected by the
+    flag.
+
+    CONCURRENCY CONTRACT: SPARK_GRAFT_NO_PIN is process-global, so any
+    query built on another thread of this driver while the audit runs
+    (a bench loop, a streaming micro-batch planner) would silently
+    lose its branch-point pins and re-derive the pinned relation per
+    consumer. Run the audit single-threaded, with nothing else
+    planning queries in the same process — the pytest gate and
+    scripts/regenerate_artifacts both satisfy this. The env var (vs a
+    module flag) is deliberate: it lets out-of-process tooling rebuild
+    pin-free plans too, and carries the same process-global caveat
+    either way."""
     if reg is None:
         from serverless_datalake_spark.queries import load_registry
 

@@ -43,6 +43,20 @@ _CACHE_GEN: dict = {}
 
 
 def _retire_and_cache(key, dfs):
+    # Session-scoped key: the liveness check below only catches a
+    # STOPPED session, so with a bare (name, sf_dir) key two
+    # concurrently LIVE SparkSessions interleaving graph queries would
+    # serve one session's persisted DataFrame to the other, failing
+    # (or mixing state) on cross-session joins (round-8 advisor
+    # finding). applicationId is unique per SparkContext, so each
+    # live session keeps its own generation; a stopped-and-replaced
+    # session changes appId and its stale entry is never served again
+    # (the handful of dead handles left keyed under the old appId are
+    # driver-side objects only — their blocks died with the context).
+    try:
+        key = (key, dfs[0].sparkSession.sparkContext.applicationId)
+    except Exception:
+        pass
     prev = _CACHE_GEN.get(key)
     if prev is not None and len(prev) == len(dfs):
         # a handle persisted under a SparkSession that has since been

@@ -816,6 +816,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ranking.py, range-partitioned two-pass, bit-identical)
     rather than a single-task window; the fit itself is four folds
     and a projection."""
+    from serverless_datalake_spark.operators import pin
     from serverless_datalake_spark.operators.ranking import with_global_rank
 
     d = load_table(spark, sf_dir, "documents")
@@ -824,9 +825,7 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # pinned: the rank's range sampling would re-run the token-count
     # shuffle over the corpus scan; the pinned relation is vocab-grain
-    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint(
-        eager=False
-    )
+    cnt = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).transform(pin)
     pts = with_global_rank(
         cnt, [F.col("c").desc(), F.col("t")], out="rnk"
     ).select(

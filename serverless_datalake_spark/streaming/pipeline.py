@@ -198,7 +198,7 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame, key: str = "user_id"
 
 
 def _replay_guard(
-    table_path: str, txn_app: str | None, honor_legacy_markers: bool = False
+    table_path: str, txn_app: str | None, honor_legacy_markers: bool | None = None
 ):
     """Shared batch-replay guard for the txlog-sink queries:
     (already_committed(batch_id), marker_extra(batch_id)).
@@ -227,26 +227,30 @@ def _replay_guard(
             seen = txlog.committed_txn_markers(table_path)
             if (
                 txn_app is not None
-                and not honor_legacy_markers
+                and honor_legacy_markers is None
                 and any(m[0] is None for m in seen)
             ):
-                # The opt-in default protects two-formerly-unscoped
-                # pipelines from skipping each other's batch ids, but
-                # it also means a SINGLE-writer pipeline upgraded from
-                # the unscoped era re-commits its pre-upgrade batches
-                # on a straddling replay unless the operator passes
-                # honor_legacy_markers=True. Neither case is decidable
-                # from the log alone, so be LOUD when the ambiguous
-                # state is actually present (round-8 review finding).
-                import warnings
-
-                warnings.warn(
+                # Three-state contract (round-8 advisor finding: the
+                # previous warn-and-proceed default let an upgraded
+                # single-writer pipeline re-commit its pre-upgrade
+                # batches — duplicates — behind a warning nobody
+                # reads). Whether unscoped markers belong to THIS
+                # pipeline (honor them: single-writer upgrade) or to
+                # a DIFFERENT formerly-unscoped pipeline (ignore
+                # them: honoring would silently DROP colliding batch
+                # ids) is not decidable from the log, so when the
+                # ambiguous state is actually present the operator
+                # must decide explicitly: True or False, not the
+                # None default.
+                raise ValueError(
                     f"txlog table {table_path!r} carries legacy unscoped "
-                    f"(txn_app=None) markers that guard {txn_app!r} will "
-                    "IGNORE; if this pipeline wrote them (single-writer "
-                    "upgrade), pass honor_legacy_markers=True or a "
-                    "straddling replay will re-commit those batches",
-                    stacklevel=3,
+                    f"(txn_app=None) markers and guard {txn_app!r} was "
+                    "started without an explicit honor_legacy_markers "
+                    "decision. Pass honor_legacy_markers=True if THIS "
+                    "pipeline wrote them (single-writer upgrade: a "
+                    "straddling replay must skip those batches), or "
+                    "False if another pipeline did (honoring them "
+                    "would silently drop colliding batch ids)."
                 )
         if (txn_app, batch_id) in seen:
             return True
@@ -264,7 +268,7 @@ def _replay_guard(
         # collide with the other's legacy markers (round-7 ADVICE
         # finding) — so it must be asserted explicitly by the operator
         # doing the upgrade, never applied by default.
-        return honor_legacy_markers and (None, batch_id) in seen
+        return bool(honor_legacy_markers) and (None, batch_id) in seen
 
     def marker_extra(batch_id: int) -> dict:
         # pure — the cache is updated by commit() only AFTER the
@@ -292,7 +296,7 @@ def start_txlog_ingest_query(
     checkpoint_path: str,
     trigger: dict | None = None,
     txn_app: str | None = None,
-    honor_legacy_markers: bool = False,
+    honor_legacy_markers: bool | None = None,
 ) -> StreamingQuery:
     """Ingest with an ACID sink: each micro-batch commits through the
     transaction log (sources/txlog.py), so a batch's files become
@@ -389,7 +393,7 @@ def start_txlog_upsert_query(
     order_col: str = "ts",
     trigger: dict | None = None,
     txn_app: str | None = None,
-    honor_legacy_markers: bool = False,
+    honor_legacy_markers: bool | None = None,
 ) -> StreamingQuery:
     """Streaming CDC upsert: each micro-batch MERGEs into the txlog
     table by key — the mutable-table sink for change streams
@@ -447,7 +451,7 @@ def start_dedup_admission_query(
     id_col: str = "doc_id",
     trigger: dict | None = None,
     txn_app: str | None = None,
-    honor_legacy_markers: bool = False,
+    honor_legacy_markers: bool | None = None,
 ) -> StreamingQuery:
     """Streaming INCREMENTAL DEDUP ADMISSION: each micro-batch admits
     only documents whose normalized-content fingerprint has never been

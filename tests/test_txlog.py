@@ -181,8 +181,11 @@ def test_replay_guard_recognizes_legacy_markers_after_txn_app_upgrade(spark, tmp
     (honor_legacy_markers=True): if two pipelines both ran unscoped
     before being given distinct txn_apps, an unconditional fallback
     would make each silently skip (drop) batches whose ids collide
-    with the other's legacy markers (round-7 ADVICE finding), so by
-    default an app-scoped guard ignores legacy markers entirely."""
+    with the other's legacy markers (round-7 ADVICE finding). Neither
+    direction is decidable from the log, so when the ambiguous state
+    is present the None default RAISES (round-8 advisor: the previous
+    warn-and-proceed could still duplicate silently in logs nobody
+    reads) and the operator must pass True or False explicitly."""
     from serverless_datalake_spark.streaming.pipeline import _replay_guard
 
     path = str(tmp_path / "t")
@@ -194,18 +197,23 @@ def test_replay_guard_recognizes_legacy_markers_after_txn_app_upgrade(spark, tmp
     txlog.txlog_write(_df(spark, 5, 9), path, extra={"batch_id": 7, "txn_app": "other"})
     already2, _ = _replay_guard(path, txn_app="p1", honor_legacy_markers=True)
     assert already2(7) is False
-    # DEFAULT: legacy markers are another (possibly different)
-    # pipeline's history — a scoped guard must not skip on them, but
-    # the ambiguous state must be LOUD (a single-writer upgrade that
-    # forgets the flag would re-commit pre-upgrade batches silently)
-    import warnings as _warnings
-
-    already3, _ = _replay_guard(path, txn_app="p1")
-    with _warnings.catch_warnings(record=True) as caught:
-        _warnings.simplefilter("always")
-        assert already3(0) is False
-    assert any("legacy unscoped" in str(w.message) for w in caught)
+    # explicit False: legacy markers are another (possibly different)
+    # pipeline's history — the scoped guard must not skip on them
+    already3, _ = _replay_guard(path, txn_app="p1", honor_legacy_markers=False)
+    assert already3(0) is False
     assert already3(7) is False
+    # DEFAULT (None): the ambiguous state is present, so starting the
+    # guard without an explicit decision must raise, not warn-and-pick
+    already4, _ = _replay_guard(path, txn_app="p1")
+    with pytest.raises(ValueError, match="legacy unscoped"):
+        already4(0)
+    # ... but with NO legacy markers in the log, None is fine (the
+    # common case: a table that was always app-scoped)
+    clean = str(tmp_path / "clean")
+    txlog.txlog_write(_df(spark, 0, 5), clean, extra={"batch_id": 0, "txn_app": "p1"})
+    already5, _ = _replay_guard(clean, txn_app="p1")
+    assert already5(0) is True
+    assert already5(1) is False
 
 
 def test_txlog_ingest_survives_checkpoint_loss_and_vacuum(spark, tmp_path):

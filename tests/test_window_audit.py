@@ -80,3 +80,50 @@ def test_windows_plan_covers_backlog():
             planned - backlog - seen
         )
     }
+
+
+def test_no_raw_lazy_pins():
+    """The pin-audit contract (operators.pin docstring): the ONLY
+    eager=False localCheckpoint in the package is pin() itself — a
+    raw lazy checkpoint elsewhere would be invisible to
+    SPARK_GRAFT_NO_PIN and could hide a global window from the audit
+    (round-8 advisor finding: text_zipf_fit had exactly this). Eager
+    call sites (iteration-boundary lineage cuts inside driver-side
+    loops — a different mechanism, exempt by design) are enumerated
+    here so a new one forces a review. AST-based so docstring prose
+    mentioning the API doesn't count as a call."""
+    import ast
+    import os
+
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "serverless_datalake_spark",
+    )
+    lazy: list[str] = []
+    eager: set[str] = set()
+    for root, _dirs, files in os.walk(pkg):
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            path = os.path.join(root, fn)
+            rel = os.path.relpath(path, pkg)
+            tree = ast.parse(open(path).read(), filename=path)
+            for node in ast.walk(tree):
+                if not (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "localCheckpoint"
+                ):
+                    continue
+                is_lazy = any(
+                    kw.arg == "eager"
+                    and isinstance(kw.value, ast.Constant)
+                    and kw.value.value is False
+                    for kw in node.keywords
+                )
+                (lazy.append(rel) if is_lazy else eager.add(rel))
+    assert lazy == [os.path.join("operators", "__init__.py")], lazy
+    assert eager <= {
+        os.path.join("operators", "dedup.py"),
+        os.path.join("queries", "graph.py"),
+    }, sorted(eager)
