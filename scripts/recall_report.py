@@ -175,6 +175,37 @@ def main() -> None:
             *residual_vs_plain_ab(spark, sf_dir, bf),
             "",
         ]
+    # sf0.1: shipping legs only, vs the same brute-force truth
+    bf01 = ground_truth(spark, reg, SF01_DIR)
+    lines += [
+        "## sf0.1 — shipping legs (operating-point drift check)",
+        "",
+        "Scored on the 2000-vector corpus (4× sf0.01) to test whether",
+        "the fixed operating points (nprobe, shortlist size) hold as",
+        "the corpus grows — an index whose recall decays with corpus",
+        "size needs its knobs rescaled, not a new algorithm.",
+        "",
+        "Drift found and fixed in round 9: with shortlist FIXED at 150,",
+        "`sim_topk_ivfpq_rerank_np8` decayed 0.94 → 0.78 at the 4×",
+        "corpus (150 deep fell from 30% to 7.5% nomination depth; the",
+        "in-cell PQ ordering error surfaces proportionally fewer of the",
+        "reachable true neighbors). The leg now nominates",
+        "max(150, ceil(0.3·n)) — knob-sweep at sf0.1: 150→0.78,",
+        "300→0.92, 600→0.94 (nprobe=8); nprobe=10+600 reaches 1.00.",
+        "`sim_topk_sq8_rerank` holds 1.00 at every scale (its shortlist",
+        "is per-query rank-based, and SQ8's elementwise quantization",
+        "error doesn't grow with corpus size). The 100 TB form holds",
+        "CELL population constant instead (n_centroids ∝ √n) so the",
+        "per-cell shortlist stays fixed — see the np8 docstring.",
+        "",
+        "| system | n_queries | mean recall@5 | worst |",
+        "|---|---|---|---|",
+    ]
+    for system in SHIPPING:
+        nq, mean, worst = recall_df(bf01, reg[system].fn(spark, SF01_DIR))
+        lines.append(f"| {system} | {nq} | {mean:.4f} | {worst:.2f} |")
+        print(f"sf0.1 {system}: mean={mean:.4f} worst={worst:.2f}", flush=True)
+    lines.append("")
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "RECALL.md")
     with open(out, "w") as f:
         f.write("\n".join(lines))

@@ -22,9 +22,18 @@ This complements sources/replay.read_lake_as_of (catalog time travel
 by ingest time): the txlog gives version-exact snapshots and atomic
 compaction; the catalog gives time-range selection semantics (R12).
 
-Manual object-store verification recipe (no network in the build
-sandbox, so this is the documented execution path for the ACID claim;
-run it once against any S3-compatible endpoint):
+Object-store verification status (round 9): the commit protocol's
+client side IS now executed in-process —
+sources/objectstore.py implements `put_if_absent` (PUT +
+`If-None-Match: *`, 412 = lost race) and `commit_with_retry` (the
+retry-against-new-head loop below), and
+tests/test_objectstore_commit.py races 4 writers × 25 commits against
+an HTTP endpoint implementing S3's documented conditional-PUT
+semantics, asserting dense versions, no lost update, and
+loser-observed-winner rebase. What remains untested is the real
+S3/MinIO *server* (no installable binaries/credentials in the
+sandbox); the recipe below validates that half once an endpoint
+exists:
 
 1. Endpoint: `docker run -p 9000:9000 minio/minio server /data`
    (or a real S3 bucket — S3 supports `If-None-Match: *` conditional
