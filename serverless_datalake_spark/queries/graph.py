@@ -54,7 +54,26 @@ def _retire_and_cache(key, dfs):
     # (the handful of dead handles left keyed under the old appId are
     # driver-side objects only — their blocks died with the context).
     try:
-        key = (key, dfs[0].sparkSession.sparkContext.applicationId)
+        app_id = dfs[0].sparkSession.sparkContext.applicationId
+        # sweep generations left under other appIds for this caller
+        # key whose session has STOPPED — with the session-scoped key
+        # they would otherwise never be re-looked-up and their handles
+        # (py4j refs into dead contexts) would accumulate for the
+        # process lifetime (round-9 review finding); their blocks died
+        # with the context, so dropping the dict entry is the whole
+        # cleanup. A generation whose session is still live belongs to
+        # a concurrently running session — leave it alone.
+        for stale_key in [
+            k for k in _CACHE_GEN if k[0] == key and k[1] != app_id
+        ]:
+            gen = _CACHE_GEN.get(stale_key)
+            try:
+                alive = gen and not gen[0].sparkSession._sc._jsc.sc().isStopped()
+            except Exception:
+                alive = False
+            if not alive:
+                _CACHE_GEN.pop(stale_key, None)
+        key = (key, app_id)
     except Exception:
         pass
     prev = _CACHE_GEN.get(key)

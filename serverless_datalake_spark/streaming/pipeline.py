@@ -224,11 +224,16 @@ def _replay_guard(
     def already_committed(batch_id: int) -> bool:
         nonlocal seen
         if seen is None:
-            seen = txlog.committed_txn_markers(table_path)
+            # validate BEFORE assigning `seen`: the ambiguity raise
+            # must re-fire on every call — if `seen` were set first, a
+            # caller that caught the first ValueError (a supervisory
+            # retry wrapper) would silently proceed with ignore-legacy
+            # semantics on the next call (round-9 review finding)
+            markers = txlog.committed_txn_markers(table_path)
             if (
                 txn_app is not None
                 and honor_legacy_markers is None
-                and any(m[0] is None for m in seen)
+                and any(m[0] is None for m in markers)
             ):
                 # Three-state contract (round-8 advisor finding: the
                 # previous warn-and-proceed default let an upgraded
@@ -252,6 +257,7 @@ def _replay_guard(
                     "False if another pipeline did (honoring them "
                     "would silently drop colliding batch ids)."
                 )
+            seen = markers
         if (txn_app, batch_id) in seen:
             return True
         if txn_app is None:

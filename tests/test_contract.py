@@ -32,6 +32,8 @@ def test_bench_emits_one_json_line(monkeypatch, spark, tmp_path):
     monkeypatch.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     # keep the sf0.1 round artifact at the repo root intact
     monkeypatch.setenv("SPARK_GRAFT_BENCH_DETAIL", str(tmp_path / "detail.json"))
+    # shape check only — don't pay three 100M-row calibration jobs
+    monkeypatch.setenv("SPARK_GRAFT_SKIP_CALIBRATION", "1")
     buf = io.StringIO()
     with redirect_stdout(buf):
         bench.main()
@@ -41,6 +43,7 @@ def test_bench_emits_one_json_line(monkeypatch, spark, tmp_path):
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert payload["value"] > 0
+    assert "calibration_sec" in payload  # box-speed normalizer (round 9)
     assert set(payload["queries"]) == set(bench.HEADLINE)
 
 

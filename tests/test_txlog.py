@@ -207,6 +207,11 @@ def test_replay_guard_recognizes_legacy_markers_after_txn_app_upgrade(spark, tmp
     already4, _ = _replay_guard(path, txn_app="p1")
     with pytest.raises(ValueError, match="legacy unscoped"):
         already4(0)
+    # ... and the raise re-fires on EVERY call — a supervisory wrapper
+    # that swallowed the first error must not fall through to
+    # ignore-legacy semantics on retry (round-9 review finding)
+    with pytest.raises(ValueError, match="legacy unscoped"):
+        already4(0)
     # ... but with NO legacy markers in the log, None is fine (the
     # common case: a table that was always app-scoped)
     clean = str(tmp_path / "clean")

@@ -115,13 +115,21 @@ def test_no_raw_lazy_pins():
                     and node.func.attr == "localCheckpoint"
                 ):
                     continue
-                is_lazy = any(
-                    kw.arg == "eager"
-                    and isinstance(kw.value, ast.Constant)
-                    and kw.value.value is False
-                    for kw in node.keywords
+                # eager iff the `eager` arg is ABSENT (defaults True)
+                # or is literally True — keyword OR positional (the
+                # first positional arg IS `eager`). Anything else
+                # (False, a variable, an expression) is classified
+                # lazy/suspect so `localCheckpoint(False)` or
+                # `localCheckpoint(eager=flag)` can't slip past the
+                # gate (round-9 review finding).
+                eager_args = [
+                    kw.value for kw in node.keywords if kw.arg == "eager"
+                ] + node.args[:1]
+                is_eager = all(
+                    isinstance(a, ast.Constant) and a.value is True
+                    for a in eager_args
                 )
-                (lazy.append(rel) if is_lazy else eager.add(rel))
+                (eager.add(rel) if is_eager else lazy.append(rel))
     assert lazy == [os.path.join("operators", "__init__.py")], lazy
     assert eager <= {
         os.path.join("operators", "dedup.py"),
