@@ -335,7 +335,7 @@ def minhash_dedup_components(
     bands: int = 16,
     k: int = 3,
     max_iters: int = 20,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 3,
 ) -> DataFrame:
     """Full connected-components dedup clustering over the LSH bucket
     graph (the transitive closure minhash_dedup_survivors skips).
@@ -358,8 +358,48 @@ def minhash_dedup_components(
     matching the fault domain of the cached blocks it replaces).
     """
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
-    membership = banded_membership(sigs, bands, num_hashes).distinct().cache()
-    labels = membership.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
+    # cached: the pruned loop relation derives from it AND the final
+    # singleton anti-join reads it again — uncached, the second read
+    # would recompute the shingle/minhash scan pass
+    all_membership = banded_membership(sigs, bands, num_hashes).distinct().cache()
+    # Candidate-subgraph pruning (round 9): only buckets with >= 2
+    # members constrain any label, and a doc touching no such bucket
+    # is its own singleton component — it can skip the fixpoint
+    # entirely. The iterated relation shrinks from |docs|*bands rows
+    # to the LSH-collision subgraph (measured sf0.1: 80k -> 6.8k
+    # membership rows, 5000 -> 477 label rows), and at corpus scale
+    # this is the difference between iterating over 100 TB of docs
+    # and iterating over the near-dup candidates only.
+    bucket_sizes = all_membership.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    # Eager checkpoint, not cache(): the loop's per-iteration plans
+    # embed this relation's LOGICAL subtree several times (two joins +
+    # the jump self-join), and a cache does not truncate the logical
+    # plan — with the pruning join in the lineage the iteration trees
+    # grew ~4x per round and Catalyst/py4j time dominated the loop
+    # (measured: the sf0.1 fixpoint SLOWED 10.5 s -> 16 s until this
+    # cut). A flat LogicalRDD keeps every iteration's tree O(labels
+    # lineage) regardless of how membership was derived. Blocks are
+    # executor-resident like the cache they replace; iteration-
+    # boundary cut, sanctioned per operators.pin.
+    membership = (
+        all_membership.join(
+            bucket_sizes.where(F.col("__n") >= 2), ["band_id", "band_hash"]
+        )
+        .drop("__n")
+        .localCheckpoint(eager=True)
+    )
+    multi_docs = membership.select("doc_id").distinct()
+    # singleton components: every doc with NO multi-member bucket —
+    # resolved join-free at the end (label = own id); anti-join once
+    singletons = (
+        all_membership.select("doc_id")
+        .distinct()
+        .join(multi_docs, "doc_id", "left_anti")
+        .withColumn("label", F.col("doc_id"))
+    )
+    labels = multi_docs.withColumn("label", F.col("doc_id"))
     # convergence statistic: integral ids sum EXACTLY in decimal(38,0)
     # (a plain long SUM can overflow under ANSI on large hash-derived
     # ids); other id types (strings etc., which F.min handles fine)
@@ -425,12 +465,29 @@ def minhash_dedup_components(
             "labels may split long chain components — raise max_iters",
             n_iters,
         )
-    membership.unpersist()
-    return labels.select(
+    result = labels.unionByName(singletons).select(
         "doc_id",
         F.col("label").alias("cluster_rep"),
         (F.col("doc_id") == F.col("label")).alias("is_survivor"),
     )
+    # Flatten the result to a LogicalRDD (eager iteration-boundary
+    # cut — sanctioned, see operators.pin): by now the fixpoint has
+    # executed, but WITHOUT a cut the returned plan nests one join
+    # level per iteration times the singleton/union branches —
+    # measured at sf0.1: 2 MB of plan text, ~7.5k FileScan nodes —
+    # and every consumer pays Catalyst optimization of that tree
+    # (seconds per action) even though execution would hit the
+    # caches. The checkpointed relation is doc-grain (doc_id,
+    # cluster_rep, is_survivor) — the natural materialization a real
+    # pipeline would write to a table between stages.
+    result = result.localCheckpoint(eager=True)
+    # membership is a checkpointed relation now (not cache-managed) —
+    # its blocks are reclaimed by the ContextCleaner when the frame
+    # drops; the explicit unpersists cover the cache-managed frames
+    all_membership.unpersist()
+    if labels.is_cached:
+        labels.unpersist()
+    return result
 
 
 def simhash_signatures(
