@@ -2566,3 +2566,92 @@ def eval_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p_e, 6).alias("p_e"),
         F.round((p_bar - p_e) / (F.lit(1.0) - p_e), 6).alias("kappa"),
     )
+
+
+@query(
+    "eval_krippendorff_alpha",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), votes AS (
+      SELECT (CASE WHEN len(toks) >= 30 THEN 1 ELSE 0 END)
+             + (CASE WHEN len(list_distinct(toks)) * 2 >= len(toks)
+                THEN 1 ELSE 0 END)
+             + (CASE WHEN len(toks) >= 30
+                      AND len(list_distinct(toks)) * 2 >= len(toks)
+                THEN 1 ELSE 0 END) AS n1
+      FROM t
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+             CAST(SUM(n1) AS BIGINT) AS s1,
+             CAST(SUM(CAST(n1 AS HUGEINT) * CAST(3 - n1 AS HUGEINT)) AS BIGINT)
+               AS dd
+      FROM votes
+    )
+    SELECT n_items,
+           ROUND(CAST(dd AS DOUBLE) / (3.0 * CAST(n_items AS DOUBLE)), 6) AS d_o,
+           ROUND(2.0 * CAST(s1 AS DOUBLE)
+                 * (3.0 * CAST(n_items AS DOUBLE) - CAST(s1 AS DOUBLE))
+                 / (3.0 * CAST(n_items AS DOUBLE)
+                    * (3.0 * CAST(n_items AS DOUBLE) - 1.0)), 6) AS d_e,
+           ROUND(1.0 - (3.0 * CAST(n_items AS DOUBLE) - 1.0)
+                       * CAST(dd AS DOUBLE)
+                       / (2.0 * CAST(s1 AS DOUBLE)
+                          * (3.0 * CAST(n_items AS DOUBLE)
+                             - CAST(s1 AS DOUBLE))), 6) AS alpha
+    FROM sums
+    """,
+    tags=("evaluation", "agreement", "krippendorff"),
+)
+def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Krippendorff's alpha (nominal, binary) over the SAME three
+    deterministic quality raters as eval_fleiss_kappa — deliberately
+    paired so the two agreement coefficients are comparable on one
+    panel: Fleiss models chance from per-RATER pooled shares, alpha
+    from the pooled VALUE distribution with a small-sample (n-1)
+    correction, which is why alpha is the one content-analysis
+    standards bodies require and the one that stays defined when
+    raters vary per item.
+
+    Closed form for n_i = 3 raters, binary categories: with N items,
+    s1 = total 1-votes, D = Sum n_i1*n_i0 (the per-item disagreeing
+    pair mass), n = 3N pairable values: observed disagreement D_o =
+    D/n, expected D_e = 2*s1*(n - s1)/(n*(n-1)), alpha = 1 -
+    (n-1)*D/(2*s1*(n-s1)). Every input is an exact integer aggregate,
+    so both engines evaluate one identical double expression — no
+    ordering anywhere.
+
+    Scale shape: identical to eval_fleiss_kappa — one token-array
+    scan pass, one global partial aggregate to a single row; the 100
+    TB cost is the embarrassingly parallel token pass."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    ra = F.when(n >= 30, 1).otherwise(0)
+    rb = F.when(nd * 2 >= n, 1).otherwise(0)
+    rc = F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0)
+    d38 = "decimal(38,0)"
+    votes = d.select((ra + rb + rc).alias("n1"))
+    sums = votes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("n1").cast("long").alias("s1"),
+        F.sum(F.col("n1").cast(d38) * (F.lit(3) - F.col("n1")).cast(d38))
+        .cast("long")
+        .alias("dd"),
+    )
+    nI = F.col("n_items").cast("double")
+    s1 = F.col("s1").cast("double")
+    dd = F.col("dd").cast("double")
+    nv = F.lit(3.0) * nI
+    return sums.select(
+        "n_items",
+        F.round(dd / nv, 6).alias("d_o"),
+        F.round(F.lit(2.0) * s1 * (nv - s1) / (nv * (nv - F.lit(1.0))), 6).alias("d_e"),
+        F.round(
+            F.lit(1.0) - (nv - F.lit(1.0)) * dd / (F.lit(2.0) * s1 * (nv - s1)), 6
+        ).alias("alpha"),
+    )

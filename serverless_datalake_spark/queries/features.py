@@ -546,3 +546,121 @@ def feature_woe_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("iv_term"),
     )
+
+
+@query(
+    "feature_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT c_mktsegment AS x, CAST(c_nationkey AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2
+    ), tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells
+    ), mx AS (
+      SELECT x, CAST(SUM(c) AS BIGINT) AS nx FROM cells GROUP BY 1
+    ), my AS (
+      SELECT y, CAST(SUM(c) AS BIGINT) AS ny FROM cells GROUP BY 1
+    ), mi_terms AS (
+      SELECT cells.x, cells.y,
+             ROUND((CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                   * LN(CAST(n AS DOUBLE) * CAST(c AS DOUBLE)
+                        / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE))), 8) AS e
+      FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot
+    ), hx_terms AS (
+      SELECT x, ROUND(-(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE))
+                      * LN(CAST(nx AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS e
+      FROM mx CROSS JOIN tot
+    ), hy_terms AS (
+      SELECT y, ROUND(-(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+                      * LN(CAST(ny AS DOUBLE) / CAST(n AS DOUBLE)), 8) AS e
+      FROM my CROSS JOIN tot
+    ), folds AS (
+      SELECT (SELECT list_aggregate(list(e ORDER BY x, y), 'sum') FROM mi_terms) AS mi,
+             (SELECT list_aggregate(list(e ORDER BY x), 'sum') FROM hx_terms) AS hx,
+             (SELECT list_aggregate(list(e ORDER BY y), 'sum') FROM hy_terms) AS hy,
+             (SELECT n FROM tot) AS n
+    )
+    SELECT n AS n_rows,
+           ROUND(mi, 6) AS mi_nats,
+           ROUND(hx, 6) AS h_segment,
+           ROUND(hy, 6) AS h_nation,
+           ROUND(mi / SQRT(hx * hy), 6) AS nmi
+    FROM folds
+    """,
+    tags=("features", "mutual-information", "selection"),
+)
+def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (and sqrt-normalized MI) between market
+    segment and nation — the model-free dependence screen a feature
+    pipeline runs before committing a categorical column to training
+    (feature_woe_binned scores features against a LABEL; MI here
+    scores feature-feature redundancy, which is what you prune on).
+
+    MI = Sum p_xy.ln(p_xy/(p_x.p_y)) over the JOINT CONTINGENCY
+    GRAIN: 5 segments x 25 nations = 125 cells, each an exact integer
+    count. Per-cell terms round at 8 decimals and sum as an ordered
+    fold over the (x, y)-sorted cell list (the agg_entropy_by_group
+    precedent); the two marginal entropies fold the same way, so NMI
+    = MI/sqrt(Hx.Hy) is one double expression over three
+    bit-identical folds.
+
+    Scale shape: ONE partial-agg shuffle of the customer scan to the
+    125-cell relation (pinned: feeds both marginal rollups + the term
+    join), then broadcast joins of the two marginal relations and a
+    constant-size fold — row-count independent past the scan, the
+    same profile as stats_kendall_tau."""
+    from serverless_datalake_spark.operators import pin as _pin
+
+    cust = load_table(spark, sf_dir, "customer")
+    cells = (
+        cust.groupBy(
+            F.col("c_mktsegment").alias("x"),
+            F.col("c_nationkey").cast("long").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_pin)  # feeds tot + both marginals + the term join
+    )
+    tot = cells.agg(F.sum("c").cast("long").alias("n"))
+    mx = cells.groupBy("x").agg(F.sum("c").cast("long").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("c").cast("long").alias("ny"))
+    nD = F.col("n").cast("double")
+
+    def fold(df, keys, term):
+        arr = F.array_sort(F.collect_list(F.struct(*keys, term.alias("e"))))
+        return F.aggregate(
+            F.transform(arr, lambda s: s["e"]), F.lit(0.0), lambda s, x: s + x
+        )
+
+    joined = (
+        cells.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(tot))
+    )
+    mi_term = F.round(
+        (F.col("c").cast("double") / nD)
+        * F.log(
+            nD * F.col("c").cast("double")
+            / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+        ),
+        8,
+    )
+    mi = joined.agg(fold(joined, [F.col("x"), F.col("y")], mi_term).alias("mi"))
+    hx_j = mx.crossJoin(F.broadcast(tot))
+    px = F.col("nx").cast("double") / nD
+    hx = hx_j.agg(fold(hx_j, [F.col("x")], F.round(-px * F.log(px), 8)).alias("hx"))
+    hy_j = my.crossJoin(F.broadcast(tot))
+    py = F.col("ny").cast("double") / nD
+    hy = hy_j.agg(fold(hy_j, [F.col("y")], F.round(-py * F.log(py), 8)).alias("hy"))
+    out = (
+        tot.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+    )
+    return out.select(
+        F.col("n").alias("n_rows"),
+        F.round(F.col("mi"), 6).alias("mi_nats"),
+        F.round(F.col("hx"), 6).alias("h_segment"),
+        F.round(F.col("hy"), 6).alias("h_nation"),
+        F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+    )

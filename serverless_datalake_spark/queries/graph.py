@@ -1302,3 +1302,98 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(out_w).cast("long"))
         .where(F.col("rank") <= 20)
     )
+
+
+@query(
+    "graph_clustering_coeff",
+    oracle="""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), orient AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                  THEN e.src ELSE e.dst END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                  THEN e.dst ELSE e.src END AS v,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND e.src < e.dst)
+                  THEN db.d ELSE da.d END AS dv
+      FROM e0 e
+      JOIN deg da ON da.node = e.src
+      JOIN deg db ON db.node = e.dst
+    ), tri AS (
+      SELECT w1.u AS x, w1.v AS y, w2.v AS z
+      FROM orient w1
+      JOIN orient w2
+        ON w1.u = w2.u
+       AND (w1.dv < w2.dv OR (w1.dv = w2.dv AND w1.v < w2.v))
+      JOIN orient c ON c.u = w1.v AND c.v = w2.v
+    ), corners AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    ), tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM corners GROUP BY node
+    )
+    SELECT deg.node AS part,
+           deg.d AS degree,
+           COALESCE(tcnt.t, 0) AS n_triangles,
+           ROUND(2.0 * CAST(COALESCE(tcnt.t, 0) AS DOUBLE)
+                 / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE)), 6)
+             AS clustering
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+    WHERE deg.d >= 2
+    """,
+    tags=("graph", "triangles", "clustering"),
+)
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part — cc(v) = closed wedges /
+    possible wedges = 2.T(v) / (d(v).(d(v)-1)) over the co-purchase
+    graph; the node-level cohesion score community detectors threshold
+    on (graph_modularity gives the partition-level twin). Nodes of
+    degree < 2 have no wedge and are excluded rather than reported as
+    0/0.
+
+    Reuses graph_triangle_count's degree-ordered per-edge-intersection
+    pass verbatim (same cache generation, so a sweep running both
+    materializes the oriented edge relation once) and joins the
+    triangle relation back to the degree relation — both node-grain.
+    Exactness: T and d are integers; cc is one double expression over
+    two exact integers, rounded at 6.
+
+    Scale shape: triangle counting is the O(sqrt(|E|))-bounded
+    forward-count (see graph_triangle_count); the extra work here is
+    one node-grain aggregate + one node-grain hash join — strictly
+    dominated by the triangle pass at any scale."""
+    from serverless_datalake_spark.queries import REGISTRY
+
+    li = load_table(spark, sf_dir, "lineitem")
+    _, und = _copurchase_edges(li)
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    tcnt = (
+        REGISTRY["graph_triangle_count"]
+        .fn(spark, sf_dir)
+        .select(F.col("part").alias("tn"), F.col("n_triangles").alias("t"))
+    )
+    dd = F.col("d").cast("double")
+    return (
+        deg.join(tcnt, F.col("node") == F.col("tn"), "left")
+        .where(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("n_triangles"),
+            F.round(
+                F.lit(2.0) * F.coalesce(F.col("t"), F.lit(0)).cast("double")
+                / (dd * (dd - F.lit(1.0))),
+                6,
+            ).alias("clustering"),
+        )
+    )

@@ -2302,3 +2302,217 @@ def stats_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(z > 2.394, 1).otherwise(0).cast("long").alias("reject_05"),
         )
     )
+
+
+@query(
+    "stats_kendall_tau",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS y,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1, 2
+    ), prs AS (
+      SELECT
+        CAST(SUM(CASE WHEN a.y < b.y
+                 THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS conc,
+        CAST(SUM(CASE WHEN a.y > b.y
+                 THEN CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)
+                 ELSE CAST(0 AS HUGEINT) END) AS HUGEINT) AS disc
+      FROM cells a JOIN cells b ON a.x < b.x
+    ), tx AS (
+      SELECT SUM(CAST(cx AS HUGEINT) * CAST(cx - 1 AS HUGEINT)) AS d1
+      FROM (SELECT SUM(c) AS cx FROM cells GROUP BY x)
+    ), ty AS (
+      SELECT SUM(CAST(cy AS HUGEINT) * CAST(cy - 1 AS HUGEINT)) AS d2
+      FROM (SELECT SUM(c) AS cy FROM cells GROUP BY y)
+    ), tot AS (
+      SELECT CAST(SUM(c) AS HUGEINT) AS n FROM cells
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           ROUND(2.0 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE))
+                 / SQRT(CAST(n * (n - 1) - d1 AS DOUBLE)
+                        * CAST(n * (n - 1) - d2 AS DOUBLE)), 6) AS tau_b
+    FROM prs, tx, ty, tot
+    """,
+    tags=("statistics", "rank", "correlation"),
+)
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between order quantity and discount — the
+    pair-concordance member of the association family (Pearson =
+    agg_correlation_pinned, Spearman = stats_spearman_rank; tau is the
+    one whose value is a probability statement about pairs, which is
+    why preference-learning evals report it).
+
+    The naive definition is an O(n^2) pair scan; the scalable
+    identity used here reduces it to the CONTINGENCY GRAIN: both
+    variables are domain-bounded (quantity 1..50, discount 0..10
+    cents), so the joint distribution is <=550 cells, concordant /
+    discordant pair counts are cell-pair sums weighted by c_i*c_j,
+    and tau-b's tie terms come from the two marginal count relations.
+    Everything is an exact integer (DECIMAL(38,0) vs DuckDB HUGEINT);
+    each factor converts to double once for the final expression.
+    For continuous variables the same shape applies after quantile
+    bucketing (feature_quantile_bucketize) — tau on buckets is the
+    standard large-n estimator.
+
+    Scale shape: ONE partial-agg shuffle of the fact scan to <=550
+    cells (map-side combinable), then a broadcast cell-pair self-join
+    and two marginal rollups over the pinned cell relation — all
+    domain-bounded, independent of row count. The 100 TB cost is the
+    scan, exactly like agg_correlation_pinned."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.groupBy(
+            F.col("l_quantity").cast("long").alias("x"),
+            F.round(F.col("l_discount") * 100, 0).cast("long").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .transform(_pin)  # feeds the pair join (twice) + 3 rollups
+    )
+    d38 = "decimal(38,0)"
+    a, b = cells.alias("a"), cells.alias("b")
+    pair_w = F.col("a.c").cast(d38) * F.col("b.c").cast(d38)
+    zero = F.lit(0).cast(d38)
+    prs = a.join(F.broadcast(b), F.col("a.x") < F.col("b.x")).agg(
+        F.sum(F.when(F.col("a.y") < F.col("b.y"), pair_w).otherwise(zero)).alias("conc"),
+        F.sum(F.when(F.col("a.y") > F.col("b.y"), pair_w).otherwise(zero)).alias("disc"),
+    )
+    tx = cells.groupBy("x").agg(F.sum("c").alias("cx")).agg(
+        F.sum(F.col("cx").cast(d38) * (F.col("cx") - 1).cast(d38)).alias("d1")
+    )
+    ty = cells.groupBy("y").agg(F.sum("c").alias("cy")).agg(
+        F.sum(F.col("cy").cast(d38) * (F.col("cy") - 1).cast(d38)).alias("d2")
+    )
+    tot = cells.agg(F.sum("c").cast(d38).alias("n"))
+    j = prs.crossJoin(F.broadcast(tx)).crossJoin(F.broadcast(ty)).crossJoin(
+        F.broadcast(tot)
+    )
+    n = F.col("n")
+    return j.select(
+        n.cast("long").alias("n_rows"),
+        F.col("conc").cast("long").alias("concordant"),
+        F.col("disc").cast("long").alias("discordant"),
+        F.round(
+            F.lit(2.0)
+            * (F.col("conc").cast("double") - F.col("disc").cast("double"))
+            / F.sqrt(
+                (n * (n - 1) - F.col("d1")).cast("double")
+                * (n * (n - 1) - F.col("d2")).cast("double")
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+@query(
+    "stats_jackknife_groups",
+    oracle="""
+    WITH li AS (
+      SELECT CAST(s.s_nationkey AS BIGINT) AS g,
+             CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS cents,
+             CAST(l.l_quantity AS BIGINT) AS qty
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    ), grp AS (
+      SELECT g, CAST(SUM(cents) AS HUGEINT) AS sg,
+             CAST(SUM(qty) AS HUGEINT) AS qg
+      FROM li GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(sg) AS HUGEINT) AS s, CAST(SUM(qg) AS HUGEINT) AS q,
+             CAST(COUNT(*) AS BIGINT) AS gg
+      FROM grp
+    ), loo AS (
+      SELECT g, ROUND(CAST(s - sg AS DOUBLE) / CAST(q - qg AS DOUBLE), 8)
+                AS theta_g
+      FROM grp CROSS JOIN tot
+    ), m AS (
+      SELECT list_aggregate(list(theta_g ORDER BY g), 'sum')
+               / CAST((SELECT gg FROM tot) AS DOUBLE) AS mean_loo,
+             list(theta_g ORDER BY g) AS thetas
+      FROM loo
+    )
+    SELECT (SELECT gg FROM tot) AS n_groups,
+           ROUND(CAST((SELECT s FROM tot) AS DOUBLE)
+                 / CAST((SELECT q FROM tot) AS DOUBLE), 6) AS theta_hat,
+           ROUND(SQRT(CAST((SELECT gg FROM tot) - 1 AS DOUBLE)
+                      / CAST((SELECT gg FROM tot) AS DOUBLE)
+                      * list_aggregate(list_transform(thetas,
+                          t -> (t - mean_loo) * (t - mean_loo)), 'sum')), 6)
+             AS jack_se
+    FROM m
+    """,
+    tags=("statistics", "jackknife", "resampling"),
+)
+def stats_jackknife_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-GROUP jackknife standard error for the ratio
+    estimator theta = total revenue cents / total quantity, groups =
+    supplier nations — the design-based uncertainty a pipeline
+    attaches to any ratio metric whose rows are dependent WITHIN
+    groups (the survey-sampling sibling of stats_ratio_delta_ci,
+    which assumes iid rows; the group jackknife only assumes
+    independent GROUPS). Leave-one-out totals come free from the
+    group totals: theta_(g) = (S - s_g)/(Q - q_g), so no second data
+    pass exists.
+
+    Exactness: s_g/q_g are exact integer sums (DECIMAL(38,0) vs
+    HUGEINT); each theta_(g) is one double division rounded at 8; the
+    mean and squared-deviation sums fold in nation order over the
+    25-element list (the agg_entropy_by_group discipline).
+
+    Scale shape: one broadcast join of the 100-row supplier dim onto
+    the fact scan, ONE partial-agg shuffle to 25 group rows, then
+    constant-size arithmetic. At 100 TB the cost is the scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    d38 = "decimal(38,0)"
+    grp = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy(F.col("s_nationkey").cast("long").alias("g"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast(d38)).alias("sg"),
+            F.sum(F.col("l_quantity").cast(d38)).alias("qg"),
+        )
+    )
+    tot = grp.agg(
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.count(F.lit(1)).cast("long").alias("gg"),
+    )
+    loo = grp.crossJoin(F.broadcast(tot)).select(
+        "g",
+        "s",
+        "q",
+        "gg",
+        F.round(
+            (F.col("s") - F.col("sg")).cast("double")
+            / (F.col("q") - F.col("qg")).cast("double"),
+            8,
+        ).alias("theta_g"),
+    )
+    arr = F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("theta_g").alias("t"))))
+    agg = loo.groupBy("s", "q", "gg").agg(arr.alias("thetas"))
+    ts = F.transform(F.col("thetas"), lambda s: s["t"])
+    mean_loo = F.aggregate(ts, F.lit(0.0), lambda a, x: a + x) / F.col("gg").cast(
+        "double"
+    )
+    dev2 = F.aggregate(
+        F.transform(ts, lambda t: (t - F.col("m")) * (t - F.col("m"))),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ggd = F.col("gg").cast("double")
+    return (
+        agg.withColumn("m", mean_loo)
+        .select(
+            F.col("gg").alias("n_groups"),
+            F.round(F.col("s").cast("double") / F.col("q").cast("double"), 6).alias(
+                "theta_hat"
+            ),
+            F.round(F.sqrt((ggd - F.lit(1.0)) / ggd * dev2), 6).alias("jack_se"),
+        )
+    )

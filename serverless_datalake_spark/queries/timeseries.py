@@ -1460,3 +1460,125 @@ def ts_decompose_classical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(seasonal, 4).alias("seasonal"),
         F.round(F.col("det7").cast("double") / 7.0 - seasonal, 4).alias("remainder"),
     )
+
+
+@query(
+    "ts_ljung_box",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), ser AS (
+      SELECT event_type, list(v ORDER BY h) AS vs FROM obs GROUP BY event_type
+    ), stats AS (
+      SELECT event_type, vs, len(vs) AS n,
+             list_aggregate(vs, 'sum') / CAST(len(vs) AS DOUBLE) AS m
+      FROM ser
+    ), parts AS (
+      SELECT event_type, CAST(n AS BIGINT) AS n_buckets,
+             LEAST(12, n - 1) AS hh,
+             list_aggregate(list_transform(vs, x -> (x - m) * (x - m)), 'sum')
+               AS den,
+             list_transform(range(1, LEAST(12, n - 1) + 1), k ->
+               list_aggregate(list_transform(range(1, n - k + 1),
+                 i -> (vs[i] - m) * (vs[i + k] - m)), 'sum')) AS nums
+      FROM stats
+      WHERE n > 1
+    )
+    SELECT event_type, n_buckets,
+           CAST(hh AS BIGINT) AS h_used,
+           ROUND(CAST(n_buckets AS DOUBLE) * (CAST(n_buckets AS DOUBLE) + 2.0)
+                 * list_aggregate(list_transform(range(1, hh + 1), k ->
+                     (nums[k] / den) * (nums[k] / den)
+                     / (CAST(n_buckets AS DOUBLE) - CAST(k AS DOUBLE))), 'sum'),
+                 6) AS q_stat,
+           CASE WHEN hh = 12 AND
+                CAST(n_buckets AS DOUBLE) * (CAST(n_buckets AS DOUBLE) + 2.0)
+                * list_aggregate(list_transform(range(1, hh + 1), k ->
+                    (nums[k] / den) * (nums[k] / den)
+                    / (CAST(n_buckets AS DOUBLE) - CAST(k AS DOUBLE))), 'sum')
+                > 21.026 THEN CAST(1 AS BIGINT)
+                ELSE CAST(0 AS BIGINT) END AS reject_white_noise_05
+    FROM parts
+    """,
+    tags=("timeseries", "statistics", "diagnostics"),
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (h = 12 lags) on each type's hourly
+    totals — the white-noise diagnostic a forecasting pipeline runs on
+    RESIDUALS before trusting a model (ts_autocorrelation reads two
+    individual lags; Q pools the first twelve into one chi-square
+    statistic, df = 12, 5% critical value 21.026 embedded as a shared
+    literal).
+
+    Q = n(n+2) * Sum_{k=1..h} r_k^2/(n-k) with r_k the lag-k
+    autocorrelation; every r_k folds lag products in identical index
+    order in both engines over the 2-decimal bucket totals (the
+    ts_autocorrelation discipline generalized over k via a nested
+    HOF), and the outer sum folds in ascending k — bit-identical
+    before the 6-decimal round. h clamps to n-1 on short series (and
+    the reject flag only claims df = 12 when h is 12); Spark's
+    DESCENDING sequence(1, n-k) hazard cannot fire because k <= n-1
+    keeps every inner sequence ascending.
+
+    Scale shape: the ts_ewma profile — one partial-agg shuffle to the
+    (type, hour) grid, per-type arrays bounded by grid length (hours,
+    not events); the h x n fold work is per-type CPU, no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    ser = _series_arr(_hourly_obs(e))
+    vs = F.transform(F.col("arr"), lambda x: x["v"])
+    stats = ser.select(
+        "event_type",
+        vs.alias("vs"),
+        F.size(vs).alias("n"),
+        (
+            F.aggregate(vs, F.lit(0.0), lambda s, x: s + x)
+            / F.size(vs).cast("double")
+        ).alias("m"),
+    ).where(F.col("n") > 1)
+
+    def fold(expr):
+        return F.aggregate(expr, F.lit(0.0), lambda s, x: s + x)
+
+    m = F.col("m")
+    den = fold(F.transform(F.col("vs"), lambda x: (x - m) * (x - m)))
+    hh = F.least(F.lit(12), F.col("n") - 1)
+
+    def lag_num(k):
+        return fold(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n") - k),
+                lambda i: (F.element_at("vs", i) - m)
+                * (F.element_at("vs", i + k) - m),
+            )
+        )
+
+    parts = stats.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_buckets"),
+        hh.alias("hh"),
+        den.alias("den"),
+        F.transform(F.sequence(F.lit(1), hh), lag_num).alias("nums"),
+    )
+    nd = F.col("n_buckets").cast("double")
+    q = nd * (nd + F.lit(2.0)) * fold(
+        F.transform(
+            F.col("nums"),
+            lambda x, i: (x / F.col("den"))
+            * (x / F.col("den"))
+            / (nd - (i + 1).cast("double")),
+        )
+    )
+    return parts.select(
+        "event_type",
+        "n_buckets",
+        F.col("hh").cast("long").alias("h_used"),
+        F.round(q, 6).alias("q_stat"),
+        F.when((F.col("hh") == 12) & (q > 21.026), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("reject_white_noise_05"),
+    )
