@@ -81,6 +81,10 @@ ALLOWLIST: dict[str, str] = {
     "model_naive_bayes_langid": "language-prior rows (domain)",
     "pipeline_dedup_impact": "language domain rows",
     "split_leakage_free": "3 split rows",
+    "model_isotonic_pava": "<=100 centile-bin rows (domain); the "
+                           "pair-relation min window is partitioned",
+    "model_kmeans_lloyd": "k=4 seed rows (GlobalLimit below the "
+                          "row_number)",
 }
 
 _MARKER_NODES = (

@@ -1845,3 +1845,132 @@ def agg_sketch_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok(F.col("e_inter"), "n_inter_exact", 0.10).alias("theta_inter_ok"),
         ok(F.col("e_diff"), "n_diff_exact", 0.10).alias("theta_diff_ok"),
     )
+
+
+@query(
+    "agg_theil_inequality",
+    oracle="""
+    WITH rows_pos AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS g,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS x
+      FROM customer WHERE c_acctbal > 0
+    ), grp AS (
+      SELECT g,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(x) AS HUGEINT) AS sg,
+             CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE)
+                                 * LN(CAST(x AS DOUBLE)) * 10000, 0)
+                           AS HUGEINT)) AS HUGEINT) AS lg
+      FROM rows_pos GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(ng) AS BIGINT) AS n, CAST(SUM(sg) AS HUGEINT) AS s,
+             CAST(SUM(lg) AS HUGEINT) AS l
+      FROM grp
+    ), gterms AS (
+      SELECT g,
+             ROUND(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)
+                   * LN((CAST(sg AS DOUBLE) / CAST(s AS DOUBLE))
+                        / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE))), 8)
+               AS bt,
+             ROUND(CAST(sg AS DOUBLE) / CAST(s AS DOUBLE)
+                   * (CAST(lg AS DOUBLE) / 10000.0 / CAST(sg AS DOUBLE)
+                      - LN(CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))), 8)
+               AS wt
+      FROM grp CROSS JOIN tot
+    ), folds AS (
+      SELECT (SELECT list_aggregate(list(bt ORDER BY g), 'sum') FROM gterms)
+               AS t_between,
+             (SELECT list_aggregate(list(wt ORDER BY g), 'sum') FROM gterms)
+               AS t_within,
+             (SELECT n FROM tot) AS n,
+             (SELECT s FROM tot) AS s,
+             (SELECT l FROM tot) AS l
+    )
+    SELECT n AS n_rows,
+           ROUND(CAST(l AS DOUBLE) / 10000.0
+                 / (CAST(n AS DOUBLE) * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)))
+                 - LN(CAST(s AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS theil_total,
+           ROUND(t_between, 6) AS theil_between,
+           ROUND(t_within, 6) AS theil_within
+    FROM folds
+    """,
+    tags=("agg", "inequality", "theil"),
+)
+def agg_theil_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality of positive customer balances with its
+    exact between-/within-nation decomposition — the additive
+    inequality index (unlike agg_gini_concentration's Gini, Theil
+    splits cleanly: T = T_between + Sum_g share_g * T_g), which is
+    what concentration monitoring wants when it must say WHERE the
+    inequality lives.
+
+    Order-free exactness at any scale: the only per-row
+    transcendental, x*ln(x), is quantized to an e4 integer PER ROW
+    and summed exactly (DECIMAL(38,0) vs HUGEINT) — no ordered fold
+    over data-sized lists, unlike the entropy family, because
+    T = L/(n*mu) - ln(mu) needs only (n, Sum x, Sum x*ln x). The
+    25 group terms then fold in nation order (the entropy precedent,
+    domain-bounded).
+
+    Scale shape: one fact scan with per-row arithmetic, ONE
+    partial-agg shuffle to 25 group rows, constant-size folds — the
+    stats_jackknife_groups profile; at 100 TB the scan is the cost."""
+    cust = load_table(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    d38 = "decimal(38,0)"
+    x = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    xd = x.cast("double")
+    grp = cust.select(
+        F.col("c_nationkey").cast("long").alias("g"),
+        x.alias("x"),
+        F.round(xd * F.log(xd) * 10000, 0).cast(d38).alias("lx"),
+    ).groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.col("x").cast(d38)).alias("sg"),
+        F.sum("lx").alias("lg"),
+    )
+    tot = grp.agg(
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("lg").alias("l"),
+    )
+    j = grp.crossJoin(F.broadcast(tot))
+    sh = F.col("sg").cast("double") / F.col("s").cast("double")
+    pg = F.col("ng").cast("double") / F.col("n").cast("double")
+    mu_g = F.col("sg").cast("double") / F.col("ng").cast("double")
+    terms = j.select(
+        "g",
+        "n",
+        "s",
+        "l",
+        F.round(sh * F.log(sh / pg), 8).alias("bt"),
+        F.round(
+            sh
+            * (
+                F.col("lg").cast("double") / F.lit(10000.0) / F.col("sg").cast("double")
+                - F.log(mu_g)
+            ),
+            8,
+        ).alias("wt"),
+    )
+    arr_b = F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("bt").alias("e"))))
+    arr_w = F.array_sort(F.collect_list(F.struct(F.col("g"), F.col("wt").alias("e"))))
+
+    def fold(arr):
+        return F.aggregate(
+            F.transform(arr, lambda s: s["e"]), F.lit(0.0), lambda a, e: a + e
+        )
+
+    agg = terms.groupBy("n", "s", "l").agg(
+        fold(arr_b).alias("t_between"), fold(arr_w).alias("t_within")
+    )
+    nD = F.col("n").cast("double")
+    sD = F.col("s").cast("double")
+    mu = sD / nD
+    return agg.select(
+        F.col("n").alias("n_rows"),
+        F.round(
+            F.col("l").cast("double") / F.lit(10000.0) / (nD * mu) - F.log(mu), 6
+        ).alias("theil_total"),
+        F.round(F.col("t_between"), 6).alias("theil_between"),
+        F.round(F.col("t_within"), 6).alias("theil_within"),
+    )

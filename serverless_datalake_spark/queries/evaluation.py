@@ -2655,3 +2655,427 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0) - (nv - F.lit(1.0)) * dd / (F.lit(2.0) * s1 * (nv - s1)), 6
         ).alias("alpha"),
     )
+
+
+@query(
+    "model_isotonic_pava",
+    oracle="""
+    WITH t AS (
+      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), scored AS (
+      SELECT ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                          / GREATEST(len(toks), 1))
+                   + 0.5 * 0.9, 4) AS conf,
+             CASE WHEN len(toks) >= 30
+                   AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
+               AS label
+      FROM t
+    ), bins AS (
+      SELECT LEAST(CAST(FLOOR(conf * 100.0) AS BIGINT), 99) AS b,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(label) AS BIGINT) AS p
+      FROM scored GROUP BY 1
+    ), pref AS (
+      SELECT b, w, p,
+             SUM(w) OVER (ORDER BY b) AS wc,
+             SUM(p) OVER (ORDER BY b) AS pc
+      FROM bins
+    ), pairs AS (
+      SELECT i.b AS bi, j.b AS bj,
+             CAST(j.pc - (i.pc - i.p) AS DOUBLE)
+               / CAST(j.wc - (i.wc - i.w) AS DOUBLE) AS m
+      FROM pref i JOIN pref j ON i.b <= j.b
+    ), mn AS (
+      SELECT bi, bj, MIN(m) OVER (PARTITION BY bi ORDER BY bj DESC) AS mn
+      FROM pairs
+    ), fit AS (
+      SELECT bj AS b, MAX(mn) AS fitted FROM mn GROUP BY 1
+    )
+    SELECT bins.b AS bin, bins.w AS n_bin,
+           ROUND(CAST(bins.p AS DOUBLE) / CAST(bins.w AS DOUBLE), 6) AS raw_rate,
+           ROUND(fit.fitted, 6) AS fitted_rate
+    FROM bins JOIN fit ON bins.b = fit.b
+    """,
+    tags=("model", "calibration", "isotonic"),
+)
+def model_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) calibration of the quality
+    gate's confidence score — the nonparametric recalibration map a
+    pipeline fits when eval_calibration_ece shows the raw scores are
+    dishonest but their RANKING is trusted (isotonic regression is
+    the standard post-hoc calibrator next to Platt scaling, which
+    model_logreg_quality_fit covers parametrically). Same (conf,
+    label) derivation as eval_calibration_ece, so the two tables
+    read side by side.
+
+    PAVA itself is a sequential pool-adjacent-violators sweep — the
+    wrong shape for SQL twins — so both engines compute the fit by
+    the EQUIVALENT minimax identity fitted(k) = max_{i<=k} min_{j>=k}
+    mean(y[i..j]) at the CENTILE-BIN grain (<=100 weighted bins):
+    prefix sums give every interval mean as one division of exact
+    integer differences, a per-i reversed running min gives the inner
+    min, and a per-bin max gives the outer max. Bin-grain isotonic
+    with bin weights equals row-grain isotonic on tied scores, and
+    min/max over bit-identical doubles are bit-identical.
+
+    Scale shape: one corpus scan reduces to a <=100-row weighted bin
+    relation (pinned; feeds both sides of the pair join). Everything
+    after — the <=100-row cumulative window (domain-bounded,
+    allowlisted), the <=5050-row pair relation, its per-i window and
+    the final rollup — is constant-size, independent of corpus
+    rows."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
+    scored = d.select(
+        F.round(F.lit(0.5) * diversity + F.lit(0.5) * F.lit(0.9), 4).alias("conf"),
+        F.when(
+            (F.size(toks) >= 30)
+            & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)),
+            1,
+        )
+        .otherwise(0)
+        .alias("label"),
+    )
+    bins = (
+        scored.groupBy(
+            F.least(F.floor(F.col("conf") * 100.0).cast("long"), F.lit(99).cast("long")).alias("b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.sum("label").cast("long").alias("p"),
+        )
+        .transform(_pin)  # feeds the cum window + both pair-join sides + output join
+    )
+    cum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pref = bins.select(
+        "b",
+        "w",
+        "p",
+        F.sum("w").over(cum).alias("wc"),
+        F.sum("p").over(cum).alias("pc"),
+    ).transform(_pin)  # both sides of the pair join
+    i, j = pref.alias("i"), pref.alias("j")
+    pairs = i.join(F.broadcast(j), F.col("i.b") <= F.col("j.b")).select(
+        F.col("i.b").alias("bi"),
+        F.col("j.b").alias("bj"),
+        (
+            (F.col("j.pc") - (F.col("i.pc") - F.col("i.p"))).cast("double")
+            / (F.col("j.wc") - (F.col("i.wc") - F.col("i.w"))).cast("double")
+        ).alias("m"),
+    )
+    rev = (
+        Window.partitionBy("bi")
+        .orderBy(F.col("bj").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    mn = pairs.select("bi", "bj", F.min("m").over(rev).alias("mn"))
+    fit = mn.groupBy(F.col("bj").alias("fb")).agg(F.max("mn").alias("fitted"))
+    return bins.join(fit, F.col("b") == F.col("fb")).select(
+        F.col("b").alias("bin"),
+        F.col("w").alias("n_bin"),
+        F.round(F.col("p").cast("double") / F.col("w").cast("double"), 6).alias(
+            "raw_rate"
+        ),
+        F.round(F.col("fitted"), 6).alias("fitted_rate"),
+    )
+
+
+# reciprocal-rank table 1/r, r = 1..5, as exact e9-integer literals in
+# both engines (the _NDCG_DISC_E9 trick): contributions sum as exact
+# integers, so no float-order concern exists.
+_MRR_RECIP_E9 = [round(1.0 / r * 1e9) for r in range(1, 6)]
+
+
+def _mrr_oracle() -> str:
+    from serverless_datalake_spark.queries import REGISTRY
+
+    bf = REGISTRY["sim_topk_bruteforce"].oracle
+    legs = {
+        "lsh_multiprobe": REGISTRY["sim_topk_lsh_multiprobe"].oracle,
+        "ivfpq_rerank": REGISTRY["sim_topk_ivfpq_rerank"].oracle,
+    }
+    recip = " ".join(
+        f"WHEN {r + 1} THEN CAST({v} AS BIGINT)"
+        for r, v in enumerate(_MRR_RECIP_E9)
+    )
+    per = []
+    for name, leg in legs.items():
+        per.append(
+            f"""
+    SELECT '{name}' AS system,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(CAST(SUM(rr_e9) AS DOUBLE)
+                 / (1000000000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mrr_at_5
+    FROM (
+      SELECT t.query_id,
+             COALESCE(MAX(CASE c.rank {recip} ELSE CAST(0 AS BIGINT) END),
+                      CAST(0 AS BIGINT)) AS rr_e9
+      FROM (SELECT query_id, corpus_id FROM bf WHERE rank = 1) t
+      LEFT JOIN ({leg}) c
+        ON c.query_id = t.query_id AND c.corpus_id = t.corpus_id
+      GROUP BY t.query_id
+    )"""
+        )
+    return f"WITH bf AS ({bf})\n" + "\n    UNION ALL".join(per)
+
+
+@query("eval_mrr_at_5", oracle=_mrr_oracle(), tags=("evaluation", "retrieval", "mrr"))
+def eval_mrr_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the EXACT nearest neighbor inside each
+    ANN leg's top-5 — the single-relevant-item retrieval metric
+    (nDCG@5 scores the whole graded list; MRR answers "how far down
+    is THE answer", which is what link-level dedup and
+    query-suggestion consumers feel). Truth = the brute-force
+    rank-1 neighbor per query; a leg that misses it entirely scores
+    0 for that query.
+
+    The reciprocal table 1/r is precomputed into identical e9-integer
+    literals for both engines, so per-query contributions and their
+    sum are exact integers (the eval_ndcg_at_5 discipline); the mean
+    is one double division at the end.
+
+    Scale shape: the truth relation is 1 row per query (pinned
+    brute-force leg, sampled in production as in sim_recall_eval);
+    each leg joins its <=5-row-per-query shortlist against it and
+    reduces to one row per system — constant-size beyond the legs'
+    own plans."""
+    from serverless_datalake_spark.queries import REGISTRY
+
+    truth = (
+        REGISTRY["sim_topk_bruteforce"]
+        .fn(spark, sf_dir)
+        .where(F.col("rank") == 1)
+        .select(F.col("query_id").alias("tq"), F.col("corpus_id").alias("tc"))
+        .transform(_pin)
+    )
+    recip_map = F.create_map(
+        *[x for r, v in enumerate(_MRR_RECIP_E9) for x in (F.lit(r + 1), F.lit(v))]
+    )
+    legs = {
+        "lsh_multiprobe": "sim_topk_lsh_multiprobe",
+        "ivfpq_rerank": "sim_topk_ivfpq_rerank",
+    }
+    outs = []
+    for name, qname in sorted(legs.items()):
+        cand = (
+            REGISTRY[qname]
+            .fn(spark, sf_dir)
+            .select("query_id", "corpus_id", F.col("rank").cast("int").alias("rank"))
+        )
+        per_q = (
+            truth.join(
+                cand,
+                (F.col("query_id") == F.col("tq")) & (F.col("corpus_id") == F.col("tc")),
+                "left",
+            )
+            .groupBy("tq")
+            .agg(
+                F.coalesce(
+                    F.max(
+                        F.coalesce(
+                            F.element_at(recip_map, F.col("rank")),
+                            F.lit(0).cast("long"),
+                        )
+                    ),
+                    F.lit(0).cast("long"),
+                ).alias("rr_e9")
+            )
+        )
+        outs.append(
+            per_q.agg(
+                F.lit(name).alias("system"),
+                F.count(F.lit(1)).cast("long").alias("n_queries"),
+                F.round(
+                    F.sum("rr_e9").cast("double")
+                    / (F.lit(1000000000.0) * F.count(F.lit(1)).cast("double")),
+                    6,
+                ).alias("mrr_at_5"),
+            ).select("system", "n_queries", "mrr_at_5")
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionAll(o)
+    return res
+
+
+# --------------------------------------------------------------------------
+# quantized Lloyd's k-means, 2 iterations, k=4 — in-plane clustering
+
+_KM_K = 4
+_KM_ITERS = 2
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as MATERIALIZED CTEs (the round-4
+    lesson: a per-round CTE referenced twice inlines 2^t times
+    without AS MATERIALIZED)."""
+    dist = (
+        "list_aggregate(list_transform(list_zip(p.qv, c.cv),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum')"
+    )
+    parts = [
+        f"""
+    WITH pts AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 64.0) AS BIGINT)) AS qv
+      FROM embeddings
+    ), c0 AS MATERIALIZED (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS j,
+             qv AS cv
+      FROM (SELECT vec_id, qv FROM pts ORDER BY vec_id LIMIT {_KM_K})
+    )"""
+    ]
+    prev = "c0"
+    for t in range(1, _KM_ITERS + 2):
+        parts.append(
+            f""", d{t} AS (
+      SELECT p.vec_id, p.qv, c.j, {dist} AS dist
+      FROM pts p CROSS JOIN {prev} c
+    ), a{t} AS MATERIALIZED (
+      SELECT vec_id, qv, j, dist FROM (
+        SELECT vec_id, qv, j, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    )"""
+        )
+        if t <= _KM_ITERS:
+            parts.append(
+                f""", u{t} AS (
+      SELECT j, generate_subscripts(qv, 1) AS dim, unnest(qv) AS v FROM a{t}
+    ), s{t} AS (
+      SELECT j, dim, CAST(SUM(v) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM u{t} GROUP BY 1, 2
+    ), m{t} AS (
+      SELECT j, list(CAST(FLOOR(CAST(2 * s + n AS DOUBLE)
+                                / CAST(2 * n AS DOUBLE)) AS BIGINT)
+                     ORDER BY dim) AS cv
+      FROM s{t} GROUP BY 1
+    ), c{t} AS MATERIALIZED (
+      SELECT c.j, COALESCE(m{t}.cv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN m{t} ON m{t}.j = c.j
+    )"""
+            )
+            prev = f"c{t}"
+    final = _KM_ITERS + 1
+    parts.append(
+        f"""
+    SELECT j AS cluster, CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(SUM(dist) AS BIGINT) AS wss,
+           ROUND(CAST(SUM(dist) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS mean_dist
+    FROM a{final} GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "model_kmeans_lloyd",
+    oracle=_kmeans_oracle(),
+    tags=("model", "clustering", "kmeans"),
+)
+def model_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means (k = 4, 2 iterations) over INTEGER-QUANTIZED
+    embeddings — the in-plane clustering primitive behind IVF coarse
+    quantizers (operators/similarity.py trains one imperatively with
+    numpy inside mapInPandas; this is the declarative twin the
+    engine exposes as a query, and the cross-engine-exact variant).
+    Quantization floor(x*64) makes every distance an exact integer,
+    so assignments — argmin with ties broken toward the lower
+    centroid id — are bit-identical across engines with NO float
+    tolerance anywhere; centroid updates round half-up to the integer
+    grid via floor((2*sum + n)/(2n)), keeping iteration t+1's inputs
+    exact integers too (the "integer k-means" used by PQ codebook
+    trainers on the residual grid). Deterministic seeding from the 4
+    lowest vec_ids; an emptied cluster keeps its previous centroid.
+
+    Scale shape per iteration: assignment is a per-row argmin against
+    a BROADCAST 1-row array of k centroids (zero shuffle, qv never
+    moves); the update posexplodes assigned vectors to (cluster, dim)
+    grain, which partial-aggregates map-side to k*64 rows before the
+    only shuffle. The oracle unrolls the same two iterations as
+    MATERIALIZED CTEs. At 100 TB: the scan dominates; k*d state is
+    constant. Caveat pinned in-code: the floor((2s+n)/2n) double
+    division is exact while 2s+n < 2^53 — beyond that, cast the sums
+    to DECIMAL(38,0) first."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x.cast("double") * 64.0).cast("long")
+        ).alias("qv"),
+    ).transform(_pin)  # feeds every assignment pass + the seed
+    w4 = Window.orderBy("vec_id")
+    c = (
+        pts.orderBy("vec_id")
+        .limit(_KM_K)
+        .select((F.row_number().over(w4) - 1).cast("long").alias("j"), F.col("qv").alias("cv"))
+    )
+
+    def cents_row(cdf):
+        return cdf.agg(
+            F.array_sort(F.collect_list(F.struct("j", "cv"))).alias("cents")
+        )
+
+    def assign(cdf):
+        a = pts.crossJoin(F.broadcast(cents_row(cdf)))
+        dists = F.transform(
+            F.col("cents"),
+            lambda cc: F.aggregate(
+                F.zip_with(F.col("qv"), cc["cv"], lambda q, v: (q - v) * (q - v)),
+                F.lit(0).cast("long"),
+                lambda s, x: s + x,
+            ),
+        )
+        pos = F.array_position(dists, F.array_min(dists)).cast("int")
+        return a.select(
+            "vec_id",
+            "qv",
+            (pos - 1).cast("long").alias("j"),
+            F.element_at(dists, pos).alias("dist"),
+        )
+
+    for _ in range(_KM_ITERS):
+        assigned = assign(c)
+        upd = (
+            assigned.select("j", F.posexplode("qv").alias("dim", "v"))
+            .groupBy("j", "dim")
+            .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .select(
+                "j",
+                "dim",
+                F.floor(
+                    (2 * F.col("s") + F.col("n")).cast("double")
+                    / (2 * F.col("n")).cast("double")
+                ).cast("long").alias("cvd"),
+            )
+            .groupBy("j")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "cvd"))),
+                    lambda s: s["cvd"],
+                ).alias("cv_new")
+            )
+        )
+        c = (
+            c.alias("o")
+            .join(F.broadcast(upd.alias("n")), F.col("o.j") == F.col("n.j"), "left")
+            .select(
+                F.col("o.j").alias("j"),
+                F.coalesce(F.col("cv_new"), F.col("o.cv")).alias("cv"),
+            )
+            .transform(_pin)  # iteration boundary: feeds next assign + guard join
+        )
+    final = assign(c)
+    return final.groupBy(F.col("j").alias("cluster")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.sum("dist").cast("long").alias("wss"),
+        F.round(
+            F.sum("dist").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("mean_dist"),
+    )
