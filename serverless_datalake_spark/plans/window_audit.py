@@ -85,6 +85,8 @@ ALLOWLIST: dict[str, str] = {
                            "pair-relation min window is partitioned",
     "model_kmeans_lloyd": "k=4 seed rows (GlobalLimit below the "
                           "row_number)",
+    "skyline_frontier_2d": "50 size-domain rows (reverse running min)",
+    "eval_kendall_w": "25 nation rows (three rank windows)",
 }
 
 _MARKER_NODES = (

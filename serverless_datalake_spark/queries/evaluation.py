@@ -3079,3 +3079,102 @@ def model_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dist").cast("double") / F.count(F.lit(1)).cast("double"), 6
         ).alias("mean_dist"),
     )
+
+
+@query(
+    "eval_kendall_w",
+    oracle="""
+    WITH ma AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS g,
+             CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS HUGEINT)
+               AS v,
+             CAST(COUNT(*) AS BIGINT) AS n_cust
+      FROM customer GROUP BY 1
+    ), mc AS (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS g,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS HUGEINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1
+    ), ranks AS (
+      SELECT ma.g,
+             CAST(ROW_NUMBER() OVER (ORDER BY ma.v DESC, ma.g) AS BIGINT)
+               + CAST(ROW_NUMBER() OVER (ORDER BY ma.n_cust DESC, ma.g)
+                      AS BIGINT)
+               + CAST(ROW_NUMBER() OVER (ORDER BY mc.v DESC, ma.g) AS BIGINT)
+               AS r
+      FROM ma JOIN mc ON ma.g = mc.g
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((2 * r - 3 * (CAST((SELECT COUNT(*) FROM ranks)
+                                         AS BIGINT) + 1))
+                      * (2 * r - 3 * (CAST((SELECT COUNT(*) FROM ranks)
+                                           AS BIGINT) + 1))) AS BIGINT) AS s4
+      FROM ranks
+    )
+    SELECT n AS n_items,
+           CAST(3 AS BIGINT) AS m_judges,
+           ROUND(3.0 * CAST(s4 AS DOUBLE)
+                 / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))), 6) AS w,
+           ROUND(3.0 * (CAST(n AS DOUBLE) - 1.0)
+                 * (3.0 * CAST(s4 AS DOUBLE)
+                    / (9.0 * (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                              * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))), 6)
+             AS chi2_approx
+    FROM sums
+    """,
+    tags=("evaluation", "agreement", "concordance"),
+)
+def eval_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's coefficient of concordance W across three rankers of
+    the 25 nations — total customer balance, customer count, total
+    order value — the many-RANKERS agreement statistic that completes
+    the panel family (Cohen/Fleiss/Krippendorff score categorical
+    votes; W scores full rankings, which is what LLM-judge ensembles
+    and metric leaderboards produce). W = 12.S/(m^2(n^3-n)) with S the
+    squared deviation of rank sums from their mean m(n+1)/2.
+
+    Exactness: ranks are row_number permutations (deterministic
+    nation tie-break), so S is computed DOUBLED — (2r - m(n+1))^2
+    sums to 4S as exact integers whatever the parity of m(n+1) — and
+    both engines evaluate one identical double expression (the
+    doubled-mid-rank discipline from stats_kruskal_wallis).
+
+    Scale shape: two fact scans reduce to 25-row metric relations
+    (the orders scan joins the customer dim on its key — co-keyed
+    hash join); ranking runs three windows over the JOINED 25-row
+    relation (domain-bounded, allowlisted); the rest is a single-row
+    fold. Scan-bound at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    ords = load_table(spark, sf_dir, "orders")
+    d38 = "decimal(38,0)"
+    ma = cust.groupBy(F.col("c_nationkey").cast("long").alias("g")).agg(
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast(d38)).alias("v"),
+        F.count(F.lit(1)).cast("long").alias("n_cust"),
+    )
+    mc = (
+        ords.join(cust.select("c_custkey", "c_nationkey"),
+                  ords["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").cast("long").alias("g"))
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100, 0).cast(d38)).alias("v"))
+    )
+    j = ma.join(mc.select(F.col("g").alias("g2"), F.col("v").alias("v2")),
+                F.col("g") == F.col("g2"))
+    r1 = F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("g")))
+    r2 = F.row_number().over(Window.orderBy(F.col("n_cust").desc(), F.col("g")))
+    r3 = F.row_number().over(Window.orderBy(F.col("v2").desc(), F.col("g")))
+    ranks = j.select("g", (r1.cast("long") + r2.cast("long") + r3.cast("long")).alias("r"))
+    ranks = ranks.crossJoin(
+        F.broadcast(ranks.agg(F.count(F.lit(1)).cast("long").alias("n")))
+    )
+    dev = 2 * F.col("r") - 3 * (F.col("n") + 1)
+    sums = ranks.groupBy("n").agg(F.sum(dev * dev).cast("long").alias("s4"))
+    nD = F.col("n").cast("double")
+    w = F.lit(3.0) * F.col("s4").cast("double") / (F.lit(9.0) * (nD * nD * nD - nD))
+    return sums.select(
+        F.col("n").alias("n_items"),
+        F.lit(3).cast("long").alias("m_judges"),
+        F.round(w, 6).alias("w"),
+        F.round(F.lit(3.0) * (nD - F.lit(1.0)) * w, 6).alias("chi2_approx"),
+    )

@@ -1413,3 +1413,121 @@ def dedup_boilerplate_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .select("rank", "gram", "n_docs", "n_occ", "first_doc")
     )
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM t
+    ), fl AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN ({_hex8_int("substr(md5(tok), 1, 8)")} % 32) = 0
+                  THEN 1 ELSE 0 END AS f
+      FROM tok
+    ), ch AS (
+      SELECT doc_id, pos, tok,
+             COALESCE(SUM(f) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING), 0) AS cid
+      FROM fl
+    ), chunks AS (
+      SELECT doc_id, cid, md5(string_agg(tok, ' ' ORDER BY pos)) AS fp,
+             CAST(COUNT(*) AS BIGINT) AS ntok
+      FROM ch GROUP BY 1, 2
+    ), fps AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(ntok) AS BIGINT) AS st
+      FROM chunks GROUP BY 1
+    )
+    SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_chunks,
+           ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS dup_share,
+           CAST(MAX(c) AS BIGINT) AS max_dup,
+           ROUND(CAST(SUM(st) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+             AS mean_chunk_tokens
+    FROM fps
+    """,
+    tags=("llm", "dedup", "cdc", "chunking"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (CDC) duplication profile — the
+    storage-dedup technique (rsync/LBFS rolling-hash cut points)
+    applied to corpus text: a chunk boundary falls AFTER any token
+    whose 32-bit content hash is 0 mod 32 (expected chunk length 32
+    tokens), so chunk boundaries survive insertions and deletions
+    that shift token positions — unlike dedup_chunk_exact's
+    fixed-width windows, which lose alignment after one edit. The
+    profile reports how much chunk-grain redundancy CDC exposes
+    (dup_share) and the heaviest repeated chunk.
+
+    Cut decisions use md5_key32 per token (engine-portable; the
+    oracle recomputes it from md5 hex, the minhash discipline), chunk
+    ids are an exclusive prefix sum of cut flags per document, and
+    chunk fingerprints are md5 of the space-joined token span —
+    everything integer/string exact, no floats until the two output
+    ratios.
+
+    Scale shape: token-grain explode (the text family's standard
+    inflation), ONE partitioned prefix-sum window keyed by doc_id
+    (never global), then two hash aggregates (doc+chunk grain, then
+    fingerprint grain) — each map-side combinable. At 100 TB the
+    explode dominates; boundaries are per-doc local so documents
+    partition freely."""
+    from serverless_datalake_spark.operators import textops
+    from serverless_datalake_spark.operators.dedup import md5_key32
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.posexplode(textops.tokens(F.col("text"))).alias("pos", "tok"),
+    )
+    fl = tok.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.when(md5_key32(F.col("tok")) % 32 == 0, 1).otherwise(0).alias("f"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = fl.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(F.sum("f").over(w), F.lit(0)).alias("cid"),
+    )
+    chunks = ch.groupBy("doc_id", "cid").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            )
+        ).alias("fp"),
+        F.count(F.lit(1)).cast("long").alias("ntok"),
+    )
+    fps = chunks.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("ntok").cast("long").alias("st"),
+    )
+    return fps.agg(
+        F.sum("c").cast("long").alias("n_chunks"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chunks"),
+        F.round(
+            F.lit(1.0) - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"),
+            6,
+        ).alias("dup_share"),
+        F.max("c").cast("long").alias("max_dup"),
+        F.round(F.sum("st").cast("double") / F.sum("c").cast("double"), 6).alias(
+            "mean_chunk_tokens"
+        ),
+    )

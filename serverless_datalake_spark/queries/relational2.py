@@ -166,3 +166,78 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright("l_orderkey", 3).alias("shifted_r"),
         F.bit_count("l_orderkey").cast("long").alias("popcount"),
     )
+
+
+@query(
+    "skyline_frontier_2d",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey, CAST(p_size AS BIGINT) AS s,
+             CAST(ROUND(p_retailprice * 100, 0) AS BIGINT) AS cents
+      FROM part
+    ), sz AS (
+      SELECT s, MIN(cents) AS minp FROM pts GROUP BY 1
+    ), fr AS (
+      SELECT s, minp,
+             MIN(minp) OVER (ORDER BY s DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS mgt
+      FROM sz
+    )
+    SELECT p.p_partkey, p.s AS p_size,
+           ROUND(CAST(p.cents AS DOUBLE) / 100.0, 2) AS retail_price
+    FROM pts p JOIN fr ON p.s = fr.s
+    WHERE p.cents = fr.minp AND (fr.mgt IS NULL OR p.cents < fr.mgt)
+    """,
+    tags=("relational", "skyline", "pareto"),
+)
+def skyline_frontier_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-dimensional SKYLINE (Pareto-optimal set): the parts no
+    other part dominates under (maximize size, minimize price) — the
+    multi-criteria shortlist operator (Borzsony/Kossmann/Stocker's
+    SKYLINE OF) that product search and supplier selection run, and
+    that naive SQL spells as a quadratic NOT EXISTS self-join.
+
+    The scalable identity: with the size axis domain-bounded (1..50),
+    a part p survives iff (a) p.price equals the min price AT its
+    size (same-size strict dominance) and (b) p.price beats the min
+    price over all STRICTLY LARGER sizes (cross-size dominance),
+    which is one reverse exclusive running-min over the 50-row
+    size-grain relation. Prices compare in exact cents. The dominated
+    check never touches part pairs — the O(n^2) NOT EXISTS collapses
+    to a domain-grain window plus one hash join back to the scan.
+
+    Scale shape: one scan -> 50-row aggregate -> 50-row window
+    (domain-bounded, allowlisted) -> broadcast join back to the scan.
+    At 100 TB: scan-bound, like stats_kendall_tau; for continuous
+    BOTH-axes skylines, bucketize one axis first (the standard
+    grid-skyline reduction)."""
+    from serverless_datalake_spark.operators import pin as _pin
+
+    pts = (
+        load_table(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            F.col("p_size").cast("long").alias("s"),
+            F.round(F.col("p_retailprice") * 100, 0).cast("long").alias("cents"),
+        )
+        .transform(_pin)  # feeds the size rollup AND the output join
+    )
+    sz = pts.groupBy("s").agg(F.min("cents").alias("minp"))
+    rev = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    fr = sz.select("s", "minp", F.min("minp").over(rev).alias("mgt"))
+    return (
+        pts.join(F.broadcast(fr), "s")
+        .where(
+            (F.col("cents") == F.col("minp"))
+            & (F.col("mgt").isNull() | (F.col("cents") < F.col("mgt")))
+        )
+        .select(
+            "p_partkey",
+            F.col("s").alias("p_size"),
+            F.round(F.col("cents").cast("double") / 100.0, 2).alias("retail_price"),
+        )
+    )

@@ -1582,3 +1582,149 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("reject_white_noise_05"),
     )
+
+
+@query(
+    "ts_granger_lag1",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             CAST(ROUND(SUM(value) * 100, 0) AS BIGINT) AS v
+      FROM events
+      GROUP BY 1, 2
+    ), trip AS (
+      SELECT c.event_type AS cause, e.event_type AS effect,
+             CAST(e.v AS HUGEINT) AS y, CAST(el.v AS HUGEINT) AS a,
+             CAST(c.v AS HUGEINT) AS b
+      FROM obs e
+      JOIN obs el ON el.event_type = e.event_type AND el.h = e.h - 1
+      JOIN obs c  ON c.event_type <> e.event_type AND c.h = e.h - 1
+    ), mom AS (
+      SELECT cause, effect,
+             CAST(COUNT(*) AS BIGINT) AS t,
+             CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(a) AS DOUBLE) AS sa,
+             CAST(SUM(b) AS DOUBLE) AS sb,
+             CAST(SUM(y * y) AS DOUBLE) AS syy,
+             CAST(SUM(a * a) AS DOUBLE) AS saa,
+             CAST(SUM(b * b) AS DOUBLE) AS sbb,
+             CAST(SUM(y * a) AS DOUBLE) AS sya,
+             CAST(SUM(y * b) AS DOUBLE) AS syb,
+             CAST(SUM(a * b) AS DOUBLE) AS sab
+      FROM trip GROUP BY 1, 2
+    ), cen AS (
+      SELECT cause, effect, t,
+             syy - sy * sy / CAST(t AS DOUBLE) AS cyy,
+             saa - sa * sa / CAST(t AS DOUBLE) AS caa,
+             sbb - sb * sb / CAST(t AS DOUBLE) AS cbb,
+             sya - sy * sa / CAST(t AS DOUBLE) AS cya,
+             syb - sy * sb / CAST(t AS DOUBLE) AS cyb,
+             sab - sa * sb / CAST(t AS DOUBLE) AS cab
+      FROM mom
+    ), fit AS (
+      SELECT cause, effect, t, cyy, cya, caa, cyb, cbb,
+             (cya * cbb - cyb * cab) / (caa * cbb - cab * cab) AS beta_a,
+             (cyb * caa - cya * cab) / (caa * cbb - cab * cab) AS beta_b
+      FROM cen
+    )
+    SELECT cause, effect, t AS n_obs,
+           ROUND(beta_b, 6) AS beta_cause,
+           ROUND(((cyy - cya * cya / caa)
+                  - (cyy - beta_a * cya - beta_b * cyb))
+                 * (CAST(t AS DOUBLE) - 3.0)
+                 / (cyy - beta_a * cya - beta_b * cyb), 6) AS f_stat
+    FROM fit
+    """,
+    tags=("timeseries", "causality", "regression"),
+)
+def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger causality at lag 1 between every ordered pair of event
+    types' hourly totals — does yesterday's CAUSE series improve the
+    one-step forecast of the EFFECT series beyond its own history?
+    F = (RSS_restricted - RSS_full)(T-3)/RSS_full for y_t ~ [1,
+    y_{t-1}] vs y_t ~ [1, y_{t-1}, x_{t-1}]; the lead/lag-aware
+    companion of ts_cross_correlation (which is symmetric and
+    direction-blind).
+
+    Exactness: hourly totals quantize to cents, so all nine
+    sufficient moments are exact integer sums (HUGEINT vs
+    DECIMAL(38,0)) — order-independent, no ordered folds — and both
+    engines evaluate the identical closed-form (centered 2x2 normal
+    equations) in doubles. The statistics.py discipline applied to a
+    two-regressor fit.
+
+    Scale shape: one partial-agg shuffle to the (type, hour) grid,
+    two self-joins keyed on the hour grid (grid-sized, not
+    event-sized), one partial-agg shuffle to 20 ordered-pair rows of
+    nine moments. Scan-bound at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("v"))
+    from serverless_datalake_spark.operators import pin as _pin
+
+    obs = obs.transform(_pin)  # feeds all three legs of the triple join
+    d38 = "decimal(38,0)"
+    eff = obs.select(
+        F.col("event_type").alias("effect"), F.col("h"), F.col("v").alias("y")
+    )
+    el = obs.select(
+        F.col("event_type").alias("e2"), (F.col("h") + 1).alias("h2"),
+        F.col("v").alias("a"),
+    )
+    cz = obs.select(
+        F.col("event_type").alias("cause"), (F.col("h") + 1).alias("h3"),
+        F.col("v").alias("b"),
+    )
+    trip = (
+        eff.join(el, (F.col("effect") == F.col("e2")) & (F.col("h") == F.col("h2")))
+        .join(cz, (F.col("cause") != F.col("effect")) & (F.col("h") == F.col("h3")))
+        .select(
+            "cause",
+            "effect",
+            F.col("y").cast(d38).alias("y"),
+            F.col("a").cast(d38).alias("a"),
+            F.col("b").cast(d38).alias("b"),
+        )
+    )
+    mom = trip.groupBy("cause", "effect").agg(
+        F.count(F.lit(1)).cast("long").alias("t"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("a").cast("double").alias("sa"),
+        F.sum("b").cast("double").alias("sb"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("a") * F.col("a")).cast("double").alias("saa"),
+        F.sum(F.col("b") * F.col("b")).cast("double").alias("sbb"),
+        F.sum(F.col("y") * F.col("a")).cast("double").alias("sya"),
+        F.sum(F.col("y") * F.col("b")).cast("double").alias("syb"),
+        F.sum(F.col("a") * F.col("b")).cast("double").alias("sab"),
+    )
+    tD = F.col("t").cast("double")
+    cen = mom.select(
+        "cause",
+        "effect",
+        "t",
+        (F.col("syy") - F.col("sy") * F.col("sy") / tD).alias("cyy"),
+        (F.col("saa") - F.col("sa") * F.col("sa") / tD).alias("caa"),
+        (F.col("sbb") - F.col("sb") * F.col("sb") / tD).alias("cbb"),
+        (F.col("sya") - F.col("sy") * F.col("sa") / tD).alias("cya"),
+        (F.col("syb") - F.col("sy") * F.col("sb") / tD).alias("cyb"),
+        (F.col("sab") - F.col("sa") * F.col("sb") / tD).alias("cab"),
+    )
+    det = F.col("caa") * F.col("cbb") - F.col("cab") * F.col("cab")
+    beta_a = (F.col("cya") * F.col("cbb") - F.col("cyb") * F.col("cab")) / det
+    beta_b = (F.col("cyb") * F.col("caa") - F.col("cya") * F.col("cab")) / det
+    fit = cen.select(
+        "cause", "effect", "t", "cyy", "cya", "caa", "cyb",
+        beta_a.alias("beta_a"), beta_b.alias("beta_b"),
+    )
+    rss_u = F.col("cyy") - F.col("beta_a") * F.col("cya") - F.col("beta_b") * F.col("cyb")
+    rss_r = F.col("cyy") - F.col("cya") * F.col("cya") / F.col("caa")
+    tD2 = F.col("t").cast("double")
+    return fit.select(
+        "cause",
+        "effect",
+        F.col("t").alias("n_obs"),
+        F.round(F.col("beta_b"), 6).alias("beta_cause"),
+        F.round((rss_r - rss_u) * (tD2 - F.lit(3.0)) / rss_u, 6).alias("f_stat"),
+    )
