@@ -3164,7 +3164,9 @@ def eval_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
     r1 = F.row_number().over(Window.orderBy(F.col("v").desc(), F.col("g")))
     r2 = F.row_number().over(Window.orderBy(F.col("n_cust").desc(), F.col("g")))
     r3 = F.row_number().over(Window.orderBy(F.col("v2").desc(), F.col("g")))
-    ranks = j.select("g", (r1.cast("long") + r2.cast("long") + r3.cast("long")).alias("r"))
+    ranks = j.select(
+        "g", (r1.cast("long") + r2.cast("long") + r3.cast("long")).alias("r")
+    ).transform(_pin)  # feeds its own count branch + the deviation sum
     ranks = ranks.crossJoin(
         F.broadcast(ranks.agg(F.count(F.lit(1)).cast("long").alias("n")))
     )

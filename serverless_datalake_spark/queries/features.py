@@ -626,7 +626,7 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     my = cells.groupBy("y").agg(F.sum("c").cast("long").alias("ny"))
     nD = F.col("n").cast("double")
 
-    def fold(df, keys, term):
+    def fold(keys, term):
         arr = F.array_sort(F.collect_list(F.struct(*keys, term.alias("e"))))
         return F.aggregate(
             F.transform(arr, lambda s: s["e"]), F.lit(0.0), lambda s, x: s + x
@@ -645,13 +645,13 @@ def feature_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         8,
     )
-    mi = joined.agg(fold(joined, [F.col("x"), F.col("y")], mi_term).alias("mi"))
+    mi = joined.agg(fold([F.col("x"), F.col("y")], mi_term).alias("mi"))
     hx_j = mx.crossJoin(F.broadcast(tot))
     px = F.col("nx").cast("double") / nD
-    hx = hx_j.agg(fold(hx_j, [F.col("x")], F.round(-px * F.log(px), 8)).alias("hx"))
+    hx = hx_j.agg(fold([F.col("x")], F.round(-px * F.log(px), 8)).alias("hx"))
     hy_j = my.crossJoin(F.broadcast(tot))
     py = F.col("ny").cast("double") / nD
-    hy = hy_j.agg(fold(hy_j, [F.col("y")], F.round(-py * F.log(py), 8)).alias("hy"))
+    hy = hy_j.agg(fold([F.col("y")], F.round(-py * F.log(py), 8)).alias("hy"))
     out = (
         tot.crossJoin(F.broadcast(mi))
         .crossJoin(F.broadcast(hx))

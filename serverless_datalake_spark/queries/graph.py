@@ -369,6 +369,47 @@ def market_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oriented_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The degree-ordered oriented co-purchase edge relation (u, v,
+    dv) — every undirected edge exactly once, pointing from its
+    lower-(degree, id) endpoint to the higher. Cached one generation
+    per session under ("triangles", sf_dir) and eagerly materialized,
+    so graph_triangle_count and graph_clustering_coeff (which also
+    derives UNDIRECTED degrees from it: deg(v) = out(v) + in(v),
+    sparing a second scan+self-join edge build) share one
+    materialization per sweep."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0, und = _copurchase_edges(li)
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = F.broadcast(deg.select(F.col("node").alias("__na"), F.col("d").alias("da")))
+    db = F.broadcast(deg.select(F.col("node").alias("__nb"), F.col("d").alias("db")))
+    fwd = (
+        e0.join(da, F.col("src") == F.col("__na"))
+        .join(db, F.col("dst") == F.col("__nb"))
+        .select(
+            F.when(
+                (F.col("da") < F.col("db"))
+                | ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst"))),
+                F.struct(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("db").alias("dv")),
+            )
+            .otherwise(
+                F.struct(F.col("dst").alias("u"), F.col("src").alias("v"), F.col("da").alias("dv"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v", "e.dv")
+    )
+    # the oriented edge relation feeds the adjacency build AND both
+    # sides of the per-edge probe — persist one materialization (same
+    # generation cache as pagerank's edges; at cluster scale this is
+    # the bucketed-by-u at-rest layout)
+    (fwd,) = _retire_and_cache(("triangles", sf_dir), [fwd])
+    # eager: collapse the duplicated orientation lineage to one
+    # InMemoryRelation BEFORE downstream planning
+    fwd.count()
+    return fwd
+
+
 @query(
     "graph_triangle_count",
     oracle="""
@@ -431,35 +472,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges and node-sized out-adjacency arrays move (at cluster scale:
     bucket the oriented edges AND the adjacency relation by u/v so
     both probe joins co-locate)."""
-    li = load_table(spark, sf_dir, "lineitem")
-    e0, und = _copurchase_edges(li)
-    deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    da = F.broadcast(deg.select(F.col("node").alias("__na"), F.col("d").alias("da")))
-    db = F.broadcast(deg.select(F.col("node").alias("__nb"), F.col("d").alias("db")))
-    fwd = (
-        e0.join(da, F.col("src") == F.col("__na"))
-        .join(db, F.col("dst") == F.col("__nb"))
-        .select(
-            F.when(
-                (F.col("da") < F.col("db"))
-                | ((F.col("da") == F.col("db")) & (F.col("src") < F.col("dst"))),
-                F.struct(F.col("src").alias("u"), F.col("dst").alias("v"), F.col("db").alias("dv")),
-            )
-            .otherwise(
-                F.struct(F.col("dst").alias("u"), F.col("src").alias("v"), F.col("da").alias("dv"))
-            )
-            .alias("e")
-        )
-        .select("e.u", "e.v", "e.dv")
-    )
-    # the oriented edge relation feeds the adjacency build AND both
-    # sides of the per-edge probe — persist one materialization (same
-    # generation cache as pagerank's edges; at cluster scale this is
-    # the bucketed-by-u at-rest layout)
-    (fwd,) = _retire_and_cache(("triangles", sf_dir), [fwd])
-    # eager: collapse the duplicated orientation lineage to one
-    # InMemoryRelation BEFORE downstream planning
-    fwd.count()
+    fwd = _oriented_copurchase(spark, sf_dir)
     # Per-edge intersection instead of a materialized wedge relation:
     # for every oriented edge (u, v), the triangles it apexes are
     # N+(u) ∩ N+(v) (a triangle x→y, x→z, y→z surfaces EXACTLY once,
@@ -1361,21 +1374,27 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reuses graph_triangle_count's degree-ordered per-edge-intersection
     pass verbatim (same cache generation, so a sweep running both
-    materializes the oriented edge relation once) and joins the
-    triangle relation back to the degree relation — both node-grain.
-    Exactness: T and d are integers; cc is one double expression over
-    two exact integers, rounded at 6.
+    materializes the oriented edge relation once) and derives the
+    UNDIRECTED degrees from that same cached relation — deg(v) =
+    out(v) + in(v), since orientation lists every undirected edge
+    exactly once — sparing the second scan+self-join edge build the
+    naive spelling would pay. Exactness: T and d are integers; cc is
+    one double expression over two exact integers, rounded at 6.
 
     Scale shape: triangle counting is the O(sqrt(|E|))-bounded
     forward-count (see graph_triangle_count); the extra work here is
-    one node-grain aggregate + one node-grain hash join — strictly
-    dominated by the triangle pass at any scale."""
+    two edge-grain aggregates + node-grain joins — strictly dominated
+    by the triangle pass at any scale."""
     from serverless_datalake_spark.queries import REGISTRY
 
-    li = load_table(spark, sf_dir, "lineitem")
-    _, und = _copurchase_edges(li)
-    deg = und.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("d")
+    fwd = _oriented_copurchase(spark, sf_dir)
+    uc = fwd.groupBy(F.col("u").alias("nu")).agg(F.count(F.lit(1)).alias("cu"))
+    vc = fwd.groupBy(F.col("v").alias("nv")).agg(F.count(F.lit(1)).alias("cv"))
+    deg = uc.join(vc, F.col("nu") == F.col("nv"), "full").select(
+        F.coalesce(F.col("nu"), F.col("nv")).alias("node"),
+        (
+            F.coalesce(F.col("cu"), F.lit(0)) + F.coalesce(F.col("cv"), F.lit(0))
+        ).cast("long").alias("d"),
     )
     tcnt = (
         REGISTRY["graph_triangle_count"]
