@@ -1489,3 +1489,87 @@ def text_token_regex_gpt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.greatest(F.col("n_bpe_ish"), F.lit(1)), 4
         ).alias("chars_per_token"),
     )
+
+
+@query(
+    "text_readability_forcast",
+    oracle="""
+    WITH t AS (
+      SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), per_doc AS (
+      SELECT lang,
+             len(toks) AS words,
+             len(list_filter(toks,
+                 w -> len(regexp_extract_all(w, '[aeiouy]+')) = 1)) AS mono
+      FROM t
+      WHERE len(toks) > 0
+    ), q AS (
+      SELECT lang, words, mono,
+             CAST(ROUND((20.0 - 15.0 * CAST(mono AS DOUBLE)
+                         / CAST(words AS DOUBLE)) * 10000.0, 0) AS BIGINT)
+               AS grade_e4
+      FROM per_doc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(SUM(grade_e4) AS DOUBLE)
+                 / (10000.0 * CAST(COUNT(*) AS DOUBLE)), 6) AS mean_grade,
+           ROUND(CAST(SUM(mono) AS DOUBLE) / CAST(SUM(words) AS DOUBLE), 6)
+             AS mono_share
+    FROM q GROUP BY 1
+    """,
+    tags=("llm", "text", "readability"),
+)
+def text_readability_forcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORCAST readability grade per language — the readability
+    formula that needs NO sentence boundaries (grade = 20 - 150·
+    monosyllable_share/10), which is exactly the situation of
+    boilerplate-stripped or OCR text where period detection is
+    garbage; completes the quality family next to text_quality's
+    length/stopword gates and text_gopher_rules. Monosyllables are
+    words with exactly one maximal vowel-group run ([aeiouy]+), the
+    standard syllable proxy.
+
+    Exactness: per-doc grades quantize to e4 integers and average as
+    exact integer sums (the eval_calibration_ece discipline); the
+    vowel-group count is a regex both engines evaluate identically.
+
+    Scale shape: one corpus scan with per-row token/regex work, one
+    partial-agg shuffle to 5 language rows. Embarrassingly parallel
+    at 100 TB."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = textops.tokens(F.col("text"))
+    per_doc = d.select(
+        "lang",
+        F.size(toks).alias("words"),
+        F.size(
+            F.filter(
+                toks,
+                lambda w: F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0))
+                == 1,
+            )
+        ).alias("mono"),
+    ).where(F.col("words") > 0)
+    grade_e4 = F.round(
+        (
+            F.lit(20.0)
+            - F.lit(15.0) * F.col("mono").cast("double") / F.col("words").cast("double")
+        )
+        * 10000.0,
+        0,
+    ).cast("long")
+    q = per_doc.select("lang", "words", "mono", grade_e4.alias("grade_e4"))
+    return q.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.sum("grade_e4").cast("double")
+            / (F.lit(10000.0) * F.count(F.lit(1)).cast("double")),
+            6,
+        ).alias("mean_grade"),
+        F.round(
+            F.sum("mono").cast("double") / F.sum("words").cast("double"), 6
+        ).alias("mono_share"),
+    )

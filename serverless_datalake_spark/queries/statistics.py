@@ -2516,3 +2516,191 @@ def stats_jackknife_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sqrt((ggd - F.lit(1.0)) / ggd * dev2), 6).alias("jack_se"),
         )
     )
+
+
+@query(
+    "stats_wilcoxon_signed_rank",
+    oracle="""
+    WITH pair AS (
+      SELECT l_suppkey AS s,
+             CAST(SUM(CASE WHEN MONTH(CAST(l_shipdate AS DATE)) <= 6
+                      THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                      ELSE 0 END) AS BIGINT)
+             - CAST(SUM(CASE WHEN MONTH(CAST(l_shipdate AS DATE)) > 6
+                        THEN CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS d
+      FROM lineitem GROUP BY 1
+    ), nz AS (
+      SELECT s, d, ABS(d) AS ad FROM pair WHERE d <> 0
+    ), vc AS (
+      SELECT ad, CAST(COUNT(*) AS BIGINT) AS c FROM nz GROUP BY 1
+    ), vr AS (
+      SELECT ad,
+             2 * (SUM(c) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING) - c)
+               + c + 1 AS r2,
+             c
+      FROM vc
+    ), sums AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN nz.d > 0 THEN CAST(vr.r2 AS HUGEINT)
+                      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS w2,
+             (SELECT CAST(SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)
+                               * CAST(c AS HUGEINT)
+                           - CAST(c AS HUGEINT)) AS BIGINT) FROM vc) AS t3
+      FROM nz JOIN vr ON nz.ad = vr.ad
+    )
+    SELECT n AS n_pairs,
+           ROUND(CAST(w2 AS DOUBLE) / 2.0, 1) AS w_plus,
+           ROUND((CAST(w2 AS DOUBLE) / 2.0
+                  - CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0) / 4.0)
+                 / SQRT(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                        * (2.0 * CAST(n AS DOUBLE) + 1.0) / 24.0
+                        - CAST(t3 AS DOUBLE) / 48.0), 6) AS z_stat
+    FROM sums
+    """,
+    tags=("statistics", "rank", "paired"),
+)
+def stats_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-supplier revenue
+    (first-half vs second-half months of the year) — the paired
+    companion of stats_mann_whitney_u (which compares two independent
+    samples; the signed-rank test asks whether a within-unit
+    before/after shift is symmetric around zero), i.e. the
+    nonparametric A/A' check an experimentation pipeline runs on
+    matched units.
+
+    Zero differences drop (standard practice); |d| gets tie-averaged
+    ranks via the DOUBLED integral mid-rank machinery
+    (stats_spearman_rank's value-grain running count — no per-row
+    rank window), W+ sums the doubled ranks of positive differences
+    as exact integers, and the normal approximation applies the
+    standard tie-corrected variance n(n+1)(2n+1)/24 - sum(t^3-t)/48.
+
+    Scale shape: one fact scan to supplier-grain pairs (partial-agg),
+    one value-grain count relation whose running count rides
+    with_global_cumsum (range-partitioned two-pass), a rank-map join
+    back, and a single-row reduce — the spearman profile."""
+    from serverless_datalake_spark.operators.ranking import with_global_cumsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    half1 = F.when(F.month(F.col("l_shipdate").cast("date")) <= 6, cents).otherwise(
+        F.lit(0)
+    )
+    half2 = F.when(F.month(F.col("l_shipdate").cast("date")) > 6, cents).otherwise(
+        F.lit(0)
+    )
+    pair = li.groupBy(F.col("l_suppkey").alias("s")).agg(
+        (F.sum(half1) - F.sum(half2)).cast("long").alias("d")
+    )
+    nz = pair.where(F.col("d") != 0).select("s", "d", F.abs(F.col("d")).alias("ad"))
+    nz = nz.transform(_pin)  # feeds the value-grain counts AND the rank join
+    vc = nz.groupBy("ad").agg(F.count(F.lit(1)).alias("c"))
+    vr = with_global_cumsum(vc, [F.col("ad")], "c", out="cum").select(
+        "ad",
+        (2 * (F.col("cum") - F.col("c")) + F.col("c") + 1).cast("long").alias("r2"),
+        "c",
+    )
+    vr = vr.transform(_pin)  # feeds the rank join AND the tie-term rollup
+    d38 = "decimal(38,0)"
+    t3 = vr.agg(
+        F.sum(
+            F.col("c").cast(d38) * F.col("c").cast(d38) * F.col("c").cast(d38)
+            - F.col("c").cast(d38)
+        )
+        .cast("long")
+        .alias("t3")
+    )
+    sums = (
+        nz.join(vr.select("ad", "r2"), "ad")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("d") > 0, F.col("r2").cast(d38)).otherwise(
+                    F.lit(0).cast(d38)
+                )
+            )
+            .cast("long")
+            .alias("w2"),
+        )
+        .crossJoin(F.broadcast(t3))
+    )
+    nD = F.col("n").cast("double")
+    wp = F.col("w2").cast("double") / F.lit(2.0)
+    var = nD * (nD + 1.0) * (2.0 * nD + 1.0) / F.lit(24.0) - F.col("t3").cast(
+        "double"
+    ) / F.lit(48.0)
+    return sums.select(
+        F.col("n").alias("n_pairs"),
+        F.round(wp, 1).alias("w_plus"),
+        F.round((wp - nD * (nD + 1.0) / F.lit(4.0)) / F.sqrt(var), 6).alias("z_stat"),
+    )
+
+
+@query(
+    "stats_binom_wilson_ci",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS s
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n, s,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+           ROUND(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                  - 1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                / CAST(n AS DOUBLE)
+                                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                            * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+           ROUND(((CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+                   + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+                  + 1.96 * SQRT((CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (1.0 - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                                / CAST(n AS DOUBLE)
+                                + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                            * CAST(n AS DOUBLE))))
+                 / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+    FROM agg
+    """,
+    tags=("statistics", "binomial", "confidence-interval"),
+)
+def stats_binom_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score 95% confidence interval for each event type's
+    high-value share — the binomial CI that stays inside [0, 1] and
+    behaves at small n / extreme p, which is why pass-rate and
+    win-rate dashboards should publish it instead of the Wald
+    interval (the companion of stats_ratio_delta_ci, which handles
+    RATIO-of-continuous metrics). z = 1.96 and z^2 = 3.8416 are
+    spelled as exact literals on both sides (never computed as
+    1.96*1.96 on one side only — the _DAMP lesson).
+
+    Exactness: n and s are exact integer aggregates; both engines
+    evaluate one identical double expression per group.
+
+    Scale shape: one scan, one partial-agg shuffle to 5 type rows,
+    constant-size arithmetic — the cheapest family shape."""
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("value") > 100, 1).otherwise(0)).cast("long").alias("s"),
+    )
+    nD = F.col("n").cast("double")
+    p = F.col("s").cast("double") / nD
+    z2 = F.lit(3.8416)
+    center = p + z2 / (F.lit(2.0) * nD)
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / nD + z2 / (F.lit(4.0) * nD * nD)
+    )
+    denom = F.lit(1.0) + z2 / nD
+    return agg.select(
+        "event_type",
+        "n",
+        "s",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    )
