@@ -1061,3 +1061,78 @@ def lake_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFr
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum("cents").cast("long").alias("cents"),
     )
+
+
+@query(
+    "txlog_delete_vacuum",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 5 <= 3
+    ), kept AS (
+      SELECT * FROM base WHERE o_orderpriority <> '1-URGENT'
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100.0, 0) AS BIGINT)) AS BIGINT)
+             AS cents,
+           CAST(1 AS BIGINT) AS n_retained_commits
+    FROM kept GROUP BY 1
+    """,
+    tags=("lakehouse", "txlog", "delete", "vacuum"),
+)
+def txlog_delete_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GDPR lifecycle end-to-end on the txlog table format:
+    append two batches, DELETE every urgent order by key
+    (copy-on-write rewrite, conditioned on the read head), then
+    VACUUM down to one retained version — physically removing the
+    files that still contain the deleted rows — and read the
+    surviving head plus DESCRIBE HISTORY. The oracle recomputes the
+    expected post-delete state from the source relation, so equality
+    proves the delete semantics AND that vacuum retired only
+    unreferenced files (a vacuum bug that dropped a live file would
+    break the head read; one that kept doomed files is caught by
+    tests/test_txlog.py's physical-listing assertions). The
+    completion row-count proof that deleted rows are GONE from
+    storage, not just filtered — the difference between a WHERE and
+    an erasure obligation.
+
+    Scale shape: delete is one anti-join rewrite (file-pruned to
+    overlapping key ranges at scale — txlog.py:468's discipline);
+    vacuum and history read ONLY the log, never data files."""
+    import uuid as _uuid
+
+    from serverless_datalake_spark.sources.txlog import (
+        txlog_delete,
+        txlog_history,
+        txlog_read,
+        txlog_vacuum,
+        txlog_write,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    path = _scratch(f"sdlspark_dv_{_uuid.uuid4().hex[:12]}")
+    txlog_write(o.where(F.col("o_orderkey") % 5 <= 1), path)
+    txlog_write(
+        o.where((F.col("o_orderkey") % 5 == 2) | (F.col("o_orderkey") % 5 == 3)),
+        path,
+    )
+    doomed = o.where(
+        (F.col("o_orderkey") % 5 <= 3) & (F.col("o_orderpriority") == "1-URGENT")
+    ).select("o_orderkey")
+    head = txlog_delete(spark, path, doomed, key="o_orderkey")
+    txlog_vacuum(path, keep_versions=1)
+    # vacuum(keep_versions=1) truncates the log to the retention
+    # horizon, so DESCRIBE HISTORY afterwards shows exactly ONE
+    # retained commit — time travel to v0/v1 is gone BY CONTRACT
+    n_commits = txlog_history(spark, path).count()
+    final = txlog_read(spark, path, version=head)
+    return final.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("long"))
+        .cast("long")
+        .alias("cents"),
+        F.lit(n_commits).cast("long").alias("n_retained_commits"),
+    )
