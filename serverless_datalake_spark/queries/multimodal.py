@@ -319,3 +319,131 @@ def mm_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("tx") * stride + tile, F.col("width")).cast("long").alias("x1"),
         F.least(F.col("ty") * stride + tile, F.col("height")).cast("long").alias("y1"),
     )
+
+
+@query(
+    "mm_av_sync_join",
+    # Frames sample every 10th index (0,10,20,30) at 3 s spacing;
+    # audio chunks start on the 25 s stride grid. The oracle derives
+    # the nearest-earlier chunk ARITHMETICALLY (floor(frame_ms/stride)
+    # clamped to the last planned chunk), so parity proves the real
+    # as-of JOIN (operators/asof.py) lands on exactly the chunk the
+    # closed form predicts — including the clamp and the off-the-end
+    # frames that must stay unmatched.
+    oracle="""
+    WITH vid AS (
+      SELECT doc_id AS video_id,
+             1 + (
+               (strpos('0123456789abcdef', substr(md5(text), 5, 1)) - 1) * 16
+               + (strpos('0123456789abcdef', substr(md5(text), 6, 1)) - 1)
+             ) % 120 AS n_frames
+      FROM documents WHERE doc_id % 3 = 2
+    ), frames AS (
+      SELECT video_id, CAST(fi AS BIGINT) AS frame_index,
+             CAST(fi * 3000 AS BIGINT) AS frame_ms
+      FROM vid, UNNEST(range(0, LEAST(n_frames, 40), 10)) AS u(fi)
+    ), aud AS (
+      SELECT doc_id AS audio_id,
+             CAST(octet_length(encode(text)) * 250 AS BIGINT) AS duration_ms,
+             GREATEST(CAST(CEIL((CAST(octet_length(encode(text)) * 250
+                                      AS DOUBLE) - 30000.0) / 25000.0)
+                           AS BIGINT) + 1, 1) - 1 AS max_k
+      FROM documents WHERE doc_id % 3 = 1
+    ), paired AS (
+      SELECT f.video_id, f.frame_index, f.frame_ms,
+             a.audio_id, a.duration_ms, a.max_k
+      FROM frames f JOIN aud a ON a.audio_id = f.video_id - 1
+    )
+    SELECT video_id, frame_index, audio_id,
+           CAST(CASE WHEN frame_ms < duration_ms
+                THEN LEAST(frame_ms // 25000, max_k) END AS BIGINT)
+             AS chunk_no,
+           CAST(CASE WHEN frame_ms < duration_ms
+                THEN frame_ms - LEAST(frame_ms // 25000, max_k) * 25000 END
+                AS BIGINT) AS lag_ms
+    FROM paired
+    """,
+    tags=("llm", "multimodal", "asof", "alignment"),
+)
+def mm_av_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal A/V alignment: attach each sampled VIDEO frame to
+    the audio chunk that was playing at its timestamp — the as-of
+    join every captioning / AV-training pipeline runs to pair frame
+    features with ASR segments. Videos (doc_id % 3 = 2) pair with
+    their adjacent audio asset (doc_id - 1, % 3 = 1); frames carry a
+    3 s-spaced timestamp from mm_frame_sample's index grid; chunks
+    are mm_audio_chunk_plan's 30 s / 25 s-stride windows. Frames past
+    the audio's duration stay unmatched (all-null attach, left-outer
+    as-of semantics).
+
+    The Spark side runs the REAL generic as-of join
+    (operators/asof.py, backward direction, keyed by the pair id);
+    the oracle computes the nearest-earlier chunk in closed form
+    (floor(frame_ms/stride) clamped to the plan's last chunk), so
+    parity proves the join operator lands on exactly the predicted
+    chunk — alignment-by-join and alignment-by-arithmetic agree.
+
+    Scale shape: both inputs are METADATA-grain plans (payload bytes
+    never move — the mm_binary_metadata discipline); the as-of join
+    is a per-key sort within pair ids. At 100 TB of media the frame
+    and chunk relations are O(assets x samples), orders below
+    payload bytes."""
+    from serverless_datalake_spark.operators.asof import asof_join
+    from serverless_datalake_spark.operators import multimodal
+
+    d = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary_payload(
+        d.where(F.col("doc_id") % 3 == 2), "doc_id", "text"
+    )
+    frames = multimodal.sample_frames(media, every_n=10, max_frames=4).select(
+        F.col("media_id").alias("video_id"),
+        F.col("frame_index").cast("long").alias("frame_index"),
+        (F.col("frame_index") * 3000).cast("long").alias("frame_ms"),
+        (F.col("media_id") - 1).alias("pair_id"),
+    )
+    aud = d.where(F.col("doc_id") % 3 == 1).select(
+        F.col("doc_id").alias("audio_id"),
+        (F.octet_length(F.encode(F.col("text"), "UTF-8")) * 250)
+        .cast("long")
+        .alias("duration_ms"),
+    )
+    win, stride = 30000, 25000
+    n_chunks = F.greatest(
+        F.ceil((F.col("duration_ms").cast("double") - float(win)) / float(stride))
+        .cast("long")
+        + 1,
+        F.lit(1).cast("long"),
+    )
+    chunks = aud.select(
+        "audio_id",
+        "duration_ms",
+        F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_no"),
+    ).select(
+        "audio_id",
+        "duration_ms",
+        "chunk_no",
+        (F.col("chunk_no") * stride).cast("long").alias("start_ms"),
+    )
+    joined = asof_join(
+        frames.withColumnRenamed("pair_id", "k"),
+        chunks.select(
+            F.col("audio_id").alias("k"), "chunk_no", "start_ms", "duration_ms"
+        ),
+        on="k",
+        left_ts="frame_ms",
+        right_ts="start_ms",
+        right_cols=["chunk_no", "duration_ms"],
+        direction="backward",
+    )
+    matched = F.col("asof_duration_ms").isNotNull() & (
+        F.col("frame_ms") < F.col("asof_duration_ms")
+    )
+    return joined.select(
+        "video_id",
+        "frame_index",
+        (F.col("video_id") - 1).alias("audio_id"),
+        F.when(matched, F.col("asof_chunk_no").cast("long")).alias("chunk_no"),
+        F.when(matched, F.col("frame_ms") - F.col("asof_chunk_no") * stride)
+        .cast("long")
+        .alias("lag_ms"),
+    )
