@@ -2704,3 +2704,222 @@ def stats_binom_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     )
+
+
+@query(
+    "stats_cmh_pooled_odds",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(c_nationkey AS BIGINT) AS k,
+             CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS exp,
+             CASE WHEN c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+                  THEN 1 ELSE 0 END AS outc,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM customer GROUP BY 1, 2, 3
+    ), strata AS (
+      SELECT k,
+             CAST(SUM(CASE WHEN exp = 1 AND outc = 1 THEN c ELSE 0 END)
+                  AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN exp = 1 AND outc = 0 THEN c ELSE 0 END)
+                  AS BIGINT) AS b,
+             CAST(SUM(CASE WHEN exp = 0 AND outc = 1 THEN c ELSE 0 END)
+                  AS BIGINT) AS cc,
+             CAST(SUM(CASE WHEN exp = 0 AND outc = 0 THEN c ELSE 0 END)
+                  AS BIGINT) AS d,
+             CAST(SUM(c) AS BIGINT) AS n
+      FROM cells GROUP BY 1
+    ), terms AS (
+      SELECT k,
+             ROUND(CAST(a AS DOUBLE) * CAST(d AS DOUBLE)
+                   / CAST(n AS DOUBLE), 8) AS rterm,
+             ROUND(CAST(b AS DOUBLE) * CAST(cc AS DOUBLE)
+                   / CAST(n AS DOUBLE), 8) AS sterm,
+             ROUND(CAST(a AS DOUBLE)
+                   - CAST(a + b AS DOUBLE) * CAST(a + cc AS DOUBLE)
+                     / CAST(n AS DOUBLE), 8) AS dev,
+             ROUND(CAST(a + b AS DOUBLE) * CAST(cc + d AS DOUBLE)
+                   * CAST(a + cc AS DOUBLE) * CAST(b + d AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                      * (CAST(n AS DOUBLE) - 1.0)), 8) AS var
+      FROM strata WHERE n > 1
+    ), folds AS (
+      SELECT list_aggregate(list(rterm ORDER BY k), 'sum') AS r,
+             list_aggregate(list(sterm ORDER BY k), 'sum') AS s,
+             list_aggregate(list(dev ORDER BY k), 'sum') AS devs,
+             list_aggregate(list(var ORDER BY k), 'sum') AS vars,
+             CAST(COUNT(*) AS BIGINT) AS n_strata
+      FROM terms
+    )
+    SELECT n_strata,
+           ROUND(r / s, 6) AS or_mh,
+           ROUND(devs * devs / vars, 6) AS cmh_chi2
+    FROM folds
+    """,
+    tags=("statistics", "stratified", "odds-ratio"),
+)
+def stats_cmh_pooled_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio + chi-square across
+    the 25 nation strata (exposure = high balance, outcome = premium
+    segment) — the stratified 2x2 analysis that controls a
+    confounder BEFORE pooling, i.e. the Simpson's-paradox-proof twin
+    of stats_chi_square (which pools first and can reverse sign).
+    OR_MH = Sum(a_k d_k/n_k) / Sum(b_k c_k/n_k); the CMH statistic is
+    (Sum a_k - Sum E[a_k])^2 / Sum Var[a_k] with the hypergeometric
+    variance per stratum.
+
+    Exactness: strata cells are exact integer aggregates; per-stratum
+    terms round at 8 and fold in nation order (the
+    agg_entropy_by_group discipline — 25 domain-bounded terms).
+
+    Scale shape: one scan, ONE partial-agg shuffle to <=100 (k, exp,
+    outc) cells, stratum rollup, constant-size fold. Scan-bound at
+    100 TB."""
+    cust = load_table(spark, sf_dir, "customer")
+    cells = cust.groupBy(
+        F.col("c_nationkey").cast("long").alias("k"),
+        F.when(F.col("c_acctbal") > 5000, 1).otherwise(0).alias("exp"),
+        F.when(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"), 1)
+        .otherwise(0)
+        .alias("outc"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    def cell(e, o):
+        return F.sum(
+            F.when((F.col("exp") == e) & (F.col("outc") == o), F.col("c")).otherwise(
+                F.lit(0)
+            )
+        ).cast("long")
+
+    strata = cells.groupBy("k").agg(
+        cell(1, 1).alias("a"),
+        cell(1, 0).alias("b"),
+        cell(0, 1).alias("cc"),
+        cell(0, 0).alias("d"),
+        F.sum("c").cast("long").alias("n"),
+    ).where(F.col("n") > 1)
+    aD, bD = F.col("a").cast("double"), F.col("b").cast("double")
+    cD, dD = F.col("cc").cast("double"), F.col("d").cast("double")
+    nD = F.col("n").cast("double")
+    terms = strata.select(
+        "k",
+        F.round(aD * dD / nD, 8).alias("rterm"),
+        F.round(bD * cD / nD, 8).alias("sterm"),
+        F.round(aD - (aD + bD) * (aD + cD) / nD, 8).alias("dev"),
+        F.round(
+            (aD + bD) * (cD + dD) * (aD + cD) * (bD + dD)
+            / (nD * nD * (nD - F.lit(1.0))),
+            8,
+        ).alias("var"),
+    )
+
+    def fold(col):
+        arr = F.array_sort(F.collect_list(F.struct(F.col("k"), F.col(col).alias("e"))))
+        return F.aggregate(
+            F.transform(arr, lambda s: s["e"]), F.lit(0.0), lambda a, e: a + e
+        )
+
+    folds = terms.agg(
+        fold("rterm").alias("r"),
+        fold("sterm").alias("s"),
+        fold("dev").alias("devs"),
+        fold("var").alias("vars"),
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+    )
+    return folds.select(
+        "n_strata",
+        F.round(F.col("r") / F.col("s"), 6).alias("or_mh"),
+        F.round(F.col("devs") * F.col("devs") / F.col("vars"), 6).alias("cmh_chi2"),
+    )
+
+
+@query(
+    "stats_hedges_g",
+    oracle="""
+    WITH units AS (
+      SELECT l_returnflag AS grp, CAST(l_quantity AS BIGINT) AS x
+      FROM lineitem WHERE l_returnflag IN ('R', 'N')
+    ), suff AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS s,
+             CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS HUGEINT)
+               AS ss
+      FROM units GROUP BY 1
+    ), wide AS (
+      SELECT
+        (SELECT n FROM suff WHERE grp = 'R') AS n1,
+        (SELECT CAST(s AS DOUBLE) FROM suff WHERE grp = 'R') AS s1,
+        (SELECT CAST(ss AS DOUBLE) FROM suff WHERE grp = 'R') AS ss1,
+        (SELECT n FROM suff WHERE grp = 'N') AS n2,
+        (SELECT CAST(s AS DOUBLE) FROM suff WHERE grp = 'N') AS s2,
+        (SELECT CAST(ss AS DOUBLE) FROM suff WHERE grp = 'N') AS ss2
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_n,
+           ROUND((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+                 / SQRT(((ss1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                         + (ss2 - s2 * s2 / CAST(n2 AS DOUBLE)))
+                        / CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d,
+           ROUND((s1 / CAST(n1 AS DOUBLE) - s2 / CAST(n2 AS DOUBLE))
+                 / SQRT(((ss1 - s1 * s1 / CAST(n1 AS DOUBLE))
+                         + (ss2 - s2 * s2 / CAST(n2 AS DOUBLE)))
+                        / CAST(n1 + n2 - 2 AS DOUBLE))
+                 * (1.0 - 3.0 / (4.0 * CAST(n1 + n2 AS DOUBLE) - 9.0)), 6)
+             AS hedges_g
+    FROM wide
+    """,
+    tags=("statistics", "effect-size"),
+)
+def stats_hedges_g(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d and its small-sample-corrected twin Hedges' g for
+    the returned-vs-not quantity gap — the EFFECT SIZE companion of
+    stats_welch_tstat: a t-statistic says whether a difference is
+    detectable, d/g say whether it is big enough to matter, which is
+    the number an experiment review actually argues about. Pooled-SD
+    d with the J = 1 - 3/(4N - 9) correction factor.
+
+    Exactness: quantity is integer-valued, so n, Sum x, Sum x^2 are
+    exact integer aggregates per group (DECIMAL(38,0) vs HUGEINT);
+    both engines then evaluate one identical double expression — the
+    statistics.py sufficient-statistics discipline.
+
+    Scale shape: one scan, one partial-agg shuffle to 2 group rows,
+    constant arithmetic. Scan-bound at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag").isin("R", "N")
+    )
+    d38 = "decimal(38,0)"
+    x = F.col("l_quantity").cast(d38)
+    suff = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("s"),
+        F.sum(x * x).alias("ss"),
+    ).transform(_pin)  # feeds BOTH per-group branches — one fact scan
+    r = suff.where(F.col("grp") == "R").select(
+        F.col("n").alias("n1"),
+        F.col("s").cast("double").alias("s1"),
+        F.col("ss").cast("double").alias("ss1"),
+    )
+    nn = suff.where(F.col("grp") == "N").select(
+        F.col("n").alias("n2"),
+        F.col("s").cast("double").alias("s2"),
+        F.col("ss").cast("double").alias("ss2"),
+    )
+    wide = r.crossJoin(F.broadcast(nn))
+    n1D, n2D = F.col("n1").cast("double"), F.col("n2").cast("double")
+    mean_diff = F.col("s1") / n1D - F.col("s2") / n2D
+    pooled = F.sqrt(
+        (
+            (F.col("ss1") - F.col("s1") * F.col("s1") / n1D)
+            + (F.col("ss2") - F.col("s2") * F.col("s2") / n2D)
+        )
+        / (F.col("n1") + F.col("n2") - 2).cast("double")
+    )
+    d_val = mean_diff / pooled
+    j = F.lit(1.0) - F.lit(3.0) / (
+        F.lit(4.0) * (F.col("n1") + F.col("n2")).cast("double") - F.lit(9.0)
+    )
+    return wide.select(
+        F.col("n1").alias("n_r"),
+        F.col("n2").alias("n_n"),
+        F.round(d_val, 6).alias("cohens_d"),
+        F.round(d_val * j, 6).alias("hedges_g"),
+    )
