@@ -130,10 +130,7 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("k", "n_tasks", "mean_pass_at_k")
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+    return _union_all(outs)
 
 
 # --------------------------------------------------------------------------
@@ -537,14 +534,29 @@ _NDCG_DISC_E9 = [round(1.0 / _math.log2(r + 1) * 1e9) for r in range(1, 6)]
 _NDCG_IDCG_E9 = sum(_NDCG_DISC_E9)
 
 
+# The ANN systems under evaluation, shared by every retrieval metric
+# (nDCG@5 and MRR@5; the recall eval's oracle twin lives in
+# llm_similarity). Adding a leg here adds it to every metric at once —
+# the round-9 review found the dict duplicated per metric, so a third
+# leg would have needed parallel edits.
+_ANN_EVAL_LEGS = {
+    "lsh_multiprobe": "sim_topk_lsh_multiprobe",
+    "ivfpq_rerank": "sim_topk_ivfpq_rerank",
+}
+
+
+def _union_all(parts: list) -> DataFrame:
+    res = parts[0]
+    for o in parts[1:]:
+        res = res.unionAll(o)
+    return res
+
+
 def _ndcg_oracle() -> str:
     from serverless_datalake_spark.queries import REGISTRY
 
     bf = REGISTRY["sim_topk_bruteforce"].oracle
-    legs = {
-        "lsh_multiprobe": REGISTRY["sim_topk_lsh_multiprobe"].oracle,
-        "ivfpq_rerank": REGISTRY["sim_topk_ivfpq_rerank"].oracle,
-    }
+    legs = {k: REGISTRY[v].oracle for k, v in _ANN_EVAL_LEGS.items()}
     disc = " ".join(
         f"WHEN {r + 1} THEN CAST({d} AS BIGINT)" for r, d in enumerate(_NDCG_DISC_E9)
     )
@@ -603,12 +615,8 @@ def eval_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_map = F.create_map(
         *[x for r, d in enumerate(_NDCG_DISC_E9) for x in (F.lit(r + 1), F.lit(d))]
     )
-    legs = {
-        "lsh_multiprobe": "sim_topk_lsh_multiprobe",
-        "ivfpq_rerank": "sim_topk_ivfpq_rerank",
-    }
     outs = []
-    for name, qname in sorted(legs.items()):
+    for name, qname in sorted(_ANN_EVAL_LEGS.items()):
         cand = REGISTRY[qname].fn(spark, sf_dir).select(
             "query_id", "corpus_id", F.col("rank").cast("int").alias("rank")
         )
@@ -649,29 +657,60 @@ def eval_ndcg_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mean_ndcg_at_5"),
             ).select("system", "n_queries", "mean_ndcg_at_5")
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+    return _union_all(outs)
 
 
 # --------------------------------------------------------------------------
 # AUC-ROC via the rank-sum identity
 
-_AUC_SCORED = """
+# ONE definition of the scored quality gate (confidence score + binary
+# label) shared by the calibration/classification family — AUC, cost
+# threshold, Brier, ECE (statistics.py), isotonic. The round-9 review
+# counted seven drifting copies of this expression pair; a change to
+# the score or the gate now lands everywhere at once (the
+# _copurchase_edges / _hourly_obs precedent). `gate` carries the RAW
+# double confidence; each consumer quantizes to its own grain (e4
+# integer or 4-decimal), so every existing oracle stays bit-identical.
+SCORED_GATE_SQL = """
     t AS (
       SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
       FROM documents
-    ), scored AS (
-      SELECT CAST(ROUND((0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-                                / GREATEST(len(toks), 1)) + 0.5 * 0.9)
-                        * 10000.0, 0) AS BIGINT) AS v,
+    ), gate AS (
+      SELECT doc_id,
+             (0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
+                     / GREATEST(len(toks), 1)) + 0.5 * 0.9) AS conf_raw,
              CASE WHEN len(toks) >= 30
                    AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
-               AS pos
+               AS label
       FROM t
     )
 """
+
+
+def scored_gate(d: DataFrame) -> DataFrame:
+    """(doc_id, conf_raw DOUBLE, label) — the Spark twin of
+    SCORED_GATE_SQL's `gate` CTE. One spelling of the confidence
+    expression so the doubles match the oracle bit-for-bit."""
+    from serverless_datalake_spark.operators import textops
+
+    toks = textops.tokens(F.col("text"))
+    nd = F.size(F.array_distinct(toks))
+    n = F.size(toks)
+    conf_raw = F.lit(0.5) * (nd.cast("double") / F.greatest(n, F.lit(1))) + F.lit(
+        0.5
+    ) * F.lit(0.9)
+    return d.select(
+        "doc_id",
+        conf_raw.alias("conf_raw"),
+        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("label"),
+    )
+
+
+_AUC_SCORED = f"""{SCORED_GATE_SQL}, scored AS (
+      SELECT CAST(ROUND(conf_raw * 10000.0, 0) AS BIGINT) AS v,
+             label AS pos
+      FROM gate
+    )"""
 
 
 @query(
@@ -717,16 +756,9 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one scan to value-grain counts (≤10001 distinct
     score values — bounded by the e4 rounding, NOT by corpus size),
     one cumulative window over that bounded relation."""
-    from serverless_datalake_spark.operators import textops
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens(F.col("text"))
-    nd = F.size(F.array_distinct(toks))
-    n = F.size(toks)
-    conf = F.lit(0.5) * (nd.cast("double") / F.greatest(n, F.lit(1))) + F.lit(0.5) * F.lit(0.9)
-    scored = d.select(
-        F.round(conf * 10000.0, 0).cast("long").alias("v"),
-        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("pos"),
+    scored = scored_gate(load_table(spark, sf_dir, "documents")).select(
+        F.round(F.col("conf_raw") * 10000.0, 0).cast("long").alias("v"),
+        F.col("label").alias("pos"),
     )
     vals = scored.groupBy("v").agg(
         F.sum("pos").cast("long").alias("c1"),
@@ -858,17 +890,9 @@ def eval_confusion_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "eval_brier_decomposition",
     oracle=f"""
-    WITH t AS (
-      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents
-    ), scored AS (
-      SELECT CAST(ROUND((0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-                                / GREATEST(len(toks), 1)) + 0.5 * 0.9)
-                        * 10000.0, 0) AS BIGINT) AS conf_e4,
-             CASE WHEN len(toks) >= 30
-                   AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
-               AS label
-      FROM t
+    WITH {SCORED_GATE_SQL}, scored AS (
+      SELECT CAST(ROUND(conf_raw * 10000.0, 0) AS BIGINT) AS conf_e4, label
+      FROM gate
     ), binned AS (
       SELECT LEAST(CAST(FLOOR(CAST(conf_e4 AS DOUBLE) / 1000.0) AS BIGINT), 9) AS bin,
              conf_e4, label
@@ -929,17 +953,10 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one scan to 10 cell rows + exact integer totals —
     constant-size everything after the first aggregate."""
-    from serverless_datalake_spark.operators import textops
-
     d38 = "decimal(38,0)"
-    d = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens(F.col("text"))
-    nd = F.size(F.array_distinct(toks))
-    n = F.size(toks)
-    conf = F.lit(0.5) * (nd.cast("double") / F.greatest(n, F.lit(1))) + F.lit(0.5) * F.lit(0.9)
-    scored = d.select(
-        F.round(conf * 10000.0, 0).cast("long").alias("conf_e4"),
-        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("label"),
+    scored = scored_gate(load_table(spark, sf_dir, "documents")).select(
+        F.round(F.col("conf_raw") * 10000.0, 0).cast("long").alias("conf_e4"),
+        "label",
     )
     binned = scored.select(
         F.least(F.floor(F.col("conf_e4").cast("double") / 1000.0).cast("long"), F.lit(9).cast("long")).alias("bin"),
@@ -1061,16 +1078,9 @@ def eval_cost_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: value-grain relation (≤10001 rows) + one cumulative
     window + a 1-row argmin; corpus size only affects the first
     scan."""
-    from serverless_datalake_spark.operators import textops
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens(F.col("text"))
-    nd = F.size(F.array_distinct(toks))
-    n = F.size(toks)
-    conf = F.lit(0.5) * (nd.cast("double") / F.greatest(n, F.lit(1))) + F.lit(0.5) * F.lit(0.9)
-    scored = d.select(
-        F.round(conf * 10000.0, 0).cast("long").alias("v"),
-        F.when((n >= 30) & (nd * 2 >= n), 1).otherwise(0).alias("pos"),
+    scored = scored_gate(load_table(spark, sf_dir, "documents")).select(
+        F.round(F.col("conf_raw") * 10000.0, 0).cast("long").alias("v"),
+        F.col("label").alias("pos"),
     )
     vals = scored.groupBy("v").agg(
         F.sum("pos").cast("long").alias("c1"),
@@ -2659,18 +2669,9 @@ def eval_krippendorff_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "model_isotonic_pava",
-    oracle="""
-    WITH t AS (
-      SELECT list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents
-    ), scored AS (
-      SELECT ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-                          / GREATEST(len(toks), 1))
-                   + 0.5 * 0.9, 4) AS conf,
-             CASE WHEN len(toks) >= 30
-                   AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
-               AS label
-      FROM t
+    oracle=f"""
+    WITH {SCORED_GATE_SQL}, scored AS (
+      SELECT ROUND(conf_raw, 4) AS conf, label FROM gate
     ), bins AS (
       SELECT LEAST(CAST(FLOOR(conf * 100.0) AS BIGINT), 99) AS b,
              CAST(COUNT(*) AS BIGINT) AS w,
@@ -2725,20 +2726,8 @@ def model_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     allowlisted), the <=5050-row pair relation, its per-i window and
     the final rollup — is constant-size, independent of corpus
     rows."""
-    from serverless_datalake_spark.operators import textops
-
-    d = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens(F.col("text"))
-    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
-    scored = d.select(
-        F.round(F.lit(0.5) * diversity + F.lit(0.5) * F.lit(0.9), 4).alias("conf"),
-        F.when(
-            (F.size(toks) >= 30)
-            & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)),
-            1,
-        )
-        .otherwise(0)
-        .alias("label"),
+    scored = scored_gate(load_table(spark, sf_dir, "documents")).select(
+        F.round(F.col("conf_raw"), 4).alias("conf"), "label"
     )
     bins = (
         scored.groupBy(
@@ -2794,10 +2783,7 @@ def _mrr_oracle() -> str:
     from serverless_datalake_spark.queries import REGISTRY
 
     bf = REGISTRY["sim_topk_bruteforce"].oracle
-    legs = {
-        "lsh_multiprobe": REGISTRY["sim_topk_lsh_multiprobe"].oracle,
-        "ivfpq_rerank": REGISTRY["sim_topk_ivfpq_rerank"].oracle,
-    }
+    legs = {k: REGISTRY[v].oracle for k, v in _ANN_EVAL_LEGS.items()}
     recip = " ".join(
         f"WHEN {r + 1} THEN CAST({v} AS BIGINT)"
         for r, v in enumerate(_MRR_RECIP_E9)
@@ -2855,12 +2841,8 @@ def eval_mrr_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
     recip_map = F.create_map(
         *[x for r, v in enumerate(_MRR_RECIP_E9) for x in (F.lit(r + 1), F.lit(v))]
     )
-    legs = {
-        "lsh_multiprobe": "sim_topk_lsh_multiprobe",
-        "ivfpq_rerank": "sim_topk_ivfpq_rerank",
-    }
     outs = []
-    for name, qname in sorted(legs.items()):
+    for name, qname in sorted(_ANN_EVAL_LEGS.items()):
         cand = (
             REGISTRY[qname]
             .fn(spark, sf_dir)
@@ -2896,10 +2878,7 @@ def eval_mrr_at_5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mrr_at_5"),
             ).select("system", "n_queries", "mrr_at_5")
         )
-    res = outs[0]
-    for o in outs[1:]:
-        res = res.unionAll(o)
-    return res
+    return _union_all(outs)
 
 
 # --------------------------------------------------------------------------

@@ -424,6 +424,16 @@ def mm_av_sync_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_no",
         (F.col("chunk_no") * stride).cast("long").alias("start_ms"),
     )
+    # Inner pairing BEFORE the as-of attach: a video whose adjacent
+    # audio asset is absent yields NO alignment rows (the oracle
+    # inner-joins frames to aud) — without this semi-join the
+    # left-outer as-of would keep such frames with all-null attaches
+    # and diverge on any fixture with non-contiguous doc_ids
+    # (round-9 review finding; current fixtures are contiguous, so
+    # the asymmetry was latent).
+    frames = frames.join(
+        aud.select(F.col("audio_id").alias("pair_id")), "pair_id", "left_semi"
+    )
     joined = asof_join(
         frames.withColumnRenamed("pair_id", "k"),
         chunks.select(

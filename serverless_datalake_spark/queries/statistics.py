@@ -23,6 +23,7 @@ from serverless_datalake_spark.operators import pin as _pin
 from pyspark.sql import functions as F
 
 from serverless_datalake_spark.queries import query
+from serverless_datalake_spark.queries.evaluation import SCORED_GATE_SQL
 from serverless_datalake_spark.tables import load_table
 
 # Exact sufficient statistics per group, shared by corr + OLS.
@@ -524,20 +525,9 @@ def agg_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "eval_calibration_ece",
-    oracle="""
-    WITH t AS (
-      SELECT doc_id,
-             list_filter(string_split(text, ' '), x -> x <> '') AS toks
-      FROM documents
-    ), scored AS (
-      SELECT doc_id,
-             ROUND(0.5 * (CAST(len(list_distinct(toks)) AS DOUBLE)
-                          / GREATEST(len(toks), 1))
-                   + 0.5 * 0.9, 4) AS conf,
-             CASE WHEN len(toks) >= 30
-                   AND len(list_distinct(toks)) * 2 >= len(toks) THEN 1 ELSE 0 END
-               AS label
-      FROM t
+    oracle=f"""
+    WITH {SCORED_GATE_SQL}, scored AS (
+      SELECT doc_id, ROUND(conf_raw, 4) AS conf, label FROM gate
     ), binned AS (
       SELECT LEAST(CAST(FLOOR(conf * 10.0) AS BIGINT), 9) AS bin,
              CAST(ROUND(conf * 10000.0, 0) AS BIGINT) AS conf_e4,
@@ -581,20 +571,10 @@ def eval_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one corpus scan → 10-row bin table; everything after
     the first aggregate is constant-size."""
-    from serverless_datalake_spark.operators import textops
+    from serverless_datalake_spark.queries.evaluation import scored_gate
 
-    d = load_table(spark, sf_dir, "documents")
-    toks = textops.tokens(F.col("text"))
-    diversity = F.size(F.array_distinct(toks)) / F.greatest(F.size(toks), F.lit(1))
-    scored = d.select(
-        F.round(F.lit(0.5) * diversity + F.lit(0.5) * F.lit(0.9), 4).alias("conf"),
-        F.when(
-            (F.size(toks) >= 30)
-            & (F.size(F.array_distinct(toks)) * 2 >= F.size(toks)),
-            1,
-        )
-        .otherwise(0)
-        .alias("label"),
+    scored = scored_gate(load_table(spark, sf_dir, "documents")).select(
+        F.round(F.col("conf_raw"), 4).alias("conf"), "label"
     )
     binned = scored.select(
         F.least(F.floor(F.col("conf") * 10.0).cast("long"), F.lit(9).cast("long")).alias("bin"),
@@ -2357,7 +2337,11 @@ def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     each factor converts to double once for the final expression.
     For continuous variables the same shape applies after quantile
     bucketing (feature_quantile_bucketize) — tau on buckets is the
-    standard large-n estimator.
+    standard large-n estimator. Caveat: the REPORT columns
+    concordant/discordant are int64 and pair counts grow as n^2/4,
+    overflowing past ~6e9 rows — at that scale drop the two count
+    columns (or emit them as decimals); tau_b itself is computed from
+    the DECIMAL sums and stays exact.
 
     Scale shape: ONE partial-agg shuffle of the fact scan to <=550
     cells (map-side combinable), then a broadcast cell-pair self-join
@@ -2892,18 +2876,25 @@ def stats_hedges_g(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(x).alias("s"),
         F.sum(x * x).alias("ss"),
-    ).transform(_pin)  # feeds BOTH per-group branches — one fact scan
-    r = suff.where(F.col("grp") == "R").select(
-        F.col("n").alias("n1"),
-        F.col("s").cast("double").alias("s1"),
-        F.col("ss").cast("double").alias("ss1"),
     )
-    nn = suff.where(F.col("grp") == "N").select(
-        F.col("n").alias("n2"),
-        F.col("s").cast("double").alias("s2"),
-        F.col("ss").cast("double").alias("ss2"),
+    # ONE conditional-aggregation pivot, not two filtered branches
+    # crossJoined: a branch pivot returns 0 rows when either group is
+    # empty while the oracle's scalar subqueries always return one
+    # (NULL-filled) row — the round-9 review's degenerate-shape
+    # finding. This shape is always exactly 1 row, and needs no pin
+    # (single consumer).
+    def side(g, col, cast=None):
+        v = F.max(F.when(F.col("grp") == g, F.col(col)))
+        return v.cast(cast) if cast else v
+
+    wide = suff.agg(
+        side("R", "n").alias("n1"),
+        side("R", "s", "double").alias("s1"),
+        side("R", "ss", "double").alias("ss1"),
+        side("N", "n").alias("n2"),
+        side("N", "s", "double").alias("s2"),
+        side("N", "ss", "double").alias("ss2"),
     )
-    wide = r.crossJoin(F.broadcast(nn))
     n1D, n2D = F.col("n1").cast("double"), F.col("n2").cast("double")
     mean_diff = F.col("s1") / n1D - F.col("s2") / n2D
     pooled = F.sqrt(

@@ -1658,11 +1658,14 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-sized), one partial-agg shuffle to 20 ordered-pair rows of
     nine moments. Scan-bound at 100 TB."""
     e = load_table(spark, sf_dir, "events")
+    # NOT _hourly_obs on purpose: the moments need INTEGER CENTS per
+    # bucket (exact HUGEINT/decimal sums), and deriving cents from the
+    # helper's 2-decimal double would nest ROUND(ROUND(..)*100) in the
+    # oracle — the round-4 rewrite-explosion gotcha. Same hour
+    # spelling (CAST(ts AS LONG) DIV 3600), different value grain.
     obs = e.groupBy(
         "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
     ).agg(F.round(F.sum("value") * 100, 0).cast("long").alias("v"))
-    from serverless_datalake_spark.operators import pin as _pin
-
     obs = obs.transform(_pin)  # feeds all three legs of the triple join
     d38 = "decimal(38,0)"
     eff = obs.select(
