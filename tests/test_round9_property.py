@@ -408,3 +408,156 @@ def test_granger_closed_form_matches_lstsq(series):
     rss_r2 = cyy - cya * cya / caa
     f_cf = (rss_r2 - rss_u2) * (t - 3) / rss_u2
     assert math.isclose(f_np, f_cf, rel_tol=1e-6, abs_tol=1e-6)
+
+
+# ------------------------------------------------------ wilcoxon signed rank
+_wil_rows = st.lists(
+    st.tuples(
+        st.integers(1, 12),            # supplier
+        st.integers(1, 6),             # month
+        st.sampled_from([100.0, 250.0, 399.99]),
+    ),
+    min_size=6,
+    max_size=60,
+)
+
+
+def _wilcoxon_brute(pairs):
+    """pairs: {supplier: d_cents}; returns (n, w_plus, z)."""
+    nz = [(s, d) for s, d in pairs.items() if d != 0]
+    if not nz:
+        return None
+    ads = [abs(d) for _, d in nz]
+    cnt = Counter(ads)
+    ranks, pos = {}, 0
+    for v in sorted(cnt):
+        c = cnt[v]
+        ranks[v] = pos + (c + 1) / 2
+        pos += c
+    n = len(nz)
+    w_plus = sum(ranks[abs(d)] for _, d in nz if d > 0)
+    t3 = sum(c**3 - c for c in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24 - t3 / 48
+    z = (w_plus - n * (n + 1) / 4) / math.sqrt(var)
+    return n, w_plus, z
+
+
+@settings(max_examples=40, deadline=None)
+@given(_wil_rows)
+def test_wilcoxon_oracle_matches_brute(rows):
+    # build lineitem rows: month <= 6 -> first half, else second half
+    li = []
+    pairs: dict[int, int] = {}
+    for i, (s, mo, price) in enumerate(rows):
+        # alternate halves deterministically to create +/- diffs
+        month = mo if i % 2 == 0 else mo + 6
+        li.append((s, f"1995-{month:02d}-15", price))
+        cents = round(price * 100)
+        pairs[s] = pairs.get(s, 0) + (cents if month <= 6 else -cents)
+    want = _wilcoxon_brute(pairs)
+    assume(want is not None)
+    n, w_plus, z = want
+    assume(len({abs(d) for d in pairs.values() if d != 0}) >= 1)
+    # degenerate: all same sign still fine; var>0 unless n==... var>0 always for n>=1 unless all tied AND t3 eats it (impossible: t3/48 < n(n+1)(2n+1)/24)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE lineitem(l_suppkey BIGINT, l_shipdate DATE,"
+        " l_extendedprice DOUBLE)"
+    )
+    con.executemany("INSERT INTO lineitem VALUES (?, ?, ?)", li)
+    got = con.execute(REG["stats_wilcoxon_signed_rank"].oracle).fetchone()
+    assert got[0] == n
+    assert math.isclose(got[1], round(w_plus, 1), abs_tol=1e-9)
+    assert math.isclose(got[2], round(z, 6), abs_tol=2e-6)
+
+
+# --------------------------------------------------------------- CMH pooled
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 2), st.booleans(), st.booleans()),
+        min_size=8,
+        max_size=120,
+    )
+)
+def test_cmh_oracle_matches_brute(rows):
+    """rows: (stratum, exposed, outcome) — brute-force the MH odds
+    ratio and CMH chi2 from per-stratum 2x2 tables."""
+    # map to customer columns: exposure = acctbal > 5000,
+    # outcome = mktsegment in (BUILDING, AUTOMOBILE)
+    cust = [
+        (k, 9000.0 if e else 100.0, "BUILDING" if o else "MACHINERY")
+        for k, e, o in rows
+    ]
+    strata: dict[int, list[int]] = {}
+    for k, e, o in rows:
+        t = strata.setdefault(k, [0, 0, 0, 0])  # a=11 b=10 c=01 d=00
+        idx = 0 if (e and o) else 1 if e else 2 if o else 3
+        t[idx] += 1
+    r = s_ = devs = vars_ = 0.0
+    n_strata = 0
+    for k in sorted(strata):
+        a, b, c, d = strata[k]
+        n = a + b + c + d
+        if n <= 1:
+            continue
+        n_strata += 1
+        r += round(a * d / n, 8)
+        s_ += round(b * c / n, 8)
+        devs += round(a - (a + b) * (a + c) / n, 8)
+        vars_ += round(
+            (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)), 8
+        )
+    assume(n_strata >= 1 and s_ > 0 and vars_ > 0)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE customer(c_nationkey BIGINT, c_acctbal DOUBLE,"
+        " c_mktsegment VARCHAR)"
+    )
+    con.executemany("INSERT INTO customer VALUES (?, ?, ?)", cust)
+    got = con.execute(REG["stats_cmh_pooled_odds"].oracle).fetchone()
+    assert got[0] == n_strata
+    assert math.isclose(got[1], round(r / s_, 6), abs_tol=2e-6)
+    assert math.isclose(got[2], round(devs * devs / vars_, 6), abs_tol=2e-6)
+
+
+# ----------------------------------------------------------------- FORCAST
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "fr"]),
+            st.text(alphabet="ba e", min_size=1, max_size=30),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_forcast_oracle_matches_brute(docs):
+    import re as _re
+
+    per_lang: dict[str, list[tuple[int, int]]] = {}
+    for lang, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            continue
+        mono = sum(
+            1 for t in toks if len(_re.findall(r"[aeiouy]+", t)) == 1
+        )
+        per_lang.setdefault(lang, []).append((len(toks), mono))
+    assume(per_lang)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(lang VARCHAR, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    got = {
+        row[0]: row[1:]
+        for row in con.execute(REG["text_readability_forcast"].oracle).fetchall()
+    }
+    assert set(got) == set(per_lang)
+    for lang, stats in per_lang.items():
+        grades = [round((20.0 - 15.0 * m / w) * 10000) for w, m in stats]
+        n = len(stats)
+        assert got[lang][0] == n
+        assert math.isclose(got[lang][1], round(sum(grades) / (10000.0 * n), 6), abs_tol=1e-6)
+        mono_share = sum(m for _, m in stats) / sum(w for w, _ in stats)
+        assert math.isclose(got[lang][2], round(mono_share, 6), abs_tol=1e-6)
