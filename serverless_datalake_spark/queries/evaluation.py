@@ -3159,3 +3159,158 @@ def eval_kendall_w(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(w, 6).alias("w"),
         F.round(F.lit(3.0) * (nD - F.lit(1.0)) * w, 6).alias("chi2_approx"),
     )
+
+
+@query(
+    "eval_mbr_select",
+    oracle="""
+    WITH cands AS (
+      SELECT doc_id,
+             (doc_id // 23) % 8 AS task_id,
+             list_distinct(list_filter(string_split(text, ' '),
+                                       x -> x <> '')) AS toks
+      FROM documents WHERE doc_id % 23 = 0
+    ), sizes AS (
+      SELECT doc_id, task_id, len(toks) AS sz FROM cands
+    ), posting AS (
+      SELECT task_id, doc_id, unnest(toks) AS tok FROM cands
+    ), ovl AS (
+      SELECT a.task_id, a.doc_id AS da, b.doc_id AS db,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM posting a JOIN posting b
+        ON a.task_id = b.task_id AND a.tok = b.tok AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2, 3
+    ), sims AS (
+      SELECT o.task_id, o.da,
+             CAST(ROUND(2.0 * CAST(o.inter AS DOUBLE)
+                        / CAST(sa.sz + sb.sz AS DOUBLE) * 1e9, 0) AS BIGINT)
+               AS sim_e9
+      FROM ovl o
+      JOIN sizes sa ON sa.doc_id = o.da
+      JOIN sizes sb ON sb.doc_id = o.db
+    ), per_cand AS (
+      SELECT s.task_id, s.doc_id,
+             COALESCE(t.tot, 0) AS tot,
+             k.k
+      FROM sizes s
+      JOIN (SELECT task_id, CAST(COUNT(*) AS BIGINT) AS k
+            FROM cands GROUP BY 1) k ON k.task_id = s.task_id
+      LEFT JOIN (SELECT task_id, da, CAST(SUM(sim_e9) AS BIGINT) AS tot
+                 FROM sims GROUP BY 1, 2) t
+        ON t.task_id = s.task_id AND t.da = s.doc_id
+      WHERE k.k >= 2
+    ), scored AS (
+      SELECT task_id, doc_id, k,
+             CAST(tot AS DOUBLE) / (1e9 * CAST(k - 1 AS DOUBLE)) AS mbr,
+             ROW_NUMBER() OVER (
+               PARTITION BY task_id
+               ORDER BY CAST(tot AS DOUBLE) / (1e9 * CAST(k - 1 AS DOUBLE))
+                        DESC, doc_id) AS rn
+      FROM per_cand
+    )
+    SELECT task_id, doc_id AS winner_doc_id, k AS n_candidates,
+           ROUND(mbr, 6) AS mbr_score
+    FROM scored WHERE rn = 1
+    """,
+    tags=("evaluation", "generation", "mbr"),
+)
+def eval_mbr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-Bayes-risk consensus selection: within each candidate
+    group, pick the candidate with the highest MEAN similarity to its
+    peers — the MBR decoding / self-consistency selection rule an LLM
+    sampling pipeline applies to N generations per prompt (here:
+    sampled documents grouped into 8 tasks stand in for N candidates
+    per prompt; similarity = F1 over distinct token sets, the
+    unigram-overlap kernel of eval_rouge1_pairs).
+
+    Scale discipline: pairwise overlap is computed at the TOKEN-
+    POSTINGS grain — a (task, token) self-join of the inverted
+    candidate-token relation — never as an array cross-join of
+    candidates, so cost is bounded by shared-token postings (the
+    dedup_minhash_pairs shape); zero-overlap pairs never materialize
+    and contribute 0 through the left join. Per-pair similarities
+    quantize to e9 integers so per-candidate totals are EXACT sums
+    (order-free, map-side combinable); the winner is a deterministic
+    (score, doc_id) rank within task.
+
+    Scale shape: one scan -> postings explode -> one (task, token)
+    shuffle -> candidate-grain rollup -> task-grain top-1
+    (WindowGroupLimit, partitioned by task). Candidate-set sizes are
+    the knob, exactly as in production MBR (N is 8-64)."""
+    from serverless_datalake_spark.operators import textops
+
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 0)
+    cands = d.select(
+        "doc_id",
+        ((F.col("doc_id") / 23).cast("long") % 8).alias("task_id"),
+        F.array_distinct(textops.tokens(F.col("text"))).alias("toks"),
+    ).transform(_pin)  # feeds sizes + postings + the k rollup
+    sizes = cands.select("doc_id", "task_id", F.size("toks").alias("sz"))
+    posting = cands.select("task_id", "doc_id", F.explode("toks").alias("tok"))
+    a = posting.alias("a")
+    b = posting.select(
+        F.col("task_id").alias("tb"), F.col("doc_id").alias("db"),
+        F.col("tok").alias("kb"),
+    )
+    ovl = (
+        a.join(
+            b,
+            (F.col("task_id") == F.col("tb"))
+            & (F.col("tok") == F.col("kb"))
+            & (F.col("doc_id") != F.col("db")),
+        )
+        .groupBy("task_id", F.col("doc_id").alias("da"), "db")
+        .agg(F.count(F.lit(1)).cast("long").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("da2"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("db2"), F.col("sz").alias("szb"))
+    sims = (
+        ovl.join(sa, F.col("da") == F.col("da2"))
+        .join(sb, F.col("db") == F.col("db2"))
+        .select(
+            "task_id",
+            "da",
+            F.round(
+                F.lit(2.0)
+                * F.col("inter").cast("double")
+                / (F.col("sza") + F.col("szb")).cast("double")
+                * 1e9,
+                0,
+            )
+            .cast("long")
+            .alias("sim_e9"),
+        )
+    )
+    k = cands.groupBy("task_id").agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = sims.groupBy("task_id", "da").agg(F.sum("sim_e9").cast("long").alias("tot"))
+    per_cand = (
+        sizes.join(F.broadcast(k), "task_id")
+        .where(F.col("k") >= 2)
+        .join(
+            tot.select(
+                F.col("task_id").alias("t2"), F.col("da"), F.col("tot")
+            ),
+            (F.col("t2") == F.col("task_id")) & (F.col("da") == F.col("doc_id")),
+            "left",
+        )
+        .select(
+            "task_id",
+            "doc_id",
+            "k",
+            F.coalesce(F.col("tot"), F.lit(0)).cast("long").alias("tot"),
+        )
+    )
+    mbr = F.col("tot").cast("double") / (
+        F.lit(1e9) * (F.col("k") - 1).cast("double")
+    )
+    w = Window.partitionBy("task_id").orderBy(mbr.desc(), F.col("doc_id"))
+    return (
+        per_cand.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "task_id",
+            F.col("doc_id").alias("winner_doc_id"),
+            F.col("k").alias("n_candidates"),
+            F.round(mbr, 6).alias("mbr_score"),
+        )
+    )
