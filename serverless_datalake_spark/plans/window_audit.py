@@ -44,6 +44,7 @@ ALLOWLIST: dict[str, str] = {
     "market_basket_rules": "top-k: pair rank <= 20, TakeOrdered below",
     "graph_jaccard_links": "top-k: rank <= 20 over wedge pairs",
     "graph_jaccard_links_truncated": "top-k: rank <= 20, capped wedges",
+    "graph_adamic_adar": "top-k: rank <= 20, capped wedges",
     "graph_label_propagation": "top-k: community rank <= 20",
     "text_burstiness": "top-k: token rank <= 20",
     "tokenizer_bpe_train": "top-1 pair per merge round (rank == 1), "

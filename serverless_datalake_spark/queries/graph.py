@@ -1416,3 +1416,117 @@ def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering"),
         )
     )
+
+
+@query(
+    "graph_adamic_adar",
+    oracle=f"""
+    WITH pl AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), e0 AS (
+      SELECT DISTINCT a.p AS src, b.p AS dst
+      FROM pl a JOIN pl b ON a.o = b.o AND a.p < b.p
+    ), und AS (
+      SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0
+    ), deg AS (
+      SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY 1
+    ), tnd AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rn
+        FROM und
+      ) WHERE rn <= {_TRUNC_CAP}
+    ), wedge AS (
+      SELECT w1.dst AS a, w2.dst AS b, w1.src AS c
+      FROM tnd w1 JOIN tnd w2 ON w1.src = w2.src AND w1.dst < w2.dst
+    ), aa AS (
+      SELECT w.a, w.b,
+             CAST(COUNT(*) AS BIGINT) AS common_trunc,
+             CAST(SUM(CAST(ROUND(1e9 / LN(CAST(dc.d AS DOUBLE)), 0)
+                           AS BIGINT)) AS BIGINT) AS aa_e9
+      FROM wedge w JOIN deg dc ON dc.node = w.c
+      WHERE dc.d >= 2
+      GROUP BY 1, 2
+    ), nonedge AS (
+      SELECT aa.a, aa.b, aa.common_trunc, aa.aa_e9 FROM aa
+      LEFT JOIN e0 ON e0.src = aa.a AND e0.dst = aa.b
+      WHERE e0.src IS NULL
+    ), ranked AS (
+      SELECT a, b, common_trunc,
+             ROUND(CAST(aa_e9 AS DOUBLE) / 1e9, 6) AS adamic_adar,
+             ROW_NUMBER() OVER (ORDER BY aa_e9 DESC, a, b) AS rank
+      FROM nonedge
+    )
+    SELECT a, b, common_trunc, adamic_adar, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+    tags=("graph", "link-prediction", "truncated"),
+)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction over the co-purchase graph — the
+    common-neighbors score that DOWN-WEIGHTS promiscuous hubs (each
+    shared neighbor w contributes 1/ln(deg(w)), so sharing a rare
+    neighbor means more than sharing a bestseller) — the standard
+    upgrade over raw common-neighbor counts and the multiplicative
+    sibling of graph_jaccard_links' set-overlap score. Same
+    deterministic 32-neighbor truncation as
+    graph_jaccard_links_truncated (the production candidate-gen
+    shape; scores are lower bounds reranked exactly downstream).
+
+    Exactness: each wedge's 1/ln(deg) quantizes to an e9 integer
+    (ln over identical doubles, one ROUND both engines), so per-pair
+    scores are exact order-free integer sums — no float accumulation
+    across the wedge relation. deg >= 2 holds for every wedge center
+    by construction (w touches both a and b), so ln never sees 1;
+    the guard documents it.
+
+    Scale shape: the truncated wedge join (Sigma min(deg,32)^2), a
+    broadcast degree attach on the wedge CENTER, one pair-grain
+    partial-agg shuffle, broadcast anti-join against existing edges,
+    top-20 rank (WindowGroupLimit). The pagerank/jaccard cache
+    generation serves und/deg/e0."""
+    li = load_table(spark, sf_dir, "lineitem")
+    e0, und = _copurchase_edges(li)
+    deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    (und, deg, e0) = _retire_and_cache(("adamic_adar", sf_dir), [und, deg, e0])
+    wt = Window.partitionBy("src").orderBy("dst")
+    tnd = (
+        und.withColumn("rn", F.row_number().over(wt))
+        .where(F.col("rn") <= _TRUNC_CAP)
+        .select("src", "dst")
+    )
+    w1 = tnd.select(F.col("src").alias("c"), F.col("dst").alias("a"))
+    w2 = tnd.select(F.col("src").alias("c2"), F.col("dst").alias("b"))
+    dc = F.broadcast(deg.select(F.col("node").alias("__nc"), F.col("d").alias("dc")))
+    aa = (
+        w1.join(w2, (F.col("c") == F.col("c2")) & (F.col("a") < F.col("b")))
+        .join(dc, F.col("c") == F.col("__nc"))
+        .where(F.col("dc") >= 2)
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_trunc"),
+            F.sum(
+                F.round(F.lit(1e9) / F.log(F.col("dc").cast("double")), 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("aa_e9"),
+        )
+    )
+    nonedge = aa.join(
+        F.broadcast(e0.select(F.col("src").alias("ea"), F.col("dst").alias("eb"))),
+        (F.col("a") == F.col("ea")) & (F.col("b") == F.col("eb")),
+        "left_anti",
+    )
+    w = Window.orderBy(F.col("aa_e9").desc(), "a", "b")
+    return (
+        nonedge.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select(
+            "a",
+            "b",
+            "common_trunc",
+            F.round(F.col("aa_e9").cast("double") / 1e9, 6).alias("adamic_adar"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
