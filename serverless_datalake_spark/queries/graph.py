@@ -1487,7 +1487,13 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     e0, und = _copurchase_edges(li)
     deg = und.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    (und, deg, e0) = _retire_and_cache(("adamic_adar", sf_dir), [und, deg, e0])
+    # SAME cache key as graph_jaccard_links: both queries persist the
+    # identical [und, deg, e0] triple, so sharing the generation means
+    # a sweep running both materializes it once — a second key would
+    # double the cached edge bytes in the chunk JVM (observed as a
+    # ~2x slowdown of the neighboring hits_bipartite query in the
+    # first 439-query sweep).
+    (und, deg, e0) = _retire_and_cache(("jaccard", sf_dir), [und, deg, e0])
     wt = Window.partitionBy("src").orderBy("dst")
     tnd = (
         und.withColumn("rn", F.row_number().over(wt))
