@@ -2914,3 +2914,139 @@ def stats_hedges_g(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(d_val, 6).alias("cohens_d"),
         F.round(d_val * j, 6).alias("hedges_g"),
     )
+
+
+_FRIEDMAN_CHI2 = """12.0 * srr
+                 / (CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                    * CAST(k + 1 AS DOUBLE))
+                 - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE)"""
+
+
+@query(
+    "stats_friedman_test",
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS g, o.o_orderpriority AS t,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS HUGEINT) AS v
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), kk AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells
+    ), ok AS (
+      SELECT g FROM cells GROUP BY g HAVING COUNT(*) = (SELECT k FROM kk)
+    ), ranked AS (
+      SELECT c2.t,
+             CAST(ROW_NUMBER() OVER (PARTITION BY c2.g
+                                     ORDER BY c2.v DESC, c2.t) AS BIGINT) AS r
+      FROM cells c2 JOIN ok ON c2.g = ok.g
+    ), rsums AS (
+      SELECT t, CAST(SUM(r) AS BIGINT) AS rs FROM ranked GROUP BY 1
+    ), agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM ok) AS BIGINT) AS n_blocks,
+             (SELECT k FROM kk) AS k,
+             CAST(SUM(CAST(rs AS HUGEINT) * CAST(rs AS HUGEINT)) AS DOUBLE)
+               AS srr,
+             (SELECT t FROM rsums ORDER BY rs, t LIMIT 1) AS top_t
+      FROM rsums
+    )
+    SELECT n_blocks, k AS k_treatments, k - 1 AS dof,
+           ROUND({_FRIEDMAN_CHI2}, 6) AS chi2_f,
+           CAST(CASE WHEN {_FRIEDMAN_CHI2} > {_CHI2_CRIT} THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_05,
+           top_t AS top_treatment
+    FROM agg
+    """,
+    tags=("stats", "rank-test", "friedman", "blocked-design"),
+)
+def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman chi-square over the blocked design (blocks = the 25
+    customer nations, treatments = the 5 order priorities, response =
+    total order value per cell) — the REPEATED-MEASURES member of the
+    rank-test family: stats_kruskal_wallis compares independent
+    groups, Friedman compares k treatments measured on the SAME
+    blocks, which is exactly the shape of "k model variants scored on
+    the same eval tasks". chi2_F = 12/(n.k.(k+1)) . Sum R_j^2 -
+    3.n.(k+1), dof k-1; blocks missing any treatment are excluded
+    (the complete-design requirement), and the block count is
+    reported so the exclusion is visible.
+
+    Exactness: cell values are exact HUGEINT/DECIMAL(38,0) cent sums,
+    so the within-block row_number ranking (value desc, priority
+    tie-break) is a deterministic permutation in both engines; rank
+    sums R_j and Sum R_j^2 are exact integer aggregates; the final
+    statistic is ONE identical double expression (the
+    stats_kruskal_wallis discipline, minus the tie machinery —
+    row_number permutations have no ties by construction, matching
+    eval_kendall_w).
+
+    Scale shape: the orders scan joins the customer dim on its key
+    (co-keyed hash join; AQE may broadcast the dim at small SF) and
+    collapses to a <= 125-row (nation, priority) cell relation in one
+    partial-agg shuffle. The cell relation is pinned — three
+    consumers branch off it (k derivation, complete-block filter,
+    ranking) and an unpinned plan re-scanned the fact table per
+    branch. Ranking runs PARTITIONED by block. Scan-bound at
+    100 TB."""
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    cells = (
+        ords.join(
+            cust.select("c_custkey", "c_nationkey"),
+            ords["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("g"),
+            F.col("o_orderpriority").alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast(d38)).alias("v")
+        )
+        .transform(_pin)  # k derivation + block filter + ranking branch here
+    )
+    kdf = cells.agg(F.countDistinct("t").cast("long").alias("k"))
+    ok = (
+        cells.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .crossJoin(F.broadcast(kdf))
+        .where(F.col("c") == F.col("k"))
+        .select("g")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("g").orderBy(F.col("v").desc(), "t")
+    )
+    ranked = cells.join(ok, "g").select("t", rnk.cast("long").alias("r"))
+    rsums = ranked.groupBy("t").agg(F.sum("r").cast("long").alias("rs"))
+    nb = ok.agg(F.count(F.lit(1)).cast("long").alias("n_blocks"))
+    agg = (
+        rsums.agg(
+            F.sum(F.col("rs").cast(d38) * F.col("rs").cast(d38))
+            .cast("double")
+            .alias("srr"),
+            F.min(F.struct("rs", "t")).getField("t").alias("top_t"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kdf))
+    )
+    nbD = F.col("n_blocks").cast("double")
+    kD = F.col("k").cast("double")
+    chi2 = (
+        F.lit(12.0) * F.col("srr") / (nbD * kD * (F.col("k") + 1).cast("double"))
+        - F.lit(3.0) * nbD * (F.col("k") + 1).cast("double")
+    )
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 5.991)
+        .when(F.col("k") - 1 == 3, 7.815)
+        .when(F.col("k") - 1 == 4, 9.488)
+        .otherwise(F.lit(1e308))
+    )
+    return agg.select(
+        "n_blocks",
+        F.col("k").alias("k_treatments"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(chi2, 6).alias("chi2_f"),
+        F.when(chi2 > crit, 1).otherwise(0).cast("long").alias("reject_05"),
+        F.col("top_t").alias("top_treatment"),
+    )

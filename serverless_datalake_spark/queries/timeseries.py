@@ -1731,3 +1731,90 @@ def ts_granger_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("beta_b"), 6).alias("beta_cause"),
         F.round((rss_r - rss_u) * (tD2 - F.lit(3.0)) / rss_u, 6).alias("f_stat"),
     )
+
+
+@query(
+    "ts_hampel_filter",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events
+      GROUP BY 1, 2
+    ), win AS (
+      SELECT event_type, h, x,
+             list_sort(list(x) OVER (PARTITION BY event_type ORDER BY h
+                       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)) AS wv
+      FROM obs
+    ), med AS (
+      SELECT event_type, h, x, wv, wv[4] AS m
+      FROM win WHERE len(wv) = 7
+    )
+    SELECT event_type, h * 3600 AS bucket_start, x,
+           m AS med,
+           list_sort(list_transform(wv, v -> ABS(v - m)))[4] AS mad,
+           CAST(CASE WHEN CAST(ABS(x - m) AS DOUBLE)
+                          > 3.0 * 1.4826
+                            * CAST(list_sort(
+                                list_transform(wv, v -> ABS(v - m)))[4]
+                              AS DOUBLE)
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+    FROM med
+    """,
+    tags=("timeseries", "outlier", "robust", "hampel"),
+)
+def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hampel identifier over per-type hourly event counts — the
+    robust OUTLIER DETECTOR of the rolling family: ts_anomaly_zscore
+    flags against a mean/stddev that the outlier itself inflates
+    (masking); Hampel flags |x - median| > 3 . 1.4826 . MAD over a
+    centered 7-bucket window, and one wild spike cannot move either
+    the median or the MAD. The telemetry-cleaning primitive every
+    metrics pipeline runs before fitting anything.
+
+    Exactness: counts are exact integers; the window holds exactly 7
+    of them (edge buckets with partial windows are excluded, honestly
+    reported by their absence), so the median is the 4th sorted
+    element and the MAD the 4th sorted absolute deviation — exact
+    integer order statistics, no interpolation, identical in both
+    engines; the only double arithmetic is the final threshold
+    comparison, one identical expression. Both outputs (med, mad) are
+    emitted so the flag is auditable.
+
+    Scale shape: raw events collapse to the (type, hour) grid in one
+    partial-agg shuffle (the _hourly_obs discipline, count-valued);
+    the bounded 7-row frame costs one O(w log w) sort per grid row
+    with w = 7 constant; windows are PARTITIONED by event_type and
+    the grid is time-bounded, not data-bounded. Scan-bound at
+    100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-3, 3)
+    win = obs.select(
+        "event_type",
+        "h",
+        "x",
+        F.sort_array(F.collect_list("x").over(w)).alias("wv"),
+    ).where(F.size("wv") == 7)
+    m = F.element_at(F.col("wv"), 4)
+    mad = F.element_at(
+        F.array_sort(F.transform(F.col("wv"), lambda v: F.abs(v - m))), 4
+    )
+    return win.select(
+        "event_type",
+        (F.col("h") * 3600).alias("bucket_start"),
+        "x",
+        m.cast("long").alias("med"),
+        mad.cast("long").alias("mad"),
+        F.when(
+            F.abs(F.col("x") - m).cast("double")
+            > F.lit(3.0) * F.lit(1.4826) * mad.cast("double"),
+            1,
+        )
+        .otherwise(0)
+        .cast("long")
+        .alias("is_outlier"),
+    )

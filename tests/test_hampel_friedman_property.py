@@ -1,0 +1,136 @@
+"""Property tests for the round-9 additions stats_friedman_test and
+ts_hampel_filter: each query's oracle SQL must equal brute-force
+Python on arbitrary small inputs (incomplete blocks, heavy ties,
+degenerate MAD=0 windows). Spark == oracle is already pinned by
+test_oracle_parity, so validating the SQL against brute force closes
+the chain python-brute <-> oracle-SQL <-> Spark without paying a Spark
+session per hypothesis example (the test_kgroup_property pattern)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+from collections import Counter
+
+import duckdb
+from hypothesis import assume, given, settings
+from hypothesis import strategies as st
+
+from serverless_datalake_spark.queries import load_registry
+
+REG = load_registry()
+
+# ---------------------------------------------------------------- friedman
+
+# (block g, treatment t, order cents): few blocks/treatments, small
+# cent domain to force rank tie-breaks through the deterministic
+# (value desc, treatment) permutation; blocks may MISS treatments.
+_orders = st.lists(
+    st.tuples(
+        st.integers(0, 4),
+        st.sampled_from(["1-URGENT", "2-HIGH", "3-LOW"]),
+        st.integers(0, 500),
+    ),
+    min_size=3,
+    max_size=60,
+)
+
+
+def _friedman_brute(rows):
+    cells: dict[tuple[int, str], int] = {}
+    for g, t, cents in rows:
+        cells[(g, t)] = cells.get((g, t), 0) + cents
+    ts = sorted({t for (_, t) in cells})
+    k = len(ts)
+    gs = sorted(
+        g
+        for g in {g for (g, _) in cells}
+        if all((g, t) in cells for t in ts)
+    )
+    n = len(gs)
+    rs = {t: 0 for t in ts}
+    for g in gs:
+        order = sorted(ts, key=lambda t: (-cells[(g, t)], t))
+        for i, t in enumerate(order):
+            rs[t] += i + 1
+    srr = float(sum(v * v for v in rs.values()))
+    if n == 0:
+        return n, k, None, None
+    chi2 = 12.0 * srr / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    top = min(ts, key=lambda t: (rs[t], t))
+    return n, k, chi2, top
+
+
+@settings(max_examples=40, deadline=None)
+@given(_orders)
+def test_friedman_oracle_matches_brute(rows):
+    assume(len({t for _, t, _ in rows}) >= 2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_nationkey BIGINT)")
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?)",
+        [(g, g) for g in sorted({g for g, _, _ in rows})],
+    )
+    con.execute(
+        "CREATE TABLE orders(o_custkey BIGINT, o_orderpriority VARCHAR,"
+        " o_totalprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        [(g, t, cents / 100.0) for g, t, cents in rows],
+    )
+    n, k, chi2, top = _friedman_brute(rows)
+    got = con.execute(REG["stats_friedman_test"].oracle).fetchone()
+    assert got[0] == n and got[1] == k and got[2] == k - 1
+    if n == 0:
+        assert got[3] is None
+    else:
+        assert math.isclose(got[3], round(chi2, 6), abs_tol=1e-6)
+        assert got[5] == top
+
+
+# ----------------------------------------------------------------- hampel
+
+# (epoch hour, type) event stubs: sparse hour grid with gaps (the
+# rows-frame semantics skip missing hours, matching both engines) and
+# repeated rows to vary the counts.
+_events = st.lists(
+    st.tuples(st.integers(0, 30), st.sampled_from(["click", "view"])),
+    min_size=1,
+    max_size=120,
+)
+
+
+def _hampel_brute(rows):
+    cnt = Counter((t, h) for h, t in rows)
+    out = []
+    for typ in sorted({t for t, _ in cnt}):
+        hs = sorted(h for (t, h) in cnt if t == typ)
+        xs = [cnt[(typ, h)] for h in hs]
+        for i in range(3, len(hs) - 3):
+            wv = sorted(xs[i - 3 : i + 4])
+            m = wv[3]
+            mad = sorted(abs(v - m) for v in wv)[3]
+            flag = 1 if abs(xs[i] - m) > 3.0 * 1.4826 * mad else 0
+            out.append((typ, hs[i] * 3600, xs[i], m, mad, flag))
+    return sorted(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_events)
+def test_hampel_oracle_matches_brute(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(ts TIMESTAMP, event_type VARCHAR)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [
+            (
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(hours=h, minutes=7),
+                t,
+            )
+            for h, t in rows
+        ],
+    )
+    got = sorted(con.execute(REG["ts_hampel_filter"].oracle).fetchall())
+    assert got == _hampel_brute(rows)
