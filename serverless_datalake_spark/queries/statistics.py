@@ -3050,3 +3050,187 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(chi2 > crit, 1).otherwise(0).cast("long").alias("reject_05"),
         F.col("top_t").alias("top_treatment"),
     )
+
+
+_COCHRAN_Q = """CAST(k * (k - 1) AS DOUBLE) * ssc
+                 / (CAST(k AS DOUBLE) * sr - srr2)"""
+
+
+@query(
+    "stats_cochran_q",
+    oracle=f"""
+    WITH cellsum AS (
+      SELECT CAST(c.c_nationkey AS BIGINT) AS g, o.o_orderpriority AS t,
+             CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
+                  AS HUGEINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), blocksum AS (
+      SELECT g, CAST(SUM(s) AS HUGEINT) AS bs, CAST(SUM(n) AS BIGINT) AS bn
+      FROM cellsum GROUP BY 1
+    ), cells AS (
+      SELECT cellsum.g, cellsum.t,
+             CAST(CASE WHEN cellsum.s * CAST(blocksum.bn AS HUGEINT)
+                            > blocksum.bs * CAST(cellsum.n AS HUGEINT)
+                       THEN 1 ELSE 0 END AS BIGINT) AS b
+      FROM cellsum JOIN blocksum ON cellsum.g = blocksum.g
+    ), kk AS (
+      SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS k FROM cells
+    ), ok AS (
+      SELECT g FROM cells GROUP BY g HAVING COUNT(*) = (SELECT k FROM kk)
+    ), kept AS (
+      SELECT cells.g, cells.t, cells.b FROM cells JOIN ok ON cells.g = ok.g
+    ), rows_ AS (
+      SELECT g, CAST(SUM(b) AS BIGINT) AS r FROM kept GROUP BY 1
+    ), rowagg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+             CAST(COALESCE(SUM(r), 0) AS BIGINT) AS nn,
+             CAST(COALESCE(SUM(r), 0) AS DOUBLE) AS sr,
+             CAST(COALESCE(SUM(CAST(r AS HUGEINT) * CAST(r AS HUGEINT)), 0)
+                  AS DOUBLE) AS srr2
+      FROM rows_
+    ), cols AS (
+      SELECT t, CAST(SUM(b) AS BIGINT) AS cj FROM kept GROUP BY 1
+    ), colagg AS (
+      SELECT CAST(SUM((CAST(k AS HUGEINT) * CAST(cj AS HUGEINT)
+                       - CAST(nn AS HUGEINT))
+                      * (CAST(k AS HUGEINT) * CAST(cj AS HUGEINT)
+                         - CAST(nn AS HUGEINT))) AS DOUBLE)
+               / (CAST(MAX(k) AS DOUBLE) * CAST(MAX(k) AS DOUBLE)) AS ssc
+      FROM cols CROSS JOIN kk CROSS JOIN rowagg
+    )
+    SELECT n_blocks, k AS k_treatments, k - 1 AS dof, nn AS n_successes,
+           ROUND({_COCHRAN_Q}, 6) AS q_stat,
+           CAST(CASE WHEN {_COCHRAN_Q} > {_CHI2_CRIT} THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_05
+    FROM rowagg CROSS JOIN kk CROSS JOIN colagg
+    """,
+    tags=("stats", "rank-test", "cochran-q", "blocked-design"),
+)
+def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q over the blocked binary design (blocks = customer
+    nations, treatments = order priorities, response = whether the
+    cell's average order value beats its block's average — a
+    within-block comparison, so the response has variance at every
+    scale factor where values differ at all) — the k-treatment
+    generalization of eval_mcnemar_paired exactly as
+    stats_friedman_test generalizes the paired rank test: k binary
+    raters/checks evaluated on the SAME blocks ("did guardrail j fire
+    on task i"). Q = k(k-1) . Sum_j (C_j - N/k)^2 / (k.Sum R_i -
+    Sum R_i^2), dof k-1; incomplete blocks are excluded and the kept
+    block count reported.
+
+    Exactness: the binary response is an INTEGER cross-multiplication
+    (cell_sum . block_n > block_sum . cell_n in exact cents — no
+    double averages, no threshold ulp); row/column totals and both
+    quadratic sums are exact integer aggregates
+    (HUGEINT / DECIMAL(38,0)); Sum (C_j - N/k)^2 is computed as
+    Sum (k.C_j - N)^2 / k^2 so the deviation stays integral whatever
+    N mod k is; the final statistic is ONE identical double
+    expression, guarded by try_divide so the degenerate denominator
+    (every block all-0 or all-1) yields NULL in BOTH engines (DuckDB
+    returns NULL on any zero divisor; Spark ANSI mode would throw).
+
+    Scale shape: identical to stats_friedman_test — one fact scan,
+    co-keyed dim join, <= 125-row pinned cell relation (consumers: k
+    derivation, completeness filter, row sums, column sums), then
+    block-grain and treatment-grain aggregates of a 25/5-row
+    relation. Scan-bound at 100 TB."""
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    cellsum = (
+        ords.join(
+            cust.select("c_custkey", "c_nationkey"),
+            ords["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("g"),
+            F.col("o_orderpriority").alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast(d38)).alias(
+                "s"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .transform(_pin)  # block rollup + cells join both read this
+    )
+    blocksum = cellsum.groupBy("g").agg(
+        F.sum("s").alias("bs"), F.sum("n").cast("long").alias("bn")
+    )
+    cells = (
+        cellsum.join(
+            blocksum.select(F.col("g").alias("g2"), "bs", "bn"),
+            F.col("g") == F.col("g2"),
+        )
+        .select(
+            "g",
+            "t",
+            F.when(
+                F.col("s") * F.col("bn").cast(d38)
+                > F.col("bs") * F.col("n").cast(d38),
+                1,
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("b"),
+        )
+        .transform(_pin)  # k + completeness + row sums + col sums branch here
+    )
+    kdf = cells.agg(F.countDistinct("t").cast("long").alias("k"))
+    ok = (
+        cells.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .crossJoin(F.broadcast(kdf))
+        .where(F.col("c") == F.col("k"))
+        .select("g")
+    )
+    kept = cells.join(ok, "g").select("g", "t", "b")
+    rows_ = kept.groupBy("g").agg(F.sum("b").cast("long").alias("r"))
+    rowagg = rows_.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("nn"),
+        F.coalesce(F.sum("r"), F.lit(0)).cast("double").alias("sr"),
+        F.coalesce(
+            F.sum(F.col("r").cast(d38) * F.col("r").cast(d38)), F.lit(0)
+        )
+        .cast("double")
+        .alias("srr2"),
+    )
+    cols = kept.groupBy("t").agg(F.sum("b").cast("long").alias("cj"))
+    dev = F.col("k").cast(d38) * F.col("cj").cast(d38) - F.col("nn").cast(d38)
+    colagg = (
+        cols.crossJoin(F.broadcast(kdf))
+        .crossJoin(F.broadcast(rowagg))
+        .agg(
+            (
+                F.sum(dev * dev).cast("double")
+                / (F.max(F.col("k")).cast("double") * F.max(F.col("k")).cast("double"))
+            ).alias("ssc")
+        )
+    )
+    agg = (
+        rowagg.crossJoin(F.broadcast(kdf)).crossJoin(F.broadcast(colagg))
+    )
+    kD = F.col("k").cast("double")
+    q = F.try_divide(
+        (F.col("k") * (F.col("k") - 1)).cast("double") * F.col("ssc"),
+        kD * F.col("sr") - F.col("srr2"),
+    )
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 5.991)
+        .when(F.col("k") - 1 == 3, 7.815)
+        .when(F.col("k") - 1 == 4, 9.488)
+        .otherwise(F.lit(1e308))
+    )
+    return agg.select(
+        "n_blocks",
+        F.col("k").alias("k_treatments"),
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.col("nn").alias("n_successes"),
+        F.round(q, 6).alias("q_stat"),
+        F.when(q > crit, 1).otherwise(0).cast("long").alias("reject_05"),
+    )

@@ -1,7 +1,7 @@
-"""Property tests for the round-9 additions stats_friedman_test and
-ts_hampel_filter: each query's oracle SQL must equal brute-force
-Python on arbitrary small inputs (incomplete blocks, heavy ties,
-degenerate MAD=0 windows). Spark == oracle is already pinned by
+"""Property tests for the round-9 additions stats_friedman_test,
+ts_hampel_filter, and stats_cochran_q: each query's oracle SQL must
+equal brute-force Python on arbitrary small inputs (incomplete
+blocks, heavy ties, degenerate MAD=0 windows, all-0/all-1 rows). Spark == oracle is already pinned by
 test_oracle_parity, so validating the SQL against brute force closes
 the chain python-brute <-> oracle-SQL <-> Spark without paying a Spark
 session per hypothesis example (the test_kgroup_property pattern)."""
@@ -134,3 +134,81 @@ def test_hampel_oracle_matches_brute(rows):
     )
     got = sorted(con.execute(REG["ts_hampel_filter"].oracle).fetchall())
     assert got == _hampel_brute(rows)
+
+
+# ---------------------------------------------------------------- cochran q
+
+# (block g, treatment t, cents): cell-vs-block-average binary cells
+# with blocks allowed to miss treatments; tiny cent domain forces
+# exact-tie (cell avg == block avg -> 0) and all-0 degenerate rows.
+_status_orders = st.lists(
+    st.tuples(
+        st.integers(0, 3),
+        st.sampled_from(["1-URGENT", "2-HIGH", "3-LOW"]),
+        st.integers(0, 20),
+    ),
+    min_size=3,
+    max_size=60,
+)
+
+
+def _cochran_brute(rows):
+    cells_n: dict[tuple[int, str], int] = {}
+    cells_s: dict[tuple[int, str], int] = {}
+    for g, t, cents in rows:
+        cells_n[(g, t)] = cells_n.get((g, t), 0) + 1
+        cells_s[(g, t)] = cells_s.get((g, t), 0) + cents
+    ts = sorted({t for (_, t) in cells_n})
+    k = len(ts)
+    gs = sorted(
+        g
+        for g in {g for (g, _) in cells_n}
+        if all((g, t) in cells_n for t in ts)
+    )
+    bn = {g: sum(cells_n[(g, t)] for t in ts) for g in gs}
+    bs = {g: sum(cells_s[(g, t)] for t in ts) for g in gs}
+    b = {
+        (g, t): 1 if cells_s[(g, t)] * bn[g] > bs[g] * cells_n[(g, t)] else 0
+        for g in gs
+        for t in ts
+    }
+    n_blocks = len(gs)
+    rsum = {g: sum(b[(g, t)] for t in ts) for g in gs}
+    csum = {t: sum(b[(g, t)] for g in gs) for t in ts}
+    nn = sum(rsum.values())
+    ssc = sum((k * csum[t] - nn) ** 2 for t in ts) / (k * k) if gs else None
+    denom = k * nn - sum(r * r for r in rsum.values())
+    if not gs or denom == 0:
+        return n_blocks, k, nn if gs else 0, None
+    q = k * (k - 1) * ssc / denom
+    return n_blocks, k, nn, q
+
+
+@settings(max_examples=40, deadline=None)
+@given(_status_orders)
+def test_cochran_oracle_matches_brute(rows):
+    assume(len({t for _, t, _ in rows}) >= 2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_nationkey BIGINT)")
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?)",
+        [(g, g) for g in sorted({g for g, _, _ in rows})],
+    )
+    con.execute(
+        "CREATE TABLE orders(o_custkey BIGINT, o_orderpriority VARCHAR,"
+        " o_totalprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        [(g, t, cents / 100.0) for g, t, cents in rows],
+    )
+    n_blocks, k, nn, q = _cochran_brute(rows)
+    got = con.execute(REG["stats_cochran_q"].oracle).fetchone()
+    assert got[0] == n_blocks and got[1] == k and got[2] == k - 1
+    assert got[3] == nn
+    if q is None:
+        # empty kept set or a zero denominator: DuckDB's zero-divisor
+        # NULL, mirrored by try_divide on the Spark side
+        assert got[4] is None
+    else:
+        assert math.isclose(got[4], round(q, 6), abs_tol=1e-6)
