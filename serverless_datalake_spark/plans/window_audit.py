@@ -88,6 +88,7 @@ ALLOWLIST: dict[str, str] = {
                           "row_number)",
     "skyline_frontier_2d": "50 size-domain rows (reverse running min)",
     "eval_kendall_w": "25 nation rows (three rank windows)",
+    "stats_page_trend": "<=5 treatment-domain rows (name-order index)",
 }
 
 _MARKER_NODES = (

@@ -2922,10 +2922,53 @@ _FRIEDMAN_CHI2 = """12.0 * srr
                  - 3.0 * CAST(n_blocks AS DOUBLE) * CAST(k + 1 AS DOUBLE)"""
 
 
-@query(
-    "stats_friedman_test",
-    oracle=f"""
-    WITH cells AS (
+def _block_rank_sums(spark: SparkSession, sf_dir: str):
+    """(rsums, nb, kdf): the blocked-design rank machinery shared by
+    stats_friedman_test (omnibus) and stats_page_trend (ordered
+    alternative) — (nation, priority) exact cent-sum cells (pinned:
+    k derivation, completeness filter, and ranking all branch off
+    it), complete blocks only, within-block row_number ranks (value
+    desc, treatment tie-break), per-treatment rank sums. The Python
+    twin of _BLOCK_RANK_CTES; one fact scan, everything downstream
+    block/treatment-grain."""
+    ords = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    d38 = "decimal(38,0)"
+    cells = (
+        ords.join(
+            cust.select("c_custkey", "c_nationkey"),
+            ords["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_nationkey").cast("long").alias("g"),
+            F.col("o_orderpriority").alias("t"),
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast(d38)).alias("v")
+        )
+        .transform(_pin)  # k derivation + block filter + ranking branch here
+    )
+    kdf = cells.agg(F.countDistinct("t").cast("long").alias("k"))
+    ok = (
+        cells.groupBy("g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .crossJoin(F.broadcast(kdf))
+        .where(F.col("c") == F.col("k"))
+        .select("g")
+    )
+    rnk = F.row_number().over(
+        Window.partitionBy("g").orderBy(F.col("v").desc(), "t")
+    )
+    ranked = cells.join(ok, "g").select("t", rnk.cast("long").alias("r"))
+    rsums = ranked.groupBy("t").agg(F.sum("r").cast("long").alias("rs"))
+    nb = ok.agg(F.count(F.lit(1)).cast("long").alias("n_blocks"))
+    return rsums, nb, kdf
+
+
+# cells -> complete blocks -> within-block ranks -> per-treatment rank
+# sums: the blocked-design rank machinery shared by stats_friedman_test
+# (omnibus) and stats_page_trend (ordered alternative).
+_BLOCK_RANK_CTES = """cells AS (
       SELECT CAST(c.c_nationkey AS BIGINT) AS g, o.o_orderpriority AS t,
              CAST(SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT))
                   AS HUGEINT) AS v
@@ -2942,7 +2985,13 @@ _FRIEDMAN_CHI2 = """12.0 * srr
       FROM cells c2 JOIN ok ON c2.g = ok.g
     ), rsums AS (
       SELECT t, CAST(SUM(r) AS BIGINT) AS rs FROM ranked GROUP BY 1
-    ), agg AS (
+    )"""
+
+
+@query(
+    "stats_friedman_test",
+    oracle=f"""
+    WITH {_BLOCK_RANK_CTES}, agg AS (
       SELECT CAST((SELECT COUNT(*) FROM ok) AS BIGINT) AS n_blocks,
              (SELECT k FROM kk) AS k,
              CAST(SUM(CAST(rs AS HUGEINT) * CAST(rs AS HUGEINT)) AS DOUBLE)
@@ -2988,37 +3037,8 @@ def stats_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking) and an unpinned plan re-scanned the fact table per
     branch. Ranking runs PARTITIONED by block. Scan-bound at
     100 TB."""
-    ords = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
+    rsums, nb, kdf = _block_rank_sums(spark, sf_dir)
     d38 = "decimal(38,0)"
-    cells = (
-        ords.join(
-            cust.select("c_custkey", "c_nationkey"),
-            ords["o_custkey"] == cust["c_custkey"],
-        )
-        .groupBy(
-            F.col("c_nationkey").cast("long").alias("g"),
-            F.col("o_orderpriority").alias("t"),
-        )
-        .agg(
-            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast(d38)).alias("v")
-        )
-        .transform(_pin)  # k derivation + block filter + ranking branch here
-    )
-    kdf = cells.agg(F.countDistinct("t").cast("long").alias("k"))
-    ok = (
-        cells.groupBy("g")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .crossJoin(F.broadcast(kdf))
-        .where(F.col("c") == F.col("k"))
-        .select("g")
-    )
-    rnk = F.row_number().over(
-        Window.partitionBy("g").orderBy(F.col("v").desc(), "t")
-    )
-    ranked = cells.join(ok, "g").select("t", rnk.cast("long").alias("r"))
-    rsums = ranked.groupBy("t").agg(F.sum("r").cast("long").alias("rs"))
-    nb = ok.agg(F.count(F.lit(1)).cast("long").alias("n_blocks"))
     agg = (
         rsums.agg(
             F.sum(F.col("rs").cast(d38) * F.col("rs").cast(d38))
@@ -3233,4 +3253,94 @@ def stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nn").alias("n_successes"),
         F.round(q, 6).alias("q_stat"),
         F.when(q > crit, 1).otherwise(0).cast("long").alias("reject_05"),
+    )
+
+
+_PAGE_NUM = """CAST(l_stat AS DOUBLE)
+                 - CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                   * CAST(k + 1 AS DOUBLE) * CAST(k + 1 AS DOUBLE) / 4.0"""
+_PAGE_DEN = """SQRT(CAST(n_blocks AS DOUBLE) * CAST(k AS DOUBLE)
+                    * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)
+                    * CAST(k + 1 AS DOUBLE)
+                    * (CAST(k AS DOUBLE) - 1.0) / 144.0)"""
+
+
+@query(
+    "stats_page_trend",
+    oracle=f"""
+    WITH {_BLOCK_RANK_CTES}, jd AS (
+      SELECT t, rs, CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS j
+      FROM rsums
+    ), pagg AS (
+      SELECT CAST((SELECT COUNT(*) FROM ok) AS BIGINT) AS n_blocks,
+             (SELECT k FROM kk) AS k,
+             CAST(COALESCE(SUM(CAST(j AS HUGEINT) * CAST(rs AS HUGEINT)), 0)
+                  AS BIGINT) AS l_stat
+      FROM jd
+    )
+    SELECT n_blocks, k AS k_treatments, l_stat,
+           ROUND(({_PAGE_NUM}) / ({_PAGE_DEN}), 6) AS z_stat,
+           CAST(CASE WHEN ({_PAGE_NUM}) / ({_PAGE_DEN}) > 1.645
+                     THEN 1 ELSE 0 END AS BIGINT) AS reject_05
+    FROM pagg
+    """,
+    tags=("stats", "rank-test", "page-trend", "blocked-design"),
+)
+def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test over the same blocked design as
+    stats_friedman_test — the ORDERED-alternative member of the
+    blocked-rank family: Friedman asks "does ANY priority differ",
+    Page asks "do the treatments trend MONOTONICALLY along their
+    natural order" (priorities 1-URGENT..5-LOW are ordered; the LLM
+    shape is "do model checkpoints improve monotonically on shared
+    eval tasks"). L = Sum_j j . R_j with j the treatment's position
+    in name order; z = (L - n.k.(k+1)^2/4) /
+    sqrt(n.k^2.(k+1)^2.(k-1)/144), one-sided 5% rejection at 1.645.
+    Positive z means rank numbers GROW along the priority order,
+    i.e. cell value decreases with declining urgency.
+
+    Exactness: L is an exact integer (HUGEINT/DECIMAL(38,0) product
+    sum of the integral rank sums from the shared _block_rank_sums
+    machinery); the treatment index j is a row_number over the
+    name-sorted k-row treatment relation — deterministic in both
+    engines; z is ONE identical double expression, guarded by
+    try_divide so the empty-design denominator yields NULL in both
+    engines (the stats_cochran_q discipline).
+
+    Scale shape: identical to stats_friedman_test — one fact scan to
+    the pinned <= 125-row cell relation, partitioned block ranking;
+    the only unpartitioned window orders the <= 5-row TREATMENT
+    relation (domain-bounded, allowlisted). Scan-bound at 100 TB."""
+    rsums, nb, kdf = _block_rank_sums(spark, sf_dir)
+    d38 = "decimal(38,0)"
+    jd = rsums.select(
+        "t",
+        "rs",
+        F.row_number().over(Window.orderBy("t")).cast("long").alias("j"),
+    )
+    pagg = (
+        jd.agg(
+            F.coalesce(
+                F.sum(F.col("j").cast(d38) * F.col("rs").cast(d38)), F.lit(0)
+            )
+            .cast("long")
+            .alias("l_stat")
+        )
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(kdf))
+    )
+    nD = F.col("n_blocks").cast("double")
+    kD = F.col("k").cast("double")
+    kp1 = (F.col("k") + 1).cast("double")
+    num = F.col("l_stat").cast("double") - nD * kD * kp1 * kp1 / F.lit(4.0)
+    den = F.sqrt(
+        nD * kD * kD * kp1 * kp1 * (kD - F.lit(1.0)) / F.lit(144.0)
+    )
+    z = F.try_divide(num, den)
+    return pagg.select(
+        "n_blocks",
+        F.col("k").alias("k_treatments"),
+        "l_stat",
+        F.round(z, 6).alias("z_stat"),
+        F.when(z > 1.645, 1).otherwise(0).cast("long").alias("reject_05"),
     )

@@ -212,3 +212,58 @@ def test_cochran_oracle_matches_brute(rows):
         assert got[4] is None
     else:
         assert math.isclose(got[4], round(q, 6), abs_tol=1e-6)
+
+
+# -------------------------------------------------------------- page trend
+
+def _page_brute(rows):
+    cells: dict[tuple[int, str], int] = {}
+    for g, t, cents in rows:
+        cells[(g, t)] = cells.get((g, t), 0) + cents
+    ts = sorted({t for (_, t) in cells})
+    k = len(ts)
+    gs = [
+        g
+        for g in {g for (g, _) in cells}
+        if all((g, t) in cells for t in ts)
+    ]
+    n = len(gs)
+    rsum = {t: 0 for t in ts}
+    for g in gs:
+        order = sorted(ts, key=lambda t: (-cells[(g, t)], t))
+        for i, t in enumerate(order):
+            rsum[t] += i + 1
+    l_stat = sum((j + 1) * rsum[t] for j, t in enumerate(ts))
+    if n == 0:
+        return n, k, l_stat, None
+    num = l_stat - n * k * (k + 1) ** 2 / 4.0
+    den = math.sqrt(n * k * k * (k + 1) ** 2 * (k - 1) / 144.0)
+    return n, k, l_stat, (num / den if den else None)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_orders)
+def test_page_trend_oracle_matches_brute(rows):
+    assume(len({t for _, t, _ in rows}) >= 2)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE customer(c_custkey BIGINT, c_nationkey BIGINT)")
+    con.executemany(
+        "INSERT INTO customer VALUES (?, ?)",
+        [(g, g) for g in sorted({g for g, _, _ in rows})],
+    )
+    con.execute(
+        "CREATE TABLE orders(o_custkey BIGINT, o_orderpriority VARCHAR,"
+        " o_totalprice DOUBLE)"
+    )
+    con.executemany(
+        "INSERT INTO orders VALUES (?, ?, ?)",
+        [(g, t, cents / 100.0) for g, t, cents in rows],
+    )
+    n, k, l_stat, z = _page_brute(rows)
+    got = con.execute(REG["stats_page_trend"].oracle).fetchone()
+    assert got[0] == n and got[1] == k and got[2] == l_stat
+    if z is None:
+        assert got[3] is None
+    else:
+        assert math.isclose(got[3], round(z, 6), abs_tol=1e-6)
+        assert got[4] == (1 if z > 1.645 else 0)
