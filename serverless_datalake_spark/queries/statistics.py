@@ -3344,3 +3344,162 @@ def stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("z_stat"),
         F.when(z > 1.645, 1).otherwise(0).cast("long").alias("reject_05"),
     )
+
+
+_BARTLETT_T = """(CAST(n - k AS DOUBLE)
+                   * ROUND(LN((CAST(sq2 AS DOUBLE) / 1000000.0)
+                              / CAST(n - k AS DOUBLE)) * 1000000.0, 0)
+                   / 1000000.0
+                 - CAST(sq1 AS DOUBLE) / 1000000.0)
+                 / (1.0 + (CAST(sq3 AS DOUBLE) / 1000000000000.0
+                           - 1.0 / CAST(n - k AS DOUBLE))
+                          / (3.0 * (CAST(k AS DOUBLE) - 1.0)))"""
+
+
+@query(
+    "stats_bartlett",
+    oracle=f"""
+    WITH units AS (
+      SELECT event_type AS grp,
+             CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+      FROM events
+    ), per_group AS (
+      SELECT grp,
+             CAST(COUNT(*) AS BIGINT) AS ng,
+             CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sgx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ssgx
+      FROM units GROUP BY 1
+      HAVING COUNT(*) >= 2
+         AND CAST(COUNT(*) AS HUGEINT) * SUM(CAST(x AS HUGEINT) * x)
+             > SUM(CAST(x AS HUGEINT)) * SUM(CAST(x AS HUGEINT))
+    ), terms AS (
+      SELECT ng,
+             CAST(ROUND((CAST(ng AS DOUBLE) - 1.0)
+                        * LN((CAST(ssgx AS DOUBLE)
+                              - CAST(sgx AS DOUBLE) * CAST(sgx AS DOUBLE)
+                                / CAST(ng AS DOUBLE))
+                             / (CAST(ng AS DOUBLE) - 1.0))
+                        * 1000000.0, 0) AS HUGEINT) AS q1,
+             CAST(ROUND((CAST(ssgx AS DOUBLE)
+                         - CAST(sgx AS DOUBLE) * CAST(sgx AS DOUBLE)
+                           / CAST(ng AS DOUBLE))
+                        * 1000000.0, 0) AS HUGEINT) AS q2,
+             CAST(ROUND(1000000000000.0 / (CAST(ng AS DOUBLE) - 1.0), 0)
+                  AS BIGINT) AS q3
+      FROM per_group
+    ), folded AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(COALESCE(SUM(ng), 0) AS BIGINT) AS n,
+             CAST(COALESCE(SUM(q1), 0) AS HUGEINT) AS sq1,
+             CAST(COALESCE(SUM(q2), 0) AS HUGEINT) AS sq2,
+             CAST(COALESCE(SUM(q3), 0) AS BIGINT) AS sq3
+      FROM terms
+    )
+    SELECT k AS k_groups, n, k - 1 AS dof,
+           ROUND({_BARTLETT_T}, 6) AS t_stat,
+           CAST(CASE WHEN {_BARTLETT_T} > {_CHI2_CRIT} THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_05
+    FROM folded
+    """,
+    tags=("stats", "variance-test", "bartlett"),
+)
+def stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test of variance homogeneity across the event-type
+    cohorts — the PARAMETRIC companion of stats_levene_bf (Levene is
+    robust to non-normality; Bartlett is the more powerful test when
+    normality holds) and the assumption check stats_anova_oneway
+    silently relies on: T = [(N-k).ln(sp^2) - Sum (n_i-1).ln(s_i^2)]
+    / C with the usual correction C, rejected against chi-square(k-1)
+    at 5%. Groups with fewer than 2 rows or zero variance are
+    excluded by an EXACT integer guard (ng.Sum x^2 > (Sum x)^2 in
+    HUGEINT/DECIMAL(38,0)) before any double arithmetic.
+
+    Exactness: the ln terms are engine libm calls whose last ulp is
+    not contractually identical across engines, so every per-group
+    log/reciprocal term is QUANTIZED to an e6/e12 integer and summed
+    exactly (the agg_theil_inequality discipline — order-independent,
+    map-side combinable, no ordered fold needed); ln(sp^2) is
+    quantized once at the end; the final statistic is ONE identical
+    double expression over exact integers, with the empty-design
+    divisions yielding NULL in both engines (DuckDB zero-divisor
+    NULL / Spark try_divide).
+
+    Scale shape: one scan, one partial-agg shuffle to the <= 5-row
+    type-grain relation, constant arithmetic. Scan-bound at
+    100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    units = ev.select(
+        F.col("event_type").alias("grp"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+    )
+    xd = F.col("x").cast(d38)
+    per_group = (
+        units.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("ng"),
+            F.sum(xd).alias("sgx"),
+            F.sum(xd * xd).alias("ssgx"),
+        )
+        .where(
+            (F.col("ng") >= 2)
+            & (
+                F.col("ng").cast(d38) * F.col("ssgx")
+                > F.col("sgx") * F.col("sgx")
+            )
+        )
+    )
+    ngD = F.col("ng").cast("double")
+    s2 = (
+        F.col("ssgx").cast("double")
+        - F.col("sgx").cast("double") * F.col("sgx").cast("double") / ngD
+    ) / (ngD - F.lit(1.0))
+    ss_part = (
+        F.col("ssgx").cast("double")
+        - F.col("sgx").cast("double") * F.col("sgx").cast("double") / ngD
+    )
+    terms = per_group.select(
+        "ng",
+        F.round((ngD - F.lit(1.0)) * F.log(s2) * F.lit(1000000.0), 0)
+        .cast(d38)
+        .alias("q1"),
+        F.round(ss_part * F.lit(1000000.0), 0).cast(d38).alias("q2"),
+        F.round(F.lit(1000000000000.0) / (ngD - F.lit(1.0)), 0)
+        .cast("long")
+        .alias("q3"),
+    )
+    folded = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.coalesce(F.sum("ng"), F.lit(0)).cast("long").alias("n"),
+        F.coalesce(F.sum("q1"), F.lit(0).cast(d38)).alias("sq1"),
+        F.coalesce(F.sum("q2"), F.lit(0).cast(d38)).alias("sq2"),
+        F.coalesce(F.sum("q3"), F.lit(0)).cast("long").alias("sq3"),
+    )
+    nkD = (F.col("n") - F.col("k")).cast("double")
+    kD = F.col("k").cast("double")
+    sp2 = F.try_divide(
+        F.col("sq2").cast("double") / F.lit(1000000.0), nkD
+    )
+    num = nkD * F.round(F.log(sp2) * F.lit(1000000.0), 0) / F.lit(
+        1000000.0
+    ) - F.col("sq1").cast("double") / F.lit(1000000.0)
+    corr = F.lit(1.0) + F.try_divide(
+        F.col("sq3").cast("double") / F.lit(1000000000000.0)
+        - F.try_divide(F.lit(1.0), nkD),
+        F.lit(3.0) * (kD - F.lit(1.0)),
+    )
+    t = F.try_divide(num, corr)
+    crit = (
+        F.when(F.col("k") - 1 == 1, 3.841)
+        .when(F.col("k") - 1 == 2, 5.991)
+        .when(F.col("k") - 1 == 3, 7.815)
+        .when(F.col("k") - 1 == 4, 9.488)
+        .otherwise(F.lit(1e308))
+    )
+    return folded.select(
+        F.col("k").alias("k_groups"),
+        "n",
+        (F.col("k") - 1).cast("long").alias("dof"),
+        F.round(t, 6).alias("t_stat"),
+        F.when(t > crit, 1).otherwise(0).cast("long").alias("reject_05"),
+    )

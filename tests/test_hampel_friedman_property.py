@@ -267,3 +267,66 @@ def test_page_trend_oracle_matches_brute(rows):
     else:
         assert math.isclose(got[3], round(z, 6), abs_tol=1e-6)
         assert got[4] == (1 if z > 1.645 else 0)
+
+
+# ---------------------------------------------------------------- bartlett
+
+# (grp, cents): small value domain so zero-variance and singleton
+# groups (both excluded by the exact integer guard) appear often.
+_valued_events = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _rnd0(x: float) -> int:
+    # ROUND(x, 0) half-away-from-zero (both engines), not banker's
+    return math.floor(x + 0.5) if x >= 0 else math.ceil(x - 0.5)
+
+
+def _bartlett_brute(rows):
+    groups: dict[str, list[int]] = {}
+    for g, cents in rows:
+        groups.setdefault(g, []).append(cents)
+    kept = {}
+    for g, xs in groups.items():
+        ng, sg, ssg = len(xs), sum(xs), sum(v * v for v in xs)
+        if ng >= 2 and ng * ssg > sg * sg:
+            kept[g] = (ng, sg, ssg)
+    k = len(kept)
+    n = sum(ng for ng, _, _ in kept.values())
+    sq1 = sq2 = sq3 = 0
+    for ng, sg, ssg in kept.values():
+        ss = ssg - sg * sg / ng
+        s2 = ss / (ng - 1)
+        sq1 += _rnd0((ng - 1.0) * math.log(s2) * 1e6)
+        sq2 += _rnd0(ss * 1e6)
+        sq3 += _rnd0(1e12 / (ng - 1.0))
+    if k < 2 or n == k:
+        return k, n, None
+    sp2 = (sq2 / 1e6) / (n - k)
+    num = (n - k) * _rnd0(math.log(sp2) * 1e6) / 1e6 - sq1 / 1e6
+    corr = 1.0 + (sq3 / 1e12 - 1.0 / (n - k)) / (3.0 * (k - 1.0))
+    return k, n, num / corr
+
+
+@settings(max_examples=40, deadline=None)
+@given(_valued_events)
+def test_bartlett_oracle_matches_brute(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(event_type VARCHAR, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(g, cents / 100.0) for g, cents in rows],
+    )
+    k, n, t = _bartlett_brute(rows)
+    got = con.execute(REG["stats_bartlett"].oracle).fetchone()
+    assert got[0] == k and got[1] == n and got[2] == k - 1
+    if t is None:
+        assert got[3] is None
+        assert got[4] == 0
+    else:
+        # brute uses Python libm; engine ln may differ in the last ulp
+        # BEFORE quantization, so allow one e6 quantum per log term
+        assert math.isclose(got[3], round(t, 6), abs_tol=2e-5)
