@@ -1818,3 +1818,153 @@ def ts_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("is_outlier"),
     )
+
+
+@query(
+    "ts_seasonal_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400 AS d,
+             ROUND(SUM(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), seas AS (
+      SELECT event_type, d % 7 AS w, d, v FROM daily
+    ), pairs AS (
+      SELECT a.event_type, a.w,
+             CASE WHEN b.v > a.v THEN 1 WHEN b.v < a.v THEN -1 ELSE 0 END
+               AS sgn
+      FROM seas a JOIN seas b
+        ON a.event_type = b.event_type AND a.w = b.w AND a.d < b.d
+    ), per_season AS (
+      SELECT g.event_type, g.w,
+             CAST(COALESCE(p.s, 0) AS BIGINT) AS s,
+             CAST(g.n * (g.n - 1) * (2 * g.n + 5) AS BIGINT) AS v18
+      FROM (SELECT event_type, w, CAST(COUNT(*) AS BIGINT) AS n
+            FROM seas GROUP BY 1, 2) g
+      LEFT JOIN (SELECT event_type, w, CAST(SUM(sgn) AS BIGINT) AS s
+                 FROM pairs GROUP BY 1, 2) p
+        ON g.event_type = p.event_type AND g.w = p.w
+    ), stat AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_seasons,
+             CAST(SUM(s) AS BIGINT) AS s,
+             CAST(SUM(v18) AS BIGINT) AS v18
+      FROM per_season GROUP BY 1
+    )
+    SELECT event_type, n_seasons, s,
+           ROUND(CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0)
+                           / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+                      WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0)
+                           / SQRT(CAST(v18 AS DOUBLE) / 18.0)
+                      ELSE 0.0 END, 6) AS z,
+           CASE WHEN s > 0 AND (CAST(s AS DOUBLE) - 1.0)
+                     / SQRT(CAST(v18 AS DOUBLE) / 18.0) > 1.96
+                THEN 'increasing'
+                WHEN s < 0 AND (CAST(s AS DOUBLE) + 1.0)
+                     / SQRT(CAST(v18 AS DOUBLE) / 18.0) < -1.96
+                THEN 'decreasing'
+                ELSE 'no_trend' END AS verdict
+    FROM stat
+    """,
+    tags=("timeseries", "statistics", "robust", "seasonal"),
+)
+def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall (Hirsch-Slack) trend test over each
+    type's daily totals with day-of-week seasons: ts_mann_kendall
+    compares EVERY day pair, so a strong weekly cycle (weekend dips)
+    reads as noise that masks a real drift; the seasonal variant
+    compares only like-with-like (Mondays with Mondays), summing each
+    season's S and variance. The standard telemetry-trend test for
+    anything with a weekly rhythm.
+
+    Exactness: per-season S is an integer pair-sign sum; the no-ties
+    variance n(n-1)(2n+5)/18 is kept as the exact integer NUMERATOR
+    (18ths resolution) per season and summed exactly — one division
+    by 18.0 at the end, so the cross-season sum needs no ordered
+    fold; z is the continuity-corrected normal approximation, ONE
+    identical double expression; seasons with no comparable pairs
+    contribute S=0 via the LEFT JOIN (both engines).
+
+    Scale shape: the O(g^2) sign pairing runs on the aggregated
+    (type, weekday) grid — 7x smaller pair blocks than
+    ts_mann_kendall since pairs never cross seasons; raw events
+    collapse in one partial-agg shuffle first. The grid is
+    time-bounded, not data-bounded. Scan-bound at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.expr("CAST(ts AS LONG) DIV 86400").alias("d")
+    ).agg(F.round(F.sum("value"), 2).alias("v"))
+    seas = daily.select(
+        "event_type", (F.col("d") % 7).alias("w"), "d", "v"
+    ).transform(_pin)  # pair self-join + per-season counts branch here
+    a = seas.select(
+        "event_type", "w", F.col("d").alias("da"), F.col("v").alias("va")
+    )
+    b = seas.select(
+        F.col("event_type").alias("et_b"),
+        F.col("w").alias("w_b"),
+        F.col("d").alias("db"),
+        F.col("v").alias("vb"),
+    )
+    pairs = a.join(
+        b,
+        (a.event_type == b.et_b) & (a.w == b.w_b) & (a.da < b.db),
+    ).select(
+        "event_type",
+        "w",
+        F.when(F.col("vb") > F.col("va"), 1)
+        .when(F.col("vb") < F.col("va"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    g = seas.groupBy("event_type", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    p = pairs.groupBy("event_type", "w").agg(
+        F.sum("sgn").cast("long").alias("s")
+    )
+    per_season = (
+        g.join(
+            p.select(
+                F.col("event_type").alias("et_p"),
+                F.col("w").alias("w_p"),
+                "s",
+            ),
+            (g.event_type == F.col("et_p")) & (g.w == F.col("w_p")),
+            "left",
+        )
+        .select(
+            "event_type",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("s"),
+            (
+                F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            )
+            .cast("long")
+            .alias("v18"),
+        )
+    )
+    stat = per_season.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("s").cast("long").alias("s"),
+        F.sum("v18").cast("long").alias("v18"),
+    )
+    sd = F.col("s").cast("double")
+    den = F.sqrt(F.col("v18").cast("double") / F.lit(18.0))
+    z = (
+        F.when(F.col("s") > 0, (sd - F.lit(1.0)) / den)
+        .when(F.col("s") < 0, (sd + F.lit(1.0)) / den)
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        "event_type",
+        "n_seasons",
+        "s",
+        F.round(z, 6).alias("z"),
+        F.when((F.col("s") > 0) & (((sd - F.lit(1.0)) / den) > 1.96),
+               "increasing")
+        .when((F.col("s") < 0) & (((sd + F.lit(1.0)) / den) < -1.96),
+              "decreasing")
+        .otherwise("no_trend")
+        .alias("verdict"),
+    )

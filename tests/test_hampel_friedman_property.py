@@ -330,3 +330,80 @@ def test_bartlett_oracle_matches_brute(rows):
         # brute uses Python libm; engine ln may differ in the last ulp
         # BEFORE quantization, so allow one e6 quantum per log term
         assert math.isclose(got[3], round(t, 6), abs_tol=2e-5)
+
+
+# ------------------------------------------------------ seasonal mann-kendall
+
+# (epoch day, type, whole value): integer values keep ROUND(SUM,2)
+# exact so the brute can mirror the bucket aggregation bit-for-bit;
+# a short day range forces seasons with 0/1 members (v18 = 0, S = 0).
+_daily_events = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.sampled_from(["click", "view"]),
+        st.integers(-5, 5),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _smk_brute(rows):
+    daily: dict[tuple[str, int], int] = {}
+    for d, t, v in rows:
+        daily[(t, d)] = daily.get((t, d), 0) + v
+    out = []
+    for typ in sorted({t for t, _ in daily}):
+        ds = sorted(d for (t, d) in daily if t == typ)
+        s = 0
+        v18 = 0
+        n_seasons = len({d % 7 for d in ds})
+        for w in range(7):
+            sd = [d for d in ds if d % 7 == w]
+            if not sd:
+                continue
+            n = len(sd)
+            v18 += n * (n - 1) * (2 * n + 5)
+            for i in range(len(sd)):
+                for j in range(i + 1, len(sd)):
+                    va, vb = daily[(typ, sd[i])], daily[(typ, sd[j])]
+                    s += 1 if vb > va else (-1 if vb < va else 0)
+        if s > 0:
+            z = (s - 1.0) / math.sqrt(v18 / 18.0)
+        elif s < 0:
+            z = (s + 1.0) / math.sqrt(v18 / 18.0)
+        else:
+            z = 0.0
+        verdict = (
+            "increasing"
+            if s > 0 and z > 1.96
+            else ("decreasing" if s < 0 and z < -1.96 else "no_trend")
+        )
+        out.append((typ, n_seasons, s, round(z, 6), verdict))
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(_daily_events)
+def test_seasonal_mk_oracle_matches_brute(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(ts TIMESTAMP, event_type VARCHAR,"
+                " value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?)",
+        [
+            (
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(days=d, minutes=13),
+                t,
+                float(v),
+            )
+            for d, t, v in rows
+        ],
+    )
+    got = sorted(con.execute(REG["ts_seasonal_mann_kendall"].oracle).fetchall())
+    want = _smk_brute(rows)
+    assert [r[:3] for r in got] == [r[:3] for r in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[3], w[3], abs_tol=1e-6)
+        assert g[4] == w[4]
