@@ -1968,3 +1968,164 @@ def ts_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("verdict"),
     )
+
+
+@query(
+    "ts_durbin_watson",
+    oracle="""
+    WITH obs0 AS (
+      SELECT event_type,
+             CAST(FLOOR(EPOCH(CAST(ts AS TIMESTAMP))) AS BIGINT) // 3600 AS h,
+             ROUND(SUM(value), 2) AS v
+      FROM events GROUP BY 1, 2
+    ), obs AS (
+      SELECT event_type, h, CAST(ROUND(v * 100, 0) AS BIGINT) AS vc
+      FROM obs0
+    ), suff AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(h AS HUGEINT)) AS HUGEINT) AS sh,
+             CAST(SUM(CAST(vc AS HUGEINT)) AS HUGEINT) AS sv,
+             CAST(SUM(CAST(h AS HUGEINT) * vc) AS HUGEINT) AS shv,
+             CAST(SUM(CAST(h AS HUGEINT) * h) AS HUGEINT) AS shh
+      FROM obs GROUP BY 1
+    ), coef AS (
+      SELECT event_type, n,
+             CAST(CAST(n AS HUGEINT) * shv - sh * sv AS DOUBLE)
+             / CAST(CAST(n AS HUGEINT) * shh - sh * sh AS DOUBLE) AS beta,
+             sh, sv
+      FROM suff
+    ), coef2 AS (
+      SELECT event_type, n, beta,
+             (CAST(sv AS DOUBLE) - beta * CAST(sh AS DOUBLE))
+             / CAST(n AS DOUBLE) AS alpha
+      FROM coef
+    ), resid AS (
+      SELECT o.event_type, o.h,
+             CAST(o.vc AS DOUBLE)
+             - (c.alpha + c.beta * CAST(o.h AS DOUBLE)) AS e
+      FROM obs o JOIN coef2 c ON o.event_type = c.event_type
+    ), lagged AS (
+      SELECT event_type, e,
+             LAG(e) OVER (PARTITION BY event_type ORDER BY h) AS ep
+      FROM resid
+    ), qs AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_buckets,
+             CAST(SUM(CASE WHEN ep IS NULL THEN 0
+                           ELSE CAST(ROUND((e - ep) * (e - ep)
+                                           * 1000000.0, 0) AS HUGEINT)
+                      END) AS HUGEINT) AS qn,
+             CAST(SUM(CAST(ROUND(e * e * 1000000.0, 0) AS HUGEINT))
+                  AS HUGEINT) AS qd
+      FROM lagged GROUP BY 1
+    )
+    SELECT event_type, n_buckets,
+           ROUND(CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE), 6) AS dw,
+           CASE WHEN CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE) < 1.5
+                THEN 'positive_autocorr'
+                WHEN CAST(qn AS DOUBLE) / CAST(qd AS DOUBLE) > 2.5
+                THEN 'negative_autocorr'
+                ELSE 'none' END AS verdict
+    FROM qs
+    """,
+    tags=("timeseries", "statistics", "autocorrelation", "regression"),
+)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic on the residuals of each type's hourly
+    linear trend fit — the REGRESSION-DIAGNOSTIC member of the
+    autocorrelation family: ts_autocorrelation measures the raw
+    series, ts_ljung_box tests many lags jointly, DW asks the
+    specific question every trend fit must answer before its standard
+    errors are believed ("are the residuals serially correlated?").
+    DW = Sum (e_t - e_{t-1})^2 / Sum e_t^2, ~2 under independence;
+    the usual rough calls at 1.5/2.5 are reported as a verdict.
+
+    Exactness: the OLS slope/intercept come from exact integer
+    sufficient statistics (epoch-hour x cent-value products in
+    HUGEINT/DECIMAL(38,0); the normal-equation numerator and
+    denominator are exact integer DIFFERENCES cast to double once) so
+    both engines hold bit-identical coefficients; each residual is
+    then one identical double expression per grid row, and the two
+    quadratic sums QUANTIZE per row to e6 integers and sum exactly
+    (the stats_bartlett discipline — order-free across the grid);
+    the single-bucket degenerate fit and the perfect-fit qd = 0 both
+    yield NULL identically (DuckDB zero-divisor NULL / Spark
+    try_divide), with verdict 'none'.
+
+    Scale shape: raw events collapse to the (type, hour) grid in one
+    partial-agg shuffle; the grid relation is pinned (the sufficient-
+    statistics rollup and the residual join both consume it); LAG
+    runs PARTITIONED by type; everything else is type-grain. The
+    grid is time-bounded, not data-bounded. Scan-bound at 100 TB."""
+    e = load_table(spark, sf_dir, "events")
+    d38 = "decimal(38,0)"
+    obs = (
+        e.groupBy(
+            "event_type", F.expr("CAST(ts AS LONG) DIV 3600").alias("h")
+        )
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+        .select(
+            "event_type",
+            "h",
+            F.round(F.col("v") * 100, 0).cast("long").alias("vc"),
+        )
+        .transform(_pin)  # sufficient-stats rollup + residual join
+    )
+    hd, vd = F.col("h").cast(d38), F.col("vc").cast(d38)
+    suff = obs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(hd).alias("sh"),
+        F.sum(vd).alias("sv"),
+        F.sum(hd * vd).alias("shv"),
+        F.sum(hd * hd).alias("shh"),
+    )
+    nd38 = F.col("n").cast(d38)
+    beta = F.try_divide(
+        (nd38 * F.col("shv") - F.col("sh") * F.col("sv")).cast("double"),
+        (nd38 * F.col("shh") - F.col("sh") * F.col("sh")).cast("double"),
+    )
+    coef = suff.select(
+        F.col("event_type").alias("et_c"),
+        beta.alias("beta"),
+        (
+            (F.col("sv").cast("double") - beta * F.col("sh").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("alpha"),
+    )
+    resid = obs.join(
+        F.broadcast(coef), obs["event_type"] == coef["et_c"]
+    ).select(
+        "event_type",
+        "h",
+        (
+            F.col("vc").cast("double")
+            - (F.col("alpha") + F.col("beta") * F.col("h").cast("double"))
+        ).alias("e"),
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = resid.select(
+        "event_type", "e", F.lag("e").over(w).alias("ep")
+    )
+    ed, epd = F.col("e"), F.col("ep")
+    qs = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum(
+            F.when(epd.isNull(), F.lit(0).cast(d38)).otherwise(
+                F.round((ed - epd) * (ed - epd) * F.lit(1000000.0), 0).cast(
+                    d38
+                )
+            )
+        ).alias("qn"),
+        F.sum(F.round(ed * ed * F.lit(1000000.0), 0).cast(d38)).alias("qd"),
+    )
+    dw = F.try_divide(F.col("qn").cast("double"), F.col("qd").cast("double"))
+    return qs.select(
+        "event_type",
+        "n_buckets",
+        F.round(dw, 6).alias("dw"),
+        F.when(dw < 1.5, "positive_autocorr")
+        .when(dw > 2.5, "negative_autocorr")
+        .otherwise("none")
+        .alias("verdict"),
+    )

@@ -1,7 +1,10 @@
-"""Property tests for the round-9 additions stats_friedman_test,
-ts_hampel_filter, and stats_cochran_q: each query's oracle SQL must
-equal brute-force Python on arbitrary small inputs (incomplete
-blocks, heavy ties, degenerate MAD=0 windows, all-0/all-1 rows). Spark == oracle is already pinned by
+"""Property tests for the round-9 final-session additions (Friedman,
+Hampel, Cochran's Q, Page trend, Bartlett, seasonal Mann-Kendall,
+ICC(1), Durbin-Watson): each query's oracle SQL must equal
+brute-force Python on arbitrary small inputs (incomplete blocks,
+heavy ties, degenerate MAD=0 windows, all-0/all-1 rows,
+zero-variance groups, 0/1-member seasons, singleton designs,
+perfect fits). Spark == oracle is already pinned by
 test_oracle_parity, so validating the SQL against brute force closes
 the chain python-brute <-> oracle-SQL <-> Spark without paying a Spark
 session per hypothesis example (the test_kgroup_property pattern)."""
@@ -407,3 +410,140 @@ def test_seasonal_mk_oracle_matches_brute(rows):
     for g, w in zip(got, want):
         assert math.isclose(g[3], w[3], abs_tol=1e-6)
         assert g[4] == w[4]
+
+
+# ------------------------------------------------------------------- icc
+
+# (target g, cents): singleton targets, single-target designs, and
+# zero-variance targets all appear; the quantized Sum S_i^2/n_i term
+# mirrors the oracle bit-for-bit.
+_rated = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(-40, 40)),
+    min_size=1,
+    max_size=60,
+)
+
+
+def _icc_brute(rows):
+    groups: dict[int, list[int]] = {}
+    for g, x in rows:
+        groups.setdefault(g, []).append(x)
+    k = len(groups)
+    n = len(rows)
+    sn2 = sum(len(xs) ** 2 for xs in groups.values())
+    sq = sum(
+        _rnd0(float(sum(xs)) * float(sum(xs)) / len(xs) * 1e6)
+        for xs in groups.values()
+    )
+    gx = sum(x for _, x in rows)
+    gxx = sum(x * x for _, x in rows)
+    if k < 2 or n == k:
+        return k, n, None, None, None
+    msb = (sq / 1e6 - float(gx) * float(gx) / n) / (k - 1.0)
+    msw = (gxx - sq / 1e6) / (n - k)
+    n0 = (n - sn2 / n) / (k - 1.0)
+    den = msb + (n0 - 1.0) * msw
+    icc = (msb - msw) / den if den != 0 else None
+    return k, n, msb, msw, icc
+
+
+@settings(max_examples=40, deadline=None)
+@given(_rated)
+def test_icc_oracle_matches_brute(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(user_id BIGINT, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?)",
+        [(g, cents / 100.0) for g, cents in rows],
+    )
+    k, n, msb, msw, icc = _icc_brute(rows)
+    got = con.execute(REG["stats_icc_oneway"].oracle).fetchone()
+    assert got[0] == k and got[1] == n
+    if msb is None:
+        assert got[2] is None or got[3] is None
+    else:
+        assert math.isclose(got[2], round(msb, 4), abs_tol=1e-4)
+        assert math.isclose(got[3], round(msw, 4), abs_tol=1e-4)
+        if icc is None:
+            assert got[4] is None
+        else:
+            assert math.isclose(got[4], round(icc, 6), abs_tol=1e-6)
+
+
+# ---------------------------------------------------------- durbin-watson
+
+_hourly_valued = st.lists(
+    st.tuples(
+        st.integers(0, 30),
+        st.sampled_from(["click", "view"]),
+        st.integers(-5, 5),
+    ),
+    min_size=1,
+    max_size=80,
+)
+
+
+def _dw_brute(rows):
+    grid: dict[tuple[str, int], int] = {}
+    for h, t, v in rows:
+        grid[(t, h)] = grid.get((t, h), 0) + v
+    out = []
+    for typ in sorted({t for t, _ in grid}):
+        hs = sorted(h for (t, h) in grid if t == typ)
+        vc = [grid[(typ, h)] * 100 for h in hs]
+        n = len(hs)
+        sh, sv = sum(hs), sum(vc)
+        shv = sum(h * v for h, v in zip(hs, vc))
+        shh = sum(h * h for h in hs)
+        den_i = n * shh - sh * sh
+        if den_i == 0:
+            out.append((typ, n, None, "none"))
+            continue
+        beta = float(n * shv - sh * sv) / float(den_i)
+        alpha = (float(sv) - beta * float(sh)) / float(n)
+        es = [v - (alpha + beta * h) for h, v in zip(hs, vc)]
+        qn = sum(
+            _rnd0((es[i] - es[i - 1]) * (es[i] - es[i - 1]) * 1e6)
+            for i in range(1, n)
+        )
+        qd = sum(_rnd0(e * e * 1e6) for e in es)
+        if qd == 0:
+            out.append((typ, n, None, "none"))
+            continue
+        dw = qn / qd
+        verdict = (
+            "positive_autocorr"
+            if dw < 1.5
+            else ("negative_autocorr" if dw > 2.5 else "none")
+        )
+        out.append((typ, n, round(dw, 6), verdict))
+    return out
+
+
+@settings(max_examples=40, deadline=None)
+@given(_hourly_valued)
+def test_durbin_watson_oracle_matches_brute(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(ts TIMESTAMP, event_type VARCHAR,"
+                " value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?)",
+        [
+            (
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(hours=h, minutes=19),
+                t,
+                float(v),
+            )
+            for h, t, v in rows
+        ],
+    )
+    got = sorted(con.execute(REG["ts_durbin_watson"].oracle).fetchall())
+    want = _dw_brute(rows)
+    assert [r[:2] for r in got] == [r[:2] for r in want]
+    for g, w in zip(got, want):
+        if w[2] is None:
+            assert g[2] is None
+        else:
+            assert math.isclose(g[2], w[2], abs_tol=1e-5)
+        assert g[3] == w[3]
