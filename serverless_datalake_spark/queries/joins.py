@@ -595,3 +595,127 @@ def join_fuzzy_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein(F.col("name_a"), F.col("name_b")).alias("dist"),
         )
     )
+
+
+@query(
+    "join_asof_interpolate",
+    oracle="""
+    WITH probes AS (
+      SELECT user_id, ts FROM events WHERE event_type = 'click'
+    ), obs AS (
+      SELECT user_id, ts, ROUND(SUM(value), 2) AS v
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ), j AS (
+      SELECT c.user_id,
+             CAST(FLOOR(EPOCH(CAST(c.ts AS TIMESTAMP))) AS BIGINT) AS t,
+             CAST(FLOOR(EPOCH(CAST(p.ts AS TIMESTAMP))) AS BIGINT) AS t0,
+             p.v AS v0,
+             CAST(FLOOR(EPOCH(CAST(n.ts AS TIMESTAMP))) AS BIGINT) AS t1,
+             n.v AS v1
+      FROM probes c
+      LEFT JOIN LATERAL (
+        SELECT ts, v FROM obs p
+        WHERE p.user_id = c.user_id AND p.ts <= c.ts
+        ORDER BY p.ts DESC LIMIT 1
+      ) p ON TRUE
+      LEFT JOIN LATERAL (
+        SELECT ts, v FROM obs n
+        WHERE n.user_id = c.user_id AND n.ts >= c.ts
+        ORDER BY n.ts ASC LIMIT 1
+      ) n ON TRUE
+    )
+    SELECT user_id, t AS probe_epoch, t0 AS prev_epoch, t1 AS next_epoch,
+           ROUND(CASE WHEN t0 IS NULL AND t1 IS NULL THEN NULL
+                      WHEN t0 IS NULL THEN v1
+                      WHEN t1 IS NULL THEN v0
+                      WHEN t1 = t0 THEN v0
+                      ELSE v0 + (v1 - v0) * (CAST(t - t0 AS DOUBLE)
+                                             / CAST(t1 - t0 AS DOUBLE))
+                 END, 4) AS value_interp,
+           CASE WHEN t0 IS NULL AND t1 IS NULL THEN 'none'
+                WHEN t0 IS NULL THEN 'backfill'
+                WHEN t1 IS NULL THEN 'hold'
+                WHEN t1 = t0 THEN 'exact'
+                ELSE 'interp' END AS method
+    FROM j
+    """,
+    tags=("join", "asof", "interpolate"),
+)
+def join_asof_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolating as-of join: each click probe gets the user's
+    purchase value LINEARLY INTERPOLATED between the bracketing
+    observations — the sensor-fusion variant the backward/forward/
+    nearest family cannot express (those snap to ONE side; fusing an
+    irregular signal onto another grid wants the value BETWEEN
+    samples). Composition of the SAME one-shuffle asof_join operator
+    run in both directions (operators/asof.py), so the plan is two
+    key-partitioned union+window passes — no range join, no explode.
+    Edge semantics are explicit in `method`: before the first
+    observation -> backfill, after the last -> hold, observation
+    exactly at the probe -> exact, no observations -> none.
+
+    Exactness: observations are pre-aggregated per (user, ts) with
+    the round-2 discipline, so asof ties are impossible by
+    construction (the LATERAL LIMIT 1 in the oracle would otherwise
+    pick an engine-dependent row); epochs are floored integer
+    seconds; the interpolation weight is ONE identical double
+    expression, its divisor strictly positive in the branch where it
+    runs (the t1 = t0 case is caught first — on floored seconds, so
+    sub-second brackets degrade to 'exact' identically in both
+    engines)."""
+    e = load_table(spark, sf_dir, "events")
+    probes = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    obs = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.round(F.sum("value"), 2).alias("v"))
+    )
+    j = asof_join(
+        probes,
+        obs,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "v"],
+        prefix="prev_",
+        direction="backward",
+    )
+    j = asof_join(
+        j,
+        obs,
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts", "v"],
+        prefix="next_",
+        direction="forward",
+    )
+    t = F.col("ts").cast("timestamp").cast("long")
+    t0 = F.col("prev_ts").cast("timestamp").cast("long")
+    t1 = F.col("next_ts").cast("timestamp").cast("long")
+    v0, v1 = F.col("prev_v"), F.col("next_v")
+    interp = v0 + (v1 - v0) * (
+        (t - t0).cast("double") / (t1 - t0).cast("double")
+    )
+    val = (
+        F.when(t0.isNull() & t1.isNull(), F.lit(None).cast("double"))
+        .when(t0.isNull(), v1)
+        .when(t1.isNull(), v0)
+        .when(t1 == t0, v0)
+        .otherwise(interp)
+    )
+    method = (
+        F.when(t0.isNull() & t1.isNull(), "none")
+        .when(t0.isNull(), "backfill")
+        .when(t1.isNull(), "hold")
+        .when(t1 == t0, "exact")
+        .otherwise("interp")
+    )
+    return j.select(
+        "user_id",
+        t.alias("probe_epoch"),
+        t0.alias("prev_epoch"),
+        t1.alias("next_epoch"),
+        F.round(val, 4).alias("value_interp"),
+        method.alias("method"),
+    )

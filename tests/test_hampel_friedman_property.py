@@ -1,6 +1,7 @@
 """Property tests for the round-9 final-session additions (Friedman,
 Hampel, Cochran's Q, Page trend, Bartlett, seasonal Mann-Kendall,
-ICC(1), Durbin-Watson): each query's oracle SQL must equal
+ICC(1), Durbin-Watson, interpolating as-of join): each query's
+oracle SQL must equal
 brute-force Python on arbitrary small inputs (incomplete blocks,
 heavy ties, degenerate MAD=0 windows, all-0/all-1 rows,
 zero-variance groups, 0/1-member seasons, singleton designs,
@@ -547,3 +548,80 @@ def test_durbin_watson_oracle_matches_brute(rows):
         else:
             assert math.isclose(g[2], w[2], abs_tol=1e-5)
         assert g[3] == w[3]
+
+
+# ------------------------------------------------------- asof interpolate
+
+_click_purchase = st.lists(
+    st.tuples(
+        st.integers(0, 20),
+        st.integers(0, 2),
+        st.sampled_from(["click", "purchase"]),
+        st.integers(-9, 9),
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _interp_brute(rows):
+    obs: dict[tuple[int, int], int] = {}
+    for h, u, t, v in rows:
+        if t == "purchase":
+            obs[(u, h)] = obs.get((u, h), 0) + v
+    out = []
+    for h, u, t, _ in rows:
+        if t != "click":
+            continue
+        tt = h * 3600 + 420
+        prevs = [hh for (uu, hh) in obs if uu == u and hh <= h]
+        nexts = [hh for (uu, hh) in obs if uu == u and hh >= h]
+        t0 = max(prevs) * 3600 + 420 if prevs else None
+        t1 = min(nexts) * 3600 + 420 if nexts else None
+        v0 = float(obs[(u, max(prevs))]) if prevs else None
+        v1 = float(obs[(u, min(nexts))]) if nexts else None
+        if t0 is None and t1 is None:
+            val, method = None, "none"
+        elif t0 is None:
+            val, method = v1, "backfill"
+        elif t1 is None:
+            val, method = v0, "hold"
+        elif t1 == t0:
+            val, method = v0, "exact"
+        else:
+            val = v0 + (v1 - v0) * (float(tt - t0) / float(t1 - t0))
+            method = "interp"
+        out.append(
+            (u, tt, t0, t1, round(val, 4) if val is not None else None, method)
+        )
+    return sorted(out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_click_purchase)
+def test_asof_interpolate_oracle_matches_brute(rows):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE events(ts TIMESTAMP, user_id BIGINT,"
+                " event_type VARCHAR, value DOUBLE)")
+    con.executemany(
+        "INSERT INTO events VALUES (?, ?, ?, ?)",
+        [
+            (
+                datetime.datetime(1970, 1, 1)
+                + datetime.timedelta(hours=h, minutes=7),
+                u,
+                t,
+                float(v),
+            )
+            for h, u, t, v in rows
+        ],
+    )
+    got = sorted(con.execute(REG["join_asof_interpolate"].oracle).fetchall())
+    want = _interp_brute(rows)
+    assert [r[:4] for r in got] == [r[:4] for r in want]
+    assert [r[5] for r in got] == [r[5] for r in want]
+    for g, w in zip(got, want):
+        if w[4] is None:
+            assert g[4] is None
+        else:
+            assert math.isclose(g[4], w[4], abs_tol=1e-9)
