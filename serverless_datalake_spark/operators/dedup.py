@@ -261,6 +261,10 @@ def lsh_candidate_pairs(
     collide in ≥1 band. The only shuffle is the bucket self-join on
     (band_id, band_hash) — Jaccard-similar docs collide whp, so output
     size tracks true near-dups."""
+    # NOT pinned: both self-join sides shuffle on the same
+    # (band_id, band_hash) key, so AQE's ReusedExchange serves the
+    # second side from the first side's shuffle output — a pin was
+    # measured SLOWER at sf0.1 (materialization > the free reuse)
     banded = banded_membership(signatures, bands, num_hashes)
     a = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_a"))
     b = banded.select("band_id", "band_hash", F.col("doc_id").alias("doc_b"))
@@ -311,6 +315,10 @@ def minhash_dedup_survivors(
     iterating — at real scale run this repeatedly to fixpoint, each
     pass one shuffle)."""
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, k)
+    # NOT pinned: the bucket-rep aggregate and the assignment join
+    # shuffle the banded relation on the same (band_id, band_hash)
+    # key, so AQE's ReusedExchange computes the signature fold once —
+    # a pin was measured SLOWER at sf0.1 (1.53 -> 1.88 s min-of-3)
     banded = banded_membership(sigs, bands, num_hashes)
     bucket_rep = banded.groupBy("band_id", "band_hash").agg(
         F.min("doc_id").alias("bucket_rep")

@@ -1545,11 +1545,18 @@ def mixture_doremi_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one vocabulary count shuffle, one (source, token)
     shuffle, a token-keyed broadcast join of the LM — all reductions
     before any window; the weight table is source-grain (a handful of
-    rows at any corpus size)."""
+    rows at any corpus size). Branches re-reading cnt/excess ride
+    AQE's ReusedExchange (identical-keyed subtrees), so the corpus is
+    physically tokenized twice, not once per consumer."""
     from serverless_datalake_spark.operators import textops
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("source", F.explode(textops.tokens(F.col("text"))).alias("t"))
+    # NOT pinned/restructured (round-9 optimization A/B): every branch
+    # that re-reads cnt or the (source, token) counts hangs off an
+    # identical-keyed exchange, which AQE's ReusedExchange serves from
+    # one computation — pinning st+cnt measured 0.97 -> 1.28 s at
+    # sf0.1 (materialization > the free reuse).
     cnt = tok.groupBy("t").agg(F.count(F.lit(1)).cast("long").alias("c"))
     tot = cnt.groupBy().agg(
         F.sum("c").cast("long").alias("n"), F.count(F.lit(1)).cast("long").alias("v")
@@ -2087,9 +2094,10 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributions summed as an ORDERED fold over the bucket-sorted
     list, final weight rounded at 6.
 
-    Scale shape: two bucket-grain aggregates (256-row outputs,
-    broadcast back), one (doc, bucket) count shuffle, a per-doc fold
-    bounded by 256 — no corpus-sized state anywhere; the exact
+    Scale shape: TWO tokenize passes — one aggregated to the pinned
+    ≤256×n_langs (bucket, lang) relation that derives both LM count
+    sides (broadcast back), one to the (doc, bucket) counts — a
+    per-doc fold bounded by 256, no corpus-sized state anywhere; the exact
     NTILE(5) selection runs through `with_global_ntile`
     (operators/ranking.py) — range-partitioned two-pass rank, no
     single-task sort at doc grain, bit-identical to the global
@@ -2102,9 +2110,19 @@ def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(F.filter(F.split("text", " "), lambda x: x != "")).alias("t"),
     ).select("doc_id", "lang", (md5_key32(F.col("t")) % 256).alias("b"))
-    qc = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cq"))
-    pc = tok.where(F.col("lang") == "en").groupBy("b").agg(
-        F.count(F.lit(1)).alias("cp")
+    # ONE (bucket, lang) aggregate feeds BOTH LM count relations (sums
+    # of per-lang counts are the same integers the direct counts
+    # were): qc and pc differ only by the en filter, whose pushed-down
+    # predicate made their subtrees distinct — no exchange reuse, two
+    # full explode+md5 passes. bl is ≤ 256 × n_langs rows, so the pin
+    # is free and saves a whole corpus pass. (Pinning the far larger
+    # (doc, bucket) relation instead measured SLOWER at sf0.1 — 2.34
+    # -> 2.77 s — the round-9 A/B; the materialization exceeded the
+    # saved rescan.)
+    bl = _pin(tok.groupBy("b", "lang").agg(F.count(F.lit(1)).alias("k")))
+    qc = bl.groupBy("b").agg(F.sum("k").alias("cq"))
+    pc = bl.where(F.col("lang") == "en").groupBy("b").agg(
+        F.sum("k").alias("cp")
     )
     tots = qc.agg(F.sum("cq").alias("nq")).crossJoin(
         pc.agg(F.coalesce(F.sum("cp"), F.lit(0)).alias("np"))

@@ -98,6 +98,9 @@ def eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         % 10
         < 3
     )
+    # NOT pinned: the three k-branches hang off this identical
+    # groupBy(task_id) subtree, which AQE's ReusedExchange computes
+    # once — a pin measured neutral-to-slower at sf0.1 (round-9 A/B)
     tasks = (
         ev.select(
             (F.col("event_id") % 64).alias("task_id"),

@@ -6,7 +6,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from serverless_datalake_spark.operators import dedup, similarity
+from serverless_datalake_spark.operators import dedup, pin as _pin, similarity
 from serverless_datalake_spark.operators.dedup import _MINHASH_P, minhash_params
 from serverless_datalake_spark.queries import query
 from serverless_datalake_spark.tables import load_table
@@ -355,7 +355,11 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ivf_assign_arrow silently sends zero-norm vectors to the first
     # centroid where the ANSI expression twin would raise — fixture
     # embeddings are validated non-degenerate (see its docstring)
-    asg = (
+    # pinned: asg feeds both self-join sides AND the final dup-flag
+    # attach — unpinned, the Arrow centroid-assignment UDF pass over
+    # the corpus (the expensive JVM↔Python crossing) executed three
+    # times per run (guide §4: pay the Python boundary once)
+    asg = _pin(
         em.select("vec_id", _as_double(F.col("embedding")).alias("__v"))
         .withColumn("cluster_id", ivf_assign_arrow(rows, "__v"))
         .withColumn("__nv", norm(F.col("__v")))
@@ -508,17 +512,27 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact_dup column here is the verification twin (broadcast
     fingerprint set), kept because the fixture reference is small."""
     docs = load_table(spark, sf_dir, "documents")
-    h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
-    h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
 
-    def probes(m):
+    def fp_h1(fp):
+        return F.conv(F.substring(fp, 1, 8), 16, 10).cast("long")
+
+    def fp_h2(fp):
+        return F.conv(F.substring(fp, 9, 8), 16, 10).cast("long")
+
+    def probes(fp, m):
+        h1, h2 = fp_h1(fp), fp_h2(fp)
         return F.transform(
             F.sequence(F.lit(0), F.lit(_BLOOM_K - 1)),
             lambda i: (h1 + i.cast("long") * h2) % m,
         )
 
     ref = docs.filter(F.col("doc_id") % 3 != 0)
-    mm = ref.groupBy().agg(
+    # everything on the reference side (sizing count, probe positions,
+    # exact-fingerprint set) is a function of md5(text) — pin the
+    # fingerprint projection once and derive all three, instead of
+    # re-scanning the reference text per consumer (4 scans before)
+    rfp = _pin(ref.select(F.md5("text").alias("fp")))
+    mm = rfp.groupBy().agg(
         (F.lit(_BLOOM_BITS_PER_KEY) * F.count(F.lit(1))).cast("long").alias("m")
     )
     # the set-bit relation IS the bitset; membership = broadcast HASH
@@ -526,21 +540,20 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linear array_contains scan per probe, measured 4x slower at
     # sf0.1)
     set_bits = (
-        ref.crossJoin(F.broadcast(mm))
-        .select(F.explode(probes(F.col("m"))).alias("pos"))
+        rfp.crossJoin(F.broadcast(mm))
+        .select(F.explode(probes(F.col("fp"), F.col("m"))).alias("pos"))
         .distinct()
         .withColumn("__set", F.lit(True))
     )
-    ref_fp = ref.select(F.md5("text").alias("fp")).distinct().withColumn(
-        "__hit", F.lit(True)
-    )
+    ref_fp = rfp.select("fp").distinct().withColumn("__hit", F.lit(True))
     new_pos = (
         docs.filter(F.col("doc_id") % 2 == 0)
+        .select("doc_id", F.md5("text").alias("fp"))
         .crossJoin(F.broadcast(mm))
         .select(
             "doc_id",
-            F.md5("text").alias("fp"),
-            F.explode(probes(F.col("m"))).alias("pos"),
+            "fp",
+            F.explode(probes(F.col("fp"), F.col("m"))).alias("pos"),
         )
     )
     per_doc = (
@@ -729,7 +742,11 @@ def pipeline_llm_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
     bloom bitset; the corpus is scanned twice (once for the LM counts,
     once as the batch side); every gate is a filter or broadcast join
     stacked into the same DAG — no materialization barriers between
-    stages, so Catalyst pipelines the whole curation pass."""
+    stages, so Catalyst pipelines the whole curation pass. The
+    multi-consumer branch points (cnt, nll, temp) are identical-keyed
+    subtrees that AQE's ReusedExchange computes once — pinning them
+    (and the reference fingerprints) was measured slower at sf0.1
+    (round-9 optimization A/B)."""
     docs = load_table(spark, sf_dir, "documents")
     h1 = F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("long")
     h2 = F.conv(F.substring(F.md5("text"), 9, 8), 16, 10).cast("long")
@@ -741,6 +758,11 @@ def pipeline_llm_curation2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ref = docs.filter(F.col("doc_id") % 3 != 0)
+    # NOT restructured onto a pinned fingerprint projection (the
+    # dedup_bloom_incremental layout): here the sizing aggregate needs
+    # only a count (no md5), so the pin trades a cheap count scan for
+    # a materialization barrier — measured 2.69 -> 2.95 s at sf0.1
+    # (round-9 per-query B/A/B/A)
     mm = ref.groupBy().agg(
         (F.lit(_BLOOM_BITS_PER_KEY) * F.count(F.lit(1))).cast("long").alias("m")
     )
@@ -996,8 +1018,10 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number trick); the one division rounds at 6.
 
     Scale shape: the shingle relation is token-grain (one row per
-    position — same cardinality as text_tfidf's explode); duplicated
-    fps come from ONE hash aggregate; the flag join is hash-on-fp.
+    position — same cardinality as text_tfidf's explode); the
+    duplicate flag is min≠max(doc_id) over the fp-partitioned window,
+    ONE shuffle of the shingle relation with no self-join (the flag
+    join restated as a window so sh is computed once, not four times).
     At 100 TB this is exactly the published MinHash-scale pipeline
     with fp as the shuffle key; no pairwise comparison anywhere."""
     from pyspark.sql import Window
@@ -1015,13 +1039,22 @@ def dedup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.md5(F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K))).alias("fp"),
     )
-    dup = sh.groupBy("fp").agg(
-        F.countDistinct("doc_id").alias("nd")
-    ).where(F.col("nd") >= 2).select("fp")
-    flagged = sh.join(
-        dup.withColumnRenamed("fp", "dfp"), F.col("fp") == F.col("dfp"), "left"
-    ).select(
-        "doc_id", "p", F.when(F.col("dfp").isNotNull(), 1).otherwise(0).alias("f")
+    # one pass instead of four: a position is duplicated iff its fp
+    # occurs in >=2 distinct docs ⇔ min(doc_id)≠max(doc_id) within the
+    # fp partition — an fp-partitioned window over the shingle
+    # relation, so the dup-fp aggregate + flag join (which re-derived
+    # the md5 shingle scan on both sides) collapse into ONE shuffle of
+    # sh. The fp strings are dropped before the pin, so the
+    # materialized branch point is three ints per position.
+    wfp = Window.partitionBy("fp")
+    flagged = _pin(
+        sh.select(
+            "doc_id",
+            "p",
+            F.when(
+                F.min("doc_id").over(wfp) != F.max("doc_id").over(wfp), 1
+            ).otherwise(0).alias("f"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy("p")
     runs = (
@@ -1284,9 +1317,9 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with no shared span) pass through with n_removed = 0 and
     kept_fp = fingerprint(original).
 
-    Scale shape: the shingle relation, duplicate-fp aggregate and flag
-    join are shared with dedup_ngram_spans (fp-keyed, no pairwise
-    work); covered positions aggregate per doc (one doc_id shuffle,
+    Scale shape: the shingle relation and fp-partitioned duplicate
+    window are shared with dedup_ngram_spans (fp-keyed, one shingle
+    pass, no pairwise work); covered positions aggregate per doc (one doc_id shuffle,
     output bounded by token count), and the rewrite is a doc-local HOF
     over (toks, covered). The membership filter is O(n * |covered|)
     per doc — fine at fixture lengths; for 100k-token documents sort
@@ -1308,14 +1341,20 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p",
         F.md5(F.concat_ws(" ", F.slice("toks", F.col("p"), _SPAN_K))).alias("fp"),
     )
-    dup = (
-        sh.groupBy("fp")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("fp")
-    )
+    # duplicated-shingle flag as an fp-partitioned window (min≠max
+    # doc_id ⇔ ≥2 distinct docs) instead of a dup-fp aggregate + flag
+    # join whose two sides each re-derived the md5 shingle scan — the
+    # dedup_ngram_spans rewrite; sh is computed once, one fp shuffle
     cov = (
-        sh.join(dup, "fp")
+        sh.select(
+            "doc_id",
+            "p",
+            (
+                F.min("doc_id").over(Window.partitionBy("fp"))
+                != F.max("doc_id").over(Window.partitionBy("fp"))
+            ).alias("__dup"),
+        )
+        .where(F.col("__dup"))
         .groupBy("doc_id")
         .agg(
             F.array_distinct(

@@ -378,6 +378,10 @@ def text_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.filter(F.split(F.col("text"), " "), lambda x: x != "")).alias("t"),
     )
+    # NOT pinned: the windowed contribution relation and the 1-row
+    # grand total aggregate both hang off the same groupBy(source, t)
+    # exchange, which AQE reuses — a pin measured 0.55 -> 0.71 s at
+    # sf0.1 (round-9 optimization A/B)
     st = tok.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
     # per-source and per-token totals as windows over the ALREADY
     # vocabulary-sized count relation (no self-joins, no recompute of
@@ -461,10 +465,13 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     output), one (doc, token) count shuffle, a token-keyed join of the
     per-doc counts against the vocabulary-sized LM (AQE broadcasts the
     LM side in practice), and a per-doc fold bounded by the document's
-    distinct-token count. The token subtree feeds two aggregations, so
-    the raw text is read twice (cache or materialize the exploded
-    tokens to make it one physical scan at 100 TB); no self-joins;
-    nothing corpus-sized crosses the driver."""
+    distinct-token count. The token subtree feeds two different-keyed
+    aggregations, so the raw text is read twice (measured round 9:
+    pinning the (doc, token) counts to make it one physical scan was
+    0.80 -> 1.27 s at sf0.1 — the materialization costs more than the
+    vectorized rescan; AQE exchange reuse already dedups the
+    identical-keyed branches); no self-joins; nothing corpus-sized
+    crosses the driver."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
