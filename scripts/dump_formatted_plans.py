@@ -32,7 +32,16 @@ def main() -> None:
     reg = load_registry()
     for name in names:
         df = reg[name].fn(spark, sf_dir)
-        txt = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        # capture the public explain() output instead of reaching into
+        # private JVM internals (round-9 advisor finding): identical
+        # text, stable across Spark versions
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        txt = buf.getvalue()
         with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
             f.write(txt)
         print(f"wrote {name}_{suffix}.txt ({len(txt)} B)")

@@ -30,7 +30,9 @@ def main() -> None:
         reg[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         return time.time() - t0
 
-    once("scan_project")  # warmup
+    # warmup: JVM + codegen (fall back to the first requested name if
+    # the canonical warmup query is ever renamed — round-9 advisor)
+    once("scan_project" if "scan_project" in reg else names[0])
     if os.environ.get("SPARK_GRAFT_TIME_CALIBRATE") == "1":
         from bench import calibration_run
 

@@ -896,50 +896,69 @@ def sample_poisson_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     Poisson inverse-CDF thresholds are exact double literals shared
     by both engines; replica sums use exact integer cents.
 
-    Scale shape: a 32× flatMap expansion feeding ONE partial-agg
-    shuffle of 32 groups; the replica relation is B rows. Hashing is
-    the dominant per-row cost, so the uniforms come from 4 md5 calls
-    per ROW (each 128-bit digest is split into 8 independent 32-bit
-    hex chunks, computed BEFORE the explode and indexed after) rather
-    than one md5 per (row, replica) — an 8× hash reduction measured
-    ~5× end-to-end at sf0.1. (At 100 TB you'd additionally fold the
-    32 weights into one pass as 32 agg columns to skip the expansion —
-    same algebra, wider combiner.)"""
+    Scale shape: NO row expansion — the 32 replica weights are agg
+    columns over one digest projection (the "wider combiner"), split
+    into 4 slice aggregates of 16 columns so every generated method
+    stays under the JVM JIT compile limit (see the in-code note).
+    The uniforms come from 4 md5 calls per ROW (each 128-bit digest
+    is split into 8 independent 16-bit hex chunks) rather than one
+    md5 per (row, replica) — an 8× hash reduction."""
+    from serverless_datalake_spark.operators import pin as _pin
+
     li = load_table(spark, sf_dir, "lineitem")
     reps = 32
     cents = F.round(F.col("l_extendedprice") * 100.0, 0).cast("long")
-    # The whole bootstrap is ONE scan with 64 agg columns (the "wider
-    # combiner" shape the 100 TB note describes): per row, 4 md5
-    # digests (FLAT column expressions — whole-stage codegen; a
-    # transform() lambda runs interpreted and measured 2× slower)
-    # yield 32 16-bit uniform chunks, each cut against the Poisson
-    # thresholds by plain string comparison. No row expansion, no
-    # Generate, no shuffle beyond the singleton aggregate — the
-    # original 32× explode + per-replica md5+conv measured ~21 s at
-    # sf0.1; this is ~2.5 s, scan-bound.
+    # The bootstrap is 4 SLICE aggregates of 16 columns each over ONE
+    # pinned digest projection, not one 64-column aggregate. The
+    # single-aggregate spelling (round 4..9) fused 32 when-chains + 64
+    # sum updates into one generated method far past the JVM JIT's
+    # compile limit (~8 KB bytecode): HotSpot refused to compile it
+    # and the whole stage ran as interpreted bytecode — measured 8.5 s
+    # for the aggregate alone at sf0.1, SLOWER than Spark's own
+    # interpreted path (wholeStage off: 5.9 s). Slicing the aggregate
+    # keeps every generated method JIT-compilable: 16-column slices
+    # measured 3.0 s end-to-end (round-10 A/B; 32-col slices 3.4 s,
+    # one 64-col agg 8.5 s — the cliff is between 32 and 64). The
+    # digest projection is pinned so the 4 slices share one scan +
+    # md5 pass; it is (4×32-char hex + cents) per row — at cluster
+    # scale each slice needs only ITS digest column d_g (replicas
+    # 8g..8g+7), so the same shape works with per-slice single-digest
+    # projections (1 md5/row/slice) instead of an executor-resident
+    # corpus pin. The original 32× explode + per-replica md5+conv
+    # measured ~21 s at sf0.1 — kept out.
     t = _bootstrap_thresholds()
     rk = (F.col("l_orderkey") * 16 + F.col("l_linenumber")).cast("string")
     digests = [F.md5(F.concat_ws("_", rk, F.lit(str(g)))) for g in range(reps // 8)]
-    wcols = []
-    for b in range(reps):
-        chunk = F.substring(digests[b // 8], (b % 8) * 4 + 1, 4)
-        wcols.append(
+    rows = _pin(
+        li.select(
+            *[d.alias(f"d{g}") for g, d in enumerate(digests)], cents.alias("cents")
+        )
+    )
+
+    def w_expr(b):
+        chunk = F.substring(F.col(f"d{b // 8}"), (b % 8) * 4 + 1, 4)
+        return (
             F.when(chunk < t[0], 0)
             .when(chunk < t[1], 1)
             .when(chunk < t[2], 2)
             .when(chunk < t[3], 3)
             .when(chunk < t[4], 4)
             .otherwise(5)
-            .alias(f"w{b}")
         )
-    rows = li.select(*wcols, cents.alias("cents"))
-    aggs = []
-    for b in range(reps):
-        aggs.append(F.sum(f"w{b}").alias(f"n{b}"))
-        aggs.append(F.sum(F.col(f"w{b}") * F.col("cents")).alias(f"s{b}"))
-    aggs.append(F.sum("cents").alias("tot_cents"))
-    aggs.append(F.count(F.lit(1)).alias("n_rows"))
-    one = rows.agg(*aggs)
+
+    def slice_agg(lo: int, hi: int) -> DataFrame:
+        aggs = []
+        for b in range(lo, hi):
+            aggs.append(F.sum(w_expr(b)).alias(f"n{b}"))
+            aggs.append(F.sum(w_expr(b) * F.col("cents")).alias(f"s{b}"))
+        if lo == 0:
+            aggs.append(F.sum("cents").alias("tot_cents"))
+            aggs.append(F.count(F.lit(1)).alias("n_rows"))
+        return rows.agg(*aggs)
+
+    one = slice_agg(0, 8)
+    for lo in range(8, reps, 8):
+        one = one.crossJoin(slice_agg(lo, lo + 8))
     means = [
         F.round(
             (F.col(f"s{b}").cast("double") / 100.0) / F.col(f"n{b}").cast("double"), 6
