@@ -1028,75 +1028,103 @@ def stats_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     one division; the extremeness comparison runs on identical doubles
     in both engines.
 
-    Scale shape: the resample relation is rows × B — embarrassingly
-    parallel, partial-aggregated map-side to B rows before the single
-    tiny shuffle (the sample_poisson_bootstrap pattern); B is the
-    knob that trades p-value resolution for scan multiplication. The
+    Scale shape: NO row expansion — all B resample sums are agg
+    columns over one pass (the sample_poisson_bootstrap "wider
+    combiner"), sliced into JIT-compilable 16-column aggregates; the
+    complementary group's sums derive exactly as total − group-1. The
     B labels for a row are the 64 BITS of ONE md5 per row (two 32-bit
-    hex chunks), not B separate md5 calls — hashing is the dominant
-    per-row cost of resampling, and one-hash-many-bits cuts it B× (the
-    measured win at sf0.1 was ~5×; at 100 TB the scan-multiplication
-    term is all bit-shifts)."""
+    hex chunks), not B separate md5 calls — one-hash-many-bits cuts
+    hashing B×, and the per-replica term is a shift+mask."""
+    from serverless_datalake_spark.operators import pin as _pin
+
     li = load_table(spark, sf_dir, "lineitem")
     h = F.md5(
         F.concat_ws("-", F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"))
     )
-    rows_k = li.select(
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
-        F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("cents"),
-    )
-    obs = rows_k.agg(
-        F.sum("grp").cast("long").alias("n1"),
-        F.sum(F.lit(1) - F.col("grp")).cast("long").alias("n0"),
-        F.sum(F.col("grp") * F.col("cents")).cast("long").alias("s1"),
-        F.sum((F.lit(1) - F.col("grp")) * F.col("cents")).cast("long").alias("s0"),
-    )
-    resamp = rows_k.select(
-        "h1", "h2", "cents", F.explode(F.sequence(F.lit(1), F.lit(_PERM_B))).alias("b")
-    ).select(
-        "b",
-        "cents",
-        F.expr(
-            "CAST((CASE WHEN b <= 32 THEN h1 DIV CAST(POW(2, b - 1) AS BIGINT)"
-            "           ELSE h2 DIV CAST(POW(2, b - 33) AS BIGINT) END) % 2 AS BIGINT)"
-        ).alias("pgrp"),
-    )
-    per_b = resamp.groupBy("b").agg(
-        F.sum("pgrp").cast("long").alias("pn1"),
-        F.sum(F.lit(1) - F.col("pgrp")).cast("long").alias("pn0"),
-        F.sum(F.col("pgrp") * F.col("cents")).cast("long").alias("ps1"),
-        F.sum((F.lit(1) - F.col("pgrp")) * F.col("cents")).cast("long").alias("ps0"),
-    )
-    od = F.col("s1").cast("double") / F.col("n1").cast("double") - F.col("s0").cast(
-        "double"
-    ) / F.col("n0").cast("double")
-    pd_ = F.col("ps1").cast("double") / F.col("pn1").cast("double") - F.col("ps0").cast(
-        "double"
-    ) / F.col("pn0").cast("double")
-    stat = (
-        per_b.crossJoin(F.broadcast(obs))
-        .groupBy("n1", "n0", "s1", "s0")
-        .agg(
-            F.sum(
-                F.when(
-                    (F.col("pn1") > 0) & (F.col("pn0") > 0) & (F.abs(pd_) >= F.abs(od)),
-                    1,
-                ).otherwise(0)
-            )
-            .cast("long")
-            .alias("n_extreme")
+    # ONE corpus pass, NO row expansion (round-10 rewrite): the old
+    # shape exploded rows × B=64 through a (b)-keyed partial aggregate
+    # — 64× the rows of the scan through the combiner — plus a second
+    # full scan for the observed sums. All 64 resample sums are plain
+    # agg columns over the same rows (pn0/ps0 derived exactly as
+    # row_total − pn1/ps1), so the resampling costs ONE pass with 2
+    # sums per replica. The 128 agg columns are split into 8 slice
+    # aggregates of 16 so each generated update method stays under the
+    # JVM JIT compile threshold (the sample_poisson_bootstrap cliff:
+    # one 64-column aggregate ran interpreted at 3× the cost); the
+    # slices share one pinned (h1, h2, grp, cents) projection — 4
+    # longs/row, the narrow proxy the shuffle-light shape needs.
+    # Measured B/A/B/A at sf0.1: 6.7 s → 2.2 s (explode → slices).
+    rows_k = _pin(
+        li.select(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("grp"),
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("long").alias("cents"),
         )
     )
-    return stat.select(
-        F.col("n1").alias("n_returned"),
-        F.col("n0").alias("n_other"),
-        F.round(od / 100.0, 4).alias("obs_diff_mean"),
+
+    # All wide expression lists are shipped as F.expr SQL strings, not
+    # nested Column objects: a 64-term Column fold costs seconds of
+    # py4j plan-BUILD time (the round-3 finding; measured here: 4-7 s
+    # build vs 2 s execution with Column objects).
+    def pgrp_sql(b: int) -> str:
+        # bit b of the 64-bit (h1, h2) uniform: identical integers to
+        # the oracle's h DIV 2^(b-1) % 2 (h non-negative < 2^32)
+        return (
+            f"(shiftright(h1, {b - 1}) & 1)"
+            if b <= 32
+            else f"(shiftright(h2, {b - 33}) & 1)"
+        )
+
+    def slice_agg(lo: int, hi: int):
+        aggs = []
+        if lo == 1:
+            aggs += [
+                "CAST(sum(grp) AS BIGINT) AS n1",
+                "CAST(sum(1 - grp) AS BIGINT) AS n0",
+                "CAST(sum(grp * cents) AS BIGINT) AS s1",
+                "CAST(sum((1 - grp) * cents) AS BIGINT) AS s0",
+            ]
+        for b in range(lo, hi + 1):
+            aggs.append(f"CAST(sum({pgrp_sql(b)}) AS BIGINT) AS pn1_{b}")
+            aggs.append(
+                f"CAST(sum({pgrp_sql(b)} * cents) AS BIGINT) AS ps1_{b}"
+            )
+        return rows_k.agg(*[F.expr(a) for a in aggs])
+
+    one = slice_agg(1, 8)
+    for lo in range(9, _PERM_B + 1, 8):
+        one = one.crossJoin(slice_agg(lo, lo + 7))
+
+    od_sql = (
+        "(CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+        " - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+    )
+    terms = []
+    for b in range(1, _PERM_B + 1):
+        pn0 = f"((n1 + n0) - pn1_{b})"
+        ps0 = f"((s1 + s0) - ps1_{b})"
+        pd_ = (
+            f"(CAST(ps1_{b} AS DOUBLE) / CAST(pn1_{b} AS DOUBLE)"
+            f" - CAST({ps0} AS DOUBLE) / CAST({pn0} AS DOUBLE))"
+        )
+        terms.append(
+            f"(CASE WHEN pn1_{b} > 0 AND {pn0} > 0"
+            f" AND ABS({pd_}) >= __abs_od THEN 1 ELSE 0 END)"
+        )
+    n_extreme_sql = "CAST((" + " + ".join(terms) + ") AS BIGINT)"
+    staged = one.selectExpr(
+        "*", f"ABS({od_sql}) AS __abs_od"
+    ).selectExpr(
+        "n1", "n0", "s1", "s0", f"{n_extreme_sql} AS n_extreme"
+    )
+    return staged.selectExpr(
+        "n1 AS n_returned",
+        "n0 AS n_other",
+        f"ROUND({od_sql} / 100.0, 4) AS obs_diff_mean",
         "n_extreme",
-        F.round(
-            (F.col("n_extreme") + 1).cast("double") / F.lit(float(_PERM_B + 1)), 6
-        ).alias("p_value"),
+        f"ROUND(CAST(n_extreme + 1 AS DOUBLE)"
+        f" / CAST({float(_PERM_B + 1)} AS DOUBLE), 6) AS p_value",
     )
 
 
