@@ -378,24 +378,33 @@ def minhash_dedup_components(
     # membership rows, 5000 -> 477 label rows), and at corpus scale
     # this is the difference between iterating over 100 TB of docs
     # and iterating over the near-dup candidates only.
-    bucket_sizes = all_membership.groupBy("band_id", "band_hash").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
+    from pyspark.sql import Window
+
+    _wband = Window.partitionBy("band_id", "band_hash")
+    # Bucket-size pruning via a window over the band exchange, not a
+    # groupBy + join-back: a window partitioned like the preceding
+    # grouping reuses ONE shuffle where the join-back spelling paid
+    # two plus a join (guide §2.4) — round-10 loop rewrite.
+    #
     # Eager checkpoint, not cache(): the loop's per-iteration plans
-    # embed this relation's LOGICAL subtree several times (two joins +
-    # the jump self-join), and a cache does not truncate the logical
-    # plan — with the pruning join in the lineage the iteration trees
-    # grew ~4x per round and Catalyst/py4j time dominated the loop
-    # (measured: the sf0.1 fixpoint SLOWED 10.5 s -> 16 s until this
-    # cut). A flat LogicalRDD keeps every iteration's tree O(labels
-    # lineage) regardless of how membership was derived. Blocks are
-    # executor-resident like the cache they replace; iteration-
-    # boundary cut, sanctioned per operators.pin.
+    # embed this relation's LOGICAL subtree several times, and a cache
+    # does not truncate the logical plan — with the pruning in the
+    # lineage the iteration trees grew ~4x per round and Catalyst/py4j
+    # time dominated the loop (measured: the sf0.1 fixpoint SLOWED
+    # 10.5 s -> 16 s until this cut). A flat LogicalRDD keeps every
+    # iteration's tree O(labels lineage). Blocks are executor-resident
+    # like the cache they replace; iteration-boundary cut, sanctioned
+    # per operators.pin. The checkpoint is taken AFTER a repartition
+    # on doc_id, and LogicalRDD retains that output partitioning: the
+    # per-iteration label join on doc_id then never reshuffles the
+    # membership side — only the (smaller) label relation moves. At
+    # cluster scale this is the bucketed-layout discipline applied to
+    # the loop relation.
     membership = (
-        all_membership.join(
-            bucket_sizes.where(F.col("__n") >= 2), ["band_id", "band_hash"]
-        )
+        all_membership.withColumn("__n", F.count(F.lit(1)).over(_wband))
+        .where(F.col("__n") >= 2)
         .drop("__n")
+        .repartition("doc_id")
         .localCheckpoint(eager=True)
     )
     multi_docs = membership.select("doc_id").distinct()
@@ -424,13 +433,21 @@ def minhash_dedup_components(
     n_iters = 0
     converged = False
     for it in range(max_iters):
-        bucket_min = (
-            membership.join(labels, "doc_id")
-            .groupBy("band_id", "band_hash")
-            .agg(F.min("label").alias("bucket_label"))
+        # Per-iteration shape (round-10 rewrite): bucket minima come
+        # from a WINDOW over the band exchange instead of a groupBy
+        # whose result joined BACK against membership — the join-back
+        # shuffled the membership relation a second time every round
+        # (guide §2.4: a window partitioned by the aggregation key
+        # shares its exchange). Iteration 0 skips the label join
+        # entirely: labels are identity there, so min(label) over the
+        # bucket IS min(doc_id) over the bucket.
+        joined = (
+            membership.withColumn("label", F.col("doc_id"))
+            if it == 0
+            else membership.join(labels, "doc_id")
         )
         neighbor_min = (
-            membership.join(bucket_min, ["band_id", "band_hash"])
+            joined.withColumn("bucket_label", F.min("label").over(_wband))
             .groupBy("doc_id")
             .agg(F.min("bucket_label").alias("label"))
         )
